@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table readers for the driver-generated testdata
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §2).
+  *
+  * Scale note: these are plain parquet scans — Catalyst pushes filters and
+  * prunes columns into the scan, so every downstream operator should express
+  * selection/projection relationally rather than materializing full rows.
+  * On a real cluster the same code reads a partitioned table; nothing here
+  * assumes single-node layout.
+  */
+object Tables {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark 4
+    // rejects by default; read nanos as long and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `ts` arrives as nanos-since-epoch (LongType); convert to a microsecond
+    * TimestampType with integer division — the same floor DuckDB applies
+    * when it reads TIMESTAMP_NS into its microsecond TIMESTAMP, so oracle
+    * comparisons stay exact.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = apply(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+}
