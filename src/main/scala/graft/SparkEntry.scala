@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sessions
+import graft.functions.TextAnalysis
+import graft.operators.{CsvIngest, Dedup, Relational, Sessions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,6 +47,40 @@ object SparkEntry {
     "t3_dynamic_gap_scaled" -> ((s, dir) =>
       Sessions.sessionAgg(Tables.events(s, dir), Sessions.scaledDynamicGap)
         .orderBy(col("user_id"), col("session_start"))),
+    // P1/P2: CSV wire-format roundtrip — render events in the reference's
+    // CSV format, inject malformed fixtures, parse permissively; survivors
+    // must equal the original events exactly.
+    "csv_roundtrip_events" -> ((s, dir) => {
+      import s.implicits._
+      val lines = CsvIngest.renderCsv(Tables.events(s, dir))
+        .union(CsvIngest.malformedFixtures.toDF("value"))
+      CsvIngest.parsePermissive(lines).orderBy(col("transaction_id"))
+    }),
+    // Relational coverage (extensions; SURVEY.md §2.5)
+    "q1_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q3_top_revenue" -> ((s, dir) =>
+      Relational.topRevenue(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+    "q_top3_parts_per_brand" -> ((s, dir) =>
+      Relational.top3PartsPerBrand(Tables.part(s, dir))),
+    "q_rollup_acctbal" -> ((s, dir) =>
+      Relational.acctbalRollup(Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    "q_anti_customers_no_orders" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_semi_urgent_customers" -> ((s, dir) =>
+      Relational.urgentCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_events_json_enrich" -> ((s, dir) =>
+      Relational.eventsJsonEnrich(Tables.events(s, dir))),
+    // Text-analysis extensions over documents
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    // Dedup extensions
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -116,5 +151,111 @@ object SparkEntry {
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     "t3_dynamic_gap_ref" -> sessionOracle(refGapSql),
     "t3_dynamic_gap_scaled" -> sessionOracle(scaledGapSql),
+    // Roundtrip parity: parse(render(events)) == events (malformed dropped)
+    "csv_roundtrip_events" ->
+      """SELECT ts, user_id, event_id AS transaction_id, value AS payload_value
+        |FROM events
+        |WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  AND event_id IS NOT NULL AND value IS NOT NULL
+        |ORDER BY transaction_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity), 0) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice) * 100, 0) / 100.0 AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) / 100.0 AS sum_disc_price,
+        |  floor(round(sum(l_extendedprice) * 100, 0) / count(*) + 0.5) / 100.0 AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_top3_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |  FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_rollup_acctbal" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+        |  coalesce(n_name, 'ALL') AS nation_name,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal) * 100, 0) / 100.0 AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_urgent_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_events_json_enrich" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(sum(value) * 100, 0) / 100.0 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('the', 'a'))) AS c_en,
+        |  len(list_filter(w, x -> x IN ('data', 'query'))) AS c_es,
+        |  len(list_filter(w, x -> x IN ('window', 'batch'))) AS c_de,
+        |  len(list_filter(w, x -> x IN ('merge', 'join'))) AS c_fr,
+        |  len(list_filter(w, x -> x IN ('hash', 'scan'))) AS c_zh
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  c_en, c_es, c_de, c_fr, c_zh
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |    string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, n_chars, len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  len(list_filter(w, x -> x IN ('the', 'a', 'of'))) AS stop_cnt
+        |FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct,
+        |  (n_distinct * 20000 + n_tokens) // (2 * n_tokens) AS ttr_bp,
+        |  stop_cnt,
+        |  ((n_chars - n_tokens + 1) * 200 + n_tokens) // (2 * n_tokens) AS avg_tok_len_cp
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_runs,
+        |  (length(text) + 3) // 4 AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
   )
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis extension operators over the `documents` table (builder
+  * north star; no reference equivalent — the reference's only string ops
+  * are strip/split, `flink_stream_task1.py:24-28`).
+  *
+  * Everything here is pure builtin expression work (`split`, higher-order
+  * `filter`, `regexp_count`, `md5`) — codegen-friendly, no UDFs, no
+  * shuffles except the final aggregation where one exists. At 100 TB these
+  * are embarrassingly parallel scans; the only design rule is to keep the
+  * token arrays inside one projection (never explode unless a group-by
+  * follows) so row counts don't blow up mid-plan.
+  *
+  * Determinism: ratio-like outputs use integer basis-point math
+  * (`(a*20000 + b) div (2*b)` = round-half-up of a*10000/b) so the DuckDB
+  * oracle matches exactly.
+  */
+object TextAnalysis {
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Marker vocabularies for the n-gram-style language-ID heuristic. The
+    * testdata's docs are same-vocabulary word salad (FIXTURES.md §2), so
+    * accuracy against the `lang` column is not meaningful — the operator
+    * contract is a deterministic argmax over per-language marker hits with
+    * a fixed tie-break order (en > es > de > fr > zh).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "query"),
+    "de" -> Seq("window", "batch"),
+    "fr" -> Seq("merge", "join"),
+    "zh" -> Seq("hash", "scan"))
+
+  private def markerHits(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID: per-language marker counts + argmax prediction. */
+  def langId(documents: DataFrame): DataFrame = {
+    val withScores = langMarkers.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (lang, words)) => df.withColumn(s"c_$lang", markerHits(words))
+    }
+    val Seq(en, es, de, fr, zh) = langMarkers.map { case (l, _) => col(s"c_$l") }
+    withScores
+      .withColumn("pred_lang",
+        when(en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es >= de && es >= fr && es >= zh, "es")
+          .when(de >= fr && de >= zh, "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("pred_lang"),
+        en.cast("long").as("c_en"), es.cast("long").as("c_es"),
+        de.cast("long").as("c_de"), fr.cast("long").as("c_fr"),
+        zh.cast("long").as("c_zh"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, token counts, type-token ratio (basis
+    * points), stopword hits, average token length (centi-chars) — all in
+    * exact integer math.
+    */
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => t.isInCollection(Seq("the", "a", "of"))))
+          .cast("long").as("stop_cnt"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+        expr("(n_distinct * 20000 + n_tokens) div (2 * n_tokens)").as("ttr_bp"),
+        col("stop_cnt"),
+        // single-space-joined text ⇒ total token chars = n_chars - (n_tokens-1)
+        expr("((n_chars - n_tokens + 1) * 200 + n_tokens) div (2 * n_tokens)")
+          .as("avg_tok_len_cp"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens, alpha runs (BPE-ish regex pieces),
+    * and the classic chars/4 BPE estimate — integer math only.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).cast("long").as("alpha_runs"),
+      expr("cast((length(text) + 3) div 4 as bigint)").as("bpe_est"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text.
+    * (The rolling-hash shingle fingerprint lives in [[graft.operators.Dedup]]
+    * where it feeds MinHash.)
+    */
+  def fingerprintCol: Column =
+    md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprintCol.as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish star schema: scan +
+  * pushdown aggregation, shuffle/broadcast joins, semi/anti joins, SQL
+  * window functions, rollup. The reference itself has none of these
+  * (SURVEY.md §2.5) — these are the extension surface a real analytics
+  * engine needs, shaped for scale:
+  *
+  *  - dimensions (`customer` at bench SF, `nation`, `region`) are
+  *    explicitly `broadcast()` so the fact-side scan never shuffles for
+  *    them; at 100 TB the lineitem⋈orders join is the only repartitioning.
+  *  - filters sit directly on the scans (Catalyst pushes them into parquet
+  *    `PushedFilters`), aggregates are partial-then-final (map-side combine
+  *    for free).
+  *  - money arithmetic uses the integer-cents convention (see
+  *    [[Sessions]]) so DuckDB-oracle hashes match bit-for-bit.
+  */
+object Relational {
+
+  /** round(sum(c)*100) — an exact integer in every engine. */
+  private def sumCents(c: Column): Column = round(sum(c) * 100, 0)
+
+  /** TPC-H Q1-flavored pricing summary (scan → pushed filter → 6-group agg). */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 0).cast("long").as("sum_qty"),
+        sumCents(col("l_extendedprice")).as("sum_base_cents"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100, 0)
+          .as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("sum_base_cents") / 100.0).as("sum_base_price"),
+        (col("sum_disc_cents") / 100.0).as("sum_disc_price"),
+        (floor(col("sum_base_cents") / col("count_order") + 0.5) / 100.0).as("avg_price"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-flavored top-revenue orders: broadcast the filtered customer
+    * dimension, shuffle-join lineitem⋈orders, aggregate, top-10 on the
+    * rounded revenue with a key tie-break (deterministic across engines).
+    */
+  def topRevenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === "BUILDING")
+    val o = orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100, 0) / 100.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** SQL window function (ranking): top-3 parts by retail price per brand. */
+  def top3PartsPerBrand(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("p_retailprice"), col("p_partkey"))
+    part
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Hierarchical ROLLUP(region, nation) over broadcast dimensions; NULL
+    * grouping slots are coalesced to 'ALL' so engine NULL-sort-order
+    * differences can't bite.
+    */
+  def acctbalRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sumCents(col("c_acctbal")) / 100.0).as("total_acctbal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("total_acctbal"))
+      .orderBy(col("region_name"), col("nation_name"))
+
+  /** Anti join: customers with no recent orders (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+      orders.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+      col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: customers with at least one urgent order (EXISTS). */
+  def urgentCustomers(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(
+      orders.filter(col("o_orderpriority") === "1-URGENT"),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** JSON scalar extraction (events.props) + per-type aggregate — the
+    * `get_json_object` path stays codegen'd; no UDF.
+    */
+  def eventsJsonEnrich(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        (sumCents(col("value")) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"))
+}
