@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CsvIngest, Dedup, Relational, Sessions}
+import graft.operators.{CsvIngest, Dedup, NearDup, Relational, Sessions, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,17 @@ object SparkEntry {
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
+    // Near-dup extensions: MinHash+LSH and the exact inverted-index
+    // Jaccard both reproduce the brute-force oracle at Jaccard ≥ 0.5;
+    // SimHash is Spark-hash-specific (no SQL oracle; ScalaTest-covered).
+    "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashNearDups(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
+    // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
+    // LSH-bucketed approximate top-k (scale path; no oracle).
+    "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
+    "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -257,5 +268,43 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "dedup_minhash_lsh" -> bruteJaccardOracle,
+    "dedup_ngram_jaccard" -> bruteJaccardOracle,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY vec_i, vec_j""".stripMargin,
+    "ann_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT query_id, vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6) AS cos_r
+        |      FROM q, embeddings WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+        |      FROM c)
+        |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+        |ORDER BY query_id, "rank"""".stripMargin,
   )
+
+  /** Brute-force word-3-gram Jaccard ≥ 1/2 pairs — ground truth for both
+    * the MinHash+LSH and inverted-index near-dup queries (the LSH banding
+    * at 32×4 has miss probability ≈1.5e-15 for this data's ≥0.9 planted
+    * pairs, so the approximate and exact pipelines coincide).
+    */
+  private val bruteJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w) - 1)]) AS s
+      |       FROM t WHERE len(w) >= 3),
+      |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+      |        len(list_intersect(a.s, b.s)) AS inter,
+      |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_i, doc_j, (inter * 20000 + u) // (2 * u) AS jac_bp
+      |FROM p WHERE inter * 2 >= u ORDER BY doc_i, doc_j""".stripMargin
 }

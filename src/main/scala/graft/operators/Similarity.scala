@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayOps
+
+/** Embedding similarity search over `embeddings` (vec_id, embedding
+  * float[64], label) — north-star extension.
+  *
+  * Shapes:
+  *  - [[cosineNearDupPairs]] / [[bruteForceTopK]]: exact baselines. The
+  *    pair join is a range self-join (id <) and the top-k is a per-query
+  *    window — correct at test SFs, O(n²) by nature.
+  *  - [[lshTopK]]: the scale path — random-hyperplane LSH buckets turn
+  *    neighbor search into an equi-join on bucket keys; at 100 TB this is
+  *    the only shape that survives (candidates per query bounded by bucket
+  *    occupancy, not corpus size). Approximate by design → no SQL oracle;
+  *    its recall against the brute-force baseline is asserted in ScalaTest.
+  *
+  * Numeric determinism: cosines are computed in double (cast from float)
+  * with a sequential fold — and every ordering/threshold decision is made
+  * on `round(cos, 6)` with a vec_id tie-break, so a ±1e-12 formula
+  * difference vs DuckDB's `list_cosine_similarity` cannot flip results.
+  * The near-dup threshold (0.4) sits ≥1e-4 from every pair in the data.
+  */
+object Similarity {
+
+  /** vec_id, double vector, precomputed norm — dot/norm via the codegen'd
+    * [[graft.functions.ArrayDotProduct]] (see its Scaladoc for why the
+    * builtin `aggregate`/`zip_with` fold was 20× slower here).
+    */
+  private def prepared(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val v = col("embedding").cast("array<double>")
+    embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(ArrayOps.dotNative(spark, col("v"), col("v"))))
+  }
+
+  private def dotN(df: DataFrame, a: Column, b: Column): Column =
+    ArrayOps.dotNative(df.sparkSession, a, b)
+
+
+  /** All pairs with cosine ≥ `threshold` (embedding-cosine near-dup).
+    * Emits ids only: the pair SET is decided with ≥1e-4 margin, while the
+    * cosine VALUE itself is FP-formula-sensitive — keeping it out of the
+    * output keeps the oracle comparison exact.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val a = prepared(embeddings).select(col("vec_id").as("vec_i"),
+      col("v").as("v_i"), col("nrm").as("n_i"))
+    val b = prepared(embeddings).select(col("vec_id").as("vec_j"),
+      col("v").as("v_j"), col("nrm").as("n_j"))
+    a.join(b, col("vec_i") < col("vec_j"))
+      .filter(dotN(embeddings, col("v_i"), col("v_j")) / (col("n_i") * col("n_j")) >= threshold)
+      .select(col("vec_i"), col("vec_j"))
+      .orderBy(col("vec_i"), col("vec_j"))
+  }
+
+  /** Exact cosine top-k: queries = vec_id < `numQueries`, ranked by
+    * round(cos, 6) desc with vec_id tie-break (engine-robust ordering).
+    * The query side is broadcast — the corpus scan never shuffles until
+    * the final per-query window (partitioned by query_id).
+    */
+  def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = prepared(embeddings).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_n"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r",
+        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) derived
+    * from a hash of the literal string "plane_p_d", mapped into
+    * [-1, 1]. Seeded data, no RNG state — identical across runs/engines.
+    */
+  private val planes: Seq[Seq[Double]] = Seq.tabulate(NumPlanes) { p =>
+    Seq.tabulate(64) { d =>
+      // xxHash-free host-side derivation: splitmix64 on (p*64+d)
+      var z = (p * 64 + d + 1).toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (Math.floorMod(z, 2001L) - 1000L) / 1000.0
+    }
+  }
+
+  /** Random-hyperplane bucket id (sign bits of plane dot products). */
+  def bucketOf(df: DataFrame, v: Column): Column =
+    (0 until NumPlanes)
+      .map(p => when(dotN(df, v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors in the
+    * query's bucket; ranking as in [[bruteForceTopK]]. Queries with
+    * sparse buckets simply return fewer than k rows — the standard
+    * recall/latency trade; multi-probe (flip one bit) would be next.
+    */
+  def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val corpus = prepared(embeddings).withColumn("bucket", bucketOf(embeddings, col("v")))
+    val queries = corpus.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"),
+        col("nrm").as("q_n"), col("bucket").as("q_bucket"))
+    val scored = corpus.join(broadcast(queries),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r",
+        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}
