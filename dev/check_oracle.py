@@ -14,7 +14,11 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if len(df) and isinstance(df[c].iloc[0], (np.ndarray, list)):
+            df[c] = df[c].apply(lambda v: str(list(v)))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CsvIngest, Dedup, NearDup, Relational, Sessions, Similarity}
+import graft.operators.{CsvIngest, Dedup, Multimodal, NearDup, Relational, Sessions, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,14 +92,21 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
+    // Multimodal extensions: binary media column + typed metadata; decode
+    // is a deterministic stub (no codecs in env), plumbing is real.
+    "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
+    "multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
+    "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
 
   /** Gap-and-islands sessionization oracle (SURVEY.md §5.2): new session
-    * when the microsecond diff to the previous event is >= the gap — same
-    * half-open boundary as Spark's `session_window`. `gsecSql` is a SQL
-    * expression (over `user_id`) yielding the gap in whole seconds.
+    * when the microsecond diff to the previous event is STRICTLY greater
+    * than the gap. Pinned by SessionsSpec: Spark's `session_window` merges
+    * events exactly `gap` apart (closed interval, same as Flink's
+    * `gap <= g` merge rule). `gsecSql` is a SQL expression (over
+    * `user_id`) yielding the gap in whole seconds.
     */
   private def sessionOracle(gsecSql: String, having: String = "",
                             keepFirst: Boolean = false): String = {
@@ -109,7 +116,7 @@ object SparkEntry {
       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       |), flagged AS (
       |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-      |       OR date_diff('microsecond', lag(ts) OVER w, ts) >= gsec * 1000000
+      |       OR date_diff('microsecond', lag(ts) OVER w, ts) > gsec * 1000000
       |     THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       |), sess AS (
@@ -268,6 +275,33 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  64 + n_chars % 576 AS width,
+        |  48 + n_chars % 432 AS height,
+        |  n_chars // 100 + 1 AS n_frames,
+        |  octet_length(encode(text)) AS media_bytes,
+        |  md5(text) AS content_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text AS b,
+        |    unnest(range(0, n_chars // 100 + 1)) AS frame_idx
+        |  FROM documents)
+        |-- text is pure ASCII, so string slicing == the byte slicing Spark
+        |-- performs on the binary media column
+        |SELECT doc_id, frame_idx,
+        |  octet_length(encode(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16))) AS frame_bytes,
+        |  md5(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_key
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  [((octet_length(encode(text)) * 31 + k) % 1000) / 1000.0
+        |   for k in range(0, 8)] AS features
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
     "dedup_embedding" ->

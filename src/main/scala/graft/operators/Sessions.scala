@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * per-row dynamic gap expressions (W2) in batch AND Structured Streaming.
   *
   * Semantics (pinned by `SessionsSpec`): an event whose timestamp is exactly
-  * `previous_ts + gap` starts a NEW session (Spark's session window is the
-  * half-open interval `[start, last_ts + gap)`), and the emitted
-  * `session_end` is `last_event_ts + gap`. The DuckDB oracle uses the same
-  * convention (`date_diff(us) >= gap` ⇒ new session) — see SURVEY.md §7.5.1.
+  * `previous_ts + gap` MERGES into the session — Spark's session window
+  * treats the gap as a closed interval, the same `gap <= g` merge rule as
+  * Flink's session windows. A new session starts only when the inter-event
+  * diff is strictly greater than the gap; the emitted `session_end` is
+  * `last_event_ts + gap`. The DuckDB oracle uses the same convention
+  * (`date_diff(us) > gap` ⇒ new session) — see SURVEY.md §7.5.1.
   *
   * Scale: `groupBy(user_id, session_window(ts, gap))` compiles to a single
   * hash shuffle on `user_id` followed by in-partition sort+merge of session

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch session operators — the
+  * reference's actual deployment shape (Kafka → keyed session windows →
+  * continuous sink; `flink_stream_task1.py:44-85`).
+  *
+  * The SAME aggregation plan as [[graft.operators.Sessions.sessionAgg]]
+  * wrapped in a watermarked stream: Spark's `session_window` is
+  * streaming-native (state store backed, `MergingSessionsExec`), so batch
+  * and streaming results coincide — asserted in `StreamingSpec` by running
+  * one frame through a memory-source stream and comparing to batch.
+  *
+  * Watermark: the reference uses monotonous timestamps = zero allowed
+  * lateness (`flink_stream_task1.py:41`, SURVEY.md §1.4); `delay`
+  * parameterizes `forBoundedOutOfOrderness` semantics for out-of-order
+  * feeds. No Kafka jar ships in this env (SURVEY.md §7.5.6), so sources
+  * are file/memory/rate — the operators only require a streaming
+  * DataFrame with (ts, user_id, value).
+  */
+object StreamingSessions {
+
+  /** W1/W2 + A2 + P3 streaming twin. `outputMode` must be Append (emit on
+    * window close, the Flink behavior) or Complete downstream.
+    */
+  def sessionAggStream(events: DataFrame, gap: Column,
+                       delay: String = "0 seconds"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(
+        round(sum(col("value")) * 100, 0).as("sum_cents"),
+        count(lit(1)).as("event_count"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("event_count"),
+        (col("sum_cents") / 100.0).as("session_sum"),
+        (floor(col("sum_cents") / col("event_count") + 0.5) / 100.0).as("session_avg"))
+
+  /** A3 streaming twin (task 2's "alert once per user",
+    * `flink_stream_task2.py:72,85-90`): threshold filter then streaming
+    * `dropDuplicates` on user_id. State note (SURVEY.md §7.5.7): without a
+    * watermark column in the dedup key the keep-first state is unbounded —
+    * correct "once ever per user" semantics cost O(distinct users) state,
+    * the same trade the reference's global set makes.
+    */
+  def bigCustomerAlertStream(sessionized: DataFrame, threshold: Double): DataFrame =
+    sessionized
+      .filter(col("session_sum") >= threshold)
+      .dropDuplicates("user_id")
+}

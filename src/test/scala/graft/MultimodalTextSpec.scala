@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Multimodal
+
+class MultimodalTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick fox", 13L),
+    (1L, "a a a a", 7L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("media table: binary payload + metadata derived from n_chars") {
+    val m = Multimodal.mediaMeta(docs).collect()
+    val r0 = m.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[String]("kind") == "image")       // doc_id 0 % 3
+    assert(r0.getAs[Long]("width") == 64 + 13)
+    assert(r0.getAs[Long]("media_bytes") == 13L)      // ASCII text
+    assert(r0.getAs[Long]("n_frames") == 1L)
+  }
+
+  test("frame sampling: n_frames rows per doc, stable md5 frame keys") {
+    val big = Seq((7L, "x" * 250, 250L)).toDF("doc_id", "text", "n_chars")
+    val f = Multimodal.sampleFrames(big).collect()
+    assert(f.length == 3) // 250 div 100 + 1
+    assert(f.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 1L, 2L))
+    // frames 0 and 1 are identical 16-byte runs of 'x' → same key
+    assert(f(0).getAs[String]("frame_key") == f(1).getAs[String]("frame_key"))
+  }
+
+  test("feature extraction stub is deterministic and dimension-correct") {
+    val f = Multimodal.extractFeatures(docs, dim = 4).collect()
+    assert(f.length == 2)
+    val feats = f.find(_.getLong(0) == 0L).get
+      .getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(feats == Multimodal.decodeStub(Array.fill(13)(0: Byte), 4).toSeq)
+  }
+
+  test("langId: argmax with fixed tie-break order") {
+    val d = Seq(
+      (0L, "the a the"),          // en markers dominate
+      (1L, "hash scan hash"),     // zh markers dominate
+      (2L, "nothing matches")     // all-zero → tie → 'en' first
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang")).toMap
+    assert(out == Map(0L -> "en", 1L -> "zh", 2L -> "en"))
+  }
+
+  test("quality: integer round-half-up basis points") {
+    // "a a a a": 4 tokens, 1 distinct → ttr 2500 bp exactly
+    val out = TextAnalysis.qualityScore(docs).collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Long]("ttr_bp") == 2500L)
+    assert(r1.getAs[Long]("stop_cnt") == 4L)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+
+/** Pins the load-bearing session-window semantics (SURVEY.md §7.5.1-3). */
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(rows: (String, Long, Double)*) =
+    rows.toDF("t", "user_id", "value")
+      .select(to_timestamp($"t").as("ts"), $"user_id", $"value")
+
+  test("exact-boundary: event at previous + gap MERGES (closed interval)") {
+    // Spark's session_window merges at diff == gap — same as Flink's
+    // `gap <= g` rule; the DuckDB oracle's `diff > gap ⇒ new session`
+    // convention is pinned here.
+    val df = events(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:00:30", 1L, 2.0)) // exactly 30 s later
+    val out = Sessions.sessionAgg(df, lit("30 seconds")).collect()
+    assert(out.length == 1, "30s-apart events merge under a 30s gap")
+    assert(out.head.getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 00:01:00"))
+    // one microsecond past the gap splits
+    val df2 = events(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:00:30.000001", 1L, 2.0))
+    assert(Sessions.sessionAgg(df2, lit("30 seconds")).count() == 2)
+  }
+
+  test("sub-gap chain merges transitively (0s, 29s, 58s)") {
+    val df = events(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:00:29", 1L, 2.0),
+      ("2024-01-01 00:00:58", 1L, 3.0))
+    val out = Sessions.sessionAgg(df, lit("30 seconds")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("event_count") == 3)
+    assert(r.getAs[Double]("session_sum") == 6.0)
+    // session_end = last event + gap
+    assert(r.getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 00:01:28"))
+  }
+
+  test("rounding: avg at a half-cent boundary rounds half-up") {
+    // sum = 0.05, count = 2 → avg 2.5 cents → 0.03 (half-up), not 0.02
+    val df = events(
+      ("2024-01-01 00:00:00", 1L, 0.02),
+      ("2024-01-01 00:00:01", 1L, 0.03))
+    val out = Sessions.sessionAgg(df, lit("30 seconds")).collect()
+    assert(out.head.getAs[Double]("session_avg") == 0.03)
+  }
+
+  test("bigCustomers keeps only the FIRST qualifying session per user") {
+    val df = events(
+      ("2024-01-01 00:00:00", 1L, 500.0), // qualifying session 1
+      ("2024-01-01 10:00:00", 1L, 600.0), // qualifying session 2 (later)
+      ("2024-01-01 20:00:00", 2L, 10.0))  // non-qualifying
+    val out = Sessions.bigCustomers(
+      Sessions.sessionAgg(df, lit("30 seconds")), 300.0).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("user_id") == 1L)
+    assert(out.head.getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 00:00:00"))
+  }
+
+  test("dynamic gaps follow the reference's user-id bands") {
+    // 90 s spacing: merges for users with gap > 90 s (9999→5min, 2..9→2min),
+    // splits for users with gap <= 90 s (100..200→60s, else→30s)
+    val spacing = Seq("2024-01-01 00:00:00", "2024-01-01 00:01:30")
+    val users = Seq(9999L, 5L, 150L, 42L)
+    val df = events(users.flatMap(u => spacing.map(t => (t, u, 1.0))): _*)
+    val out = Sessions.sessionAgg(df, Sessions.referenceDynamicGap)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(out(9999L) == 1, "5 min gap merges 90s spacing")
+    assert(out(5L) == 1, "2 min gap merges 90s spacing")
+    assert(out(150L) == 2, "60 s gap splits 90s spacing")
+    assert(out(42L) == 2, "30 s gap splits 90s spacing")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+import graft.streaming.StreamingSessions
+
+case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+/** Streaming ≡ batch for the session engine (SURVEY.md §5.2 property). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    Ev(ts("2024-01-01 00:00:00"), 1L, 10.0),
+    Ev(ts("2024-01-01 00:00:20"), 1L, 5.0),   // merges (gap 30s)
+    Ev(ts("2024-01-01 00:01:00"), 1L, 2.0),   // new session (40s later)
+    Ev(ts("2024-01-01 00:00:05"), 2L, 400.0), // user 2, one big session
+    Ev(ts("2024-01-01 00:02:00"), 2L, 500.0)) // second qualifying session
+
+  test("memory-source streaming session agg equals batch sessionAgg") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = StreamingSessions.sessionAggStream(mem.toDF(), lit("30 seconds"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("sess_out").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val want = Sessions.sessionAgg(rows.toDF(), lit("30 seconds"))
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(got == want)
+      assert(got.length == 4)
+    } finally q.stop()
+  }
+
+  test("streaming big-customer alert fires once per user (keep-first)") {
+    // the dedup operator is driven by a stream of closed sessions (in the
+    // full pipeline the upstream session agg emits those on window close)
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[SessRow]
+    val alerts = StreamingSessions.bigCustomerAlertStream(mem.toDF(), 300.0)
+    val q = alerts.writeStream.format("memory")
+      .queryName("alert_out").outputMode("append").start()
+    try {
+      mem.addData(
+        SessRow(2L, 400.0), SessRow(1L, 10.0))
+      q.processAllAvailable()
+      mem.addData(SessRow(2L, 500.0)) // second qualifying session, later batch
+      q.processAllAvailable()
+      val got = spark.table("alert_out").collect()
+      assert(got.length == 1, "exactly one alert despite two qualifying sessions")
+      assert(got.head.getAs[Long]("user_id") == 2L)
+      assert(got.head.getAs[Double]("session_sum") == 400.0, "first session wins")
+    } finally q.stop()
+  }
+}
+
+case class SessRow(user_id: Long, session_sum: Double)
