@@ -17,14 +17,20 @@ object DevProfile {
       println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val docs = Tables.documents(spark, dir)
-    time("shingled")(NearDup.shingled(docs).count())
-    val sh = NearDup.shingled(docs)
-    time("signatures")(NearDup.minhashSignatures(sh).count())
-    val sigs = NearDup.minhashSignatures(sh)
-    time("candidates")(NearDup.lshCandidates(sigs).count())
-    val cands = NearDup.lshCandidates(sigs)
-    time("verify")(NearDup.verifyJaccard(cands, sh).count())
-    time("full")(NearDup.minhashNearDups(docs).count())
+    time("ngram_full")(NearDup.jaccardNearDupsExact(docs).count())
+    time("minhash_full")(NearDup.minhashNearDups(docs).count())
+    // ngram internals: posting count and pair fan-out
+    locally {
+      import org.apache.spark.sql.functions._
+      val sh = NearDup.shingled(docs)
+      val posting = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("s"))
+        .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+      time("ngram_postings")(posting.count())
+      time("ngram_pairrows")(posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")).count())
+    }
+    time("simhash_full")(NearDup.simhashNearDups(docs).count())
     spark.stop()
   }
 }

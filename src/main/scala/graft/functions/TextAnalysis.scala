@@ -35,41 +35,50 @@ object TextAnalysis {
     "fr" -> Seq("merge", "join"),
     "zh" -> Seq("hash", "scan"))
 
-  private def markerHits(words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+  /** doc_id (+ any carried columns) exploded to one row per token —
+    * higher-order array functions (`filter`/`array_distinct` lambdas) are
+    * NOT codegen'd in Spark, so token statistics are computed as exploded
+    * aggregations instead: hash-agg with map-side combine, whole-stage
+    * codegen throughout, and the shape that scales (token rows never
+    * carry the document text).
+    */
+  private def tokenRows(documents: DataFrame, carry: Column*): DataFrame =
+    documents.select(col("doc_id") +: carry :+ explode(toks).as("tok"): _*)
+
+  private def hits(words: Seq[String]): Column =
+    sum(when(col("tok").isInCollection(words), 1L).otherwise(0L))
 
   /** Language-ID: per-language marker counts + argmax prediction. */
   def langId(documents: DataFrame): DataFrame = {
-    val withScores = langMarkers.foldLeft(documents.select(col("doc_id"), col("text"))) {
-      case (df, (lang, words)) => df.withColumn(s"c_$lang", markerHits(words))
-    }
-    val Seq(en, es, de, fr, zh) = langMarkers.map { case (l, _) => col(s"c_$l") }
-    withScores
+    val scores = tokenRows(documents).groupBy(col("doc_id"))
+      .agg(hits(langMarkers.head._2).as("c_en"),
+        hits(langMarkers(1)._2).as("c_es"),
+        hits(langMarkers(2)._2).as("c_de"),
+        hits(langMarkers(3)._2).as("c_fr"),
+        hits(langMarkers(4)._2).as("c_zh"))
+    val Seq(en, es, de, fr, zh) = Seq("c_en", "c_es", "c_de", "c_fr", "c_zh").map(col)
+    scores
       .withColumn("pred_lang",
         when(en >= es && en >= de && en >= fr && en >= zh, "en")
           .when(es >= de && es >= fr && es >= zh, "es")
           .when(de >= fr && de >= zh, "de")
           .when(fr >= zh, "fr")
           .otherwise("zh"))
-      .select(col("doc_id"), col("pred_lang"),
-        en.cast("long").as("c_en"), es.cast("long").as("c_es"),
-        de.cast("long").as("c_de"), fr.cast("long").as("c_fr"),
-        zh.cast("long").as("c_zh"))
+      .select(col("doc_id"), col("pred_lang"), en, es, de, fr, zh)
       .orderBy(col("doc_id"))
   }
 
   /** Quality scoring: length, token counts, type-token ratio (basis
     * points), stopword hits, average token length (centi-chars) — all in
-    * exact integer math.
+    * exact integer math over an exploded token aggregation.
     */
   def qualityScore(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(filter(toks, t => t.isInCollection(Seq("the", "a", "of"))))
-          .cast("long").as("stop_cnt"))
+    tokenRows(documents, length(col("text")).cast("long").as("len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("n_chars"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        hits(Seq("the", "a", "of")).as("stop_cnt"))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
         expr("(n_distinct * 20000 + n_tokens) div (2 * n_tokens)").as("ttr_bp"),
         col("stop_cnt"),

@@ -116,10 +116,17 @@ object NearDup {
 
   /** MinHash+LSH near-dup pipeline: shingle → signature → banded
     * candidates → exact verify.
+    *
+    * The shingle sets and signatures feed multiple plan branches (both
+    * sides of the band self-join, both sides of the verify join), so they
+    * are persisted for the duration of the computation — the cluster
+    * equivalent is materializing the signature table once per corpus
+    * rather than recomputing it per LSH probe.
     */
   def minhashNearDups(documents: DataFrame): DataFrame = {
-    val sh = shingled(documents)
-    verifyJaccard(lshCandidates(minhashSignatures(sh)), sh)
+    val sh = shingled(documents).persist()
+    val sigs = minhashSignatures(sh).persist()
+    verifyJaccard(lshCandidates(sigs), sh)
   }
 
   /** Exact n-gram Jaccard near-dups via inverted index: explode shingles
@@ -135,9 +142,13 @@ object NearDup {
   def jaccardNearDupsExact(documents: DataFrame, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = shingled(documents)
     // join on the 64-bit shingle hash, not the shingle text — the shuffle
-    // carries 8-byte keys (collision odds over ~10⁶ shingles ≈ 1e-7)
-    val posting0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+    // carries 8-byte keys (collision odds over ~10⁶ shingles ≈ 1e-7).
+    // Each posting carries its doc's set size so intersection counts and
+    // union sizes come out of ONE join+aggregate (no dimension re-joins).
+    val posting0 = sh
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
     val posting =
       if (maxDocFreq == Long.MaxValue) posting0
       else {
@@ -145,14 +156,16 @@ object NearDup {
           .filter(col("df") <= maxDocFreq).select(col("sh"))
         posting0.join(broadcast(keep), "sh")
       }
+    // size-ratio prune: jac ≥ 1/2 needs |big| ≤ 2·|small| (jac ≤ min/max),
+    // so mismatched-size pairs drop before the aggregate; keeps the oracle
+    // result set bit-identical (boundary |big| = 2·|small| is retained)
     val pairs = posting.as("x").join(posting.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") <= col("y.n") * 2 && col("y.n") <= col("x.n") * 2)
       .groupBy(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.n")).as("n_i"), max(col("y.n")).as("n_j"))
     pairs
-      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("n_i")), "doc_i")
-      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("n_j")), "doc_j")
       .withColumn("uni", col("n_i") + col("n_j") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_i"), col("doc_j"),
