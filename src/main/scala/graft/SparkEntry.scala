@@ -47,6 +47,14 @@ object SparkEntry {
     "t3_dynamic_gap_scaled" -> ((s, dir) =>
       Sessions.sessionAgg(Tables.events(s, dir), Sessions.scaledDynamicGap)
         .orderBy(col("user_id"), col("session_start"))),
+    // §1.4 ingest-time variant: the reference actually sessionizes over
+    // Kafka ingest time; model it with a deterministic synthetic ingest
+    // clock (100 events/s in arrival = event_id order, the reference
+    // generator's sustained rate).
+    "t1_sessions_ingest" -> ((s, dir) =>
+      Sessions.sessionAggBy(Tables.events(s, dir), lit("30 seconds"),
+        timestamp_micros(col("event_id") * 10000L))
+        .orderBy(col("user_id"), col("session_start"))),
     // P1/P2: CSV wire-format roundtrip — render events in the reference's
     // CSV format, inject malformed fixtures, parse permissively; survivors
     // must equal the original events exactly.
@@ -109,11 +117,12 @@ object SparkEntry {
     * `user_id`) yielding the gap in whole seconds.
     */
   private def sessionOracle(gsecSql: String, having: String = "",
-                            keepFirst: Boolean = false): String = {
+                            keepFirst: Boolean = false,
+                            tsSql: String = "ts"): String = {
     val agg = s"""
       |WITH e AS (
-      |  SELECT user_id, ts, value, CAST(($gsecSql) AS BIGINT) AS gsec
-      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  SELECT user_id, ($tsSql) AS ts, value, CAST(($gsecSql) AS BIGINT) AS gsec
+      |  FROM events WHERE user_id IS NOT NULL AND ($tsSql) IS NOT NULL
       |), flagged AS (
       |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
       |       OR date_diff('microsecond', lag(ts) OVER w, ts) > gsec * 1000000
@@ -169,6 +178,8 @@ object SparkEntry {
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     "t3_dynamic_gap_ref" -> sessionOracle(refGapSql),
     "t3_dynamic_gap_scaled" -> sessionOracle(scaledGapSql),
+    "t1_sessions_ingest" -> sessionOracle("30",
+      tsSql = "make_timestamp(event_id * 10000)"),
     // Roundtrip parity: parse(render(events)) == events (malformed dropped)
     "csv_roundtrip_events" ->
       """SELECT ts, user_id, event_id AS transaction_id, value AS payload_value

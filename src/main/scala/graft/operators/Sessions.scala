@@ -59,7 +59,16 @@ object Sessions {
     * (`lit("30 seconds")`) or a per-row expression (dynamic gaps).
     */
   def sessionAgg(events: DataFrame, gap: Column): DataFrame =
+    sessionAggBy(events, gap, col("ts"))
+
+  /** [[sessionAgg]] over an arbitrary time column. The reference *declares*
+    * event-time but *actually* sessionizes over Kafka ingest time (no
+    * timestamp assigner — SURVEY.md §1.4); passing a derived ingest-time
+    * column here models that variant deterministically.
+    */
+  def sessionAggBy(events: DataFrame, gap: Column, tsCol: Column): DataFrame =
     events
+      .withColumn("ts", tsCol)
       .filter(col("user_id").isNotNull && col("ts").isNotNull) // P2 null filter
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
