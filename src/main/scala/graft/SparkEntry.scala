@@ -81,6 +81,10 @@ object SparkEntry {
       Relational.urgentCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_events_json_enrich" -> ((s, dir) =>
       Relational.eventsJsonEnrich(Tables.events(s, dir))),
+    "q_asof_latest_order" -> ((s, dir) =>
+      Relational.asofLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+    "q_cube_orders" -> ((s, dir) =>
+      Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -234,6 +238,24 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_asof_latest_order" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t,
+        |    max(o_orderkey) AS asof_orderkey,
+        |    max_by(o_totalprice, o_orderkey) AS asof_totalprice
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, user_id, ts, asof_orderkey, asof_totalprice
+        |FROM events ASOF LEFT JOIN o1
+        |  ON events.user_id = o1.k AND events.ts >= o1.t
+        |ORDER BY event_id""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice) * 100, 0) / 100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY mktsegment, orderpriority""".stripMargin,
     "q_events_json_enrich" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

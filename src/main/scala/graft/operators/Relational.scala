@@ -104,6 +104,53 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** As-of (backward) join: each event picks the latest order of the same
+    * user with `o_orderdate <= ts` — the canonical time-series enrichment
+    * operator Spark has no builtin for.
+    *
+    * Implementation is composition, not a custom SparkPlan (preference (a)
+    * of the custom-operator ladder): tag both inputs, union, and take
+    * `last(..., ignoreNulls)` over a per-key time-ordered running window.
+    * ONE shuffle on the key (vs the naive range-join + per-event top-1,
+    * which explodes quadratically on hot keys); at 100 TB this is the
+    * sort-merge shape an as-of wants, and AQE handles key skew.
+    *
+    * Determinism: orders are first reduced to one row per (key, date) via
+    * `max_by(orderkey)`, and ties between an event and an order at the
+    * same instant resolve to the order (inclusive `<=`), so the DuckDB
+    * `ASOF LEFT JOIN` oracle matches exactly.
+    */
+  def asofLatestOrder(events: DataFrame, orders: DataFrame): DataFrame = {
+    val o1 = orders.groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(col("o_orderkey")).as("ord_key"),
+        expr("max_by(o_totalprice, o_orderkey)").as("ord_total"))
+      .withColumn("is_event", lit(0))
+    val e1 = events.select(col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"), col("value")).withColumn("is_event", lit(1))
+    val unioned = e1.unionByName(o1, allowMissingColumns = true)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event")) // order sorts before same-instant event
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn("asof_orderkey", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("ord_total"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CUBE over (mktsegment, orderpriority) with NULL-safe labels. */
+  def ordersCube(customer: DataFrame, orders: DataFrame): DataFrame =
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (round(sum(col("o_totalprice")) * 100, 0) / 100.0).as("total_price"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("mktsegment"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("mktsegment"), col("orderpriority"))
+
   /** JSON scalar extraction (events.props) + per-type aggregate — the
     * `get_json_object` path stays codegen'd; no UDF.
     */
