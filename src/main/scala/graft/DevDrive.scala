@@ -27,6 +27,24 @@ object DevDrive {
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.col("event_id") * 10000L))
     println("ingest sessions rows = " + ingest.count())
+    // 4. streaming file sources through the sources package
+    val tmp = java.nio.file.Files.createTempDirectory("drive-ev").toString
+    Tables.events(spark, "/root/testdata/sf0.001").coalesce(1)
+      .write.mode("overwrite").parquet(tmp)
+    val q = graft.streaming.StreamingSessions.sessionAggStream(
+      graft.sources.EventSource.parquetStream(spark, tmp),
+      org.apache.spark.sql.functions.lit("2 hours"))
+      .writeStream.format("memory").queryName("drive_sess")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    println("file-stream sessions = " + spark.table("drive_sess").count())
+    val tmp2 = java.nio.file.Files.createTempDirectory("drive-csv").toString
+    graft.operators.CsvIngest.renderCsv(Tables.events(spark, "/root/testdata/sf0.001"))
+      .coalesce(1).write.mode("overwrite").text(tmp2)
+    val q2 = graft.sources.EventSource.csvLineStream(spark, tmp2)
+      .writeStream.format("memory").queryName("drive_csv").start()
+    q2.processAllAvailable(); q2.stop()
+    println("csv-line-stream rows = " + spark.table("drive_csv").count())
     spark.stop()
   }
 }

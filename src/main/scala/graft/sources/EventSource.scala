@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.CsvIngest
+
+/** Event-stream sources (S1/S2 in SURVEY.md §2.1).
+  *
+  * The reference's only ingress is a Kafka topic of CSV lines
+  * (`flink_stream_task1.py:13-19`); this environment ships no
+  * spark-sql-kafka jar (SURVEY.md §7.5.6), so the source layer is built
+  * the way a Spark library should be anyway: every reader — batch or
+  * streaming, file or socket or Kafka — lands on ONE canonical schema,
+  * and everything downstream is source-agnostic.
+  *
+  * With a Kafka jar on the classpath the reference topology is exactly:
+  * {{{
+  * spark.readStream.format("kafka")
+  *   .option("subscribe", "events")
+  *   .option("startingOffsets", "earliest").load()
+  *   .selectExpr("CAST(value AS STRING) AS value")
+  *   .transform(CsvIngest.parsePermissive)   // same parse stage as batch
+  * }}}
+  */
+object EventSource {
+
+  /** Canonical event schema (FIXTURES.md §2). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Batch parquet reader (driver testdata). */
+  def batch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+
+  /** Streaming file source over a parquet directory — the no-Kafka twin
+    * of the reference topology; new files play the role of new offsets.
+    */
+  def parquetStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Streaming CSV-line source over a text directory, going through the
+    * SAME permissive parse as the reference (P1/P2): schema-on-read with
+    * malformed-line drop.
+    */
+  def csvLineStream(spark: SparkSession, dir: String): DataFrame =
+    CsvIngest.parsePermissive(spark.readStream.text(dir).toDF("value"))
+
+  /** Deterministic synthetic workload (S2 twin of `generator1.py`): the
+    * rate source drives event ids; fields derive from the id exactly like
+    * the reference generator derives payload from userID
+    * (`generator1.py:20`). Useful for streaming smoke tests at any rate.
+    */
+  def syntheticStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(15)).as("user_id"),
+        lit("view").as("event_type"),
+        (pmod(col("value"), lit(15)) * 10.0).as("value"),
+        lit("{}").as("props"))
+}

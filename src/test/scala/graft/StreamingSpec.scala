@@ -60,3 +60,32 @@ class StreamingSpec extends SparkSpec {
 }
 
 case class SessRow(user_id: Long, session_sum: Double)
+
+/** File-source twin of S1: a parquet directory drives the same session
+  * pipeline that the Kafka topic would.
+  */
+class FileSourceSpec extends SparkSpec {
+
+  test("parquet file stream through session agg equals the batch result") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    try {
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      val streamed = graft.streaming.StreamingSessions.sessionAggStream(
+        graft.sources.EventSource.parquetStream(spark, dir), lit("2 hours"))
+      val q = streamed.writeStream.format("memory")
+        .queryName("file_sess").outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("file_sess").count()
+        val want = graft.operators.Sessions.sessionAgg(ev, lit("2 hours")).count()
+        assert(got == want)
+        assert(got > 0)
+      } finally q.stop()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}
