@@ -83,6 +83,10 @@ object SparkEntry {
       Relational.eventsJsonEnrich(Tables.events(s, dir))),
     "q_asof_latest_order" -> ((s, dir) =>
       Relational.asofLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
+    "q_daily_activity" -> ((s, dir) =>
+      Relational.dailyActivity(Tables.events(s, dir))),
+    "q_range_join_errors" -> ((s, dir) =>
+      Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     // Text-analysis extensions over documents
@@ -248,6 +252,19 @@ object SparkEntry {
         |FROM events ASOF LEFT JOIN o1
         |  ON events.user_id = o1.k AND events.ts >= o1.t
         |ORDER BY event_id""".stripMargin,
+    "q_daily_activity" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS n_events,
+        |  round(sum(value) * 100, 0) / 100.0 AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_join_errors" ->
+      """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
+        |  b.event_id AS error_id, b.ts AS error_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'purchase' AND b.event_type = 'error'
+        | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
+        |ORDER BY purchase_id, error_id""".stripMargin,
     "q_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,

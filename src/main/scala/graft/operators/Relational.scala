@@ -151,6 +151,50 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy(col("mktsegment"), col("orderpriority"))
 
+  /** Tumbling-window (calendar-day) activity rollup — the batch twin of a
+    * streaming `window(ts, "1 day")` aggregation; Spark's epoch-aligned
+    * 1-day windows coincide with `date_trunc('day')` in UTC.
+    */
+  def dailyActivity(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")) * 100, 0) / 100.0).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("day"), col("n_events"),
+        col("sum_value"), col("n_users"))
+      .orderBy(col("day"))
+
+  /** Interval (range) join: each purchase event paired with same-user
+    * error events within ±2 hours — the "errors around a purchase"
+    * correlation query.
+    *
+    * Scalable shape: a naive `|t1 - t2| <= 2h` join condition plans as a
+    * nested-loop join. Instead both sides are binned to 2-hour epoch
+    * buckets — the error side explodes to (bin-1, bin, bin+1) — so the
+    * match becomes an EQUI-join on (user, bin) followed by the exact
+    * interval filter. Each qualifying pair matches in exactly one
+    * exploded bin (the purchase's own), so no dedup is needed. Bin
+    * fan-out is the interval/bin ratio (3×) — constant, not
+    * data-dependent; AQE handles per-user skew.
+    */
+  def purchaseErrorPairs(events: DataFrame): DataFrame = {
+    val BinMicros = 7200000000L // 2 hours
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        (unix_micros(col("ts")) / BinMicros).cast("long").as("bin"))
+    val er = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("error_ts"),
+        (unix_micros(col("ts")) / BinMicros).cast("long").as("ebin"))
+      .withColumn("bin", explode(array(col("ebin") - 1, col("ebin"), col("ebin") + 1)))
+    p.join(er, col("user_id") === col("e_user") && p("bin") === er("bin"))
+      .filter(abs(unix_micros(col("purchase_ts")) - unix_micros(col("error_ts"))) <= BinMicros)
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("error_id"), col("error_ts"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
   /** JSON scalar extraction (events.props) + per-type aggregate — the
     * `get_json_object` path stays codegen'd; no UDF.
     */
