@@ -113,6 +113,7 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
     "multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
     "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(Tables.documents(s, dir))),
+    "multimodal_resize" -> ((s, dir) => Multimodal.resize(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -351,6 +352,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  [((octet_length(encode(text)) * 31 + k) % 1000) / 1000.0
         |   for k in range(0, 8)] AS features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """-- text is pure ASCII, so character slicing == the byte slicing
+        |-- Spark performs on the binary media column (see multimodal_frames)
+        |SELECT doc_id,
+        |  (64 + n_chars % 576) // 2 AS new_width,
+        |  (48 + n_chars % 432) // 2 AS new_height,
+        |  octet_length(encode(text)) AS orig_bytes,
+        |  octet_length(encode(substring(text, 1, CAST((n_chars + 3) // 4 AS INT)))) AS thumb_bytes,
+        |  md5(substring(text, 1, CAST((n_chars + 3) // 4 AS INT))) AS thumb_key
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,

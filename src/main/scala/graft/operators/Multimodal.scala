@@ -81,6 +81,28 @@ object Multimodal {
                               idx: org.apache.spark.sql.Column) =
     substring(media, (idx * FrameBytes + 1).cast("int"), lit(FrameBytes).cast("int"))
 
+  /** Resize: halve the declared dimensions and keep a quarter-length byte
+    * thumbnail, reported as a flat summary row (doc_id, new dimensions,
+    * byte counts, thumbnail content key). The byte "downsample" is a stub
+    * (no codecs — a real implementation decodes, scales, re-encodes inside
+    * the same map-only projection); the dimension arithmetic and the
+    * builtin `substring`-on-binary slice are the real contract, and
+    * nothing shuffles. (`mediaTable` guarantees width ≥ 64 / height ≥ 48,
+    * so one halving needs no lower clamp.)
+    */
+  def resize(documents: DataFrame): DataFrame =
+    mediaTable(documents).select(
+      col("doc_id"),
+      expr("meta.width div 2").as("new_width"),
+      expr("meta.height div 2").as("new_height"),
+      length(col("media")).cast("long").as("orig_bytes"),
+      expr("substring(media, 1, cast((length(media) + 3) div 4 as int))").as("thumb"))
+      .select(col("doc_id"), col("new_width"), col("new_height"),
+        col("orig_bytes"),
+        length(col("thumb")).cast("long").as("thumb_bytes"),
+        md5(col("thumb")).as("thumb_key"))
+      .orderBy(col("doc_id"))
+
   /** ??? STUB — the real implementation would decode the media bytes with
     * an image/audio library (not present in this container) and pool model
     * features. Deterministic fake keyed on blob length so tests and the

@@ -31,6 +31,14 @@ class MultimodalTextSpec extends SparkSpec {
     assert(f(0).getAs[String]("frame_key") == f(1).getAs[String]("frame_key"))
   }
 
+  test("resize halves dimensions and keeps a quarter-length thumbnail") {
+    val r = Multimodal.resize(docs).collect().find(_.getLong(0) == 0L).get
+    assert(r.getAs[Long]("new_width") == (64 + 13) / 2)
+    assert(r.getAs[Long]("new_height") == (48 + 13) / 2)
+    assert(r.getAs[Long]("orig_bytes") == 13L)
+    assert(r.getAs[Long]("thumb_bytes") == 4L) // ceil(13/4)
+  }
+
   test("feature extraction stub is deterministic and dimension-correct") {
     val f = Multimodal.extractFeatures(docs, dim = 4).collect()
     assert(f.length == 2)
