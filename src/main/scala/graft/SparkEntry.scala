@@ -94,6 +94,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
+    "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
+    "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
@@ -318,6 +320,34 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """WITH s AS (SELECT doc_id,
+        |  (length(text) - length(replace(text, 'th', ''))) / 2
+        |    + (length(text) - length(replace(text, 'he', ''))) / 2 AS b_en,
+        |  (length(text) - length(replace(text, 'qu', ''))) / 2
+        |    + (length(text) - length(replace(text, 'ue', ''))) / 2 AS b_es,
+        |  (length(text) - length(replace(text, 'sc', ''))) / 2
+        |    + (length(text) - length(replace(text, 'ch', ''))) / 2 AS b_de,
+        |  (length(text) - length(replace(text, 'me', ''))) / 2
+        |    + (length(text) - length(replace(text, 'rg', ''))) / 2 AS b_fr,
+        |  (length(text) - length(replace(text, 'ha', ''))) / 2
+        |    + (length(text) - length(replace(text, 'an', ''))) / 2 AS b_zh
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b_en >= b_es AND b_en >= b_de AND b_en >= b_fr AND b_en >= b_zh THEN 'en'
+        |       WHEN b_es >= b_de AND b_es >= b_fr AND b_es >= b_zh THEN 'es'
+        |       WHEN b_de >= b_fr AND b_de >= b_zh THEN 'de'
+        |       WHEN b_fr >= b_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  CAST(b_en AS BIGINT) AS b_en, CAST(b_es AS BIGINT) AS b_es,
+        |  CAST(b_de AS BIGINT) AS b_de, CAST(b_fr AS BIGINT) AS b_fr,
+        |  CAST(b_zh AS BIGINT) AS b_zh
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_token_docfreq" ->
+      """SELECT tok, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY tok""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies

@@ -98,6 +98,63 @@ object TextAnalysis {
       expr("cast((length(text) + 3) div 4 as bigint)").as("bpe_est"))
       .orderBy(col("doc_id"))
 
+  /** Token document-frequency — the skew-aware distinct-count shape.
+    *
+    * The naive plan (`groupBy(token).agg(countDistinct(doc_id))`) funnels
+    * every row of a hot token to one reducer that must hold its distinct
+    * set; with a 31-word vocabulary EVERY token is hot, and at 100 TB this
+    * is the classic skew wreck. The two-stage form used here first
+    * distincts (token, doc_id) PAIRS — the shuffle key includes doc_id, so
+    * load spreads over reducers regardless of token skew — then counts
+    * per token (tiny input, partial-agg combined). Same technique as
+    * explicit salting, with the "salt" being the second key column itself.
+    */
+  def tokenDocFrequency(documents: DataFrame): DataFrame =
+    tokenRows(documents)
+      .select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("tok"))
+
+  /** Character-bigram profiles for the n-gram language-ID variant: a few
+    * discriminative bigrams per language, scored by occurrence count.
+    */
+  val bigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he"),
+    "es" -> Seq("qu", "ue"),
+    "de" -> Seq("sc", "ch"),
+    "fr" -> Seq("me", "rg"),
+    "zh" -> Seq("ha", "an"))
+
+  /** Count of non-overlapping occurrences of `s` — the length-difference
+    * trick, expressible identically in Spark and DuckDB (both `replace`
+    * functions substitute non-overlapping left-to-right).
+    */
+  private def occurrences(s: String): Column =
+    ((length(col("text")) - length(expr(s"replace(text, '$s', '')"))) / s.length)
+      .cast("long")
+
+  /** Language-ID over character bigram profiles (n-gram heuristic proper;
+    * row-local arithmetic only — no explode, no shuffle).
+    */
+  def langIdNgram(documents: DataFrame): DataFrame = {
+    val withScores = bigramProfiles.foldLeft(documents.select(col("doc_id"), col("text"))) {
+      case (df, (lang, grams)) =>
+        df.withColumn(s"b_$lang", grams.map(occurrences).reduce(_ + _))
+    }
+    val Seq(en, es, de, fr, zh) = bigramProfiles.map { case (l, _) => col(s"b_$l") }
+    withScores
+      .withColumn("pred_lang",
+        when(en >= es && en >= de && en >= fr && en >= zh, "en")
+          .when(es >= de && es >= fr && es >= zh, "es")
+          .when(de >= fr && de >= zh, "de")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .select(col("doc_id"), col("pred_lang"), en.as("b_en"), es.as("b_es"),
+        de.as("b_de"), fr.as("b_fr"), zh.as("b_zh"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text.
     * (The rolling-hash shingle fingerprint lives in [[graft.operators.Dedup]]
     * where it feeds MinHash.)

@@ -37,6 +37,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dynamic-gap sessions equal batch (reference bands)") {
+    implicit val sc = spark.sqlContext
+    // 90s spacing: merges for users 9999 (5min) and 5 (2min), splits for
+    // 150 (60s) and 42 (30s) — same fixture as the batch SessionsSpec
+    val dynRows = Seq(9999L, 5L, 150L, 42L).flatMap(u => Seq(
+      Ev(ts("2024-01-01 00:00:00"), u, 1.0),
+      Ev(ts("2024-01-01 00:01:30"), u, 2.0)))
+    val mem = MemoryStream[Ev]
+    val streamed = StreamingSessions.sessionAggStream(
+      mem.toDF(), Sessions.referenceDynamicGap)
+    val q = streamed.writeStream.format("memory")
+      .queryName("dyn_sess").outputMode("complete").start()
+    try {
+      mem.addData(dynRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dyn_sess")
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      val want = Sessions.sessionAgg(dynRows.toDF(), Sessions.referenceDynamicGap)
+        .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+      assert(got == want)
+      assert(got.length == 6) // 1 + 1 + 2 + 2 sessions
+    } finally q.stop()
+  }
+
   test("streaming big-customer alert fires once per user (keep-first)") {
     // the dedup operator is driven by a stream of closed sessions (in the
     // full pipeline the upstream session agg emits those on window close)
