@@ -41,6 +41,29 @@ object DevScale {
     time("big_customers")(Sessions.bigCustomers(
       Sessions.sessionAgg(ev, lit("30 minutes")), 400.0).count())
     time("daily_activity")(graft.operators.Relational.dailyActivity(ev).count())
+
+    // bucketed co-located join: both sides bucketed+sorted on user_id join
+    // with ZERO exchanges — the pre-partitioning strategy for repeated
+    // fact⋈fact joins at 100 TB (vs a per-query shuffle)
+    val profiles = spark.range(users).select(col("id").as("user_id"),
+      pmod(xxhash64(col("id")), lit(5)).as("tier"))
+    spark.sql("DROP TABLE IF EXISTS ev_b"); spark.sql("DROP TABLE IF EXISTS pr_b")
+    // a fresh derby metastore doesn't know about dirs left by prior runs
+    Seq("ev_b", "pr_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$t"))
+    }
+    ev.write.mode("overwrite").bucketBy(32, "user_id").sortBy("user_id")
+      .saveAsTable("ev_b")
+    profiles.write.mode("overwrite").bucketBy(32, "user_id").sortBy("user_id")
+      .saveAsTable("pr_b")
+    val joined = spark.table("ev_b").join(spark.table("pr_b"), "user_id")
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // the tier-agg shuffle is expected; the JOIN key must not shuffle
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    println(s"bucketed-join exchanges on user_id = $exchanges (want 0)")
+    time("bucketed_join_agg")(joined.count())
     spark.stop()
   }
 }

@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row for the stateful alert operator. */
+case class AlertInput(user_id: Long, session_sum: Double)
+
+/** Emitted alert (at most one per user, ever). */
+case class Alert(user_id: Long, first_qualifying_sum: Double, n_suppressed: Long)
 
 /** Structured Streaming twins of the batch session operators — the
   * reference's actual deployment shape (Kafka → keyed session windows →
@@ -53,4 +60,33 @@ object StreamingSessions {
     sessionized
       .filter(col("session_sum") >= threshold)
       .dropDuplicates("user_id")
+
+  /** The same "once ever per user" semantics via explicit keyed state
+    * (`flatMapGroupsWithState`) — the engine-state form of the reference's
+    * global `printed_users` set (`flink_stream_task2.py:72,85-90`), which
+    * is only correct at parallelism 1; here the state is partitioned by
+    * key, fault-tolerant (state store), and additionally counts suppressed
+    * repeat alerts, which plain `dropDuplicates` cannot express.
+    *
+    * State is one boolean+counter per alerted user — O(distinct alerted
+    * users), the same bound the reference's in-memory set has.
+    */
+  def alertOnceStateful(sessions: Dataset[AlertInput], threshold: Double): Dataset[Alert] = {
+    import sessions.sparkSession.implicits._
+    def fn(userId: Long, rows: Iterator[AlertInput],
+           state: GroupState[(Double, Long)]): Iterator[Alert] = {
+      val qualifying = rows.filter(_.session_sum >= threshold).toSeq
+      if (qualifying.isEmpty) Iterator.empty
+      else if (state.exists) {
+        val (first, suppressed) = state.get
+        state.update((first, suppressed + qualifying.size))
+        Iterator.empty // already alerted — suppress, keep counting
+      } else {
+        state.update((qualifying.head.session_sum, qualifying.size - 1L))
+        Iterator.single(Alert(userId, qualifying.head.session_sum, qualifying.size - 1L))
+      }
+    }
+    sessions.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

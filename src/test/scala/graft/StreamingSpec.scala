@@ -85,6 +85,35 @@ class StreamingSpec extends SparkSpec {
 
 case class SessRow(user_id: Long, session_sum: Double)
 
+/** Explicit keyed-state alert (flatMapGroupsWithState) + report render. */
+class StatefulAlertSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.{AlertInput, StreamingSessions}
+
+  test("alertOnceStateful: one alert per user, suppressed repeats counted") {
+    implicit val sc = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AlertInput]
+    val q = StreamingSessions.alertOnceStateful(mem.toDS(), 300.0)
+      .writeStream.format("memory").queryName("state_alerts")
+      .outputMode("append").start()
+    try {
+      mem.addData(AlertInput(1L, 400.0), AlertInput(2L, 10.0))
+      q.processAllAvailable()
+      mem.addData(AlertInput(1L, 999.0), AlertInput(2L, 350.0))
+      q.processAllAvailable()
+      val got = spark.table("state_alerts").orderBy("user_id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(got.head.getAs[Double]("first_qualifying_sum") == 400.0)
+    } finally q.stop()
+  }
+
+  test("report sink renders the reference's fixed-width rows") {
+    val df = Seq((4L, 120.5, 40.17)).toDF("user_id", "session_sum", "session_avg")
+    val line = graft.sinks.ReportSink.fixedWidth(df).collect().head.getString(0)
+    assert(line == "4          120.5           40.17          ")
+  }
+}
+
 /** File-source twin of S1: a parquet directory drives the same session
   * pipeline that the Kafka topic would.
   */
