@@ -89,6 +89,8 @@ object SparkEntry {
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_set_ops_segments" -> ((s, dir) =>
+      Relational.userSegments(Tables.events(s, dir))),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -276,6 +278,17 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY mktsegment, orderpriority""".stripMargin,
+    "q_set_ops_segments" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1 HAVING count(*) > 15),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'
+        |      GROUP BY 1 HAVING count(*) > 15)
+        |SELECT user_id, 'both' AS segment FROM (FROM p INTERSECT FROM e)
+        |UNION ALL
+        |SELECT user_id, 'purchase_only' FROM (FROM p EXCEPT FROM e)
+        |UNION ALL
+        |SELECT user_id, 'error_only' FROM (FROM e EXCEPT FROM p)
+        |ORDER BY segment, user_id""".stripMargin,
     "q_events_json_enrich" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -140,6 +140,23 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Set operations (INTERSECT / EXCEPT / UNION ALL): classify heavy
+    * purchasers vs heavy error-producers (>15 events of the type — the
+    * threshold keeps all three segments non-empty on the fixtures). Each
+    * set op is a builtin (hash-aggregated distinct + shuffle on the key).
+    */
+  def userSegments(events: DataFrame): DataFrame = {
+    def ids(t: String) = events.filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 15).select(col("user_id"))
+    val p = ids("purchase")
+    val e = ids("error")
+    p.intersect(e).withColumn("segment", lit("both"))
+      .unionAll(p.except(e).withColumn("segment", lit("purchase_only")))
+      .unionAll(e.except(p).withColumn("segment", lit("error_only")))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
   /** CUBE over (mktsegment, orderpriority) with NULL-safe labels. */
   def ordersCube(customer: DataFrame, orders: DataFrame): DataFrame =
     orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
