@@ -100,16 +100,23 @@ object Similarity {
       .map(p => when(dotN(df, v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
 
-  /** LSH-bucketed approximate top-k: candidates are corpus vectors in the
-    * query's bucket; ranking as in [[bruteForceTopK]]. Queries with
-    * sparse buckets simply return fewer than k rows — the standard
-    * recall/latency trade; multi-probe (flip one bit) would be next.
+  /** LSH-bucketed approximate top-k with multi-probe: each query probes
+    * its own bucket plus every bucket at hamming distance 1 (one flipped
+    * hyperplane sign — the vectors most likely to sit just across one
+    * boundary). Probe fan-out is NumPlanes+1 rows on the (small,
+    * broadcast) query side only; the corpus is still touched via an
+    * equi-join on the bucket key, so cost tracks bucket occupancy — the
+    * standard multi-probe LSH recall/latency trade.
     */
   def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val corpus = prepared(embeddings).withColumn("bucket", bucketOf(embeddings, col("v")))
+    val probes = (0 to NumPlanes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"),
-        col("nrm").as("q_n"), col("bucket").as("q_bucket"))
+        col("nrm").as("q_n"), explode(array(probes: _*)).as("q_bucket"))
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",

@@ -41,8 +41,11 @@ class SimilaritySpec extends SparkSpec {
       val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
       assert(ranks == (1L to ranks.length).toSeq)
     }
-    // and recall should be non-trivial on real data
+    // multi-probe recall floor: on 500 nearly-orthogonal vectors spread
+    // over 64 buckets, ~20% top-5 recall is the expected regime (LSH
+    // earns its keep at millions of vectors, not hundreds)
     val hits = lsh.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
-    assert(hits > 0, "LSH should recover at least some true neighbors")
+    assert(hits >= brute.size / 5,
+      s"multi-probe LSH recall too low: $hits of ${brute.size}")
   }
 }
