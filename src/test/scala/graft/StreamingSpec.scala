@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark: closed sessions emit once; later-than-watermark data is dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = StreamingSessions.sessionAggStream(
+      mem.toDF(), lit("2 hours"), delay = "10 minutes")
+    val q = streamed.writeStream.format("memory")
+      .queryName("wm_sess").outputMode("append").start()
+    try {
+      // batch 1: user 1's session + a far-future event to advance the
+      // watermark past that session's close (end 02:10 < wm 05:50)
+      mem.addData(
+        Ev(ts("2024-01-01 00:00:00"), 1L, 1.0),
+        Ev(ts("2024-01-01 00:10:00"), 1L, 2.0),
+        Ev(ts("2024-01-01 06:00:00"), 99L, 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event for user 1, far behind the watermark —
+      // must NOT reopen or duplicate the already-emitted session
+      mem.addData(Ev(ts("2024-01-01 00:05:00"), 1L, 50.0))
+      q.processAllAvailable()
+      val u1 = spark.table("wm_sess").filter(col("user_id") === 1L).collect()
+      assert(u1.length == 1, "session emitted exactly once in append mode")
+      assert(u1.head.getAs[Long]("event_count") == 2L, "late event dropped")
+      assert(u1.head.getAs[Double]("session_sum") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming big-customer alert fires once per user (keep-first)") {
     // the dedup operator is driven by a stream of closed sessions (in the
     // full pipeline the upstream session agg emits those on window close)
