@@ -91,6 +91,8 @@ object SparkEntry {
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_set_ops_segments" -> ((s, dir) =>
       Relational.userSegments(Tables.events(s, dir))),
+    "q_value_percentiles" -> ((s, dir) =>
+      Relational.valuePercentiles(Tables.events(s, dir))),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -278,6 +280,13 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY mktsegment, orderpriority""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5) * 100, 0) / 100.0 AS p50,
+        |  round(quantile_cont(value, 0.9) * 100, 0) / 100.0 AS p90,
+        |  round(quantile_cont(value, 0.99) * 100, 0) / 100.0 AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_set_ops_segments" ->
       """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
         |           GROUP BY 1 HAVING count(*) > 15),

@@ -140,6 +140,21 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Exact percentiles of `value` per event type. Spark's `percentile`
+    * and DuckDB's `quantile_cont` both use R-7 linear interpolation over
+    * the sorted values; the interpolation runs on identical doubles, so
+    * results agree bit-for-bit (no rounding needed — but outputs are
+    * still cents-rounded for uniformity with the rest of the suite).
+    */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        (round(expr("percentile(value, 0.5)") * 100, 0) / 100.0).as("p50"),
+        (round(expr("percentile(value, 0.9)") * 100, 0) / 100.0).as("p90"),
+        (round(expr("percentile(value, 0.99)") * 100, 0) / 100.0).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   /** Set operations (INTERSECT / EXCEPT / UNION ALL): classify heavy
     * purchasers vs heavy error-producers (>15 events of the type — the
     * threshold keeps all three segments non-empty on the fixtures). Each
