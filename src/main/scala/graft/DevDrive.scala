@@ -45,6 +45,16 @@ object DevDrive {
       .writeStream.format("memory").queryName("drive_csv").start()
     q2.processAllAvailable(); q2.stop()
     println("csv-line-stream rows = " + spark.table("drive_csv").count())
+    // 5. SQL-text surface over registered views + graft_dot
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    println("sql join rows = " + spark.sql(
+      "SELECT count(*) FROM events e JOIN orders o ON e.user_id = o.o_custkey")
+      .collect().head.getLong(0))
+    println("sql ann = " + spark.sql(
+      """SELECT a.vec_id, graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                           CAST(b.embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = 0 AND a.vec_id = 1
+        |""".stripMargin).collect().head.toString)
     spark.stop()
   }
 }

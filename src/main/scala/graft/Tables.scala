@@ -40,4 +40,19 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (events with the converted
+    * timestamp) so the whole suite is queryable from SQL text —
+    * `spark.sql("SELECT ... FROM events ...")` — alongside the DataFrame
+    * API. Combined with [[graft.plans.GraftExtensions]] this gives SQL
+    * users the full engine including `graft_dot`.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach { name =>
+      val df = if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
+      df.createOrReplaceTempView(name)
+    }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Micro-fixture pins for the composed join operators (boundaries that
+  * the uniform testdata may never hit) + the SQL-text surface.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: inclusive boundary, backward-only, null before first order") {
+    val events = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10L, 1.0),  // after order  -> match
+      (2L, ts("2024-01-01 00:00:00"), 10L, 1.0),  // exactly AT order ts -> match
+      (3L, ts("2023-12-31 23:59:59"), 10L, 1.0))  // before any order -> null
+      .toDF("event_id", "ts", "user_id", "value")
+    val orders = Seq((10L, ts("2024-01-01 00:00:00"), 100L, 50.0))
+      .toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val out = Relational.asofLatestOrder(events, orders)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(100L), "event at exactly the order instant matches (inclusive)")
+    assert(out(3L).isEmpty, "no order before the event -> null (left as-of)")
+  }
+
+  test("range join: exactly-at-boundary pairs are included, beyond excluded") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "purchase", 1.0),
+      (2L, ts("2024-01-01 12:00:00"), 5L, "error", 1.0),    // exactly +2h
+      (3L, ts("2024-01-01 12:00:00.000001"), 5L, "error", 1.0), // 1µs beyond
+      (4L, ts("2024-01-01 08:00:00"), 5L, "error", 1.0))    // exactly -2h
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.purchaseErrorPairs(events)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("error_id"))).toSet
+    assert(out == Set((1L, 2L), (1L, 4L)),
+      "±2h inclusive; 1µs past the boundary excluded")
+  }
+
+  test("registerAll exposes the suite to SQL text") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM events e
+        |JOIN orders o ON e.user_id = o.o_custkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(n > 0)
+    // events view carries the converted timestamp type
+    assert(spark.sql("SELECT ts FROM events LIMIT 1").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+}
