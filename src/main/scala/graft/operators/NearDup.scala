@@ -68,8 +68,11 @@ object NearDup {
   def minhashSignatures(sh: DataFrame): DataFrame = {
     val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), pmod(xxhash64(col("s")), lit(HashMod)).as("h"))
+    // h < 2^30 and coefficients < Prime < 2^31, so the dividend stays
+    // non-negative and < 2^61: plain % equals pmod bit-for-bit (pmod
+    // would only add a sign branch; the bounds are the load-bearing fact)
     val minAggs = (0 until NumHashes).map(j =>
-      min(pmod(col("h") * CoefA(j) + CoefB(j), lit(Prime))).as(s"m$j"))
+      min((col("h") * CoefA(j) + CoefB(j)) % Prime).as(s"m$j"))
     posting.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
   }
 
