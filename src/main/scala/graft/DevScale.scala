@@ -42,6 +42,22 @@ object DevScale {
       Sessions.sessionAgg(ev, lit("30 minutes")), 400.0).count())
     time("daily_activity")(graft.operators.Relational.dailyActivity(ev).count())
 
+    // skew stress: 90% of events on ONE user. Sessionization cannot split
+    // a single key (the window merge needs the key's full timeline), so
+    // the hot partition bounds wall-clock — measured here honestly; the
+    // mitigations are upstream (pre-bucket hot tenants, coarser gap) not
+    // magic. AQE rebalances the OTHER keys around it.
+    val skewed = spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(startMicros) + pmod(xxhash64(col("id")), lit(spanMicros)))
+        .as("ts"),
+      when(pmod(xxhash64(col("id") + 3), lit(10)) < 9, 0L)
+        .otherwise(pmod(xxhash64(col("id") + 7), lit(users))).as("user_id"),
+      (pmod(xxhash64(col("id") + 13), lit(20000)) / 100.0).as("value"))
+    skewed.write.mode("overwrite").parquet("/tmp/scale_events_skew")
+    val sk = spark.read.parquet("/tmp/scale_events_skew")
+    time("sessions_skew90")(Sessions.sessionAgg(sk, lit("30 minutes")).count())
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)

@@ -85,6 +85,8 @@ object SparkEntry {
       Relational.asofLatestOrder(Tables.events(s, dir), Tables.orders(s, dir))),
     "q_daily_activity" -> ((s, dir) =>
       Relational.dailyActivity(Tables.events(s, dir))),
+    "q_sliding_activity" -> ((s, dir) =>
+      Relational.slidingActivity(Tables.events(s, dir))),
     "q_range_join_errors" -> ((s, dir) =>
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
@@ -264,6 +266,16 @@ object SparkEntry {
         |  round(sum(value) * 100, 0) / 100.0 AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sliding_activity" ->
+      """-- every event belongs to the 4 epoch-aligned 6h-slide windows
+        |-- whose 1-day span covers it: starts (floor(epoch/6h) - i) * 6h
+        |WITH x AS (
+        |  SELECT value,
+        |    make_timestamp(((epoch_us(ts) // 21600000000) - i) * 21600000000) AS w_start
+        |  FROM events, unnest(range(0, 4)) AS t(i))
+        |SELECT w_start, count(*) AS n_events,
+        |  round(sum(value) * 100, 0) / 100.0 AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_range_join_errors" ->
       """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
         |  b.event_id AS error_id, b.ts AS error_ts

@@ -140,6 +140,17 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Sliding (hopping) window activity: 1-day windows every 6 hours —
+    * each event contributes to 4 overlapping windows (Spark duplicates
+    * rows per window; the 4× fan-out is the slide ratio, constant).
+    */
+  def slidingActivity(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day", "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")) * 100, 0) / 100.0).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("sum_value"))
+      .orderBy(col("w_start"))
+
   /** Exact percentiles of `value` per event type. Spark's `percentile`
     * and DuckDB's `quantile_cont` both use R-7 linear interpolation over
     * the sorted values; the interpolation runs on identical doubles, so
