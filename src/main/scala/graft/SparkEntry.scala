@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashNearDups(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
@@ -429,6 +430,26 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
+    // connected components of the near-dup graph: transitive closure via
+    // recursive CTE, canonical label = min reachable doc id (incl. self)
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE 2 * len(list_intersect(a.s, b.s))
+        |            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM e
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

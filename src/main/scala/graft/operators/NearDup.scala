@@ -176,6 +176,47 @@ object NearDup {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Near-dup clusters: connected components over the near-dup pair
+    * graph, labeling every involved doc with its component's minimum
+    * doc_id (the canonical survivor a dedup pipeline keeps).
+    *
+    * Implementation: iterative min-label propagation — each round joins
+    * labels across edges and keeps the per-node minimum; the driver loop
+    * only counts label changes (a scalar), all data work is distributed
+    * joins/aggregations. Rounds needed = graph diameter; near-dup
+    * components are tiny cliques (diameter ~1-2), and `maxIters` bounds
+    * pathological chains. At web scale the same loop is the standard
+    * Hash-to-Min / large-star–small-star shape; per-round `persist` +
+    * explicit unpersist keeps lineage from growing.
+    */
+  def nearDupClusters(documents: DataFrame, maxIters: Int = 10): DataFrame = {
+    val pairs = minhashNearDups(documents).select(col("doc_i"), col("doc_j"))
+    val edges = pairs
+      .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .persist()
+    var labels = edges.select(col("doc_i").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("doc_j") === labels("id"))
+        .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label")))
+          .as("label")).persist()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash near-dups. Signature: per token-hash bit b, sum ±1
     * over tokens; bit set iff the sum is positive. Candidates via the
     * pigeonhole chunking trick — hamming(a,b) ≤ 3 ⇒ at least one of 4

@@ -40,6 +40,20 @@ class NearDupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == Set((0L, 1L, 0L)))
   }
 
+  test("clusters: transitive chains collapse to the min doc id") {
+    // A~B and B~C are near-dups; A~C are two edits apart (still >=0.5
+    // here, but the invariant under test is the transitive labeling)
+    val chain = Seq(
+      (10L, base),
+      (11L, base.replace("today", "tomorrow")),
+      (12L, base.replace("today", "tomorrow").replace("dog", "cat")),
+      (99L, other)).toDF("doc_id", "text")
+    val out = NearDup.nearDupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), "only docs in near-dup pairs are labeled")
+    assert(out.values.toSet == Set(10L), "one component, canonical = min id")
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()
