@@ -53,9 +53,11 @@ object EventSource {
     CsvIngest.parsePermissive(spark.readStream.text(dir).toDF("value"))
 
   /** Deterministic synthetic workload (S2 twin of `generator1.py`): the
-    * rate source drives event ids; fields derive from the id exactly like
-    * the reference generator derives payload from userID
-    * (`generator1.py:20`). Useful for streaming smoke tests at any rate.
+    * rate source drives event ids; payload derives from userID exactly
+    * like the reference generator (`generator1.py:20`), and traffic is
+    * BURSTY per tenant (one tenant active per 200-event burst, like the
+    * generator's phases) so session windows actually close while other
+    * tenants are quiet.
     */
   def syntheticStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate")
@@ -63,8 +65,8 @@ object EventSource {
       .select(
         col("value").as("event_id"),
         col("timestamp").as("ts"),
-        pmod(col("value"), lit(15)).as("user_id"),
+        pmod(expr("value div 200"), lit(15)).as("user_id"),
         lit("view").as("event_type"),
-        (pmod(col("value"), lit(15)) * 10.0).as("value"),
+        (pmod(expr("value div 200"), lit(15)) * 10.0).as("value"),
         lit("{}").as("props"))
 }
