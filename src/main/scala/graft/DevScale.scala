@@ -22,12 +22,13 @@ object DevScale {
     // over 30 days (inter-event gap/user ≈ 13 min at 10M/50k)
     val startMicros = 1704067200000000L // 2024-01-01 UTC
     val spanMicros = 30L * 86400000000L
-    val events = spark.range(n).select(
+    def synth(userCol: org.apache.spark.sql.Column) = spark.range(n).select(
       col("id").as("event_id"),
       timestamp_micros(lit(startMicros) + pmod(xxhash64(col("id")), lit(spanMicros)))
         .as("ts"),
-      pmod(xxhash64(col("id") + 7), lit(users)).as("user_id"),
+      userCol.as("user_id"),
       (pmod(xxhash64(col("id") + 13), lit(20000)) / 100.0).as("value"))
+    val events = synth(pmod(xxhash64(col("id") + 7), lit(users)))
     events.write.mode("overwrite").parquet("/tmp/scale_events")
     val ev = spark.read.parquet("/tmp/scale_events")
     def time(name: String)(f: => Long): Unit = {
@@ -47,13 +48,8 @@ object DevScale {
     // the hot partition bounds wall-clock — measured here honestly; the
     // mitigations are upstream (pre-bucket hot tenants, coarser gap) not
     // magic. AQE rebalances the OTHER keys around it.
-    val skewed = spark.range(n).select(
-      col("id").as("event_id"),
-      timestamp_micros(lit(startMicros) + pmod(xxhash64(col("id")), lit(spanMicros)))
-        .as("ts"),
-      when(pmod(xxhash64(col("id") + 3), lit(10)) < 9, 0L)
-        .otherwise(pmod(xxhash64(col("id") + 7), lit(users))).as("user_id"),
-      (pmod(xxhash64(col("id") + 13), lit(20000)) / 100.0).as("value"))
+    val skewed = synth(when(pmod(xxhash64(col("id") + 3), lit(10)) < 9, 0L)
+      .otherwise(pmod(xxhash64(col("id") + 7), lit(users))))
     skewed.write.mode("overwrite").parquet("/tmp/scale_events_skew")
     val sk = spark.read.parquet("/tmp/scale_events_skew")
     time("sessions_skew90")(Sessions.sessionAgg(sk, lit("30 minutes")).count())

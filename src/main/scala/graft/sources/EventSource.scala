@@ -59,14 +59,19 @@ object EventSource {
     * generator's phases) so session windows actually close while other
     * tenants are quiet.
     */
-  def syntheticStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+  /** Events per tenant burst in [[syntheticStream]]. */
+  val BurstLength = 200
+
+  def syntheticStream(spark: SparkSession, rowsPerSecond: Int): DataFrame = {
+    val tenant = pmod(expr(s"value div $BurstLength"), lit(15))
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
       .select(
         col("value").as("event_id"),
         col("timestamp").as("ts"),
-        pmod(expr("value div 200"), lit(15)).as("user_id"),
+        tenant.as("user_id"),
         lit("view").as("event_type"),
-        (pmod(expr("value div 200"), lit(15)) * 10.0).as("value"),
+        (tenant * 10.0).as("value"),
         lit("{}").as("props"))
+  }
 }
