@@ -72,6 +72,8 @@ object SparkEntry {
         Tables.customer(s, dir))),
     "q_top3_parts_per_brand" -> ((s, dir) =>
       Relational.top3PartsPerBrand(Tables.part(s, dir))),
+    "q_parts_page2" -> ((s, dir) =>
+      Relational.partsPage(Tables.part(s, dir), pageSize = 10, pageIdx = 1)),
     "q_rollup_acctbal" -> ((s, dir) =>
       Relational.acctbalRollup(Tables.customer(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir))),
@@ -232,6 +234,10 @@ object SparkEntry {
         |                       ORDER BY p_retailprice DESC, p_partkey) AS rnk
         |  FROM part) t
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_parts_page2" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
     "q_rollup_acctbal" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name,
         |  coalesce(n_name, 'ALL') AS nation_name,

@@ -60,6 +60,18 @@ object Relational {
       .limit(10)
   }
 
+  /** Keyset-deterministic pagination: page `pageIdx` (0-based) of parts
+    * by descending retail price. Global sort + offset is fine for result
+    * presentation; at scale, pagination over big results should switch to
+    * keyset continuation (WHERE (price, key) < last-seen) — offset N
+    * still sorts/skips N rows on the driver path.
+    */
+  def partsPage(part: DataFrame, pageSize: Int, pageIdx: Int): DataFrame =
+    part.select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(desc("p_retailprice"), col("p_partkey"))
+      .offset(pageSize * pageIdx)
+      .limit(pageSize)
+
   /** SQL window function (ranking): top-3 parts by retail price per brand. */
   def top3PartsPerBrand(part: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
