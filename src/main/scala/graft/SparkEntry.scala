@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
+    "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
     // Multimodal extensions: binary media column + typed metadata; decode
     // is a deterministic stub (no codecs in env), plumbing is real.
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),

@@ -100,6 +100,52 @@ object Similarity {
       .map(p => when(dotN(df, v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
 
+  val IvfCells = 16
+  val IvfProbes = 2
+
+  /** IVF-style approximate top-k: a coarse quantizer (here: the first
+    * `IvfCells` corpus vectors as deterministic centroids — a real system
+    * trains k-means, which only changes the centroid constants) assigns
+    * every corpus vector to its nearest cell in ONE scan; each query
+    * probes its `IvfProbes` nearest cells and ranks only their members.
+    *
+    * Scale shape: the corpus never self-joins — assignment is a map-only
+    * pass (IvfCells broadcast dot products per row), and search is an
+    * equi-join on cell id whose cost tracks cell occupancy (n/IvfCells
+    * per probe). This is the inverted-file layout ANN indexes use; cell
+    * skew is bounded by the quantizer quality.
+    */
+  def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = embeddings
+      .filter(col("vec_id") < IvfCells)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
+      .sortBy(_._1)
+    def cellsRanked(v: Column, df: DataFrame): Column =
+      sort_array(array(centroids.map { case (cid, cv) =>
+        val cnorm = math.sqrt(cv.map(x => x * x).sum) // host-side constant
+        struct(round(dotN(df, v, typedlit(cv)) / (col("nrm") * cnorm), 6)
+          .as("score"), lit(cid).as("cid"))
+      }: _*), asc = false)
+    val corpus = prepared(embeddings)
+      .withColumn("cell", element_at(cellsRanked(col("v"), embeddings), 1).getField("cid"))
+    val queries = prepared(embeddings).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_n"),
+        explode(transform(slice(cellsRanked(col("v"), embeddings), 1, IvfProbes),
+          s => s.getField("cid"))).as("q_cell"))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r",
+        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: each query probes
     * its own bucket plus every bucket at hamming distance 1 (one flipped
     * hyperplane sign — the vectors most likely to sit just across one

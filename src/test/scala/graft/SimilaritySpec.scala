@@ -48,4 +48,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= brute.size / 5,
       s"multi-probe LSH recall too low: $hits of ${brute.size}")
   }
+
+  test("IVF top-k: rank-consistent, non-trivial recall vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 10, 5).collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq)
+    }
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
+    assert(hits >= brute.size / 5,
+      s"IVF recall too low: $hits of ${brute.size}")
+  }
 }
