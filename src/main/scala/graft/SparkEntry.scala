@@ -158,8 +158,10 @@ object SparkEntry {
       |     min(ts) AS session_start,
       |     max(ts) + to_microseconds(CAST(max(gsec) * 1000000 AS BIGINT)) AS session_end,
       |     count(*) AS event_count,
-      |     round(sum(value) * 100, 0) / 100.0 AS session_sum,
-      |     floor(round(sum(value) * 100, 0) / count(*) + 0.5) / 100.0 AS session_avg
+      |     -- per-event integer cents summed as BIGINT: order-independent,
+      |     -- mirrors Spark's sum(cast(round(value*100) as bigint))
+      |     CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS session_sum,
+      |     floor(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / count(*) + 0.5) / 100.0 AS session_avg
       |  FROM sess GROUP BY user_id, sid
       |)""".stripMargin
     if (!keepFirst)
@@ -420,11 +422,13 @@ object SparkEntry {
         |  octet_length(encode(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16))) AS frame_bytes,
         |  md5(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_key
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "multimodal_features" ->
-      """SELECT doc_id,
-        |  [((octet_length(encode(text)) * 31 + k) % 1000) / 1000.0
-        |   for k in range(0, 8)] AS features
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_features" -> {
+      val fcols = (0 until 8).map(k =>
+        s"  ((octet_length(encode(text)) * 31 + $k) % 1000) / 1000.0 AS f$k")
+      s"""SELECT doc_id,
+         |${fcols.mkString(",\n")}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "multimodal_resize" ->
       """-- text is pure ASCII, so character slicing == the byte slicing
         |-- Spark performs on the binary media column (see multimodal_frames)

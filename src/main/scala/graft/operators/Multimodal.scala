@@ -114,14 +114,20 @@ object Multimodal {
   /** Batched feature extraction over the binary column — the
     * `mapInPandas`-shaped path: one iterator per partition, batch-friendly,
     * blob never shuffles (map-only stage straight off the scan).
+    *
+    * Output is one scalar column per feature (`f0..f{dim-1}`), not an
+    * `array<double>` — flat scalars sort/hash in any downstream engine,
+    * and a fixed feature width is the common contract for feature stores.
     */
   def extractFeatures(documents: DataFrame, dim: Int = 8): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val media: Dataset[MediaRow] =
       mediaTable(documents).select(col("doc_id"), col("media")).as[MediaRow]
+    val cols = col("doc_id") +:
+      (0 until dim).map(k => element_at(col("features"), k + 1).as(s"f$k"))
     media.mapPartitions { it =>
       it.map(r => MediaFeatures(r.doc_id, decodeStub(r.media, dim)))
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF().select(cols: _*).orderBy(col("doc_id"))
   }
 }

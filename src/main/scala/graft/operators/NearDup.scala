@@ -124,12 +124,17 @@ object NearDup {
     * sides of the band self-join, both sides of the verify join), so they
     * are persisted for the duration of the computation — the cluster
     * equivalent is materializing the signature table once per corpus
-    * rather than recomputing it per LSH probe.
+    * rather than recomputing it per LSH probe. The verified pair set is
+    * tiny (bounded by the LSH collision rate), so it is eagerly
+    * `localCheckpoint`ed, which lets the intermediates unpersist before
+    * returning — callers get a self-contained result with no cached
+    * partitions left behind.
     */
   def minhashNearDups(documents: DataFrame): DataFrame = {
     val sh = shingled(documents).persist()
     val sigs = minhashSignatures(sh).persist()
-    verifyJaccard(lshCandidates(sigs), sh)
+    try verifyJaccard(lshCandidates(sigs), sh).localCheckpoint()
+    finally { sigs.unpersist(); sh.unpersist() }
   }
 
   /** Exact n-gram Jaccard near-dups via inverted index: explode shingles
@@ -186,16 +191,24 @@ object NearDup {
     * joins/aggregations. Rounds needed = graph diameter; near-dup
     * components are tiny cliques (diameter ~1-2), and `maxIters` bounds
     * pathological chains. At web scale the same loop is the standard
-    * Hash-to-Min / large-star–small-star shape; per-round `persist` +
-    * explicit unpersist keeps lineage from growing.
+    * Hash-to-Min / large-star–small-star shape.
+    *
+    * Constant-factor discipline: the near-dup graph is a vanishing
+    * fraction of the corpus (LSH collision rate bounds it), so every
+    * per-round frame is coalesced to a single partition and eagerly
+    * `localCheckpoint`ed — each round is a few one-task stages with
+    * truncated lineage rather than dozens of `shuffle.partitions`-wide
+    * shuffles over ~50 rows. At cluster scale the coalesce target scales
+    * with |edges| (edges.count / rowsPerPartition); the loop shape is
+    * unchanged.
     */
   def nearDupClusters(documents: DataFrame, maxIters: Int = 10): DataFrame = {
     val pairs = minhashNearDups(documents).select(col("doc_i"), col("doc_j"))
     val edges = pairs
       .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
-      .persist()
+      .coalesce(1).localCheckpoint()
     var labels = edges.select(col("doc_i").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+      .withColumn("label", col("id")).coalesce(1).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -204,15 +217,13 @@ object NearDup {
         .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label")).persist()
+          .as("label")).coalesce(1).localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   * the only risk at 100 TB (mitigate upstream with AQE skew handling — the
   * aggregation itself does partial aggregation per partition).
   *
-  * Determinism: all `value` arithmetic is carried in integer "cents"
-  * (`round(sum(value)*100)`) so that Spark and the DuckDB oracle perform
-  * bit-identical IEEE ops regardless of per-engine summation order
-  * (SURVEY.md §7.5.2 rounding parity).
+  * Determinism: all `value` arithmetic is carried in integer "cents" —
+  * each event's value is rounded to a long of cents BEFORE aggregation
+  * (`sum(cast(round(value*100) as bigint))`), so the session sum is pure
+  * integer math and summation order (Spark partial/final vs DuckDB
+  * sequential) cannot matter (SURVEY.md §7.5.2 rounding parity).
   */
 object Sessions {
 
@@ -72,7 +73,10 @@ object Sessions {
       .filter(col("user_id").isNotNull && col("ts").isNotNull) // P2 null filter
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
-        round(sum(col("value")) * 100, 0).as("sum_cents"), // exact integer
+        // per-EVENT integer cents, summed as longs: order-independent
+        // integer math, so Spark's partial/final aggregation order and the
+        // oracle's sequential sum cannot diverge even at boundary ULPs
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_cents"),
         count(lit(1)).as("event_count"))
       .select(
         col("user_id"),

@@ -41,9 +41,25 @@ object EventSource {
 
   /** Streaming file source over a parquet directory — the no-Kafka twin
     * of the reference topology; new files play the role of new offsets.
+    *
+    * Handles both timestamp layouts: directories holding already-converted
+    * `TimestampType` events AND raw driver testdata where `ts` is INT64
+    * TIMESTAMP(NANOS) (read as long, floored to micros — the same
+    * conversion as [[graft.Tables.events]], detected from the batch-read
+    * footer schema so the caller never has to know which layout it has).
     */
-  def parquetStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def parquetStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsNanos =
+      spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (!tsIsNanos) spark.readStream.schema(schema).parquet(dir)
+    else {
+      val nanosSchema = StructType(schema.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f))
+      spark.readStream.schema(nanosSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+  }
 
   /** Streaming CSV-line source over a text directory, going through the
     * SAME permissive parse as the reference (P1/P2): schema-on-read with

@@ -39,7 +39,8 @@ object StreamingSessions {
       .withWatermark("ts", delay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(
-        round(sum(col("value")) * 100, 0).as("sum_cents"),
+        // same per-event integer-cents convention as the batch twin
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_cents"),
         count(lit(1)).as("event_count"))
       .select(
         col("user_id"),

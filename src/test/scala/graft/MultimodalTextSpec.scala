@@ -40,10 +40,12 @@ class MultimodalTextSpec extends SparkSpec {
   }
 
   test("feature extraction stub is deterministic and dimension-correct") {
-    val f = Multimodal.extractFeatures(docs, dim = 4).collect()
+    val df = Multimodal.extractFeatures(docs, dim = 4)
+    assert(df.columns.toSeq == Seq("doc_id", "f0", "f1", "f2", "f3"))
+    val f = df.collect()
     assert(f.length == 2)
-    val feats = f.find(_.getLong(0) == 0L).get
-      .getAs[scala.collection.Seq[Double]]("features").toSeq
+    val row = f.find(_.getLong(0) == 0L).get
+    val feats = (0 until 4).map(k => row.getAs[Double](s"f$k"))
     assert(feats == Multimodal.decodeStub(Array.fill(13)(0: Byte), 4).toSeq)
   }
 
