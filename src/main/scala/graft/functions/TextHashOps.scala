@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native (codegen'd) text-shingling and MinHash signatures.
+  *
+  * The builtin route for word n-gram shingles —
+  * `array_distinct(transform(sequence(...), i -> concat_ws(...)))` — walks
+  * interpreted lambda closures per element (higher-order functions do not
+  * participate in whole-stage codegen), which made shingle materialization
+  * the single hottest stage of every dedup query (~4 s of a 7 s pipeline
+  * at sf0.1). Likewise the 128-way `min((h*a+b)%p)` aggregate reduction
+  * pays hash-aggregate buffer traffic per posting row. Both are
+  * one-pass-per-document primitive loops at heart; these expressions
+  * compile them into whole-stage codegen the same way
+  * [[ArrayDotProduct]] does for vector math.
+  *
+  * Determinism contract (matches the previous builtin formulation exactly):
+  *  - words = `split(text, " ")` semantics (trailing empties kept);
+  *  - shingles = `n`-word windows joined by one space, distinct in first-
+  *    occurrence order (`array_distinct` semantics);
+  *  - shingle hash = `pmod(xxhash64(s), HashMod)` — the same XXH64 seed-42
+  *    bytes hash Spark's builtin computes;
+  *  - minhash_j = min over shingles of `(h * a_j + b_j) % Prime`.
+  */
+object TextHashOps {
+
+  /** Idempotently register graft text/hash functions on the session. */
+  def register(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs.head), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSignature(exprs.head), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bandkeys", exprs => MinHashBandKeys(exprs.head), "built-in")
+  }
+
+  /** Distinct word-3-gram shingles of a text column (array<string>). */
+  def shinglesNative(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_shingles", text)
+  }
+
+  /** 128-long MinHash signature of a shingle-array column (array<long>). */
+  def minhashNative(spark: SparkSession, shingles: Column): Column = {
+    register(spark)
+    call_function("graft_minhash", shingles)
+  }
+
+  /** 32 LSH band keys of a 128-long signature column (array<long>). */
+  def bandKeysNative(spark: SparkSession, sig: Column): Column = {
+    register(spark)
+    call_function("graft_bandkeys", sig)
+  }
+}
+
+/** Distinct word-`n`-gram shingles, first-occurrence order. Fewer than `n`
+  * words → empty array (callers filter on `size >= 1`, the twin of the old
+  * `size(split(text,' ')) >= n` guard). Null text → null.
+  */
+case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = WordShingles.shingle(input.asInstanceOf[UTF8String], n)
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.functions.WordShingles.shingle($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** One pass: split on single spaces (trailing empties kept, like
+    * `split(text, " ")`), emit distinct n-word windows joined by " ".
+    * Static so generated code can call it — the loop is plain JVM code
+    * either way; codegen only removes per-row virtual dispatch.
+    */
+  def shingle(text: UTF8String, n: Int): Array[UTF8String] = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String](words.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    out
+  }
+}
+
+/** 128-long MinHash signature over an array<string> of shingles.
+  * Empty array → null (docs without shingles never reach this — shingled()
+  * filters them — but null is the safe contract).
+  */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.sign(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.MinHashSignature.sign($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LSH band keys over a minhash signature: key_b = the multi-argument
+  * builtin `xxhash64(m_{4b}, m_{4b+1}, m_{4b+2}, m_{4b+3})` (seed 42,
+  * XXH64.hashLong chaining — bit-identical to the builtin, pinned by
+  * spec). One tiny loop instead of `Bands` structs × `RowsPerBand`
+  * element_at's of inline codegen, which dominated candidate-generation
+  * compile+eval time when expanded on both sides of the self-join.
+  */
+case class MinHashBandKeys(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bandkeys"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandKeys.keys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashBandKeys.keys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBandKeys {
+  val Bands = 32
+  val RowsPerBand: Int = MinHashSignature.NumHashes / Bands
+
+  def keys(sig: ArrayData): ArrayData = {
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var h = 42L
+      var r = 0
+      while (r < RowsPerBand) {
+        h = XXH64.hashLong(sig.getLong(b * RowsPerBand + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object MinHashSignature {
+  val NumHashes = 128
+  /** Shingle-hash domain (fits 30 bits → a*h fits a long). */
+  val HashMod = 1000000007L
+  /** Minhash modulus (prime < 2^31). */
+  val Prime = 2038074743L
+  /** Knuth multiplicative constant 2654435761 = floor(2^32/φ); same
+    * coefficients as the original posting-aggregate formulation.
+    */
+  val CoefA: Array[Long] = Array.tabulate(NumHashes)(j => ((j + 1) * 2654435761L) % Prime)
+  val CoefB: Array[Long] = Array.tabulate(NumHashes)(j => (j * 40503L + 17L) % Prime)
+
+  /** Tight two-level loop: per shingle, one XXH64 (seed 42 — identical to
+    * the builtin `xxhash64`) reduced into [0, HashMod), then 128 affine
+    * min updates on a primitive long[]. Returns null for an empty array.
+    */
+  def sign(shingles: ArrayData): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val mins = new Array[Long](NumHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val s = shingles.getUTF8String(i)
+      val h = java.lang.Math.floorMod(
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L),
+        HashMod)
+      var j = 0
+      while (j < NumHashes) {
+        // h ≥ 0 and CoefA/CoefB < Prime < 2^31 ⇒ dividend in [0, 2^61):
+        // plain % equals pmod and nothing overflows
+        val v = (h * CoefA(j) + CoefB(j)) % Prime
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}

@@ -28,55 +28,43 @@ import org.apache.spark.sql.functions._
 object NearDup {
 
   val ShingleSize = 3
-  val NumHashes = 128
+  val NumHashes: Int = graft.functions.MinHashSignature.NumHashes
   val Bands = 32
   val RowsPerBand: Int = NumHashes / Bands
   /** Shingle-hash domain (fits 30 bits → a*h fits a long under ANSI). */
-  val HashMod = 1000000007L
+  val HashMod: Long = graft.functions.MinHashSignature.HashMod
   /** Minhash modulus (prime < 2^31). */
-  val Prime = 2038074743L
-
-  /** Deterministic affine-hash coefficients (Knuth multiplicative step —
-    * public-domain constant 2654435761 = floor(2^32/φ)).
-    */
-  private val CoefA: Seq[Long] = Seq.tabulate(NumHashes)(j => ((j + 1) * 2654435761L) % Prime)
-  private val CoefB: Seq[Long] = Seq.tabulate(NumHashes)(j => (j * 40503L + 17L) % Prime)
+  val Prime: Long = graft.functions.MinHashSignature.Prime
 
   /** doc_id + distinct word-`ShingleSize`-gram set. Docs shorter than one
     * shingle are dropped (cannot near-dup match anyway).
+    *
+    * Uses the codegen'd [[graft.functions.WordShingles]] — the builtin
+    * `array_distinct(transform(...concat_ws...))` route runs interpreted
+    * lambda closures per element and was the hottest stage of every dedup
+    * query (~4 s of the sf0.1 pipeline); semantics are identical.
     */
   def shingled(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= ShingleSize)
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), size(col("w")) - (ShingleSize - 1)),
-          i => concat_ws(" ", element_at(col("w"), i),
-            element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("shingles"))
+        graft.functions.TextHashOps
+          .shinglesNative(documents.sparkSession, col("text")).as("shingles"))
+      .filter(size(col("shingles")) >= 1)
 
-  /** doc_id + minhash signature as `NumHashes` primitive columns m0..m127.
-    *
-    * Shape matters: an earlier row-local nested-`transform` formulation
-    * (128 lambdas × |shingles| with boxed longs and a literal coefficient
-    * array rebuilt per call) cost ~28 s for 5000 docs. This version
-    * explodes distinct shingles into postings and reduces with 128
-    * codegen'd `min` aggregates — map-side partial aggregation over
-    * primitive longs, the same plan shape a 1000-executor run wants
-    * (shuffle carries one 128-long row per doc, not the shingle text).
+  /** doc_id + 128-long minhash signature (`sig` array column), via the
+    * codegen'd [[graft.functions.MinHashSignature]] — a row-local primitive
+    * loop, so signatures are a pure map stage: nothing shuffles until the
+    * band self-join, and what shuffles is one 128-long row per doc.
+    * (An earlier posting-explode + 128-`min`-aggregate formulation was
+    * plan-shaped right but paid an avoidable shuffle of |shingles| rows
+    * per doc plus 128-buffer hash-aggregate traffic.)
     */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(HashMod)).as("h"))
-    // h < 2^30 and coefficients < Prime < 2^31, so the dividend stays
-    // non-negative and < 2^61: plain % equals pmod bit-for-bit (pmod
-    // would only add a sign branch; the bounds are the load-bearing fact)
-    val minAggs = (0 until NumHashes).map(j =>
-      min((col("h") * CoefA(j) + CoefB(j)) % Prime).as(s"m$j"))
-    posting.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-  }
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      graft.functions.TextHashOps
+        .minhashNative(sh.sparkSession, col("shingles")).as("sig"))
 
-  /** Candidate pairs from banded LSH: signature columns → `Bands` band
+  /** Candidate pairs from banded LSH: signature array → `Bands` band
     * keys (xxhash64 over each band's 4 minhashes) → self-equi-join on
     * (band_idx, band_key). With 32 bands × 4 rows the miss probability at
     * Jaccard 0.9 is (1-0.9⁴)³² ≈ 1.5e-15 — effectively exact for the ≥0.5
@@ -84,14 +72,11 @@ object NearDup {
     * [0.1, 0.5)).
     */
   def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
-          .as("band_key"))
-    }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
-        col("band.band_key").as("band_key"))
+    val bands = sigs.select(col("doc_id"),
+        posexplode(graft.functions.TextHashOps
+          .bandKeysNative(sigs.sparkSession, col("sig"))))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_key"))
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -218,10 +203,16 @@ object NearDup {
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label")))
           .as("label")).coalesce(1).localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      // near-dup components are near-cliques (diameter 1-2): round 0
+      // nearly always settles everything, so the convergence count — a
+      // driver action per round — starts at round 1; one extra tiny
+      // propagate round is cheaper than a per-round check
+      if (iter >= 1) {
+        val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

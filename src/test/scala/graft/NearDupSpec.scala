@@ -54,6 +54,49 @@ class NearDupSpec extends SparkSpec {
     assert(out.values.toSet == Set(10L), "one component, canonical = min id")
   }
 
+  test("native shingles match the builtin array_distinct/transform formulation") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val builtin = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2)))).as("shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = NearDup.shingled(d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == builtin)
+  }
+
+  test("native minhash equals the posting-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.MinHashSignature.{CoefA, CoefB}
+    val sh = NearDup.shingled(docs)
+    val posting = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), pmod(xxhash64(col("s")), lit(NearDup.HashMod)).as("h"))
+    val minAggs = (0 until NearDup.NumHashes).map(j =>
+      min((col("h") * CoefA(j) + CoefB(j)) % NearDup.Prime).as(s"m$j"))
+    val viaAgg = posting.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to NearDup.NumHashes).map(r.getLong)).toMap
+    val native = NearDup.minhashSignatures(sh)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(native == viaAgg)
+  }
+
+  test("native band keys equal the builtin multi-arg xxhash64") {
+    import org.apache.spark.sql.functions._
+    val sigs = NearDup.minhashSignatures(NearDup.shingled(docs))
+    val viaBuiltin = sigs.select(col("doc_id") +: (0 until NearDup.Bands).map(b =>
+        xxhash64((0 until NearDup.RowsPerBand).map(r =>
+          element_at(col("sig"), b * NearDup.RowsPerBand + r + 1)): _*).as(s"b$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to NearDup.Bands).map(r.getLong)).toMap
+    val native = sigs.select(col("doc_id"),
+        graft.functions.TextHashOps.bandKeysNative(spark, col("sig")).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(native == viaBuiltin)
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()
