@@ -117,6 +117,7 @@ object SparkEntry {
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    "dedup_embedding_lsh" -> ((s, dir) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.4)),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -467,6 +468,7 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
+    "dedup_embedding_lsh" -> lshPairOracle,
     "ann_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),
@@ -480,6 +482,32 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
         |ORDER BY query_id, "rank"""".stripMargin,
   )
+
+  /** Independent SQL replica of [[Similarity.cosineNearDupPairsLsh]]'s
+    * approximation contract: the hyperplanes are deterministic constants
+    * (splitmix64-derived thousandths — `k/1000.0` reproduces the exact
+    * doubles), the bucket is the sign-bit sum, candidates are pairs within
+    * hamming 1, verify is the cosine threshold. Both engines loop the dot
+    * product in index order over identical doubles, so even sign decisions
+    * at 1e-18 agree bit-for-bit. This pins the LSH pipeline — bucketing,
+    * probing, verify — not just its output rows.
+    */
+  private val lshPairOracle: String = {
+    val bucketExpr = graft.operators.Similarity.planes.zipWithIndex.map {
+      case (pl, i) =>
+        val arr = pl.map(w => s"${Math.round(w * 1000)}/1000.0")
+          .mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(ve, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |b AS (SELECT vec_id, ve,
+       |  CAST($bucketExpr AS BIGINT) AS bucket FROM v)
+       |SELECT x.vec_id AS vec_i, y.vec_id AS vec_j
+       |FROM b x JOIN b y ON x.vec_id < y.vec_id
+       | AND bit_count(xor(x.bucket, y.bucket)) <= 1
+       |WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4
+       |ORDER BY vec_i, vec_j""".stripMargin
+  }
 
   /** Brute-force word-3-gram Jaccard ≥ 1/2 pairs — ground truth for both
     * the MinHash+LSH and inverted-index near-dup queries (the LSH banding

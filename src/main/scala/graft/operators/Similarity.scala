@@ -42,19 +42,76 @@ object Similarity {
     ArrayOps.dotNative(df.sparkSession, a, b)
 
 
-  /** All pairs with cosine ≥ `threshold` (embedding-cosine near-dup).
-    * Emits ids only: the pair SET is decided with ≥1e-4 margin, while the
-    * cosine VALUE itself is FP-formula-sensitive — keeping it out of the
-    * output keeps the oracle comparison exact.
+  /** All pairs with cosine ≥ `threshold` (embedding-cosine near-dup),
+    * distributed as a block-grid self-join. Emits ids only: the pair SET
+    * is decided with ≥1e-4 margin, while the cosine VALUE itself is
+    * FP-formula-sensitive — keeping it out of the output keeps the oracle
+    * comparison exact.
+    *
+    * Scale shape: an EXACT pair-threshold join at a weak threshold is
+    * inherently Θ(n²) dot products (this testdata's qualifying pairs sit
+    * at cos ≈ 0.4001 against a background topping out at 0.3999 — no
+    * bucketing scheme separates that; see [[cosineNearDupPairsLsh]] for
+    * the sublinear path when the threshold is selective). What CAN scale
+    * is the distribution: each side is hash-partitioned into `blocks`
+    * groups and joined through the broadcast (bi ≤ bj) block grid, so
+    * the n²/2 products spread evenly over B(B+1)/2 equi-join groups with
+    * bounded per-task memory (n/B rows a side), instead of broadcasting
+    * an unbounded corpus through a nested-loop join. Pick
+    * `blocks ≈ n / rows-that-fit-a-task` on a cluster.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val a = prepared(embeddings).select(col("vec_id").as("vec_i"),
-      col("v").as("v_i"), col("nrm").as("n_i"))
-    val b = prepared(embeddings).select(col("vec_id").as("vec_j"),
-      col("v").as("v_j"), col("nrm").as("n_j"))
-    a.join(b, col("vec_i") < col("vec_j"))
-      .filter(dotN(embeddings, col("v_i"), col("v_j")) / (col("n_i") * col("n_j")) >= threshold)
-      .select(col("vec_i"), col("vec_j"))
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         blocks: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val grid = (for (i <- 0 until blocks; j <- i until blocks) yield (i, j))
+      .toDF("bi", "bj")
+    val prep = prepared(embeddings)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)))
+    val a = prep.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), col("blk").as("blk_a"))
+    val b = prep.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("blk").as("blk_b"))
+    a.join(broadcast(grid), col("blk_a") === col("bi"))
+      .join(b, col("blk_b") === col("bj") &&
+        (col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b")))
+      .filter(dotN(embeddings, col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("vec_i"),
+        greatest(col("id_a"), col("id_b")).as("vec_j"))
+      .orderBy(col("vec_i"), col("vec_j"))
+  }
+
+  /** LSH-bucketed pair search: candidate pairs = same hyperplane bucket
+    * or hamming distance 1 (one flipped sign — realized as an EQUI-join
+    * of the probe-exploded side against the bucket key), then exact
+    * cosine verify. The candidates-then-verify shape of
+    * [[graft.operators.NearDup.minhashNearDups]], for embeddings.
+    *
+    * Recall is governed by the hyperplane disagreement probability
+    * θ(a,b)/π: ≈1 for genuine near-dup thresholds (cos ≥ 0.9 ⇒
+    * P[disagree] ≈ 0.14 per plane, all-plane agreement dominates), while
+    * weak-similarity pairs (cos ≈ 0.4 ⇒ P ≈ 0.37) are sampled, not
+    * enumerated — by design: this is the operator you run at 100 TB
+    * when the threshold is selective, and its approximation contract
+    * (bucket ∪ hamming-1 probes, then verify) is itself deterministic
+    * and oracle-checkable, which the `dedup_embedding_lsh` query pins
+    * against an independent SQL replica of the same hyperplanes.
+    */
+  def cosineNearDupPairsLsh(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val prep = prepared(embeddings)
+      .withColumn("bucket", bucketOf(embeddings, col("v")))
+    val probes = (0 to NumPlanes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }
+    val a = prep.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), explode(array(probes: _*)).as("probe"))
+    val b = prep.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
+      .filter(dotN(embeddings, col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= threshold)
+      .select(col("id_a").as("vec_i"), col("id_b").as("vec_j"))
+      .distinct()
       .orderBy(col("vec_i"), col("vec_j"))
   }
 
@@ -83,7 +140,7 @@ object Similarity {
     * from a hash of the literal string "plane_p_d", mapped into
     * [-1, 1]. Seeded data, no RNG state — identical across runs/engines.
     */
-  private val planes: Seq[Seq[Double]] = Seq.tabulate(NumPlanes) { p =>
+  val planes: Seq[Seq[Double]] = Seq.tabulate(NumPlanes) { p =>
     Seq.tabulate(64) { d =>
       // xxHash-free host-side derivation: splitmix64 on (p*64+d)
       var z = (p * 64 + d + 1).toLong * 0x9E3779B97F4A7C15L

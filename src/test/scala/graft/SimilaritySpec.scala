@@ -49,6 +49,56 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe LSH recall too low: $hits of ${brute.size}")
   }
 
+  test("blocked pair grid equals a naive theta join on the real corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pa = emb.select(col("vec_id").as("i"), col("embedding").cast("array<double>").as("vi"))
+    val pb = emb.select(col("vec_id").as("j"), col("embedding").cast("array<double>").as("vj"))
+    val naive = pa.join(pb, col("i") < col("j"))
+      .filter(ArrayOps.dotNative(spark, col("vi"), col("vj")) /
+        (sqrt(ArrayOps.dotNative(spark, col("vi"), col("vi"))) *
+          sqrt(ArrayOps.dotNative(spark, col("vj"), col("vj")))) >= 0.4)
+      .select(col("i"), col("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == naive)
+  }
+
+  test("LSH pair search: subset of exact, full recall on high-sim pairs, pruned candidates") {
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic corpus: 60 near-identical pairs (cos ≈ 0.999)
+    // plus the spread the gaussian directions give — the regime where
+    // hyperplane LSH is sound (near-dup thresholds), unlike the testdata's
+    // deliberately threshold-hugging cos≈0.4 pairs
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(60) { g =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val dup = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((2L * g, v.toSeq), (2L * g + 1, dup.toSeq))
+    }.flatten
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 60, s"expected the 60 planted pairs, got ${exact.size}")
+    assert(lsh == exact, "hamming<=1 probing must enumerate cos>=0.95 pairs here")
+    // candidate pruning: pairs sharing a bucket within hamming 1 must be
+    // a small fraction of all n(n-1)/2 pairs — that's the entire point
+    val buckets = df
+      .select(col("vec_id"),
+        Similarity.bucketOf(df, col("embedding").cast("array<double>")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cand = (for {
+      (i, bi) <- buckets; (j, bj) <- buckets
+      if i < j && java.lang.Long.bitCount(bi ^ bj) <= 1
+    } yield 1).size
+    val all = buckets.length * (buckets.length - 1) / 2
+    assert(cand * 3 < all, s"candidates $cand not << all pairs $all")
+  }
+
   test("IVF top-k: rank-consistent, non-trivial recall vs brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
