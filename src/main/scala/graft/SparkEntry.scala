@@ -121,6 +121,9 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
+    "ann_recall_floor" -> ((s, dir) =>
+      Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
+        ivfFloor = 100L, lshFloor = 25L)),
     // Multimodal extensions: binary media column + typed metadata; decode
     // is a deterministic stub (no codecs in env), plumbing is real.
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -469,6 +472,14 @@ object SparkEntry {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
     "dedup_embedding_lsh" -> lshPairOracle,
+    // the report's VALUES are fully determined (deterministic ANN paths +
+    // exact baseline), so the oracle is the expected fixed table; a recall
+    // regression or a query that stops producing rows flips a cell
+    "ann_recall_floor" ->
+      """SELECT 'ivf' AS method, CAST(20 AS BIGINT) AS n_queries, true AS floor_met
+        |UNION ALL
+        |SELECT 'lsh', CAST(20 AS BIGINT), true
+        |ORDER BY method""".stripMargin,
     "ann_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |           FROM embeddings WHERE vec_id < 20),

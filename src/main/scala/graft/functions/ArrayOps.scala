@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native (codegen'd) array dot product.
   *
@@ -54,6 +54,82 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `k` nearest centroids of a vector, as an array<int> of cell ids ordered
+  * by (round(cos, 6) desc, cid desc) — exactly the ordering
+  * `sort_array(array(struct(round(dot/nrm·cnorm, 6), cid)...), desc)`
+  * produced when the centroid scoring was spelled as 16 inline dot-product
+  * structs. That spelling was correct but generated the largest codegen
+  * unit in the engine (16 × 64-element literal loops), whose whole-stage
+  * compilation dominated the IVF query's wall clock; this expression is
+  * one tight loop over a reference-object matrix instead.
+  *
+  * `centroids` and `k` arrive as foldable literals and are extracted once
+  * at plan build (see [[ArrayOps.nearestCells]]); rounding replicates
+  * Spark's `round` for doubles (BigDecimal HALF_UP) bit-for-bit.
+  */
+case class NearestCells(left: Expression, right: Expression,
+                        centroids: Array[Array[Double]], k: Int)
+    extends BinaryExpression {
+
+  // precomputed per-centroid norms (host-side constants)
+  private val cnorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cells"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCells.run(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      centroids, cnorms, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NearestCells.run($a, $b, $cRef, $nRef, $k);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCells {
+  def run(v: ArrayData, nrm: Double, cents: Array[Array[Double]],
+          cnorms: Array[Double], k: Int): ArrayData = {
+    val m = cents.length
+    val scores = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      // identical arithmetic to round(dot / (nrm * cnorm), 6)
+      scores(c) = java.math.BigDecimal.valueOf(s / (nrm * cnorms(c)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      c += 1
+    }
+    // top-k by (score desc, cid desc): selection over m=|cells| entries
+    val out = new Array[Int](math.min(k, m))
+    val taken = new Array[Boolean](m)
+    var r = 0
+    while (r < out.length) {
+      var best = -1
+      var cc = 0
+      while (cc < m) {
+        if (!taken(cc) && (best < 0 || scores(cc) > scores(best) ||
+            (scores(cc) == scores(best) && cc > best))) best = cc
+        cc += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object ArrayOps {
 
   /** Idempotently register graft functions on the session's registry. */
@@ -61,11 +137,32 @@ object ArrayOps {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs.head, exprs(1)), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cells", exprs => {
+        val matrix = exprs(2).eval() match {
+          case ad: ArrayData => ad.toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        }
+        NearestCells(exprs.head, exprs(1), matrix,
+          exprs(3).eval().asInstanceOf[Int])
+      }, "built-in")
   }
 
   /** Codegen'd dot product of two array<double> columns. */
   def dotNative(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** `k` nearest centroid ids for a (vector, norm) column pair; the
+    * centroid matrix travels as a foldable literal and is unpacked at
+    * plan build time.
+    */
+  def nearestCells(spark: SparkSession, v: Column, nrm: Column,
+                   centroids: Seq[Seq[Double]], k: Int): Column = {
+    register(spark)
+    call_function("graft_cells", v, nrm,
+      org.apache.spark.sql.functions.typedlit(centroids),
+      org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -99,6 +99,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cand * 3 < all, s"candidates $cand not << all pairs $all")
   }
 
+  test("NearestCells matches the sort_array-of-rounded-structs spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayOps
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0).toInt, r.getAs[scala.collection.Seq[Double]](1).toSeq))
+      .sortBy(_._1).toSeq
+    val prep = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(ArrayOps.dotNative(spark, col("v"), col("v"))))
+    val viaStructs = prep.select(col("vec_id"),
+        slice(sort_array(array(cents.map { case (cid, cv) =>
+          val cnorm = math.sqrt(cv.map(x => x * x).sum)
+          struct(round(ArrayOps.dotNative(spark, col("v"), typedlit(cv)) /
+            (col("nrm") * cnorm), 6).as("score"), lit(cid).as("cid"))
+        }: _*), asc = false), 1, 2))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1)).toSeq).toMap
+    val viaNative = prep.select(col("vec_id"),
+        ArrayOps.nearestCells(spark, col("v"), col("nrm"), cents.map(_._2), 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(viaNative == viaStructs)
+  }
+
   test("IVF top-k: rank-consistent, non-trivial recall vs brute force") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
