@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.operators.{CsvIngest, Dedup, Multimodal, NearDup, Relational, Sessions, Similarity}
+import graft.streaming.StreamingSessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +56,11 @@ object SparkEntry {
       Sessions.sessionAggBy(Tables.events(s, dir), lit("30 seconds"),
         timestamp_micros(col("event_id") * 10000L))
         .orderBy(col("user_id"), col("session_start"))),
+    // W3/W4 oracle-checked: bounded-out-of-order streaming replay with a
+    // 10-minute watermark must reproduce batch sessionization exactly
+    // (the gap-and-islands oracle is order-insensitive)
+    "t1_sessions_outoforder" -> ((s, dir) =>
+      StreamingSessions.replayOutOfOrder(Tables.events(s, dir), lit("30 seconds"))),
     // P1/P2: CSV wire-format roundtrip — render events in the reference's
     // CSV format, inject malformed fixtures, parse permissively; survivors
     // must equal the original events exactly.
@@ -207,6 +213,7 @@ object SparkEntry {
     "t3_dynamic_gap_scaled" -> sessionOracle(scaledGapSql),
     "t1_sessions_ingest" -> sessionOracle("30",
       tsSql = "make_timestamp(event_id * 10000)"),
+    "t1_sessions_outoforder" -> sessionOracle("30"),
     // Roundtrip parity: parse(render(events)) == events (malformed dropped)
     "csv_roundtrip_events" ->
       """SELECT ts, user_id, event_id AS transaction_id, value AS payload_value

@@ -1,8 +1,11 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters.IteratorHasAsScala
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Input row for the stateful alert operator. */
 case class AlertInput(user_id: Long, session_sum: Double)
@@ -49,6 +52,110 @@ object StreamingSessions {
         col("event_count"),
         (col("sum_cents") / 100.0).as("session_sum"),
         (floor(col("sum_cents") / col("event_count") + 0.5) / 100.0).as("session_avg"))
+
+  /** Sentinel user id for [[replayOutOfOrder]] flush events. */
+  val FlushUser = 999999999L
+
+  /** Out-of-order replay harness: renders `events` as a file stream with
+    * BOUNDED disorder and returns the final watermarked streaming
+    * sessionization as a batch frame — the `forBoundedOutOfOrderness`
+    * twin, made oracle-checkable (the DuckDB gap-and-islands oracle is
+    * order-insensitive, so streaming-with-late-data must reproduce the
+    * batch answer exactly).
+    *
+    * Mechanics:
+    *  - disorder: each event's replay key is `ts + (xxhash64(event_id)
+    *    mod jitter)` — deterministic, and an event can arrive behind
+    *    events up to `jitter` later than it, never more, so a watermark
+    *    `delay > jitter` must lose nothing;
+    *  - the keyed rows are split into `slices` contiguous files replayed
+    *    one per micro-batch (`maxFilesPerTrigger=1`, explicit increasing
+    *    file mtimes pin the source's processing order);
+    *  - two far-future [[FlushUser]] sentinel files close the stream:
+    *    watermarks advance between batches, so the first sentinel batch
+    *    raises the watermark past all real data and the second emits the
+    *    remaining real sessions (append mode emits a session only once a
+    *    later batch's watermark passes its end);
+    *  - the memory-sink table, minus the sentinel user, is the result.
+    */
+  def replayOutOfOrder(events: DataFrame, gap: Column,
+                       delay: String = "10 minutes",
+                       jitterUs: Long = 300L * 1000000, // 5 minutes
+                       slices: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val tmpDir = root.resolve("tmp")
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    // materialized once: each slice write below filters this frame, and
+    // without the checkpoint every write would redo the global sort
+    val keyed = events
+      .withColumn("okey",
+        unix_micros(col("ts")) + pmod(xxhash64(col("event_id")), lit(jitterUs)))
+      .withColumn("slice",
+        ntile(slices).over(Window.orderBy(col("okey"), col("event_id"))))
+      .localCheckpoint()
+    val dataCols = events.columns.map(col)
+    // slice i -> one parquet file with a pinned name + mtime so the file
+    // source replays them in order (harness-only single-partition sort
+    // and per-slice coalesce(1): the stream's arrival order IS the thing
+    // under test, so the harness serializes it deliberately)
+    (1 to slices).foreach { i =>
+      appendReplayFile(keyed.filter(col("slice") === i).select(dataCols: _*),
+        inDir, i)
+    }
+    (1 to 2).foreach { i =>
+      appendReplayFile(flushFrame(events, maxTs, i), inDir, slices + i)
+    }
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val sinkName = "graft_ooo_sink"
+    spark.catalog.dropTempView(sinkName)
+    // state-store commit cost is per (partition x micro-batch) and the
+    // per-batch volume here is small: scope the stateful query to a few
+    // state partitions (the setting is baked into the fresh checkpoint,
+    // so it is per-replay; a production deployment sizes this to
+    // sustained throughput instead)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+    try {
+      val q = sessionAggStream(src, gap, delay).writeStream
+        .format("memory").queryName(sinkName).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table(sinkName).filter(col("user_id") =!= FlushUser)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Write `df` into the stream input dir as one parquet file
+    * `<seq>.parquet` with an increasing mtime — a deterministic "one more
+    * batch of offsets" for the file source (which orders by mtime).
+    */
+  def appendReplayFile(df: DataFrame, inDir: java.nio.file.Path, seq: Int): Unit = {
+    val tmpDir = inDir.resolveSibling(s"stage_$seq")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = java.nio.file.Files.list(tmpDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    val dest = inDir.resolve(f"$seq%05d.parquet")
+    java.nio.file.Files.move(part, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(seq * 60000L)
+  }
+
+  /** The `i`-th far-future [[FlushUser]] watermark-flush event (one row,
+    * `maxTs + i` days), schema-compatible with `events`.
+    */
+  def flushFrame(events: DataFrame, maxTs: java.sql.Timestamp, i: Int): DataFrame = {
+    val ts = new java.sql.Timestamp(maxTs.getTime + i * 86400000L)
+    events.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -i.toLong, ts, FlushUser, "flush", 0.0, "{}")),
+      events.schema)
+  }
 
   /** A3 streaming twin (task 2's "alert once per user",
     * `flink_stream_task2.py:72,85-90`): threshold filter then streaming

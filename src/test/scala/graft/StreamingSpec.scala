@@ -87,6 +87,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("out-of-order replay with watermark reproduces batch sessionization") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = StreamingSessions.replayOutOfOrder(events, lit("30 seconds"))
+      .collect().map(_.toSeq).toSeq
+    val want = Sessions.sessionAgg(events, lit("30 seconds"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("checkpoint recovery: restart resumes session state, no dup/lost sessions") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val ckpt = root.resolve("ckpt").toString
+    val dataCols = events.columns.map(col)
+    val sliced = events.withColumn("slice",
+      ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+    // a fault-tolerant (file) sink: the memory sink rejects checkpoint
+    // recovery by design, the parquet sink's transaction log is what
+    // gives exactly-once across restarts — the property under test
+    val outDir = root.resolve("out").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = StreamingSessions.sessionAggStream(src, lit("30 seconds"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: two slices, then the query STOPS (AvailableNow drains)
+    (1 to 2).foreach(i => StreamingSessions.appendReplayFile(
+      sliced.filter(col("slice") === i).select(dataCols: _*), inDir, i))
+    runOnce()
+    val part1 = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    // phase 2: remaining slices + watermark flush sentinels, RESTART from
+    // the same checkpoint — offsets, watermark, and open-session state
+    // must all resume
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    (3 to 4).foreach(i => StreamingSessions.appendReplayFile(
+      sliced.filter(col("slice") === i).select(dataCols: _*), inDir, i))
+    (1 to 2).foreach(i => StreamingSessions.appendReplayFile(
+      StreamingSessions.flushFrame(events, maxTs, i), inDir, 4 + i))
+    runOnce()
+    val part2 = spark.read.parquet(outDir).collect().map(_.toSeq).toSet -- part1
+    assert(part1.nonEmpty && part2.nonEmpty, "both runs should emit sessions")
+    assert((part1 & part2).isEmpty, "restart must not re-emit sessions")
+    val got = (part1 | part2).filter(_.head != StreamingSessions.FlushUser)
+    val want = Sessions.sessionAgg(events, lit("30 seconds"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "union across restart must equal batch sessionization")
+  }
+
   test("streaming big-customer alert fires once per user (keep-first)") {
     // the dedup operator is driven by a stream of closed sessions (in the
     // full pipeline the upstream session agg emits those on window close)
