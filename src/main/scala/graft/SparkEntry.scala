@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CsvIngest, Dedup, Multimodal, NearDup, Relational, Sessions, Similarity}
+import graft.operators.{CsvIngest, Curation, Dedup, Multimodal, NearDup, Relational, Sessions, Similarity}
 import graft.streaming.StreamingSessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -120,6 +120,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
+    // Curation extensions: deterministic sampling, corpus rollup, and the
+    // quality -> exact-dedup -> near-dup-canonicalization funnel
+    "sample_docs" -> ((s, dir) => Curation.deterministicSample(Tables.documents(s, dir), 2000)),
+    "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
+    "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
@@ -455,23 +460,42 @@ object SparkEntry {
     // connected components of the near-dup graph: transitive closure via
     // recursive CTE, canonical label = min reachable doc id (incl. self)
     "dedup_clusters" ->
-      """WITH RECURSIVE
-        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                        for i in range(1, len(w) - 1)]) AS s
-        |       FROM t WHERE len(w) >= 3),
-        |p AS (SELECT a.doc_id AS u, b.doc_id AS v
-        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |      WHERE 2 * len(list_intersect(a.s, b.s))
-        |            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-        |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-        |reach(a, b) AS (
-        |  SELECT u, v FROM e
-        |  UNION
-        |  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE
+         |$clusterCtes
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "sample_docs" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
+    // curation funnel: quality gate >= 30 tokens, keep-lowest exact dedup,
+    // then drop non-canonical members of the (full-corpus) near-dup
+    // clusters — same cluster CTEs as dedup_clusters
+    "pipeline_clean_corpus" ->
+      s"""WITH RECURSIVE
+         |$clusterCtes,
+         |nc AS (SELECT a AS doc_id FROM reach GROUP BY a
+         |       HAVING least(a, min(b)) <> a),
+         |tk AS (SELECT doc_id, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |       FROM documents),
+         |q AS (SELECT * FROM tk WHERE n_tokens >= 30),
+         |ex AS (SELECT doc_id, n_tokens FROM (
+         |        SELECT doc_id, n_tokens,
+         |          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |        FROM q) WHERE rn = 1)
+         |SELECT doc_id, n_tokens FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_id FROM nc)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -526,6 +550,26 @@ object SparkEntry {
        |WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4
        |ORDER BY vec_i, vec_j""".stripMargin
   }
+
+  /** Shared near-dup cluster CTE chain (word-3-gram Jaccard ≥ ½ pairs →
+    * symmetric edges → recursive transitive closure). Used by
+    * `dedup_clusters` and the `pipeline_clean_corpus` funnel.
+    */
+  private val clusterCtes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                        for i in range(1, len(w) - 1)]) AS s
+      |       FROM t WHERE len(w) >= 3),
+      |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |      WHERE 2 * len(list_intersect(a.s, b.s))
+      |            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |reach(a, b) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)""".stripMargin
 
   /** Brute-force word-3-gram Jaccard ≥ 1/2 pairs — ground truth for both
     * the MinHash+LSH and inverted-index near-dup queries (the LSH banding

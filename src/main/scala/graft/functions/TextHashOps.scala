@@ -41,6 +41,8 @@ object TextHashOps {
       "graft_minhash", exprs => MinHashSignature(exprs.head), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bandkeys", exprs => MinHashBandKeys(exprs.head), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
   }
 
   /** Distinct word-3-gram shingles of a text column (array<string>). */
@@ -59,6 +61,12 @@ object TextHashOps {
   def bandKeysNative(spark: SparkSession, sig: Column): Column = {
     register(spark)
     call_function("graft_bandkeys", sig)
+  }
+
+  /** 64-bit SimHash of a text column (long). */
+  def simhashNative(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("graft_simhash", text)
   }
 }
 
@@ -184,6 +192,56 @@ object MinHashBandKeys {
       b += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** 64-bit SimHash over whitespace tokens: per token-hash bit b, sum ±1
+  * over ALL token occurrences (not distinct — weight by frequency, the
+  * classic Charikar form); bit set iff the sum is positive. Token hash is
+  * the builtin `xxhash64` (seed 42) over the token bytes, so the value is
+  * bit-identical to the former explode + 64-`sum` aggregate formulation
+  * (pinned by spec) — but computed in one map-side pass per document
+  * instead of a token shuffle into 64 aggregate buffers.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.sign(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.sign($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val Space = UTF8String.fromString(" ")
+
+  def sign(text: UTF8String): Long = {
+    val tokens = text.split(Space, -1)
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 }
 

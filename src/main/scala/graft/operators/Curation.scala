@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators (north-star extension): the
+  * sample/measure/clean funnel a data pipeline runs in front of model
+  * training. No reference equivalent.
+  *
+  * Scale shapes:
+  *  - [[deterministicSample]] is a pure map-side filter on a content-free
+  *    hash of the key — no shuffle, no RNG state, reproducible across
+  *    runs/engines/partitionings (the property that matters when a 100 TB
+  *    sample must be re-derivable months later).
+  *  - [[corpusStats]] is one partial-aggregated rollup — integer-only
+  *    outputs so the oracle comparison is exact.
+  *  - [[cleanCorpus]] composes the quality gate, exact dedup, and
+  *    near-dup canonicalization into the standard curation DAG: every
+  *    stage is a relational operator from this engine, and the near-dup
+  *    exclusion joins a candidate-bounded (tiny) cluster frame back
+  *    against the corpus — broadcast territory at any scale.
+  */
+object Curation {
+
+  /** Uniform-in-[0,10000) deterministic bucket for a key: the first 8 hex
+    * chars of md5(key as string) mod 10000. Engine-portable (md5 and
+    * hex→decimal agree everywhere) — unlike xxhash-based buckets, an
+    * independent SQL engine can replicate it bit-for-bit.
+    */
+  def sampleBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000
+
+  /** Keep ~`bps`/10000 of rows, deterministically by `doc_id`. */
+  def deterministicSample(documents: DataFrame, bps: Int): DataFrame =
+    documents
+      .filter(sampleBucket(col("doc_id")) < bps)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** One-row corpus rollup: doc/text/token/char totals, all integers. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("text"))).as("n_unique_texts"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** The curation funnel: (1) quality gate — at least `minTokens`
+    * whitespace tokens; (2) exact dedup — keep the lowest doc_id per
+    * md5(text); (3) near-dup canonicalization — drop every non-canonical
+    * member of a MinHash+LSH near-dup cluster (cluster labels from
+    * [[NearDup.nearDupClusters]] over the full corpus, so the exclusion
+    * set does not depend on the upstream gates). Emits survivors with
+    * their token counts.
+    */
+  def cleanCorpus(documents: DataFrame, minTokens: Long): DataFrame = {
+    val toks = documents.select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val quality = toks.filter(col("n_tokens") >= minTokens)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = quality.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val nonCanonical = NearDup.nearDupClusters(documents)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    exact.join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}

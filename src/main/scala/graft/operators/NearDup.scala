@@ -227,16 +227,12 @@ object NearDup {
     * (No DuckDB oracle: xxhash64 is Spark-specific; covered by ScalaTest.)
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val tokens = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
-    val bitSums = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 64)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    val sigs = bitSums.select(col("doc_id"), simhash.as("sig"))
+    // signature is a row-local map pass (codegen'd SimHash64, identical
+    // to the former explode + 64-sum-aggregate bit counting — parity
+    // spec-pinned); nothing shuffles until the chunk self-join
+    val sigs = documents.select(col("doc_id"),
+      graft.functions.TextHashOps
+        .simhashNative(documents.sparkSession, col("text")).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"),

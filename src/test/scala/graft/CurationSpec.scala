@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, NearDup}
+
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("deterministic sample: reproducible, subset semantics, sane rate") {
+    val a = Curation.deterministicSample(docs, 2000).collect().map(_.getLong(0)).toSeq
+    val b = Curation.deterministicSample(docs, 2000).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same key, same rate -> same sample, always")
+    val n = docs.count().toDouble
+    assert(a.length > n * 0.1 && a.length < n * 0.3,
+      s"20% target, got ${a.length} of $n")
+    // monotone in rate: a lower-bps sample is a subset of a higher-bps one
+    val small = Curation.deterministicSample(docs, 500).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a.toSet))
+  }
+
+  test("clean corpus: every survivor passes all three gates") {
+    val survivors = Curation.cleanCorpus(docs, 30L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(survivors.nonEmpty)
+    assert(survivors.values.forall(_ >= 30L), "quality gate")
+    val texts = docs.filter(col("doc_id").isin(survivors.keys.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(texts.length == texts.distinct.length, "exact-dedup gate")
+    val nonCanonical = NearDup.nearDupClusters(docs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.keySet.intersect(nonCanonical).isEmpty, "near-dup gate")
+  }
+
+  test("corpus stats: one integer row consistent with direct counts") {
+    val r = Curation.corpusStats(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("min_tokens") >= 1L)
+    assert(r.getAs[Long]("max_tokens") >= r.getAs[Long]("min_tokens"))
+    assert(r.getAs[Long]("total_tokens") >=
+      r.getAs[Long]("n_docs") * r.getAs[Long]("min_tokens"))
+  }
+}

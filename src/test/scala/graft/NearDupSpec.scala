@@ -97,6 +97,25 @@ class NearDupSpec extends SparkSpec {
     assert(native == viaBuiltin)
   }
 
+  test("native simhash equals the explode + 64-sum-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tokens = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val bitSums = tokens.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val viaAgg = bitSums.select(col("doc_id"), simhash.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = d.select(col("doc_id"),
+        graft.functions.TextHashOps.simhashNative(spark, col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == viaAgg)
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()
