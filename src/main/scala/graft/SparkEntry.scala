@@ -110,6 +110,8 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
+    "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
+    "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
@@ -342,22 +344,37 @@ object SparkEntry {
         |  round(sum(value) * 100, 0) / 100.0 AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id,
-        |  len(list_filter(w, x -> x IN ('the', 'a'))) AS c_en,
-        |  len(list_filter(w, x -> x IN ('data', 'query'))) AS c_es,
-        |  len(list_filter(w, x -> x IN ('window', 'batch'))) AS c_de,
-        |  len(list_filter(w, x -> x IN ('merge', 'join'))) AS c_fr,
-        |  len(list_filter(w, x -> x IN ('hash', 'scan'))) AS c_zh
-        |FROM t)
-        |SELECT doc_id,
-        |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-        |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
-        |       WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
-        |       WHEN c_fr >= c_zh THEN 'fr'
-        |       ELSE 'zh' END AS pred_lang,
-        |  c_en, c_es, c_de, c_fr, c_zh
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $langCtes
+         |SELECT doc_id, pred_lang, c_en, c_es, c_de, c_fr, c_zh
+         |FROM lang ORDER BY doc_id""".stripMargin,
+    // TF-IDF-shaped distinctive tokens: integer (tf*1e6) div df ranking
+    "text_distinctive" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY (tf.tf * 1000000) // dfq.df DESC, tf.tok) AS BIGINT) AS rnk
+        |      FROM tf JOIN dfq ON tf.tok = dfq.tok)
+        |SELECT doc_id, tok, tf, df, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    // stratified deterministic sample: 40 docs per predicted language by
+    // md5-bucket order (same langid CTEs as text_langid)
+    "sample_stratified" ->
+      s"""WITH $langCtes,
+         |b AS (SELECT doc_id,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        % 10000 AS bkt
+         |      FROM documents),
+         |r AS (SELECT l.doc_id, pred_lang,
+         |        CAST(row_number() OVER (PARTITION BY pred_lang
+         |          ORDER BY bkt, l.doc_id) AS BIGINT) AS stratum_rank
+         |      FROM lang l JOIN b ON l.doc_id = b.doc_id)
+         |SELECT doc_id, pred_lang, stratum_rank FROM r
+         |WHERE stratum_rank <= 40
+         |ORDER BY pred_lang, stratum_rank""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |    string_split(text, ' ') AS w FROM documents),
@@ -550,6 +567,27 @@ object SparkEntry {
        |WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4
        |ORDER BY vec_i, vec_j""".stripMargin
   }
+
+  /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
+    * Used by `text_langid` and `sample_stratified`.
+    */
+  private val langCtes: String =
+    """lt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ls AS (SELECT doc_id,
+      |  len(list_filter(w, x -> x IN ('the', 'a'))) AS c_en,
+      |  len(list_filter(w, x -> x IN ('data', 'query'))) AS c_es,
+      |  len(list_filter(w, x -> x IN ('window', 'batch'))) AS c_de,
+      |  len(list_filter(w, x -> x IN ('merge', 'join'))) AS c_fr,
+      |  len(list_filter(w, x -> x IN ('hash', 'scan'))) AS c_zh
+      |FROM lt),
+      |lang AS (SELECT doc_id,
+      |  CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+      |       WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+      |       WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
+      |       WHEN c_fr >= c_zh THEN 'fr'
+      |       ELSE 'zh' END AS pred_lang,
+      |  c_en, c_es, c_de, c_fr, c_zh
+      |FROM ls)""".stripMargin
 
   /** Shared near-dup cluster CTE chain (word-3-gram Jaccard ≥ ½ pairs →
     * symmetric edges → recursive transitive closure). Used by

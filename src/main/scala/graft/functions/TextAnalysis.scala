@@ -68,6 +68,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-`k` distinctive tokens per document, TF-IDF-shaped but in exact
+    * integer math: score = `(tf * 1e6) div df` (term frequency over
+    * corpus document frequency — the log in classic IDF is monotone, so
+    * integer tf/df ranks identically for fixed tf, and stays
+    * engine-portable where `ln` is not guaranteed bit-identical).
+    * Ranking ties break on the token string.
+    *
+    * Scale shape: tf is one exploded hash-aggregate (tokens never carry
+    * the document text); df derives from the tf frame — the same
+    * two-stage skew-safe shape as [[tokenDocFrequency]]; the tf⋈df join
+    * is an equi-join on the token key.
+    */
+  def distinctiveTokens(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(expr("(tf * 1000000) div df").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Quality scoring: length, token counts, type-token ratio (basis
     * points), stopword hits, average token length (centi-chars) — all in
     * exact integer math over an exploded token aggregation.

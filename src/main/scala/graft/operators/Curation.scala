@@ -53,6 +53,23 @@ object Curation {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_chars")).as("total_chars"))
 
+  /** Stratified deterministic sample: `perStratum` docs per predicted
+    * language, chosen by the content-free [[sampleBucket]] order (so the
+    * within-stratum choice is reproducible and unbiased by doc order).
+    * Composition of the language-ID operator with the sampler — the
+    * "balance the corpus across languages" step of a curation pipeline.
+    */
+  def stratifiedSample(documents: DataFrame, perStratum: Int): DataFrame = {
+    val lang = graft.functions.TextAnalysis.langId(documents)
+      .select(col("doc_id"), col("pred_lang"))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(sampleBucket(col("doc_id")), col("doc_id"))
+    documents.select(col("doc_id")).join(lang, "doc_id")
+      .withColumn("stratum_rank", row_number().over(w).cast("long"))
+      .filter(col("stratum_rank") <= perStratum)
+      .orderBy(col("pred_lang"), col("stratum_rank"))
+  }
+
   /** The curation funnel: (1) quality gate — at least `minTokens`
     * whitespace tokens; (2) exact dedup — keep the lowest doc_id per
     * md5(text); (3) near-dup canonicalization — drop every non-canonical

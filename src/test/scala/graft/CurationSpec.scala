@@ -34,6 +34,34 @@ class CurationSpec extends SparkSpec {
     assert(survivors.keySet.intersect(nonCanonical).isEmpty, "near-dup gate")
   }
 
+  test("stratified sample: per-stratum cap, deterministic membership") {
+    val s = Curation.stratifiedSample(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = s.groupBy(_._2)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    val again = Curation.stratifiedSample(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(s.toSet == again.toSet)
+  }
+
+  test("distinctive tokens: rank by integer tf/df, rare beats common") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "common common rare"),
+      (1L, "common common common")).toDF("doc_id", "text")
+    val out = graft.functions.TextAnalysis.distinctiveTokens(d, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    // doc 0: "rare" df=1 tf=1 -> 1e6; "common" df=2 tf=2 -> 1e6... tie
+    // broken by token string: "common" < "rare", so common ranks 1
+    assert(out.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq ==
+      Seq("common", "rare"))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("common"))
+  }
+
   test("corpus stats: one integer row consistent with direct counts") {
     val r = Curation.corpusStats(docs).collect().head
     assert(r.getAs[Long]("n_docs") == docs.count())
