@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{CsvIngest, Curation, Dedup, Multimodal, NearDup, Relational, Sessions, Similarity}
+import graft.operators.{CsvIngest, Curation, Dedup, JsonIngest, Multimodal, NearDup, Relational, Sessions, Similarity}
 import graft.streaming.StreamingSessions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -103,6 +103,18 @@ object SparkEntry {
       Relational.userSegments(Tables.events(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
       Relational.valuePercentiles(Tables.events(s, dir))),
+    "q_user_running_total" -> ((s, dir) =>
+      Relational.userRunningTotals(Tables.events(s, dir))),
+    // JSONL wire-format roundtrip (LLM-corpus line format): render ->
+    // inject malformed lines -> permissive parse; survivors must equal
+    // the original events exactly (field-level nulls preserved)
+    "jsonl_roundtrip_events" -> ((s, dir) => {
+      import s.implicits._
+      val lines = JsonIngest.renderJsonl(Tables.events(s, dir))
+        .union(JsonIngest.malformedFixtures.toDF("value"))
+      JsonIngest.parseJsonl(lines, graft.sources.EventSource.schema)
+        .orderBy(col("event_id"))
+    }),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -327,6 +339,21 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99) * 100, 0) / 100.0 AS p99,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_user_running_total" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0 AS running_value,
+        |  date_diff('microsecond',
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    // JSONL roundtrip parity: parse(render(events)) == events (malformed
+    // lines dropped, field-level nulls preserved)
+    "jsonl_roundtrip_events" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_set_ops_segments" ->
       """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'
         |           GROUP BY 1 HAVING count(*) > 15),

@@ -219,6 +219,27 @@ object Relational {
         col("sum_value"), col("n_users"))
       .orderBy(col("day"))
 
+  /** Per-user cumulative running total (integer cents — order-independent
+    * partial sums) and inter-event gap in microseconds — the lag/lead
+    * window-function family over the event stream. One hash shuffle on
+    * `user_id`, one in-partition sort shared by both window frames;
+    * (ts, event_id) ordering makes every frame deterministic.
+    */
+  def userRunningTotals(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")).over(cum) / 100.0)
+          .as("running_value"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(order)))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Interval (range) join: each purchase event paired with same-user
     * error events within ±2 hours — the "errors around a purchase"
     * correlation query.

@@ -1,5 +1,30 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
+import graft.operators.JsonIngest
+import graft.sources.EventSource
+
+class JsonIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl roundtrip preserves micros and field-level nulls; drops garbage") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val lines = JsonIngest.renderJsonl(events)
+      .union(JsonIngest.malformedFixtures.toDF("value"))
+      .union(Seq("""{"event_id": 424242}""").toDF("value")) // sparse object
+    val parsed = JsonIngest.parseJsonl(lines, EventSource.schema)
+    assert(parsed.count() == events.count() + 1, "garbage dropped, sparse kept")
+    val sparse = parsed.filter(col("event_id") === 424242L).collect()
+    assert(sparse.length == 1 && sparse.head.isNullAt(1), "missing fields stay null")
+    val roundtripped = parsed.filter(col("event_id") =!= 424242L ||
+        col("event_id").isNull)
+      .collect().map(_.toSeq).toSet
+    assert(roundtripped == events.collect().map(_.toSeq).toSet,
+      "roundtrip is lossless incl. microsecond timestamps")
+  }
+}
+
 import org.apache.spark.sql.functions._
 
 import graft.operators.CsvIngest
