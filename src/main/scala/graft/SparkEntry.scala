@@ -105,6 +105,8 @@ object SparkEntry {
       Relational.valuePercentiles(Tables.events(s, dir))),
     "q_user_running_total" -> ((s, dir) =>
       Relational.userRunningTotals(Tables.events(s, dir))),
+    "sketch_accuracy" -> ((s, dir) =>
+      graft.operators.Sketches.sketchAccuracy(Tables.events(s, dir))),
     // JSONL wire-format roundtrip (LLM-corpus line format): render ->
     // inject malformed lines -> permissive parse; survivors must equal
     // the original events exactly (field-level nulls preserved)
@@ -349,6 +351,13 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // sketch gate: exact values + deterministic bound checks (HLL ≤3%,
+    // approx-median ≤1.0 — wide margin over measured ≤0.67% / ≤0.25)
+    "sketch_accuracy" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  true AS hll_within_3pct, true AS p50_within_1
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->
