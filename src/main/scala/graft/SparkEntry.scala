@@ -105,8 +105,27 @@ object SparkEntry {
       Relational.valuePercentiles(Tables.events(s, dir))),
     "q_user_running_total" -> ((s, dir) =>
       Relational.userRunningTotals(Tables.events(s, dir))),
+    "q_salted_user_totals" -> ((s, dir) =>
+      Relational.saltedUserTotals(Tables.events(s, dir))),
     "sketch_accuracy" -> ((s, dir) =>
       graft.operators.Sketches.sketchAccuracy(Tables.events(s, dir))),
+    // the same session pipeline through the pure SQL-text surface
+    // (registered temp views + SQL session_window) — API parity is
+    // oracle-gated, not just claimed
+    "t1_sessions_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |SELECT user_id,
+        |  session_window.start AS session_start,
+        |  session_window.end AS session_end,
+        |  count(1) AS event_count,
+        |  sum(cast(round(value * 100, 0) as bigint)) / 100.0 AS session_sum,
+        |  floor(sum(cast(round(value * 100, 0) as bigint)) / count(1) + 0.5) / 100.0 AS session_avg
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY user_id, session_window(ts, '30 seconds')
+        |ORDER BY user_id, session_start""".stripMargin)
+    }),
     // JSONL wire-format roundtrip (LLM-corpus line format): render ->
     // inject malformed lines -> permissive parse; survivors must equal
     // the original events exactly (field-level nulls preserved)
@@ -235,6 +254,14 @@ object SparkEntry {
     "t1_sessions_ingest" -> sessionOracle("30",
       tsSql = "make_timestamp(event_id * 10000)"),
     "t1_sessions_outoforder" -> sessionOracle("30"),
+    "t1_sessions_sql" -> sessionOracle("30"),
+    // salted == plain: the oracle IS the unsalted aggregation
+    "q_salted_user_totals" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |  count(*) AS n_events
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Roundtrip parity: parse(render(events)) == events (malformed dropped)
     "csv_roundtrip_events" ->
       """SELECT ts, user_id, event_id AS transaction_id, value AS payload_value

@@ -240,6 +240,28 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user totals via EXPLICIT two-stage salting — the hot-key
+    * mitigation pattern as a first-class operator: stage 1 aggregates on
+    * (user_id, salt) so a mega-user's rows spread over `salts` reducers,
+    * stage 2 combines the per-salt partials. Results are identical to the
+    * plain groupBy (integer-cents partials are order-independent), which
+    * the oracle asserts; the payoff is worst-case reducer input dropping
+    * from |hottest key| to |hottest key| / salts at 100 TB. (For built-in
+    * aggregates AQE's skew handling often suffices — the explicit form is
+    * the template for aggregates AQE can't split.)
+    */
+  def saltedUserTotals(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("c"),
+        count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("c")) / 100.0).as("total_value"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+
   /** Interval (range) join: each purchase event paired with same-user
     * error events within ±2 hours — the "errors around a purchase"
     * correlation query.
