@@ -54,6 +54,44 @@ object DevScale {
     val sk = spark.read.parquet("/tmp/scale_events_skew")
     time("sessions_skew90")(Sessions.sessionAgg(sk, lit("30 minutes")).count())
 
+    // dedup-kernel scale-up: 100× the sf0.1 documents table (500k synthetic
+    // docs, ~55 tokens each from a 31-word vocab, 1% planted near-dup pairs
+    // via a one-token edit of the previous doc). Measures the full
+    // MinHash+LSH pipeline (shingle -> signature -> band join -> verify)
+    // and clustering at a corpus the bench never sees.
+    val nDocs = 500000L
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
+      "scan", "hash", "merge", "join", "window", "batch", "query")
+    val words = (0 until 55).map(k =>
+      element_at(typedlit(vocab.toSeq),
+        (pmod(xxhash64(col("id") * 55 + k), lit(vocab.length)) + 1).cast("int")))
+    val baseText = concat_ws(" ", words: _*)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) === 1,
+        // near-dup of the previous doc: same word stream shifted by one id,
+        // so ~54 of 55 tokens coincide with doc_id-1's text
+        concat_ws(" ", (0 until 55).map(k =>
+          element_at(typedlit(vocab.toSeq),
+            (pmod(xxhash64((col("id") - 1) * 55 + k), lit(vocab.length)) + 1)
+              .cast("int"))).dropRight(1) :+ lit("edited"): _*))
+        .otherwise(baseText).as("text"))
+    docs.write.mode("overwrite").parquet("/tmp/scale_docs")
+    val dc = spark.read.parquet("/tmp/scale_docs")
+    def timeDocs(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-24s ${sec}%8.2f s  rows=$rows  (${nDocs / sec}%,.0f docs/s)")
+    }
+    timeDocs("minhash_lsh_500k")(
+      graft.operators.NearDup.minhashNearDups(dc).count())
+    timeDocs("dedup_clusters_500k")(
+      graft.operators.NearDup.nearDupClusters(dc).count())
+    timeDocs("simhash_500k")(
+      graft.operators.NearDup.simhashNearDups(dc).count())
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)

@@ -251,11 +251,30 @@ object MinHashSignature {
   val HashMod = 1000000007L
   /** Minhash modulus (prime < 2^31). */
   val Prime = 2038074743L
-  /** Knuth multiplicative constant 2654435761 = floor(2^32/φ); same
-    * coefficients as the original posting-aggregate formulation.
+  /** splitmix64 finalizer — public-domain constants (Steele et al.). */
+  private def mix(x: Long): Long = {
+    var z = (x + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine coefficients derived by scrambling j through splitmix64.
+    *
+    * The original family — `a_j = (j+1)·2654435761 mod P` — is LINEAR in
+    * j, so the 4 permutations inside an LSH band are affinely related and
+    * min-wise independence collapses: at a 500k-doc corpus the band
+    * self-join produced 19M false-positive candidates (J ≈ 0.02 pairs
+    * colliding at ~1.5e-4 instead of J⁴ ≈ 1e-7), 135 s of verify work
+    * for 5k real pairs. Scrambled coefficients restore the expected
+    * collision rate; the exact verify step means final pair sets are
+    * identical either way — this is purely the candidate-volume
+    * scale fix.
     */
-  val CoefA: Array[Long] = Array.tabulate(NumHashes)(j => ((j + 1) * 2654435761L) % Prime)
-  val CoefB: Array[Long] = Array.tabulate(NumHashes)(j => (j * 40503L + 17L) % Prime)
+  val CoefA: Array[Long] = Array.tabulate(NumHashes)(j =>
+    java.lang.Math.floorMod(mix(j), Prime - 1) + 1) // nonzero
+  val CoefB: Array[Long] = Array.tabulate(NumHashes)(j =>
+    java.lang.Math.floorMod(mix(j + 100003), Prime))
 
   /** Tight two-level loop: per shingle, one XXH64 (seed 42 — identical to
     * the builtin `xxhash64`) reduced into [0, HashMod), then 128 affine
