@@ -157,6 +157,32 @@ object StreamingSessions {
       events.schema)
   }
 
+  /** Stream-stream interval self-join twin of
+    * [[graft.operators.Relational.purchaseErrorPairs]]: purchases joined
+    * to same-user errors within ±2 h, both sides watermarked so the
+    * engine can bound join state (a side's rows are droppable once the
+    * other side's watermark passes the interval edge — without the time
+    * bounds the state store would grow forever). Inner-join semantics:
+    * pairs emit as soon as both rows have arrived; the time-range
+    * predicate plus watermarks make that exactly-once and state-bounded.
+    * `StreamingSpec` pins stream ≡ batch on the real corpus.
+    */
+  def purchaseErrorPairsStream(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", delay)
+    val e = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("error_user"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", delay)
+    p.join(e, col("user_id") === col("error_user") &&
+        col("error_ts") >= col("purchase_ts") - expr("INTERVAL 2 HOURS") &&
+        col("error_ts") <= col("purchase_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
   /** A3 streaming twin (task 2's "alert once per user",
     * `flink_stream_task2.py:72,85-90`): threshold filter then streaming
     * `dropDuplicates` on user_id. State note (SURVEY.md §7.5.7): without a

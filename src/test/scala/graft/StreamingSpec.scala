@@ -144,6 +144,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "union across restart must equal batch sessionization")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_ssj_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    // two slice files -> the join must match across micro-batches too
+    val sliced = events.withColumn("slice",
+      ntile(2).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val dataCols = events.columns.map(col)
+    (1 to 2).foreach(i => StreamingSessions.appendReplayFile(
+      sliced.filter(col("slice") === i).select(dataCols: _*), inDir, i))
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    spark.catalog.dropTempView("ssj_out")
+    val q = StreamingSessions.purchaseErrorPairsStream(src)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_out").collect().map(_.toSeq).toSet
+    val want = graft.operators.Relational.purchaseErrorPairs(events)
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got == want, "stream-stream interval join must equal batch")
+  }
+
   test("streaming big-customer alert fires once per user (keep-first)") {
     // the dedup operator is driven by a stream of closed sessions (in the
     // full pipeline the upstream session agg emits those on window close)
