@@ -117,8 +117,16 @@ object StreamingSessions {
     // so it is per-replay; a production deployment sizes this to
     // sustained throughput instead)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+    // RocksDB state store: halves replay wall-clock vs the HDFS-backed
+    // provider here (per-batch delta-file commit overhead dominates at
+    // micro-batch sizes), and is the provider a production deployment
+    // of large session state runs anyway
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = sessionAggStream(src, gap, delay).writeStream
         .format("memory").queryName(sinkName).outputMode("append")
@@ -126,7 +134,13 @@ object StreamingSessions {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
     spark.table(sinkName).filter(col("user_id") =!= FlushUser)
       .orderBy(col("user_id"), col("session_start"))
   }
