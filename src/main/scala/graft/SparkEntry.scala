@@ -61,6 +61,17 @@ object SparkEntry {
     // (the gap-and-islands oracle is order-insensitive)
     "t1_sessions_outoforder" -> ((s, dir) =>
       StreamingSessions.replayOutOfOrder(Tables.events(s, dir), lit("30 seconds"))),
+    // W2 through the same replay harness: dynamic per-row gaps must also
+    // survive bounded disorder (streaming ≡ batch, oracle-checked)
+    "t3_dynamic_outoforder" -> ((s, dir) =>
+      StreamingSessions.replayOutOfOrder(Tables.events(s, dir),
+        Sessions.referenceDynamicGap)),
+    // A3 through the replay harness: session agg → threshold → keyed
+    // "alert once" dedup, chained stateful operators under a watermark;
+    // contract = alert-set equality with the batch rule
+    "t2_alert_outoforder" -> ((s, dir) =>
+      StreamingSessions.replayAlertOutOfOrder(Tables.events(s, dir),
+        lit("2 hours"), 300.0)),
     // P1/P2: CSV wire-format roundtrip — render events in the reference's
     // CSV format, inject malformed fixtures, parse permissively; survivors
     // must equal the original events exactly.
@@ -119,8 +130,13 @@ object SparkEntry {
         |  session_window.start AS session_start,
         |  session_window.end AS session_end,
         |  count(1) AS event_count,
-        |  sum(cast(round(value * 100, 0) as bigint)) / 100.0 AS session_sum,
-        |  floor(sum(cast(round(value * 100, 0) as bigint)) / count(1) + 0.5) / 100.0 AS session_avg
+        |  -- 100e0, not 100.0: SQL-text numeric literals parse as DECIMAL
+        |  -- (unlike Scala doubles in the DataFrame API), and decimal
+        |  -- division would emit decimal128 columns where the batch twin
+        |  -- emits double — equal values, different schema/hash. Pinned by
+        |  -- SqlParitySpec (SQL-text schema == DataFrame twin schema).
+        |  sum(cast(round(value * 100, 0) as bigint)) / 100e0 AS session_sum,
+        |  floor(sum(cast(round(value * 100, 0) as bigint)) / count(1) + 0.5) / 100e0 AS session_avg
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY user_id, session_window(ts, '30 seconds')
@@ -152,9 +168,62 @@ object SparkEntry {
     // Jaccard both reproduce the brute-force oracle at Jaccard ≥ 0.5;
     // SimHash is Spark-hash-specific (no SQL oracle; ScalaTest-covered).
     "dedup_minhash_lsh" -> ((s, dir) => NearDup.minhashNearDups(Tables.documents(s, dir))),
+    // SQL-text twins of the dedup family: registered views + the
+    // graft_* extension functions as first-class SQL citizens, checked
+    // against the SAME oracles as the Column-API pipelines
+    "dedup_exact_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
+        |       count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin)
+    }),
+    "dedup_minhash_lsh_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.TextHashOps.register(s)
+      s.sql(s"""
+        |WITH sh AS (
+        |  SELECT doc_id, graft_shingles(text) AS shingles FROM documents
+        |),
+        |sh1 AS (SELECT * FROM sh WHERE size(shingles) >= 1),
+        |b AS (
+        |  SELECT doc_id, pos AS band_idx, col AS band_key
+        |  FROM (SELECT doc_id, graft_minhash(shingles) AS sig FROM sh1)
+        |  LATERAL VIEW posexplode(graft_bandkeys(sig)) t AS pos, col
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j
+        |  FROM b x JOIN b y
+        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+        |   AND x.doc_id < y.doc_id
+        |),
+        |v AS (
+        |  SELECT doc_i, doc_j,
+        |    cast(size(array_intersect(si.shingles, sj.shingles)) AS bigint) AS inter,
+        |    cast(size(si.shingles) AS bigint)
+        |      + cast(size(sj.shingles) AS bigint) AS sz
+        |  FROM cand
+        |  JOIN sh1 si ON cand.doc_i = si.doc_id
+        |  JOIN sh1 sj ON cand.doc_j = sj.doc_id
+        |)
+        |SELECT doc_i, doc_j,
+        |  (inter * 20000 + (sz - inter)) div (2 * (sz - inter)) AS jac_bp
+        |FROM v WHERE inter * 2 >= sz - inter
+        |ORDER BY doc_i, doc_j""".stripMargin)
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
+    // incremental (daily-run) dedup: the first 80% of ids play the
+    // persisted canonical index, the rest arrive as the new batch;
+    // admission must equal whole-corpus clustering restricted to the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      NearDup.incrementalNearDups(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+    }),
     // Curation extensions: deterministic sampling, corpus rollup, and the
     // quality -> exact-dedup -> near-dup-canonicalization funnel
     "sample_docs" -> ((s, dir) => Curation.deterministicSample(Tables.documents(s, dir), 2000)),
@@ -169,7 +238,7 @@ object SparkEntry {
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
-        ivfFloor = 100L, lshFloor = 25L)),
+        ivfFloor = 140L, lshFloor = 25L)),
     // Multimodal extensions: binary media column + typed metadata; decode
     // is a deterministic stub (no codecs in env), plumbing is real.
     "multimodal_meta" -> ((s, dir) => Multimodal.mediaMeta(Tables.documents(s, dir))),
@@ -187,10 +256,8 @@ object SparkEntry {
     * `gap <= g` merge rule). `gsecSql` is a SQL expression (over
     * `user_id`) yielding the gap in whole seconds.
     */
-  private def sessionOracle(gsecSql: String, having: String = "",
-                            keepFirst: Boolean = false,
-                            tsSql: String = "ts"): String = {
-    val agg = s"""
+  /** The shared gap-and-islands aggregation CTE chain (→ `agg`). */
+  private def sessionAggCte(gsecSql: String, tsSql: String = "ts"): String = s"""
       |WITH e AS (
       |  SELECT user_id, ($tsSql) AS ts, value, CAST(($gsecSql) AS BIGINT) AS gsec
       |  FROM events WHERE user_id IS NOT NULL AND ($tsSql) IS NOT NULL
@@ -214,6 +281,11 @@ object SparkEntry {
       |     floor(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / count(*) + 0.5) / 100.0 AS session_avg
       |  FROM sess GROUP BY user_id, sid
       |)""".stripMargin
+
+  private def sessionOracle(gsecSql: String, having: String = "",
+                            keepFirst: Boolean = false,
+                            tsSql: String = "ts"): String = {
+    val agg = sessionAggCte(gsecSql, tsSql)
     if (!keepFirst)
       s"""$agg
          |SELECT user_id, session_start, session_end, event_count,
@@ -231,6 +303,14 @@ object SparkEntry {
          |FROM ranked WHERE rn = 1
          |ORDER BY user_id""".stripMargin
   }
+
+  /** Alert-SET oracle: the distinct users with any session ≥ threshold —
+    * the order-insensitive contract of the streaming alert replay.
+    */
+  private def alertSetOracle(gsecSql: String, threshold: String): String =
+    s"""${sessionAggCte(gsecSql)}
+       |SELECT DISTINCT user_id FROM agg WHERE session_sum >= $threshold
+       |ORDER BY user_id""".stripMargin
 
   private val refGapSql =
     """CASE WHEN user_id = 9999 THEN 300
@@ -254,6 +334,8 @@ object SparkEntry {
     "t1_sessions_ingest" -> sessionOracle("30",
       tsSql = "make_timestamp(event_id * 10000)"),
     "t1_sessions_outoforder" -> sessionOracle("30"),
+    "t3_dynamic_outoforder" -> sessionOracle(refGapSql),
+    "t2_alert_outoforder" -> alertSetOracle("7200", "300.0"),
     "t1_sessions_sql" -> sessionOracle("30"),
     // salted == plain: the oracle IS the unsalted aggregation
     "q_salted_user_totals" ->
@@ -536,7 +618,12 @@ object SparkEntry {
         |  md5(substring(text, 1, CAST((n_chars + 3) // 4 AS INT))) AS thumb_key
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
+    "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
+    "dedup_exact_sql" ->
+      """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     // connected components of the near-dup graph: transitive closure via
     // recursive CTE, canonical label = min reachable doc id (incl. self)
     "dedup_clusters" ->
@@ -544,6 +631,19 @@ object SparkEntry {
          |$clusterCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // union-vs-incremental equivalence: whole-corpus transitive closure,
+    // restricted to the batch ids (the operator must reproduce it while
+    // only propagating labels over the batch-side subgraph)
+    "dedup_incremental" ->
+      s"""WITH RECURSIVE
+         |$clusterCtes,
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+         |        FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id,
+         |       (coalesce(l.cid, d.doc_id) = d.doc_id) AS admitted
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+         |ORDER BY d.doc_id""".stripMargin,
     "sample_docs" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)

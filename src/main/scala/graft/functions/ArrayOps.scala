@@ -105,9 +105,15 @@ object NearestCells {
       var s = 0.0
       var i = 0
       while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
-      // identical arithmetic to round(dot / (nrm * cnorm), 6)
-      scores(c) = java.math.BigDecimal.valueOf(s / (nrm * cnorms(c)))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // identical arithmetic to round(dot / (nrm * cnorm), 6); a zero-norm
+      // vector or centroid makes the quotient non-finite, which
+      // BigDecimal.valueOf would throw on (the round() expression it
+      // replaces returned NaN silently) — rank degenerate cells last
+      val q = s / (nrm * cnorms(c))
+      scores(c) =
+        if (!java.lang.Double.isFinite(q)) Double.NegativeInfinity
+        else java.math.BigDecimal.valueOf(q)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       c += 1
     }
     // top-k by (score desc, cid desc): selection over m=|cells| entries

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *  - [[cleanCorpus]] composes the quality gate, exact dedup, and
   *    near-dup canonicalization into the standard curation DAG: every
   *    stage is a relational operator from this engine, and the near-dup
-  *    exclusion joins a candidate-bounded (tiny) cluster frame back
-  *    against the corpus — broadcast territory at any scale.
+  *    exclusion is a plain left-anti equi-join against the cluster frame
+  *    (duplicate-rate-proportional, so never hint-broadcast).
   */
 object Curation {
 
@@ -59,14 +59,35 @@ object Curation {
     * Composition of the language-ID operator with the sampler — the
     * "balance the corpus across languages" step of a curation pipeline.
     */
-  def stratifiedSample(documents: DataFrame, perStratum: Int): DataFrame = {
+  def stratifiedSample(documents: DataFrame, perStratum: Int,
+                       subStrata: Int = 16): DataFrame = {
     val lang = graft.functions.TextAnalysis.langId(documents)
       .select(col("doc_id"), col("pred_lang"))
+    val keyed = documents.select(col("doc_id")).join(lang, "doc_id")
+      .withColumn("bkt", sampleBucket(col("doc_id")))
+    // Two-level top-k so no stratum ever needs a single-reducer sort of
+    // its full population. Level 1 ranks inside (stratum, bucket-range)
+    // sub-strata — `subStrata`-way parallel windows over ~1/subStrata of
+    // each stratum. Because sub-strata are contiguous ranges of the
+    // global (bkt, doc_id) order, any row in a stratum's global
+    // top-perStratum has at most perStratum-1 predecessors in its own
+    // sub-stratum too, so the local filter is EXACT (a prefix property,
+    // not a probabilistic cutoff). Level 2 then ranks at most
+    // subStrata × perStratum survivors per stratum — bounded by
+    // constants, independent of corpus size. On a cluster, size
+    // subStrata ≈ stratum-rows / rows-per-task.
+    val wLocal = Window.partitionBy(col("pred_lang"), col("sub"))
+      .orderBy(col("bkt"), col("doc_id"))
+    val pruned = keyed
+      .withColumn("sub", floor(col("bkt") / lit(10000 / subStrata)))
+      .withColumn("local_rank", row_number().over(wLocal))
+      .filter(col("local_rank") <= perStratum)
     val w = Window.partitionBy(col("pred_lang"))
-      .orderBy(sampleBucket(col("doc_id")), col("doc_id"))
-    documents.select(col("doc_id")).join(lang, "doc_id")
+      .orderBy(col("bkt"), col("doc_id"))
+    pruned
       .withColumn("stratum_rank", row_number().over(w).cast("long"))
       .filter(col("stratum_rank") <= perStratum)
+      .select(col("doc_id"), col("pred_lang"), col("stratum_rank"))
       .orderBy(col("pred_lang"), col("stratum_rank"))
   }
 
@@ -85,10 +106,14 @@ object Curation {
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val exact = quality.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+    // no broadcast hint: the non-canonical set scales with the corpus's
+    // duplicate rate (often 20-50% of an LLM corpus), so a forced
+    // broadcast is a driver/executor-OOM path at 100 TB; the plain
+    // left-anti equi-join lets AQE broadcast only when genuinely small
     val nonCanonical = NearDup.nearDupClusters(documents)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    exact.join(broadcast(nonCanonical), Seq("doc_id"), "left_anti")
+    exact.join(nonCanonical, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }

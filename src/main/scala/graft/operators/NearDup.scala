@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *  - Signatures are computed row-local with builtin higher-order
   *    functions (`transform`/`array_min`/`xxhash64`) — whole-stage
   *    codegen, no UDFs, no explode until the band join needs it.
-  *  - The exact-Jaccard verify joins the (small) candidate set back to
-  *    shingle sets; the candidate side is broadcast.
+  *  - The exact-Jaccard verify joins the candidate set back to shingle
+  *    sets with plain equi-joins — no explicit broadcast hints, because
+  *    candidate volume is proportional to the corpus's duplicate rate;
+  *    AQE picks a broadcast when a side is genuinely small.
   *  - All similarity thresholds/ratios are tested in exact integer math
   *    (`2*inter >= union` ⇔ Jaccard ≥ 0.5; basis points via
   *    `(inter*20000+u) div (2u)`) so the DuckDB oracle matches exactly.
@@ -88,11 +90,16 @@ object NearDup {
   /** Exact-Jaccard verification of a candidate pair set against the
     * shingle sets; keeps pairs with Jaccard ≥ 1/2 (integer cross-multiply,
     * no FP) and reports basis points.
+    *
+    * No broadcast hint on the candidate side: its size is proportional to
+    * the corpus's duplicate rate (LLM corpora commonly run 20-50%
+    * near-dup), so a forced broadcast is an executor-OOM path at 100 TB.
+    * A plain equi-join lets AQE broadcast it when it is genuinely small.
     */
   def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val si = sh.select(col("doc_id").as("doc_i"), col("shingles").as("s_i"))
     val sj = sh.select(col("doc_id").as("doc_j"), col("shingles").as("s_j"))
-    si.join(broadcast(cands), "doc_i")
+    si.join(cands, "doc_i")
       .join(sj, "doc_j")
       .withColumn("inter", size(array_intersect(col("s_i"), col("s_j"))).cast("long"))
       .withColumn("uni", size(col("s_i")).cast("long") + size(col("s_j")).cast("long") - col("inter"))
@@ -145,9 +152,12 @@ object NearDup {
     val posting =
       if (maxDocFreq == Long.MaxValue) posting0
       else {
+        // no broadcast hint: |keep| tracks the distinct-shingle count (i.e.
+        // the corpus), so forcing a broadcast is an OOM at scale — AQE
+        // broadcasts it automatically whenever it is actually small
         val keep = posting0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select(col("sh"))
-        posting0.join(broadcast(keep), "sh")
+        posting0.join(keep, "sh")
       }
     // size-ratio prune: jac ≥ 1/2 needs |big| ≤ 2·|small| (jac ≤ min/max),
     // so mismatched-size pairs drop before the aggregate; keeps the oracle
@@ -217,6 +227,115 @@ object NearDup {
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental near-dup admission — the operation an LLM data pipeline
+    * actually runs daily: dedup a NEW batch of documents against a
+    * persisted canonical index WITHOUT re-clustering the whole corpus.
+    *
+    * `indexDocs` plays yesterday's corpus. Its three index artifacts —
+    * shingle sets, minhash signature table, cluster-label table — are
+    * built here by the same operators that would have persisted them
+    * (in production they are parquet tables written by the previous run;
+    * the plan shape below never touches index TEXT, only signatures and
+    * band keys, exactly what an on-disk signature index gives you).
+    *
+    * Correctness contract (oracle-checked as `dedup_incremental`):
+    * incremental admission ≡ whole-corpus clustering of index ∪ batch
+    * restricted to batch ids. That equivalence needs one invariant,
+    * APPEND-ONLY MONOTONE IDS (every index id < every batch id — how
+    * ingest ids work in practice): it makes "cluster canonical = min id"
+    * incrementally maintainable, because any index component a batch doc
+    * touches already carries that component's global minimum as its
+    * stored label, and no batch doc can displace it.
+    *
+    * Mechanics: band-key equi-join of the batch's signatures against
+    * index ∪ batch signatures (never all-pairs; the index side is the
+    * precomputed band table at scale), exact-Jaccard verify of the
+    * candidates, then min-label propagation over the BATCH-side subgraph
+    * only — index neighbors contribute their stored component label as a
+    * seed, so the iteration count is bounded by the batch graph's
+    * diameter, not the corpus's.
+    *
+    * Output: every batch doc with its union-corpus `cluster_id` and
+    * `admitted` (the doc IS its cluster's canonical representative).
+    */
+  def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
+                          maxIters: Int = 10): DataFrame = {
+    val idxSh = shingled(indexDocs).persist()
+    val bSh = shingled(batchDocs).persist()
+    try {
+      def bandsOf(sigs: DataFrame): DataFrame = sigs
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextHashOps
+            .bandKeysNative(sigs.sparkSession, col("sig"))))
+        .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+          col("col").as("band_key"))
+      val bBands = bandsOf(minhashSignatures(bSh))
+      val allBands = bandsOf(minhashSignatures(idxSh)).union(bBands)
+      // candidate adjacency: batch doc -> any colliding doc (both
+      // orientations for batch-batch pairs — propagation wants symmetry)
+      val cands = bBands.as("x").join(allBands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_o"))
+        .distinct()
+      // exact verify (same integer cross-multiply as verifyJaccard)
+      val sb = bSh.select(col("doc_id").as("doc_b"), col("shingles").as("s_b"))
+      val so = idxSh.union(bSh)
+        .select(col("doc_id").as("doc_o"), col("shingles").as("s_o"))
+      val edges = cands.join(sb, "doc_b").join(so, "doc_o")
+        .withColumn("inter", size(array_intersect(col("s_b"), col("s_o"))).cast("long"))
+        .withColumn("uni",
+          size(col("s_b")).cast("long") + size(col("s_o")).cast("long") - col("inter"))
+        .filter(col("inter") * 2 >= col("uni"))
+        .select(col("doc_b"), col("doc_o"))
+        .localCheckpoint()
+      // seed labels: own id vs the stored labels of direct INDEX
+      // neighbors (an index doc absent from the label table is a
+      // singleton — its label is itself)
+      val idxIds = indexDocs.select(col("doc_id").as("doc_o"))
+      val idxLab = nearDupClusters(indexDocs) // production: yesterday's label table
+        .select(col("doc_id").as("doc_o"), col("cluster_id"))
+      val idxContrib = edges.join(idxIds, "doc_o")
+        .join(idxLab, Seq("doc_o"), "left")
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(min(coalesce(col("cluster_id"), col("doc_o"))).as("idx_min"))
+      val batchIds = batchDocs.select(col("doc_id"))
+      var labels = batchIds.join(idxContrib, Seq("doc_id"), "left")
+        .select(col("doc_id").as("id"),
+          least(col("doc_id"), coalesce(col("idx_min"), col("doc_id"))).as("label"))
+        .coalesce(1).localCheckpoint()
+      // batch-batch min-label propagation (same loop shape and coalesce
+      // policy as nearDupClusters; the frame is candidate-bounded)
+      val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
+        .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
+        .coalesce(1).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val neighborMin = bEdges
+          .join(labels, bEdges("doc_j") === labels("id"))
+          .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
+        val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .coalesce(1).localCheckpoint()
+        if (iter >= 1) {
+          val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+            .filter(col("n.label") =!= col("o.label")).count()
+          converged = changed == 0
+        }
+        labels = next
+        iter += 1
+      }
+      labels
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          (col("label") === col("id")).as("admitted"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally { bSh.unpersist(); idxSh.unpersist() }
   }
 
   /** 64-bit SimHash near-dups. Signature: per token-hash bit b, sum ±1

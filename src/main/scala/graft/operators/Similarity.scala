@@ -158,13 +158,82 @@ object Similarity {
       .reduce((x, y) => x.bitwiseOR(y))
 
   val IvfCells = 16
-  val IvfProbes = 2
+  /** Default probe count — half the cells. An honest quantizer on this
+    * data NEEDS that: these synthetic embeddings are near-uniform random
+    * vectors (top-10 neighbors sit at cos ≈ 0.4 against a ≈ 0.399
+    * background), so recall is bounded by scanned fraction × lift. The
+    * round-2 first-16-vectors quantizer appeared to hit 73-84% recall at
+    * 2/16 probes, but that was a measurement artifact: the 20 query
+    * vectors are vec_ids 0..19, so 16 queries WERE centroids and each
+    * probed its own Voronoi cell — literally "the corpus vectors nearest
+    * this query", an accidental per-query oracle no trained quantizer
+    * reproduces. Trained k-means at 2/16 probes scores 12.5% of the
+    * corpus for ~40% recall (3.2× lift over chance); 8/16 probes buys
+    * 78-82% recall for half the brute-force work — the real IVF
+    * recall/scan dial, set here to clear the oracle-checked ≥140/200
+    * floor with margin.
+    */
+  val IvfProbes = 8
+  val IvfKmeansIters = 3
 
-  /** IVF-style approximate top-k: a coarse quantizer (here: the first
-    * `IvfCells` corpus vectors as deterministic centroids — a real system
-    * trains k-means, which only changes the centroid constants) assigns
-    * every corpus vector to its nearest cell in ONE scan; each query
-    * probes its `IvfProbes` nearest cells and ranks only their members.
+  /** Deterministic distributed k-means (Lloyd) for the IVF coarse
+    * quantizer.
+    *
+    * Init: the `cells` corpus vectors with the smallest `xxhash64(vec_id)`
+    * — an order-free deterministic pseudo-random pick (a `TakeOrdered`
+    * over the corpus, no RNG state), replacing the earlier
+    * first-`IvfCells`-vectors quantizer, which sampled only one corner of
+    * the corpus and cost recall.
+    *
+    * Each iteration assigns every vector to its nearest centroid via the
+    * same codegen'd [[graft.functions.NearestCells]] the index build uses
+    * (cosine assignment — spherical k-means, the right geometry for
+    * cosine ANN), then recomputes cell means IN FIXED POINT: per-component
+    * sums of `round(x · 2^20)` longs. Long sums are order-independent
+    * where double sums are not, so the trained centroids — and therefore
+    * assignments and recall — are bit-identical across runs, partitionings
+    * and cluster sizes; the 2^-20 quantization is noise relative to
+    * quantizer quality. Per-iteration driver traffic is `cells × dim`
+    * aggregated rows (bounded constants, like the centroid collect
+    * itself); everything row-proportional is a map pass plus one
+    * partial-aggregated shuffle.
+    */
+  private[graft] def kmeansCentroids(prep: DataFrame, cells: Int,
+                                     iters: Int): Seq[Seq[Double]] = {
+    val spark = prep.sparkSession
+    val Scale = 1L << 20
+    var centroids: Array[Array[Double]] = prep
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cells)
+      .select(col("v"))
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val sums = prep
+        .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+          col("v"), col("nrm"), centroids.map(_.toSeq).toSeq, 1), 1))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(expr(s"cast(round(x * $Scale, 0) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * Scale)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** IVF-style approximate top-k: a k-means-trained coarse quantizer
+    * ([[kmeansCentroids]] — `IvfKmeansIters` deterministic Lloyd
+    * iterations) assigns every corpus vector to its nearest cell in ONE
+    * scan; each query probes its `IvfProbes` nearest cells and ranks only
+    * their members.
     *
     * Scale shape: the corpus never self-joins — assignment is a map-only
     * pass (IvfCells broadcast dot products per row), and search is an
@@ -172,14 +241,10 @@ object Similarity {
     * per probe). This is the inverted-file layout ANN indexes use; cell
     * skew is bounded by the quantizer quality.
     */
-  def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val centroids: Seq[(Int, Seq[Double])] = embeddings
-      .filter(col("vec_id") < IvfCells)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0).toInt,
-        r.getAs[scala.collection.Seq[Double]](1).toSeq)).toSeq
-      .sortBy(_._1)
+  def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+              probes: Int = IvfProbes): DataFrame = {
+    val prep = prepared(embeddings).localCheckpoint() // feeds k-means scans + the index build
+    val centroids = kmeansCentroids(prep, IvfCells, IvfKmeansIters)
     // IVF index build: ONE pass scores all 16 cells per vector via the
     // codegen'd [[graft.functions.NearestCells]] (ordering identical to
     // the former sort_array-of-rounded-score-structs spelling) and keeps
@@ -187,9 +252,9 @@ object Similarity {
     // equivalent of writing the inverted-file assignment table every IVF
     // system persists, and the expression is planned+compiled once
     // instead of once per plan branch.
-    val assigned = prepared(embeddings)
+    val assigned = prep
       .withColumn("cells2", ArrayOps.nearestCells(embeddings.sparkSession,
-        col("v"), col("nrm"), centroids.map(_._2), IvfProbes))
+        col("v"), col("nrm"), centroids, probes))
       .withColumn("cell", element_at(col("cells2"), 1))
       .localCheckpoint()
     val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
@@ -214,22 +279,29 @@ object Similarity {
     * Everything upstream is deterministic, so the report is a fixed
     * table an independent SQL oracle can assert — which turns the
     * "approximate by design, no oracle" ANN rows into a measurable gate.
-    * Floors carry wide margin under the measured recall (IVF 146–168 of
-    * 200 across sf0.001/0.01/0.1; LSH 39–51 — multi-probe LSH over 64
-    * near-orthogonal-vector buckets earns its keep at millions of rows,
-    * not thousands; the floor pins it above degenerate).
+    * Floors carry margin under the measured recall (trained-quantizer IVF
+    * at 8/16 probes: 156–164 of 200 across sf0.001/0.01/0.1, floor 140;
+    * LSH 39–51, floor 25 — multi-probe LSH over 64 near-orthogonal-vector
+    * buckets earns its keep at millions of rows, not thousands; the floor
+    * pins it above degenerate).
     */
   def annRecallReport(embeddings: DataFrame, numQueries: Int, k: Int,
                       ivfFloor: Long, lshFloor: Long): DataFrame = {
     val brute = bruteForceTopK(embeddings, numQueries, k)
       .select(col("query_id"), col("neighbor_id"))
-    def stats(name: String, approx: DataFrame, floor: Long): DataFrame =
-      brute.join(approx.select(col("query_id"), col("neighbor_id"))
-          .withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
-        .agg(count_distinct(col("query_id")).as("n_queries"),
-          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    def stats(name: String, approx: DataFrame, floor: Long): DataFrame = {
+      val a = approx.select(col("query_id"), col("neighbor_id"))
+      // coverage is measured on the APPROX side — counting over the brute
+      // (left) side of the join would always equal numQueries and could
+      // never detect a method that stops producing rows for some query
+      val nq = a.agg(count_distinct(col("query_id")).as("n_queries"))
+      val hits = brute
+        .join(a.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      nq.crossJoin(hits) // two single-row aggregates
         .select(lit(name).as("method"), col("n_queries"),
           (col("hits") >= floor).as("floor_met"))
+    }
     stats("ivf", ivfTopK(embeddings, numQueries, k), ivfFloor)
       .unionAll(stats("lsh", lshTopK(embeddings, numQueries, k), lshFloor))
       .orderBy(col("method"))

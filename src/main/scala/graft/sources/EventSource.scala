@@ -49,16 +49,34 @@ object EventSource {
     * footer schema so the caller never has to know which layout it has).
     */
   def parquetStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     val tsIsNanos =
-      spark.read.parquet(dir).schema("ts").dataType == LongType
-    if (!tsIsNanos) spark.readStream.schema(schema).parquet(dir)
-    else {
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case e: Throwable => restoreConf(spark, key, prev); throw e }
+    if (!tsIsNanos) {
+      // directory holds already-converted TimestampType events: the
+      // legacy conf was only needed for the footer probe — restore it
+      restoreConf(spark, key, prev)
+      spark.readStream.schema(schema).parquet(dir)
+    } else {
+      // TIMESTAMP(NANOS) directory: the conf must REMAIN set — every
+      // micro-batch's parquet read consults it to admit INT64-nanos
+      // columns as LongType, so restoring here would fail the stream at
+      // execution time. This is the same session-wide setting
+      // [[graft.Tables.apply]] makes for all driver testdata reads.
       val nanosSchema = StructType(schema.map(f =>
         if (f.name == "ts") StructField("ts", LongType) else f))
       spark.readStream.schema(nanosSchema).parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     }
+  }
+
+  private def restoreConf(spark: SparkSession, key: String,
+                          prev: Option[String]): Unit = prev match {
+    case Some(v) => spark.conf.set(key, v)
+    case None => spark.conf.unset(key)
   }
 
   /** Streaming CSV-line source over a text directory, going through the

@@ -71,17 +71,25 @@ object StreamingSessions {
     *  - the keyed rows are split into `slices` contiguous files replayed
     *    one per micro-batch (`maxFilesPerTrigger=1`, explicit increasing
     *    file mtimes pin the source's processing order);
-    *  - two far-future [[FlushUser]] sentinel files close the stream:
-    *    watermarks advance between batches, so the first sentinel batch
-    *    raises the watermark past all real data and the second emits the
-    *    remaining real sessions (append mode emits a session only once a
-    *    later batch's watermark passes its end);
+    *  - one far-future [[FlushUser]] sentinel file closes the stream: the
+    *    sentinel batch's max event time raises the watermark, and
+    *    `AvailableNow` runs one final (empty) batch under that advanced
+    *    watermark, which emits every remaining real session (append mode
+    *    emits a session only once a later batch's watermark passes its
+    *    end — the final empty batch is that later batch);
     *  - the memory-sink table, minus the sentinel user, is the result.
+    *
+    * `streamTransform` appends extra STREAM-side operators between the
+    * session aggregation and the sink (e.g. the big-customer alert's
+    * threshold + keyed dedup), so downstream stateful semantics are
+    * replay-tested too, not just the aggregation.
     */
   def replayOutOfOrder(events: DataFrame, gap: Column,
                        delay: String = "10 minutes",
                        jitterUs: Long = 300L * 1000000, // 5 minutes
-                       slices: Int = 3): DataFrame = {
+                       slices: Int = 2,
+                       streamTransform: DataFrame => DataFrame = identity,
+                       useRocksDb: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
@@ -104,9 +112,7 @@ object StreamingSessions {
       appendReplayFile(keyed.filter(col("slice") === i).select(dataCols: _*),
         inDir, i)
     }
-    (1 to 2).foreach { i =>
-      appendReplayFile(flushFrame(events, maxTs, i), inDir, slices + i)
-    }
+    appendReplayFile(flushFrame(events, maxTs, 1), inDir, slices + 1)
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val sinkName = "graft_ooo_sink"
@@ -115,34 +121,74 @@ object StreamingSessions {
     // per-batch volume here is small: scope the stateful query to a few
     // state partitions (the setting is baked into the fresh checkpoint,
     // so it is per-replay; a production deployment sizes this to
-    // sustained throughput instead)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = spark.conf.getOption(providerKey)
+    // sustained throughput instead). Every mutated conf is snapshotted
+    // and restored — the harness must not leak session state.
+    val mutatedKeys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
+      "spark.sql.streaming.stateStore.providerClass")
+    val snapshot = mutatedKeys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
     // RocksDB state store: halves replay wall-clock vs the HDFS-backed
     // provider here (per-batch delta-file commit overhead dominates at
     // micro-batch sizes), and is the provider a production deployment
-    // of large session state runs anyway
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q = sessionAggStream(src, gap, delay).writeStream
-        .format("memory").queryName(sinkName).outputMode("append")
-        .option("checkpointLocation", root.resolve("ckpt").toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
+    // of large session state runs anyway. Exception: chained stateful
+    // operators (session agg → streaming dedup) trip a RocksDB provider
+    // assertion in Spark 4.1 ("Can only upgrade readStore to writeStore
+    // with the same stateStoreId") when two stateful exec nodes share a
+    // task — those callers keep the default HDFS-backed provider.
+    if (useRocksDb)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val result =
+      try {
+        val q = streamTransform(sessionAggStream(src, gap, delay)).writeStream
+          .format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // memory sink rows live on the driver: snapshot them into a local
+        // frame so the replay's temp dirs (input files + checkpoint) can
+        // be deleted before returning
+        spark.table(sinkName).filter(col("user_id") =!= FlushUser)
+          .localCheckpoint()
+      } finally {
+        snapshot.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        deleteRecursively(root)
       }
+    // deterministic order over whatever schema streamTransform left
+    result.orderBy(
+      Seq("user_id", "session_start").filter(result.columns.contains).map(col): _*)
+  }
+
+  /** A3 replay twin: the big-customer alert (threshold filter + keyed
+    * "alert once" dedup) running INSIDE the out-of-order replay stream —
+    * chained stateful operators (session aggregation → streaming
+    * deduplication) under a real watermark. The output is the alert SET
+    * (one row per alerted user): which qualifying session row is
+    * delivered first is an artifact of emission order within a
+    * micro-batch, so the oracle-checkable contract is set equality with
+    * the batch threshold rule — the reference's own alert semantics
+    * (`flink_stream_task2.py:85-90`) are likewise set-shaped.
+    */
+  def replayAlertOutOfOrder(events: DataFrame, gap: Column,
+                            threshold: Double): DataFrame =
+    replayOutOfOrder(events, gap, streamTransform = s =>
+      s.filter(col("session_sum") >= threshold)
+        .select(col("user_id"))
+        .dropDuplicates("user_id"),
+      useRocksDb = false)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
-    spark.table(sinkName).filter(col("user_id") =!= FlushUser)
-      .orderBy(col("user_id"), col("session_start"))
   }
 
   /** Write `df` into the stream input dir as one parquet file

@@ -116,6 +116,52 @@ class NearDupSpec extends SparkSpec {
     assert(native == viaAgg)
   }
 
+  test("incremental admission equals whole-corpus clustering (synthetic bridges)") {
+    import spark.implicits._
+    // index: 0~1 near-dups (stored cluster {0,1}), 2 unrelated singleton.
+    // batch: 10 near-dups 1 (joins the {0,1} component through a stored
+    // label), 11 copy of 10 (batch-batch edge), 12 brand-new singleton,
+    // 13~2 (index singleton gains a batch member) — covers label-via-
+    // index, batch-batch propagation, and singleton admission at once.
+    val index = Seq(
+      (0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base.replace("dog", "cat")),
+      (11L, base.replace("dog", "cat")),
+      (12L, "entirely fresh content with no resemblance to anything indexed yet"),
+      (13L, other.replace("here", "now"))).toDF("doc_id", "text")
+    val got = graft.operators.NearDup.incrementalNearDups(index, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val wholeLabels = graft.operators.NearDup.nearDupClusters(index.union(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Seq(10L, 11L, 12L, 13L).map { id =>
+      val lab = wholeLabels.getOrElse(id, id)
+      (id, lab, lab == id)
+    }
+    assert(got == expected)
+    // and the planted chain really exercised the interesting paths
+    assert(got.map(g => g._1 -> g._2).toMap == Map(
+      10L -> 0L, 11L -> 0L, 12L -> 12L, 13L -> 2L))
+  }
+
+  test("incremental admission equals whole-corpus clustering on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val got = graft.operators.NearDup.incrementalNearDups(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val wholeLabels = graft.operators.NearDup.nearDupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.filter(col("doc_id") >= cut).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq.map { id =>
+        val lab = wholeLabels.getOrElse(id, id)
+        (id, lab, lab == id)
+      }
+    assert(got == expected)
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()

@@ -35,4 +35,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull"),
       "q3_top_revenue should push filters into the scan")
   }
+
+  test("no explicit broadcast hints on corpus-proportional dedup frames") {
+    // An explicit broadcast() on a frame whose size tracks the corpus's
+    // duplicate rate (candidate pairs, df-capped shingles, non-canonical
+    // cluster members) is an executor-OOM path at 100 TB; these joins
+    // must stay hint-free and let AQE pick the strategy. The checked
+    // plans are the UNcheckpointed building blocks — the public query
+    // entries localCheckpoint their results, which would hide any hint.
+    import graft.operators.{Curation, NearDup}
+    val docs = Tables.documents(spark, dir)
+    val sh = NearDup.shingled(docs)
+    val checked = Seq(
+      "verifyJaccard" ->
+        NearDup.verifyJaccard(
+          NearDup.lshCandidates(NearDup.minhashSignatures(sh)), sh),
+      "jaccardNearDupsExact(dfCap)" ->
+        NearDup.jaccardNearDupsExact(docs, maxDocFreq = 100L),
+      "cleanCorpus" -> Curation.cleanCorpus(docs, 30L))
+    checked.foreach { case (name, df) =>
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"$name carries an explicit join-strategy hint on a corpus-proportional frame")
+    }
+  }
+
+  test("stratified sampler pre-prunes inside sub-strata before the per-stratum rank") {
+    val plan = SparkEntry.queries("sample_stratified")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 2,
+      s"expected the two-level (sub-stratum, stratum) window shape, got $windows Window nodes")
+    assert(plan.contains("local_rank"),
+      "the sub-stratum local_rank prune is missing — the per-stratum window " +
+        "would sort its whole population on one reducer")
+  }
 }

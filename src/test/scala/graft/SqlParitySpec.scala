@@ -1,0 +1,37 @@
+package graft
+
+/** SQL-text ⇄ DataFrame parity for every query that exists in both
+  * surfaces. The schema assertion exists because of a real failure class:
+  * SQL-text numeric literals (`100.0`) parse as DECIMAL while the
+  * DataFrame API's Scala `100.0` is a double, so a SQL twin can agree on
+  * every VALUE yet write decimal128 columns where the twin writes double —
+  * equal cells, different schema, failed driver hash. Schema parity makes
+  * that class unrepresentable; the row assertion then pins the values.
+  */
+class SqlParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val twins = Seq(
+    ("t1_sessions_sql", "t1_sessions_30s"),
+    ("dedup_exact_sql", "dedup_exact"),
+    ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"))
+
+  test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
+    twins.foreach { case (sqlName, dfName) =>
+      val a = SparkEntry.queries(sqlName)(spark, dir).schema
+        .fields.toSeq.map(f => (f.name, f.dataType))
+      val b = SparkEntry.queries(dfName)(spark, dir).schema
+        .fields.toSeq.map(f => (f.name, f.dataType))
+      assert(a == b, s"$sqlName schema $a differs from $dfName schema $b")
+    }
+  }
+
+  test("every SQL-text query's rows equal its DataFrame twin's cell-for-cell") {
+    twins.foreach { case (sqlName, dfName) =>
+      val a = SparkEntry.queries(sqlName)(spark, dir).collect().toSeq.map(_.toSeq)
+      val b = SparkEntry.queries(dfName)(spark, dir).collect().toSeq.map(_.toSeq)
+      assert(a == b, s"$sqlName rows differ from $dfName")
+    }
+  }
+}
