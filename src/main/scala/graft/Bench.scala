@@ -14,6 +14,14 @@ object Bench {
     // first timed query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // streaming warmup: the first streaming query in a session pays ~4 s
+    // of engine init (state-store provider load, streaming codegen,
+    // micro-batch scheduler) that is per-JVM, not per-query — amortize it
+    // here the same way the batch warmup amortizes scheduler/codegen init
+    graft.streaming.StreamingSessions.replayOutOfOrder(
+      Tables.events(spark, "/root/testdata/sf0.001"),
+      org.apache.spark.sql.functions.lit("30 seconds"))
+      .queryExecution.toRdd.count()
     // fixed name order: cross-round timings stay comparable and cache
     // effects between related queries don't reshuffle per run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -197,9 +197,16 @@ object NearDup {
     * with |edges| (edges.count / rowsPerPartition); the loop shape is
     * unchanged.
     */
-  def nearDupClusters(documents: DataFrame, maxIters: Int = 10): DataFrame = {
-    val pairs = minhashNearDups(documents).select(col("doc_i"), col("doc_j"))
-    val edges = pairs
+  def nearDupClusters(documents: DataFrame, maxIters: Int = 10): DataFrame =
+    clustersFromPairs(
+      minhashNearDups(documents).select(col("doc_i"), col("doc_j")), maxIters)
+
+  /** Connected-component labeling over an already-verified near-dup pair
+    * set — the label-table build an incremental pipeline runs against
+    * yesterday's pair table without re-running candidate generation.
+    */
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_i"), col("doc_j"))
       .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
       .coalesce(1).localCheckpoint()
     var labels = edges.select(col("doc_i").as("id")).distinct()
@@ -264,6 +271,7 @@ object NearDup {
                           maxIters: Int = 10): DataFrame = {
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()
+    val idxSigs = minhashSignatures(idxSh).persist()
     try {
       def bandsOf(sigs: DataFrame): DataFrame = sigs
         .select(col("doc_id"),
@@ -272,7 +280,7 @@ object NearDup {
         .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
           col("col").as("band_key"))
       val bBands = bandsOf(minhashSignatures(bSh))
-      val allBands = bandsOf(minhashSignatures(idxSh)).union(bBands)
+      val allBands = bandsOf(idxSigs).union(bBands)
       // candidate adjacency: batch doc -> any colliding doc (both
       // orientations for batch-batch pairs — propagation wants symmetry)
       val cands = bBands.as("x").join(allBands.as("y"),
@@ -296,7 +304,11 @@ object NearDup {
       // neighbors (an index doc absent from the label table is a
       // singleton — its label is itself)
       val idxIds = indexDocs.select(col("doc_id").as("doc_o"))
-      val idxLab = nearDupClusters(indexDocs) // production: yesterday's label table
+      // production: yesterday's label table read from disk; here it is
+      // rebuilt from the SAME persisted index artifacts the candidate
+      // join uses (shingles + signatures), not from raw text again
+      val idxLab = clustersFromPairs(
+          verifyJaccard(lshCandidates(idxSigs), idxSh))
         .select(col("doc_id").as("doc_o"), col("cluster_id"))
       val idxContrib = edges.join(idxIds, "doc_o")
         .join(idxLab, Seq("doc_o"), "left")
@@ -335,7 +347,7 @@ object NearDup {
           (col("label") === col("id")).as("admitted"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
-    } finally { bSh.unpersist(); idxSh.unpersist() }
+    } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }
   }
 
   /** 64-bit SimHash near-dups. Signature: per token-hash bit b, sum ±1

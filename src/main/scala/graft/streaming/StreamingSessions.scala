@@ -128,7 +128,7 @@ object StreamingSessions {
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
       "spark.sql.streaming.stateStore.providerClass")
     val snapshot = mutatedKeys.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
     // RocksDB state store: halves replay wall-clock vs the HDFS-backed
     // provider here (per-batch delta-file commit overhead dominates at
