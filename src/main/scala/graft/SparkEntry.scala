@@ -232,6 +232,31 @@ object SparkEntry {
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
+    // SQL-text twin of the exact cosine pair join: graft_dot as a
+    // first-class SQL citizen, same block-grid distribution (the grid is
+    // built by explode(sequence), not a cross join), same oracle
+    "dedup_embedding_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.ArrayOps.register(s)
+      s.sql("""
+        |WITH p AS (
+        |  SELECT vec_id, ve, sqrt(graft_dot(ve, ve)) AS nrm,
+        |         pmod(vec_id, 8) AS blk
+        |  FROM (SELECT vec_id, cast(embedding AS array<double>) AS ve
+        |        FROM embeddings)
+        |),
+        |g AS (
+        |  SELECT bi, explode(sequence(bi, 7)) AS bj
+        |  FROM (SELECT explode(sequence(0, 7)) AS bi)
+        |)
+        |SELECT least(a.vec_id, b.vec_id) AS vec_i,
+        |       greatest(a.vec_id, b.vec_id) AS vec_j
+        |FROM p a JOIN g ON a.blk = g.bi
+        |JOIN p b ON b.blk = g.bj
+        |        AND (a.blk <> b.blk OR a.vec_id < b.vec_id)
+        |WHERE graft_dot(a.ve, b.ve) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_i, vec_j""".stripMargin)
+    }),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.4)),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -677,6 +702,12 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_id FROM nc)
          |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY vec_i, vec_j""".stripMargin,
+    "dedup_embedding_sql" ->
       """SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

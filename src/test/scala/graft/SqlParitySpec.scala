@@ -15,7 +15,8 @@ class SqlParitySpec extends SparkSpec {
   private val twins = Seq(
     ("t1_sessions_sql", "t1_sessions_30s"),
     ("dedup_exact_sql", "dedup_exact"),
-    ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"))
+    ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"),
+    ("dedup_embedding_sql", "dedup_embedding"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
