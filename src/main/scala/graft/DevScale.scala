@@ -91,6 +91,17 @@ object DevScale {
       graft.operators.NearDup.nearDupClusters(dc).count())
     timeDocs("simhash_500k")(
       graft.operators.NearDup.simhashNearDups(dc).count())
+    // incremental (daily-run) shape at the same 100× corpus: 400k-doc
+    // index, 100k-doc new batch. Expected: the batch's ~1000 planted
+    // near-dups (id%100==1 copies id-1, both in-batch here) are refused,
+    // everything else admitted — printed for eyeball validation.
+    timeDocs("dedup_incremental_500k") {
+      val out = graft.operators.NearDup.incrementalNearDups(
+        dc.filter(col("doc_id") < 400000L), dc.filter(col("doc_id") >= 400000L))
+      val admitted = out.filter(col("admitted")).count()
+      println(f"  (admitted $admitted of 100000 batch docs)")
+      out.count()
+    }
 
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated

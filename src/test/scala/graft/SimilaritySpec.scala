@@ -136,4 +136,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= brute.size / 5,
       s"IVF recall too low: $hits of ${brute.size}")
   }
+
+  test("k-means centroids are bit-identical across partitionings (fixed-point means)") {
+    // double sums are aggregation-order-dependent; the trainer sums
+    // round(x*2^20) longs instead, so centroids — and therefore IVF
+    // assignments and recall — must not vary with the physical layout
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(
+        graft.functions.ArrayOps.dotNative(spark, col("v"), col("v"))))
+    val a = graft.operators.Similarity.kmeansCentroids(prep(emb), 16, 3)
+    val b = graft.operators.Similarity.kmeansCentroids(
+      prep(emb.repartition(13)), 16, 3)
+    assert(a == b, "centroids differ across partitionings")
+  }
 }
