@@ -142,6 +142,26 @@ object SparkEntry {
         |GROUP BY user_id, session_window(ts, '30 seconds')
         |ORDER BY user_id, session_start""".stripMargin)
     }),
+    // dynamic-gap session windows through the SQL-text surface (W2 as a
+    // SQL citizen): CASE-expression gap inside session_window
+    "t3_dynamic_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |SELECT user_id,
+        |  session_window.start AS session_start,
+        |  session_window.end AS session_end,
+        |  count(1) AS event_count,
+        |  sum(cast(round(value * 100, 0) as bigint)) / 100e0 AS session_sum,
+        |  floor(sum(cast(round(value * 100, 0) as bigint)) / count(1) + 0.5) / 100e0 AS session_avg
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY user_id, session_window(ts,
+        |  CASE WHEN user_id = 9999 THEN '5 minutes'
+        |       WHEN user_id BETWEEN 2 AND 9 THEN '2 minutes'
+        |       WHEN user_id BETWEEN 100 AND 200 THEN '60 seconds'
+        |       ELSE '30 seconds' END)
+        |ORDER BY user_id, session_start""".stripMargin)
+    }),
     // JSONL wire-format roundtrip (LLM-corpus line format): render ->
     // inject malformed lines -> permissive parse; survivors must equal
     // the original events exactly (field-level nulls preserved)
@@ -362,6 +382,7 @@ object SparkEntry {
     "t3_dynamic_outoforder" -> sessionOracle(refGapSql),
     "t2_alert_outoforder" -> alertSetOracle("7200", "300.0"),
     "t1_sessions_sql" -> sessionOracle("30"),
+    "t3_dynamic_sql" -> sessionOracle(refGapSql),
     // salted == plain: the oracle IS the unsalted aggregation
     "q_salted_user_totals" ->
       """SELECT user_id,

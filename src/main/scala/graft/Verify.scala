@@ -16,6 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // coalesce(1) is harness-only determinism: the driver's hash compare
+      // may be row-order-sensitive, and one file preserves each query's
+      // ORDER BY exactly. A production writer would keep the parallel
+      // write (and any consumer needing order would sort on read).
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
