@@ -49,10 +49,21 @@ object Tables {
     * `spark.sql("SELECT ... FROM events ...")` — alongside the DataFrame
     * API. Combined with [[graft.plans.GraftExtensions]] this gives SQL
     * users the full engine including `graft_dot`.
+    *
+    * Idempotent per (session, dir): re-registering re-reads all ten
+    * parquet footers, which is pure waste when several SQL-text queries
+    * run back-to-back against the same data (and would be a catalog no-op
+    * on a real deployment where tables are registered once).
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { name =>
-      val df = if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
-      df.createOrReplaceTempView(name)
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (!registered.contains((spark, sfDir))) {
+      all.foreach { name =>
+        val df = if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
+        df.createOrReplaceTempView(name)
+      }
+      registered = Set((spark, sfDir)) // one live registration per session
     }
+  }
+
+  private var registered: Set[(SparkSession, String)] = Set.empty
 }

@@ -60,6 +60,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("column pruning reaches the scan — sample_docs must not read document text") {
+    // a 2-column projection that drags the text blob through the scan is
+    // the "reads all columns for a 2-column projection" anti-pattern; at
+    // 100 TB the text column IS the table
+    val plan = SparkEntry.queries("sample_docs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no ReadSchema in plan"))
+    assert(!readSchema.contains("text"),
+      s"sample_docs scan reads the text column: $readSchema")
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"),
+      s"sample_docs scan should read exactly (doc_id, n_chars): $readSchema")
+  }
+
   test("stratified sampler pre-prunes inside sub-strata before the per-stratum rank") {
     val plan = SparkEntry.queries("sample_stratified")(spark, dir)
       .queryExecution.executedPlan.toString
