@@ -247,6 +247,14 @@ object SparkEntry {
     // Curation extensions: deterministic sampling, corpus rollup, and the
     // quality -> exact-dedup -> near-dup-canonicalization funnel
     "sample_docs" -> ((s, dir) => Curation.deterministicSample(Tables.documents(s, dir), 2000)),
+    // partitioned corpus writer: lang-partitioned parquet + read-back
+    // manifest — the write path is part of what the oracle pins
+    "corpus_manifest" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_corpus_")
+      out.toFile.deleteOnExit()
+      graft.sinks.CorpusSink.writePartitioned(Tables.documents(s, dir),
+        out.resolve("docs").toString)
+    }),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
     "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
@@ -695,6 +703,12 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 10000 < 2000
         |ORDER BY doc_id""".stripMargin,
+    "corpus_manifest" ->
+      s"""WITH $langCtes
+         |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars
+         |FROM lang JOIN documents d ON lang.doc_id = d.doc_id
+         |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
     "corpus_stats" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,

@@ -70,4 +70,25 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("total_tokens") >=
       r.getAs[Long]("n_docs") * r.getAs[Long]("min_tokens"))
   }
+
+  test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
+    import org.apache.spark.sql.functions._
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("corpus_spec_")
+      .resolve("docs").toString
+    val manifest = graft.sinks.CorpusSink.writePartitioned(real, out)
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("pred_lang=")),
+      s"expected pred_lang= partition dirs, got ${dirs.mkString(",")}")
+    assert(manifest.agg(sum(col("n_docs"))).head.getLong(0) == real.count(),
+      "manifest must account for every input doc")
+    // consumers prune whole partitions: a pred_lang filter must land in
+    // PartitionFilters, not a post-scan Filter
+    val plan = spark.read.parquet(out).filter(col("pred_lang") === "en")
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("pred_lang")),
+      s"pred_lang filter did not reach PartitionFilters: $plan")
+  }
 }
