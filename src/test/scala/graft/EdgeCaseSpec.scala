@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, NearDup, Sessions, Similarity}
+
+/** Degenerate-input behavior: a library operator must return an empty (or
+  * correctly tiny) frame on empty/minimal input, never throw. These paths
+  * appear in production as empty partitions, empty daily batches, and
+  * cold-start corpora — none of which the SF-scaled oracle runs reach.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("session aggregation on an empty stream is an empty frame") {
+    assert(Sessions.sessionAgg(emptyEvents, lit("30 seconds")).count() == 0)
+    assert(Sessions.bigCustomers(
+      Sessions.sessionAgg(emptyEvents, lit("2 hours")), 300.0).count() == 0)
+  }
+
+  test("dedup operators on an empty corpus are empty frames") {
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(NearDup.minhashNearDups(emptyDocs).count() == 0)
+    assert(NearDup.jaccardNearDupsExact(emptyDocs).count() == 0)
+    assert(NearDup.simhashNearDups(emptyDocs).count() == 0)
+    assert(NearDup.nearDupClusters(emptyDocs).count() == 0)
+  }
+
+  test("incremental admission with an empty batch / empty index") {
+    val docs = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val emptyBatch = NearDup.incrementalNearDups(docs, emptyDocs).collect()
+    assert(emptyBatch.isEmpty)
+    // cold start: everything in the first batch is new; both admitted
+    val coldStart = NearDup.incrementalNearDups(emptyDocs, docs).collect()
+    assert(coldStart.map(r => (r.getLong(0), r.getBoolean(2))).toSeq ==
+      Seq((0L, true), (1L, true)))
+  }
+
+  test("docs shorter than one shingle are singletons everywhere") {
+    val tiny = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
+    // too short to shingle: never near-dup candidates...
+    assert(NearDup.minhashNearDups(tiny).count() == 0)
+    // ...but exact dedup still sees the identical text
+    assert(Dedup.exactDedup(tiny).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 2L)))
+    // and incremental admission treats them as singleton admits
+    val out = NearDup.incrementalNearDups(
+      Seq((0L, "one two")).toDF("doc_id", "text"),
+      Seq((5L, "one two")).toDF("doc_id", "text")).collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(2))).toSeq == Seq((5L, true)))
+  }
+
+  test("similarity search survives a corpus smaller than cells/probes/k") {
+    val three = Seq(
+      (0L, Seq.fill(4)(1f)), (1L, Seq.fill(4)(0.5f)), (2L, Seq.fill(4)(0.25f))
+    ).toDF("vec_id", "embedding")
+    // k=10 > corpus, 16 cells > corpus, 8 probes > cells actually filled
+    assert(Similarity.bruteForceTopK(three, 2, 10).count() == 4) // 2 queries x 2 others
+    val ivf = Similarity.ivfTopK(three, 2, 10).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getLong(2) <= 10))
+  }
+
+  test("curation on an empty corpus") {
+    assert(Curation.deterministicSample(
+      emptyDocs.withColumn("n_chars", length(col("text"))), 2000).count() == 0)
+    assert(Curation.stratifiedSample(emptyDocs, 40).count() == 0)
+    assert(Curation.cleanCorpus(emptyDocs, 30L).count() == 0)
+  }
+}
