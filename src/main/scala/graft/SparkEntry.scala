@@ -256,6 +256,8 @@ object SparkEntry {
         out.resolve("docs").toString)
     }),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
+    // token-budget shard packing (distributed prefix sum; 2048-token shards)
+    "pack_shards" -> ((s, dir) => Curation.packShards(Tables.documents(s, dir), 2048L)),
     "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
@@ -702,6 +704,16 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+    "pack_shards" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(prefix // 2048 AS BIGINT) AS shard_id FROM (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
     "corpus_manifest" ->
       s"""WITH $langCtes

@@ -91,6 +91,43 @@ object Curation {
       .orderBy(col("pred_lang"), col("stratum_rank"))
   }
 
+  /** Token-budget shard packing — the "cut the corpus into ~N-token
+    * training shards" step of an LLM data pipeline. Contract: documents
+    * are packed in `doc_id` order and a document belongs to shard
+    * `floor(exclusive_prefix_tokens / capacity)` — deterministic,
+    * order-stable, and SQL-expressible, so the oracle pins it exactly.
+    *
+    * Scale shape: a global running sum is the textbook distributed
+    * prefix-sum, NOT one global window (which would serialize the corpus
+    * through a single reducer). Three stages: (1) per-bucket token totals
+    * — a parallel aggregation over `doc_id div bucketSize` buckets;
+    * (2) exclusive running offsets across bucket TOTALS — a window over
+    * |corpus|/bucketSize rows (tiny; recursively two-levelable if a
+    * corpus ever outgrows it); (3) intra-bucket exclusive prefix sums —
+    * windows partitioned by bucket, all parallel — plus the bucket offset.
+    */
+  def packShards(documents: DataFrame, capacityTokens: Long,
+                 bucketSize: Long = 4096): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketSize").as("bkt"))
+    val wB = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_tokens")).over(wB), lit(0L)))
+      .select(col("bkt"), col("bkt_offset"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(offsets, "bkt")
+      .withColumn("prefix",
+        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prefix div $capacityTokens").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The curation funnel: (1) quality gate — at least `minTokens`
     * whitespace tokens; (2) exact dedup — keep the lowest doc_id per
     * md5(text); (3) near-dup canonicalization — drop every non-canonical

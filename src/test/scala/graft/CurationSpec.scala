@@ -71,6 +71,28 @@ class CurationSpec extends SparkSpec {
       r.getAs[Long]("n_docs") * r.getAs[Long]("min_tokens"))
   }
 
+  test("shard packing equals the naive global prefix sum; per-doc windows stay partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    // small buckets so the test actually exercises the multi-bucket path
+    val fast = Curation.packShards(real, 2048L, bucketSize = 64)
+    val wg = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = real
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("prefix", coalesce(sum(col("n_tokens")).over(wg), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), expr("prefix div 2048").as("shard_id"))
+      .orderBy(col("doc_id"))
+    assert(fast.collect().toSeq.map(_.toSeq) == naive.collect().toSeq.map(_.toSeq))
+    // scale shape: the doc-proportional window must be PARTITIONED by
+    // bucket; only the bucket-totals window (|corpus|/bucketSize rows)
+    // runs unpartitioned
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"per-doc prefix window is not bucket-partitioned:\n$plan")
+  }
+
   test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
     import org.apache.spark.sql.functions._
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
