@@ -103,6 +103,11 @@ object DevScale {
       out.count()
     }
 
+    // shard packing at 500k docs: the distributed prefix sum's stage-2
+    // window sees 500k/4096 ≈ 122 rows; everything else is parallel
+    timeDocs("pack_shards_500k")(
+      graft.operators.Curation.packShards(dc, 65536L).count())
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)
