@@ -37,6 +37,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows support append + complete; update mode is rejected at analysis") {
+    // output-mode contract pin: Spark's session-window streaming
+    // aggregation supports Append (emit on close — the reference's
+    // behavior) and Complete (dashboard snapshot, covered above), and
+    // REJECTS Update, because a merged session can't be keyed back to
+    // the row it updates. A library user should hit a clear analysis
+    // error, not silent misbehavior — this pins the error class.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingSessions.sessionAggStream(mem.toDF(), lit("30 seconds"))
+        .writeStream.format("memory").queryName("upd_sess")
+        .outputMode("update").start()
+    }
+    assert(e.getCondition == "STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION",
+      s"unexpected error class: ${e.getCondition}")
+  }
+
   test("streaming dynamic-gap sessions equal batch (reference bands)") {
     implicit val sc = spark.sqlContext
     // 90s spacing: merges for users 9999 (5min) and 5 (2min), splits for
