@@ -33,6 +33,15 @@ class TypedAndExtensionsSpec extends SparkSpec {
         "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
         .collect().head.getDouble(0)
       assert(r == 32.0)
+      // the whole graft_* family rides the same extension point
+      val row = s2.sql("""
+        |SELECT size(graft_shingles('a b c d')) AS n_sh,
+        |       size(graft_minhash(graft_shingles('a b c d'))) AS n_mh,
+        |       size(graft_bandkeys(graft_minhash(graft_shingles('a b c d')))) AS n_bk,
+        |       graft_simhash('a b c d') <> 0L AS sh_ok""".stripMargin)
+        .collect().head
+      assert(row.getInt(0) == 2 && row.getInt(1) == 128 &&
+        row.getInt(2) == 32 && row.getBoolean(3))
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)
