@@ -250,10 +250,13 @@ object SparkEntry {
     // partitioned corpus writer: lang-partitioned parquet + read-back
     // manifest — the write path is part of what the oracle pins
     "corpus_manifest" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_corpus_")
-      out.toFile.deleteOnExit()
+      // one fixed, overwritten location: a fresh temp dir per run would
+      // accumulate a full corpus copy every invocation (deleteOnExit
+      // cannot remove non-empty dirs)
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_corpus_manifest")
       graft.sinks.CorpusSink.writePartitioned(Tables.documents(s, dir),
-        out.resolve("docs").toString)
+        out.toString)
     }),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
     // token-budget shard packing (distributed prefix sum; 2048-token shards)

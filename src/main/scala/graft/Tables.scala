@@ -56,14 +56,16 @@ object Tables {
     * on a real deployment where tables are registered once).
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (!registered.contains((spark, sfDir))) {
+    if (registered.get(spark) != sfDir) {
       all.foreach { name =>
         val df = if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
         df.createOrReplaceTempView(name)
       }
-      registered = Set((spark, sfDir)) // one live registration per session
+      registered.put(spark, sfDir)
     }
   }
 
-  private var registered: Set[(SparkSession, String)] = Set.empty
+  // last-registered dir PER SESSION (views are session-scoped, and a dir
+  // switch must re-register); weak keys so a stopped session can be GC'd
+  private val registered = new java.util.WeakHashMap[SparkSession, String]()
 }

@@ -78,8 +78,13 @@ object Curation {
     // subStrata ≈ stratum-rows / rows-per-task.
     val wLocal = Window.partitionBy(col("pred_lang"), col("sub"))
       .orderBy(col("bkt"), col("doc_id"))
+    // width ≥ 1: more sub-strata than bucket values degenerates to
+    // per-bucket groups (still exact); integer-dividing by 0 would
+    // instead collapse the stratum into one null group — the very
+    // single-reducer sort this operator exists to avoid
+    val subWidth = math.max(1, 10000 / math.max(1, subStrata))
     val pruned = keyed
-      .withColumn("sub", floor(col("bkt") / lit(10000 / subStrata)))
+      .withColumn("sub", floor(col("bkt") / lit(subWidth)))
       .withColumn("local_rank", row_number().over(wLocal))
       .filter(col("local_rank") <= perStratum)
     val w = Window.partitionBy(col("pred_lang"))

@@ -265,10 +265,15 @@ object NearDup {
     * Mechanics: band-key equi-join of the batch's signatures against
     * index ∪ batch signatures (never all-pairs; the index side is the
     * precomputed band table at scale), exact-Jaccard verify of the
-    * candidates, then min-label propagation over the BATCH-side subgraph
-    * only — index neighbors contribute their stored component label as a
-    * seed, so the iteration count is bounded by the batch graph's
-    * diameter, not the corpus's.
+    * candidates, then min-label propagation over the quotient graph whose
+    * nodes are batch docs PLUS the touched index COMPONENTS (each index
+    * neighbor collapses to its stored component label). Component nodes
+    * must participate in the propagation — not just seed it — because a
+    * single batch doc can BRIDGE two index components, and the merged
+    * minimum has to reach every other batch doc attached to either
+    * component, not only the bridge itself. Iteration count is bounded by
+    * the quotient graph's diameter (the batch side of the corpus), never
+    * the index's.
     *
     * Output: every batch doc with its union-corpus `cluster_id` and
     * `admitted` (the doc IS its cluster's canonical representative).
@@ -306,40 +311,49 @@ object NearDup {
         .filter(col("inter") * 2 >= col("uni"))
         .select(col("doc_b"), col("doc_o"))
         .localCheckpoint()
-      // seed labels: own id vs the stored labels of direct INDEX
-      // neighbors (an index doc absent from the label table is a
-      // singleton — its label is itself)
       val idxIds = indexDocs.select(col("doc_id").as("doc_o"))
       // production: yesterday's label table read from disk; here it is
       // rebuilt from the SAME persisted index artifacts the candidate
-      // join uses (shingles + signatures), not from raw text again
+      // join uses (shingles + signatures), not from raw text again.
+      // An index doc absent from the label table is a singleton — its
+      // component label is itself.
       val idxLab = clustersFromPairs(
           verifyJaccard(lshCandidates(idxSigs), idxSh))
         .select(col("doc_id").as("doc_o"), col("cluster_id"))
-      val idxContrib = edges.join(idxIds, "doc_o")
-        .join(idxLab, Seq("doc_o"), "left")
-        .groupBy(col("doc_b").as("doc_id"))
-        .agg(min(coalesce(col("cluster_id"), col("doc_o"))).as("idx_min"))
       val batchIds = batchDocs.select(col("doc_id"))
+      // quotient-graph edges: batch-batch pairs as-is; batch-index pairs
+      // collapse the index side to its COMPONENT id (stored label), with
+      // both orientations so minima flow batch -> component -> batch —
+      // the path a bridging batch doc needs to merge two index components
+      // for every other attached batch doc
+      val bcEdges = edges.join(idxIds, "doc_o")
+        .join(idxLab, Seq("doc_o"), "left")
+        .select(col("doc_b").as("doc_i"),
+          coalesce(col("cluster_id"), col("doc_o")).as("doc_j"))
+        .distinct()
+      val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
+        .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
       // same scale-aware coalesce policy as clustersFromPairs; the label
       // frame is batch-proportional and the edge frame candidate-bounded,
       // so size partitions to the larger of the two (edges is
       // checkpointed and the batch count is a parquet count — both cheap)
       val parts = partsFor(math.max(edges.count(), batchDocs.count()))
-      var labels = batchIds.join(idxContrib, Seq("doc_id"), "left")
-        .select(col("doc_id").as("id"),
-          least(col("doc_id"), coalesce(col("idx_min"), col("doc_id"))).as("label"))
+      val allEdges = bEdges
+        .union(bcEdges)
+        .union(bcEdges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
         .coalesce(parts).localCheckpoint()
-      // batch-batch min-label propagation (same loop shape as
-      // nearDupClusters; the frame is candidate-bounded)
-      val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
-        .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
+      // nodes: batch docs + touched index components; a component node's
+      // id IS its stored minimum, so every initial label is its own id
+      var labels = batchIds.select(col("doc_id").as("id"))
+        .union(bcEdges.select(col("doc_j").as("id")))
+        .distinct()
+        .withColumn("label", col("id"))
         .coalesce(parts).localCheckpoint()
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
-        val neighborMin = bEdges
-          .join(labels, bEdges("doc_j") === labels("id"))
+        val neighborMin = allEdges
+          .join(labels, allEdges("doc_j") === labels("id"))
           .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
         val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
           .select(col("id"),
@@ -353,9 +367,10 @@ object NearDup {
         labels = next
         iter += 1
       }
-      labels
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          (col("label") === col("id")).as("admitted"))
+      labels // restrict the quotient graph's labels to the batch nodes
+        .join(batchIds, labels("id") === batchIds("doc_id"))
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("label") === col("doc_id")).as("admitted"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
     } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }

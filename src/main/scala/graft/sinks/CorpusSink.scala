@@ -34,7 +34,16 @@ object CorpusSink {
     docs.select(col("doc_id"), col("text"))
       .join(lang, "doc_id")
       .write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
-    spark.read.parquet(outDir)
+    // an empty corpus writes zero data files, and parquet cannot infer a
+    // schema from none — the empty-daily-batch case must yield an empty
+    // manifest, not an AnalysisException
+    import spark.implicits._
+    val readBack =
+      try spark.read.parquet(outDir)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, String, String)].toDF("doc_id", "text", "pred_lang")
+      }
+    readBack
       .groupBy(col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("total_chars"))

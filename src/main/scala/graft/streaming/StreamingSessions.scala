@@ -126,10 +126,16 @@ object StreamingSessions {
     val mutatedKeys = Seq(
       "spark.sql.shuffle.partitions",
       "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition",
-      "spark.sql.streaming.stateStore.providerClass")
+      "spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
     val snapshot = mutatedKeys.map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
+    // load-bearing for the single-sentinel design: the final sessions
+    // emit in the no-data micro-batch AvailableNow runs after the
+    // sentinel raised the watermark. Default true, but a session that
+    // disabled it would silently drop the append-mode tail — pin it.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     // RocksDB state store: halves replay wall-clock vs the HDFS-backed
     // provider here (per-batch delta-file commit overhead dominates at
     // micro-batch sizes), and is the provider a production deployment
@@ -184,10 +190,12 @@ object StreamingSessions {
         .dropDuplicates("user_id"),
       useRocksDb = false)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val stream = java.nio.file.Files.walk(p)
+      try stream.iterator().asScala.toSeq.reverse
         .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally stream.close() // walk() holds open DirectoryStreams
     }
   }
 

@@ -96,8 +96,8 @@ class CurationSpec extends SparkSpec {
   test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
     import org.apache.spark.sql.functions._
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
-    val out = java.nio.file.Files.createTempDirectory("corpus_spec_")
-      .resolve("docs").toString
+    val root = java.nio.file.Files.createTempDirectory("corpus_spec_")
+    val out = root.resolve("docs").toString
     val manifest = graft.sinks.CorpusSink.writePartitioned(real, out)
     val dirs = new java.io.File(out).listFiles.filter(_.isDirectory)
       .map(_.getName).sorted
@@ -112,5 +112,6 @@ class CurationSpec extends SparkSpec {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(pf.exists(_.contains("pred_lang")),
       s"pred_lang filter did not reach PartitionFilters: $plan")
+    graft.streaming.StreamingSessions.deleteRecursively(root)
   }
 }

@@ -65,6 +65,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.forall(_.getLong(2) <= 10))
   }
 
+  test("corpus writer on an empty corpus returns an empty manifest, not a crash") {
+    val out = java.nio.file.Files.createTempDirectory("edge_corpus_")
+    try {
+      val manifest = graft.sinks.CorpusSink.writePartitioned(
+        emptyDocs, out.resolve("docs").toString)
+      assert(manifest.count() == 0)
+    } finally graft.streaming.StreamingSessions.deleteRecursively(out)
+  }
+
   test("curation on an empty corpus") {
     assert(Curation.deterministicSample(
       emptyDocs.withColumn("n_chars", length(col("text"))), 2000).count() == 0)

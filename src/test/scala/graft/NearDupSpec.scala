@@ -144,6 +144,36 @@ class NearDupSpec extends SparkSpec {
       10L -> 0L, 11L -> 0L, 12L -> 12L, 13L -> 2L))
   }
 
+  test("incremental: a bridging batch doc merges two index components for ALL attached batch docs") {
+    import spark.implicits._
+    // Construction (word blocks of distinct tokens; ~300-word docs so the
+    // 2-shingle seam noise is negligible against the Jaccard margins):
+    //   index 0 = A ++ M, index 5 = B ++ M        J(0,5) ≈ 0.33 → separate components
+    //   batch 10 = A[50:] ++ M ++ B[:100]         J ≈ 0.62 to BOTH 0 and 5 (the bridge)
+    //   batch 11 = B ++ M[:75] ++ F               J ≈ 0.60 to 5 only; ≈ 0.36 to 10
+    // Whole-corpus component is {0, 5, 10, 11} with min 0. A propagation
+    // that only SEEDS stored index labels (instead of letting component
+    // nodes participate) leaves 11 at label 5 — the merge induced by the
+    // bridge never reaches it.
+    def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val A = block("a", 150); val B = block("b", 150)
+    val M = block("m", 150); val F = block("f", 75)
+    val index = Seq(
+      (0L, (A ++ M).mkString(" ")),
+      (5L, (B ++ M).mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (A.drop(50) ++ M ++ B.take(100)).mkString(" ")),
+      (11L, (B ++ M.take(75) ++ F).mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.NearDup.incrementalNearDups(index, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val wholeLabels = graft.operators.NearDup.nearDupClusters(index.union(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the construction really is a bridge (all four in one component)
+    assert(wholeLabels == Map(0L -> 0L, 5L -> 0L, 10L -> 0L, 11L -> 0L),
+      s"construction drifted: $wholeLabels")
+    assert(got == Seq((10L, 0L, false), (11L, 0L, false)))
+  }
+
   test("incremental admission equals whole-corpus clustering on sf0.001") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
