@@ -31,7 +31,9 @@ object Bench {
         lit("{}").as("props"))
       graft.streaming.StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"))
         .queryExecution.toRdd.count()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // fatal JVM errors (OOM, linkage) must still abort — timings from
+      // a corrupted JVM would look legitimate
       System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
     }
     // fixed name order: cross-round timings stay comparable and cache

@@ -250,13 +250,13 @@ object SparkEntry {
     // partitioned corpus writer: lang-partitioned parquet + read-back
     // manifest — the write path is part of what the oracle pins
     "corpus_manifest" -> ((s, dir) => {
-      // one fixed, overwritten location: a fresh temp dir per run would
-      // accumulate a full corpus copy every invocation (deleteOnExit
-      // cannot remove non-empty dirs)
-      val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_corpus_manifest")
-      graft.sinks.CorpusSink.writePartitioned(Tables.documents(s, dir),
-        out.toString)
+      // per-run temp dir (process-isolated, not a world-shared fixed
+      // path), deleted after the manifest is materialized — the
+      // localCheckpoint makes the returned frame self-contained
+      val root = java.nio.file.Files.createTempDirectory("graft_corpus_")
+      try graft.sinks.CorpusSink.writePartitioned(Tables.documents(s, dir),
+        root.resolve("docs").toString).localCheckpoint()
+      finally graft.streaming.StreamingSessions.deleteRecursively(root)
     }),
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
     // token-budget shard packing (distributed prefix sum; 2048-token shards)

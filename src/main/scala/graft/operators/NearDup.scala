@@ -197,7 +197,7 @@ object NearDup {
     * with |edges| (edges.count / rowsPerPartition); the loop shape is
     * unchanged.
     */
-  def nearDupClusters(documents: DataFrame, maxIters: Int = 10): DataFrame =
+  def nearDupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame =
     clustersFromPairs(
       minhashNearDups(documents).select(col("doc_i"), col("doc_j")), maxIters)
 
@@ -205,7 +205,7 @@ object NearDup {
     * set — the label-table build an incremental pipeline runs against
     * yesterday's pair table without re-running candidate generation.
     */
-  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val p = pairs.select(col("doc_i"), col("doc_j")).localCheckpoint()
     // scale-aware partitioning: a tiny near-dup graph collapses to one
     // task per round (stage round-trips dominate ~50-row frames); a
@@ -238,6 +238,13 @@ object NearDup {
       labels = next
       iter += 1
     }
+    // a silent early exit would return WRONG labels for any component
+    // whose diameter exceeds the round budget — fail loudly instead
+    // (rounds are cheap label-frame joins; raise maxIters for
+    // pathological chain graphs)
+    require(converged,
+      s"label propagation did not converge within $maxIters rounds — " +
+        "the near-dup graph has a longer chain than the iteration budget")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -279,7 +286,7 @@ object NearDup {
     * `admitted` (the doc IS its cluster's canonical representative).
     */
   def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
-                          maxIters: Int = 10): DataFrame = {
+                          maxIters: Int = 50): DataFrame = {
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()
     val idxSigs = minhashSignatures(idxSh).persist()
@@ -331,6 +338,7 @@ object NearDup {
         .select(col("doc_b").as("doc_i"),
           coalesce(col("cluster_id"), col("doc_o")).as("doc_j"))
         .distinct()
+        .localCheckpoint() // referenced 3× (labels init + both union arms)
       val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
         .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
       // same scale-aware coalesce policy as clustersFromPairs; the label
@@ -367,6 +375,10 @@ object NearDup {
         labels = next
         iter += 1
       }
+      require(converged,
+        s"incremental label propagation did not converge within $maxIters " +
+          "rounds — the batch-side quotient graph has a longer chain than " +
+          "the iteration budget")
       labels // restrict the quotient graph's labels to the batch nodes
         .join(batchIds, labels("id") === batchIds("doc_id"))
         .select(col("doc_id"), col("label").as("cluster_id"),

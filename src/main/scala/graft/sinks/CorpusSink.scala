@@ -36,11 +36,13 @@ object CorpusSink {
       .write.mode("overwrite").partitionBy("pred_lang").parquet(outDir)
     // an empty corpus writes zero data files, and parquet cannot infer a
     // schema from none — the empty-daily-batch case must yield an empty
-    // manifest, not an AnalysisException
+    // manifest, not an AnalysisException. The guard is NARROW: a read
+    // failure with a non-empty input means the write path is broken and
+    // must surface, never read as "corpus has zero docs".
     import spark.implicits._
     val readBack =
       try spark.read.parquet(outDir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      catch { case _: org.apache.spark.sql.AnalysisException if docs.isEmpty =>
         Seq.empty[(Long, String, String)].toDF("doc_id", "text", "pred_lang")
       }
     readBack

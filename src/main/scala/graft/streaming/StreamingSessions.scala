@@ -93,7 +93,6 @@ object StreamingSessions {
     val spark = events.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
-    val tmpDir = root.resolve("tmp")
     val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
     // materialized once: each slice write below filters this frame, and
     // without the checkpoint every write would redo the global sort
