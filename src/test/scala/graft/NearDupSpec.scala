@@ -174,6 +174,40 @@ class NearDupSpec extends SparkSpec {
     assert(got == Seq((10L, 0L, false), (11L, 0L, false)))
   }
 
+  test("incremental equals whole-corpus over random mutation chains (3 seeds × 2 cuts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // chains: doc i+1 mutates doc i at a per-step random edit rate, so
+    // adjacent Jaccard wanders across the 0.5 threshold — components of
+    // varying diameter, some spanning the index/batch cut through long
+    // index-batch-index alternations. Deterministic seeds.
+    for (seed <- Seq(1, 2, 3)) {
+      val r = new scala.util.Random(seed)
+      var fresh = 0
+      var words = Vector.tabulate(40)(i => s"w$i")
+      val docs = (0 until 60).map { i =>
+        val editRate = r.nextDouble() * 0.5
+        words = words.map { w =>
+          if (r.nextDouble() < editRate) { fresh += 1; s"n${seed}_$fresh" } else w
+        }
+        (i.toLong, words.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val wholeLabels = graft.operators.NearDup.nearDupClusters(df)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      for (cut <- Seq(30L, 48L)) {
+        val got = graft.operators.NearDup.incrementalNearDups(
+            df.filter(col("doc_id") < cut), df.filter(col("doc_id") >= cut))
+          .collect().map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+        val expected = (cut until 60L).map { id =>
+          val lab = wholeLabels.getOrElse(id, id)
+          (id, lab, lab == id)
+        }
+        assert(got == expected, s"seed=$seed cut=$cut")
+      }
+    }
+  }
+
   test("incremental admission equals whole-corpus clustering on sf0.001") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
