@@ -142,6 +142,33 @@ object SparkEntry {
         |GROUP BY user_id, session_window(ts, '30 seconds')
         |ORDER BY user_id, session_start""".stripMargin)
     }),
+    // the big-customer alert through the SQL-text surface (P4 + A3 as
+    // SQL citizens): sessionize, threshold, keep-first via row_number —
+    // with t1/t3 twins this makes every reference task SQL-runnable
+    "t2_big_customers_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH sess AS (
+        |  SELECT user_id,
+        |    session_window.start AS session_start,
+        |    session_window.end AS session_end,
+        |    count(1) AS event_count,
+        |    sum(cast(round(value * 100, 0) as bigint)) / 100e0 AS session_sum,
+        |    floor(sum(cast(round(value * 100, 0) as bigint)) / count(1) + 0.5) / 100e0 AS session_avg
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id, session_window(ts, '2 hours')
+        |),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |             ORDER BY session_start, session_end) AS rn
+        |  FROM sess WHERE session_sum >= 300.0
+        |)
+        |SELECT user_id, session_start, session_end, event_count,
+        |       session_sum, session_avg
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin)
+    }),
     // dynamic-gap session windows through the SQL-text surface (W2 as a
     // SQL citizen): CASE-expression gap inside session_window
     "t3_dynamic_sql" -> ((s, dir) => {
@@ -396,6 +423,8 @@ object SparkEntry {
     "t2_alert_outoforder" -> alertSetOracle("7200", "300.0"),
     "t1_sessions_sql" -> sessionOracle("30"),
     "t3_dynamic_sql" -> sessionOracle(refGapSql),
+    "t2_big_customers_sql" -> sessionOracle("7200",
+      having = "WHERE session_sum >= 300.0", keepFirst = true),
     // salted == plain: the oracle IS the unsalted aggregation
     "q_salted_user_totals" ->
       """SELECT user_id,

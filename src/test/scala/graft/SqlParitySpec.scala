@@ -15,6 +15,7 @@ class SqlParitySpec extends SparkSpec {
   private val twins = Seq(
     ("t1_sessions_sql", "t1_sessions_30s"),
     ("t3_dynamic_sql", "t3_dynamic_gap_ref"),
+    ("t2_big_customers_sql", "t2_big_customers"),
     ("dedup_exact_sql", "dedup_exact"),
     ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"),
     ("dedup_embedding_sql", "dedup_embedding"))
