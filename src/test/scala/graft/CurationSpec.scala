@@ -91,6 +91,11 @@ class CurationSpec extends SparkSpec {
     val plan = fast.queryExecution.executedPlan.toString
     assert(plan.contains("windowspecdefinition(bkt"),
       s"per-doc prefix window is not bucket-partitioned:\n$plan")
+    // and the result is bucketSize-invariant (the prefix sum is exact,
+    // not an approximation tied to the chosen bucketing)
+    val other = Curation.packShards(real, 2048L, bucketSize = 7)
+      .collect().toSeq.map(_.toSeq)
+    assert(other == fast.collect().toSeq.map(_.toSeq))
   }
 
   test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
