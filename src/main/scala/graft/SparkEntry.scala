@@ -208,6 +208,9 @@ object SparkEntry {
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
+    // benchmark decontamination: training docs sharing any word-8-gram
+    // with the held-out split (md5-bucket 10% of the corpus)
+    "text_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables.documents(s, dir))),
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
@@ -658,6 +661,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY tok""".stripMargin,
+    // eval-overlap contamination: 8-gram join on shingle TEXT (the Spark
+    // side joins on xxhash64 of the same strings — identical result barring
+    // a 64-bit collision, the dedup_ngram_jaccard precedent)
+    "text_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 1000 AS is_eval
+        |  FROM documents),
+        |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
+        |sh AS (SELECT doc_id, is_eval,
+        |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+        |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+        |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+        |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
+        |WHERE NOT tr.is_eval AND ev.is_eval
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies

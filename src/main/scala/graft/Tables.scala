@@ -50,22 +50,31 @@ object Tables {
     * API. Combined with [[graft.plans.GraftExtensions]] this gives SQL
     * users the full engine including `graft_dot`.
     *
-    * Idempotent per (session, dir): re-registering re-reads all ten
-    * parquet footers, which is pure waste when several SQL-text queries
-    * run back-to-back against the same data (and would be a catalog no-op
-    * on a real deployment where tables are registered once).
+    * The expensive part of registration is building the DataFrames (each
+    * `spark.read.parquet` reads a footer for schema), so those are memoized
+    * per (session, dir); the temp-view binding itself is a cheap catalog
+    * write and is ALWAYS re-applied — a caller (or test) that dropped or
+    * shadowed one of the ten views with its own data gets the real table
+    * back rather than silently querying foreign rows through a stale
+    * memo-skip.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    if (registered.get(spark) != sfDir) {
-      all.foreach { name =>
-        val df = if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name)
-        df.createOrReplaceTempView(name)
+    val hit = cached.get(spark)
+    val dfs =
+      if (hit != null && hit._1 == sfDir) hit._2
+      else {
+        val built = all.map { name =>
+          name -> (if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name))
+        }
+        cached.put(spark, (sfDir, built))
+        built
       }
-      registered.put(spark, sfDir)
-    }
+    dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
-  // last-registered dir PER SESSION (views are session-scoped, and a dir
-  // switch must re-register); weak keys so a stopped session can be GC'd
-  private val registered = new java.util.WeakHashMap[SparkSession, String]()
+  // memoized (dir, table DataFrames) PER SESSION (views are session-scoped,
+  // and a dir switch must rebuild); weak keys so a stopped session can be
+  // GC'd
+  private val cached =
+    new java.util.WeakHashMap[SparkSession, (String, Seq[(String, DataFrame)])]()
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,7 +36,7 @@ object TextHashOps {
   def register(spark: SparkSession): Unit = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs => WordShingles(exprs.head), "built-in")
+      "graft_shingles", WordShingles.build, "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSignature(exprs.head), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -49,6 +49,15 @@ object TextHashOps {
   def shinglesNative(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("graft_shingles", text)
+  }
+
+  /** Distinct word-`n`-gram shingles — the contamination-check length
+    * (eval-overlap screens use long n-grams, e.g. 8) differs from the
+    * near-dup length (3).
+    */
+  def shinglesNative(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("graft_shingles", text, lit(n))
   }
 
   /** 128-long MinHash signature of a shingle-array column (array<long>). */
@@ -94,6 +103,17 @@ case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
 }
 
 object WordShingles {
+  /** Registry builder: `graft_shingles(text[, n])` — `n` must be a literal
+    * (it is baked into generated code).
+    */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(t) => WordShingles(t)
+    case Seq(t, n) if n.foldable =>
+      WordShingles(t, n.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "graft_shingles expects (text) or (text, <literal int n>)")
+  }
+
   /** One pass: split on single spaces (trailing empties kept, like
     * `split(text, " ")`), emit distinct n-word windows joined by " ".
     * Static so generated code can call it — the loop is plain JVM code

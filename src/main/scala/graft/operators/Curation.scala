@@ -133,6 +133,48 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the "did my training corpus leak the eval
+    * set?" screen every LLM data pipeline runs before training. A training
+    * doc is contaminated when it shares at least one long word-`n`-gram
+    * (default 8; the published screens use 8-13) with any held-out doc.
+    *
+    * The held-out split here is carved from the corpus by the same
+    * content-free [[sampleBucket]] that drives sampling (`doc_id` bucket <
+    * `evalBps`), standing in for the external benchmark table a production
+    * run would read; the operator body only sees two frames, so swapping in
+    * a real eval table is the same plan.
+    *
+    * Scale shape: inverted-index equi-join, never doc × doc. Both sides
+    * explode to (ngram-hash, doc) postings; the join key is the 8-byte
+    * `xxhash64` of the n-gram (the shuffle never carries n-gram text);
+    * counts aggregate per training doc. The eval side is benchmark-sized
+    * (thousands of rows) — AQE broadcasts it on its own; no hint, same
+    * rule as the dedup verify joins.
+    *
+    * Output: one row per CONTAMINATED training doc — `doc_id`,
+    * `n_eval_docs` (distinct eval docs hit), `n_shared_ngrams` (distinct
+    * leaked n-grams).
+    */
+  def decontaminate(documents: DataFrame, evalBps: Int = 1000,
+                    n: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    val postings = documents.select(col("doc_id"),
+        explode(graft.functions.TextHashOps
+          .shinglesNative(spark, col("text"), n)).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"),
+        (sampleBucket(col("doc_id")) < evalBps).as("is_eval"))
+    // no distinct needed: shingles are already distinct WITHIN a doc, so
+    // (ngh, doc) posting rows are unique on both sides
+    val evalSide = postings.filter(col("is_eval"))
+      .select(col("ngh"), col("doc_id").as("eval_doc_id"))
+    postings.filter(!col("is_eval"))
+      .join(evalSide, "ngh")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("eval_doc_id")).as("n_eval_docs"),
+        count_distinct(col("ngh")).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The curation funnel: (1) quality gate — at least `minTokens`
     * whitespace tokens; (2) exact dedup — keep the lowest doc_id per
     * md5(text); (3) near-dup canonicalization — drop every non-canonical

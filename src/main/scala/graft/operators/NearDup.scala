@@ -229,8 +229,11 @@ object NearDup {
       // near-dup components are near-cliques (diameter 1-2): round 0
       // nearly always settles everything, so the convergence count — a
       // driver action per round — starts at round 1; one extra tiny
-      // propagate round is cheaper than a per-round check
-      if (iter >= 1) {
+      // propagate round is cheaper than a per-round check. The check must
+      // also run on the FINAL round, else a 1-round budget could never
+      // observe convergence and the require below would reject even a
+      // trivially-settled (or empty) graph.
+      if (iter >= 1 || iter == maxIters - 1) {
         val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
           .filter(col("n.label") =!= col("o.label")).count()
         converged = changed == 0
@@ -284,9 +287,30 @@ object NearDup {
     *
     * Output: every batch doc with its union-corpus `cluster_id` and
     * `admitted` (the doc IS its cluster's canonical representative).
+    *
+    * @param indexLabels yesterday's persisted label table
+    *   `(doc_id, cluster_id)` — supply it to get the true incremental cost
+    *   profile (O(batch) label work per run); when absent the labels are
+    *   rebuilt from the index signatures, which is correct but O(index).
+    *   Spec-pinned: both paths produce identical output.
     */
   def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          indexLabels: Option[DataFrame] = None): DataFrame = {
+    // the monotone-ids invariant is load-bearing (see contract above); a
+    // violation would SILENTLY mis-admit batch docs and strand stale index
+    // labels, so it fails loudly instead. Two scalar aggregates on frames
+    // the pipeline reads anyway; null bounds (either side empty) are the
+    // cold-start / empty-batch cases, which are trivially consistent.
+    val idBounds = indexDocs.agg(max(col("doc_id"))).head()
+    val batchBounds = batchDocs.agg(min(col("doc_id"))).head()
+    if (!idBounds.isNullAt(0) && !batchBounds.isNullAt(0))
+      require(idBounds.getLong(0) < batchBounds.getLong(0),
+        s"incrementalNearDups requires append-only monotone ids " +
+          s"(every index doc_id < every batch doc_id); got index max " +
+          s"${idBounds.getLong(0)} >= batch min ${batchBounds.getLong(0)} — " +
+          "'cluster canonical = min id' is not incrementally maintainable " +
+          "under id interleaving; re-cluster the union instead")
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()
     val idxSigs = minhashSignatures(idxSh).persist()
@@ -297,7 +321,10 @@ object NearDup {
             .bandKeysNative(sigs.sparkSession, col("sig"))))
         .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
           col("col").as("band_key"))
-      val bBands = bandsOf(minhashSignatures(bSh))
+      // consumed twice (allBands union + the candidate probe side), and the
+      // signature+band computation above the persisted shingles is not free
+      // — materialize once; the frame is batch-proportional (32 rows/doc)
+      val bBands = bandsOf(minhashSignatures(bSh)).localCheckpoint()
       val allBands = bandsOf(idxSigs).union(bBands)
       // candidate adjacency: batch doc -> any colliding doc (both
       // orientations for batch-batch pairs — propagation wants symmetry)
@@ -319,13 +346,14 @@ object NearDup {
         .select(col("doc_b"), col("doc_o"))
         .localCheckpoint()
       val idxIds = indexDocs.select(col("doc_id").as("doc_o"))
-      // production: yesterday's label table read from disk; here it is
-      // rebuilt from the SAME persisted index artifacts the candidate
-      // join uses (shingles + signatures), not from raw text again.
-      // An index doc absent from the label table is a singleton — its
-      // component label is itself.
-      val idxLab = clustersFromPairs(
-          verifyJaccard(lshCandidates(idxSigs), idxSh))
+      // production: yesterday's label table (doc_id, cluster_id) read from
+      // disk and passed as `indexLabels` — that is what makes the operator
+      // O(batch), not O(index), per run. Absent one, it is rebuilt from the
+      // SAME persisted index artifacts the candidate join uses (shingles +
+      // signatures), not from raw text again. An index doc absent from the
+      // label table is a singleton — its component label is itself.
+      val idxLab = indexLabels
+        .getOrElse(clustersFromPairs(verifyJaccard(lshCandidates(idxSigs), idxSh)))
         .select(col("doc_id").as("doc_o"), col("cluster_id"))
       val batchIds = batchDocs.select(col("doc_id"))
       // quotient-graph edges: batch-batch pairs as-is; batch-index pairs
@@ -367,7 +395,9 @@ object NearDup {
           .select(col("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
           .coalesce(parts).localCheckpoint()
-        if (iter >= 1) {
+        // same final-round rule as clustersFromPairs: a 1-round budget must
+        // still be able to observe convergence
+        if (iter >= 1 || iter == maxIters - 1) {
           val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
             .filter(col("n.label") =!= col("o.label")).count()
           converged = changed == 0

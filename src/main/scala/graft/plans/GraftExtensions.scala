@@ -43,8 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz.getCanonicalName, name), build))
     inject("graft_dot", classOf[ArrayDotProduct],
       exprs => ArrayDotProduct(exprs.head, exprs(1)))
-    inject("graft_shingles", classOf[WordShingles],
-      exprs => WordShingles(exprs.head))
+    inject("graft_shingles", classOf[WordShingles], WordShingles.build)
     inject("graft_minhash", classOf[MinHashSignature],
       exprs => MinHashSignature(exprs.head))
     inject("graft_bandkeys", classOf[MinHashBandKeys],

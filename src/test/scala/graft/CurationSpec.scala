@@ -48,6 +48,47 @@ class CurationSpec extends SparkSpec {
     assert(s.toSet == again.toSet)
   }
 
+  test("decontamination: planted 8-gram leak is flagged; clean docs are not") {
+    import spark.implicits._
+    // pick ids by their actual md5 bucket so the planted split is stable
+    val buckets = (0L until 200L).toDF("doc_id")
+      .select(col("doc_id"), Curation.sampleBucket(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalId = (0L until 200L).find(buckets(_) < 1000).get
+    val Seq(badId, cleanId) = (0L until 200L).filter(buckets(_) >= 1000).take(2)
+    val leak = "p1 p2 p3 p4 p5 p6 p7 p8" // exactly one shared 8-gram
+    val df = Seq(
+      evalId -> s"e0 $leak e9 e10",
+      badId -> s"t1 t2 $leak t9",
+      cleanId -> "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10").toDF("doc_id", "text")
+    val out = Curation.decontaminate(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((badId, 1L, 1L)))
+  }
+
+  test("decontaminate matches a string-keyed brute formulation on sf0.001") {
+    val sh = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashOps
+          .shinglesNative(spark, col("text"), 8)).as("ng"))
+      .withColumn("is_eval", Curation.sampleBucket(col("doc_id")) < 1000)
+    val ev = sh.filter(col("is_eval"))
+      .select(col("ng"), col("doc_id").as("eval_doc_id"))
+    val brute = sh.filter(!col("is_eval")).join(ev, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("eval_doc_id")).as("n_eval_docs"),
+        count_distinct(col("ng")).as("n_shared_ngrams"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == brute)
+    // contamination is train-side only
+    val evalIds = docs.select(col("doc_id"))
+      .filter(Curation.sampleBucket(col("doc_id")) < 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet.intersect(evalIds).isEmpty)
+  }
+
   test("distinctive tokens: rank by integer tf/df, rare beats common") {
     import spark.implicits._
     val d = Seq(

@@ -80,4 +80,17 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Curation.stratifiedSample(emptyDocs, 40).count() == 0)
     assert(Curation.cleanCorpus(emptyDocs, 30L).count() == 0)
   }
+
+  test("registerAll re-binds a view a caller dropped or shadowed") {
+    val dir = "/root/testdata/sf0.001"
+    Tables.registerAll(spark, dir)
+    val realCount = spark.sql("SELECT count(*) FROM events").head().getLong(0)
+    // a test/caller shadows 'events' with its own frame and drops another —
+    // the memoized skip must not leave SQL-text queries reading foreign data
+    Seq((1L, "x")).toDF("event_id", "junk").createOrReplaceTempView("events")
+    spark.catalog.dropTempView("documents")
+    Tables.registerAll(spark, dir)
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) == realCount)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
 }

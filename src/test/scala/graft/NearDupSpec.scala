@@ -226,6 +226,47 @@ class NearDupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("incremental: interleaved ids violate the monotone invariant loudly") {
+    import spark.implicits._
+    val index = Seq((0L, base), (7L, other)).toDF("doc_id", "text")
+    val batch = Seq((5L, nearDup)).toDF("doc_id", "text") // 5 < index max 7
+    val ex = intercept[IllegalArgumentException] {
+      NearDup.incrementalNearDups(index, batch).collect()
+    }
+    assert(ex.getMessage.contains("monotone"))
+  }
+
+  test("incremental: a supplied index label table reproduces the rebuild path") {
+    import spark.implicits._
+    // reuse the bridge construction — the hardest labeling case — and feed
+    // the operator yesterday's persisted labels instead of letting it
+    // re-cluster the index; output must be identical
+    def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val A = block("a", 150); val B = block("b", 150)
+    val M = block("m", 150); val F = block("f", 75)
+    val index = Seq(
+      (0L, (A ++ M).mkString(" ")),
+      (5L, (B ++ M).mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (A.drop(50) ++ M ++ B.take(100)).mkString(" ")),
+      (11L, (B ++ M.take(75) ++ F).mkString(" "))).toDF("doc_id", "text")
+    val rebuilt = NearDup.incrementalNearDups(index, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // what the previous run would have persisted (paired docs only —
+    // singletons are implicit, same as the internal rebuild)
+    val persisted = NearDup.nearDupClusters(index)
+    val supplied = NearDup.incrementalNearDups(index, batch,
+        indexLabels = Some(persisted))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(supplied == rebuilt)
+  }
+
+  test("clustersFromPairs: maxIters=1 accepts an empty (trivially converged) graph") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_i", "doc_j")
+    assert(NearDup.clustersFromPairs(empty, maxIters = 1).collect().isEmpty)
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()
