@@ -211,6 +211,13 @@ object SparkEntry {
     // benchmark decontamination: training docs sharing any word-8-gram
     // with the held-out split (md5-bucket 10% of the corpus)
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables.documents(s, dir))),
+    // Gopher-style repetition quality signals (top-2-gram share,
+    // duplicate-3-gram share, exact integer basis points)
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
+    // PII detection + redaction over deterministically planted positives
+    // (the corpus itself is PII-free word salad)
+    "text_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(TextAnalysis.withSyntheticPii(Tables.documents(s, dir)))),
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
@@ -682,6 +689,43 @@ object SparkEntry {
         |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2,
+        |        CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          for i in range(1, len(w) - 1)])) AS BIGINT) AS d3
+        |      FROM t WHERE len(w) >= 3),
+        |c AS (SELECT doc_id, n_tokens, d3, count(*) AS cnt
+        |      FROM (SELECT doc_id, n_tokens, d3, unnest(g2) AS g FROM s)
+        |      GROUP BY doc_id, n_tokens, d3, g),
+        |m AS (SELECT doc_id, n_tokens, d3, max(cnt) AS top2
+        |      FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens,
+        |  (top2 * 20000 + (n_tokens - 1)) // (2 * (n_tokens - 1)) AS top_2gram_bp,
+        |  ((n_tokens - 2 - d3) * 20000 + (n_tokens - 2)) // (2 * (n_tokens - 2)) AS dup_3gram_bp
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // same planted-PII construction, then RE2/Java-portable regex classes;
+    // redaction order email -> phone -> ip on both sides
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example'
+        |      || CASE WHEN doc_id % 3 = 0
+        |              THEN ' alt doc' || CAST(doc_id AS VARCHAR) || '@alt.example'
+        |              ELSE '' END
+        |      || ' phone 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')) AS redacted_key
+        |FROM p ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies

@@ -182,6 +182,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition metrics — the Gopher-style "is this doc degenerate
+    * boilerplate?" quality signals: share of 2-gram instances taken by the
+    * single most frequent 2-gram, and share of 3-gram instances that are
+    * repeats of an earlier 3-gram. High values flag the spammy/templated
+    * docs a curation pipeline drops before training. Docs shorter than 3
+    * tokens are skipped (no trigram exists to measure).
+    *
+    * Scale shape: the top-2-gram count is a two-level hash aggregation over
+    * exploded position indices (`sequence`+`element_at` stays in codegen;
+    * gram rows never carry the document text); the distinct-3-gram count is
+    * the row-local [[TextHashOps.shinglesNative]] kernel — map-only. Both
+    * ratios are exact integer basis points.
+    */
+  def repetitionMetrics(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents
+      .select(col("doc_id"), toks.as("w"),
+        size(toks).cast("long").as("n_tokens"),
+        size(graft.functions.TextHashOps.shinglesNative(spark, col("text")))
+          .cast("long").as("d3"))
+      .filter(col("n_tokens") >= 3)
+    val top2 = base
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("w")) - 1)).as("i"), col("w"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("w"), col("i")),
+        element_at(col("w"), col("i") + 1)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2"))
+    base.select(col("doc_id"), col("n_tokens"), col("d3")).join(top2, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(top2 * 20000 + (n_tokens - 1)) div (2 * (n_tokens - 1))")
+          .as("top_2gram_bp"),
+        expr("((n_tokens - 2 - d3) * 20000 + (n_tokens - 2)) div (2 * (n_tokens - 2))")
+          .as("dup_3gram_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns for [[piiRedact]] — deliberately simple classes (email,
+    * 555-prefixed phone, dotted-quad IP) written in the regex subset where
+    * Java's engine and RE2-style engines agree, so an independent SQL
+    * oracle can replicate the redaction byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9.]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+    ("phone", "555-[0-9]{4}", "<PHONE>"),
+    ("ip", "10\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"))
+
+  /** Deterministic synthetic-PII fixture: appends an email (two for every
+    * third doc), a phone, and an IP derived from `doc_id` — the corpus
+    * itself is PII-free word salad, so the redaction operator needs planted
+    * positives the oracle can reconstruct (same trick as the malformed-CSV
+    * fixtures in [[graft.operators.CsvIngest]]).
+    */
+  def withSyntheticPii(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact doc"), col("doc_id").cast("string"), lit("@mail.example"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" alt doc"), col("doc_id").cast("string"), lit("@alt.example")))
+        .otherwise(lit("")),
+      lit(" phone 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      .as("text"))
+
+  /** PII detection + redaction over `text`: per-class match counts and the
+    * md5 of the fully redacted text (emails → `<EMAIL>`, phones →
+    * `<PHONE>`, IPs → `<IP>`, applied in that order). Row-local regex work
+    * — codegen'd `regexp_count`/`regexp_replace`, no shuffle; at 100 TB
+    * this is a pure map pass.
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
+    }
+    documents.select(
+      col("doc_id") +:
+        piiPatterns.map { case (name, re, _) =>
+          regexp_count(col("text"), lit(re)).cast("long").as(s"n_${name}s")
+        } :+ md5(redacted).as("redacted_key"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text.
     * (The rolling-hash shingle fingerprint lives in [[graft.operators.Dedup]]
     * where it feeds MinHash.)

@@ -68,4 +68,40 @@ class MultimodalTextSpec extends SparkSpec {
     assert(r1.getAs[Long]("ttr_bp") == 2500L)
     assert(r1.getAs[Long]("stop_cnt") == 4L)
   }
+
+  test("repetition: hand-computed grams on planted repeats; short docs skipped") {
+    val d = Seq(
+      (0L, "x y x y x y"),  // 2-grams: 3×"x y", 2×"y x" of 5; 3-grams: 2 distinct of 4
+      (1L, "a b c d"),      // no repeats: top2 1/3, dup3 0/2
+      (2L, "p q")           // < 3 tokens → skipped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (0L, 6L, 6000L, 5000L),   // (3*20000+5) div 10 = 6000; (2*20000+4) div 8 = 5000
+      (1L, 4L, 3333L, 0L)))     // (1*20000+3) div 6 = 3333
+  }
+
+  test("pii: planted positives are counted and redacted byte-for-byte") {
+    val d = Seq((1L, "reach doc5@mail.example or 555-1234 at 10.1.2.3 ok"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(d).collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) == ((1L, 1L, 1L)))
+    val expected = Seq("reach <EMAIL> or <PHONE> at <IP> ok").toDF("t")
+      .select(md5(col("t"))).head().getString(0)
+    assert(out.getString(4) == expected)
+  }
+
+  test("pii: synthetic injection yields the id-derived counts on sf0.001") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.piiRedact(TextAnalysis.withSyntheticPii(real))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == (if (id % 3 == 0) 2L else 1L), s"emails doc $id")
+      assert(r.getLong(2) == 1L, s"phones doc $id")
+      assert(r.getLong(3) == 1L, s"ips doc $id")
+    }
+  }
 }
