@@ -211,6 +211,25 @@ object SparkEntry {
     // benchmark decontamination: training docs sharing any word-8-gram
     // with the held-out split (md5-bucket 10% of the corpus)
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables.documents(s, dir))),
+    // the decontamination screen through the SQL-text surface — pins the
+    // two-arg graft_shingles(text, n) extension function as a SQL citizen
+    "text_decontaminate_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      graft.functions.TextHashOps.register(s)
+      s.sql("""
+        |WITH p AS (
+        |  SELECT doc_id, xxhash64(ng) AS ngh,
+        |    CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)
+        |      AS BIGINT) % 10000 < 1000 AS is_eval
+        |  FROM documents
+        |  LATERAL VIEW explode(graft_shingles(text, 8)) t AS ng)
+        |SELECT tr.doc_id,
+        |  count(DISTINCT ev.doc_id) AS n_eval_docs,
+        |  count(DISTINCT tr.ngh) AS n_shared_ngrams
+        |FROM p tr JOIN p ev ON tr.ngh = ev.ngh
+        |WHERE NOT tr.is_eval AND ev.is_eval
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
+    }),
     // Gopher-style repetition quality signals (top-2-gram share,
     // duplicate-3-gram share, exact integer basis points)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
@@ -279,6 +298,14 @@ object SparkEntry {
       val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
         .head().getLong(0)
       NearDup.incrementalNearDups(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+    }),
+    // incremental exact admission: same 80/20 split, key-table join shape
+    "dedup_incremental_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Dedup.incrementalExact(
         docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
     }),
     // Curation extensions: deterministic sampling, corpus rollup, and the
@@ -671,24 +698,8 @@ object SparkEntry {
     // eval-overlap contamination: 8-gram join on shingle TEXT (the Spark
     // side joins on xxhash64 of the same strings — identical result barring
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
-    "text_decontaminate" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      % 10000 < 1000 AS is_eval
-        |  FROM documents),
-        |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
-        |sh AS (SELECT doc_id, is_eval,
-        |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-        |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
-        |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
-        |  FROM t WHERE len(w) >= 8)
-        |SELECT tr.doc_id,
-        |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
-        |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
-        |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
-        |WHERE NOT tr.is_eval AND ev.is_eval
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "text_decontaminate_sql" -> decontaminateOracle,
+    "text_decontaminate" -> decontaminateOracle,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
@@ -800,6 +811,16 @@ object SparkEntry {
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
          |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
          |ORDER BY d.doc_id""".stripMargin,
+    // whole-corpus exact dedup restricted to the batch ids — the same
+    // union-vs-incremental equivalence contract as dedup_incremental
+    "dedup_incremental_exact" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS key FROM documents),
+        |canon AS (SELECT key, min(doc_id) AS canonical_id FROM k GROUP BY key)
+        |SELECT k.doc_id, canon.canonical_id,
+        |       (canon.canonical_id = k.doc_id) AS admitted
+        |FROM k JOIN canon ON k.key = canon.key
+        |WHERE k.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY k.doc_id""".stripMargin,
     "sample_docs" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -908,6 +929,30 @@ object SparkEntry {
        |WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4
        |ORDER BY vec_i, vec_j""".stripMargin
   }
+
+  /** Eval-overlap contamination oracle: 8-gram join on shingle TEXT (the
+    * Spark sides join on xxhash64 of the same strings — identical result
+    * barring a 64-bit collision, the dedup_ngram_jaccard precedent).
+    * Shared by the Column-API query and its SQL-text twin.
+    */
+  private val decontaminateOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 10000 < 1000 AS is_eval
+      |  FROM documents),
+      |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
+      |sh AS (SELECT doc_id, is_eval,
+      |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+      |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+      |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
+      |  FROM t WHERE len(w) >= 8)
+      |SELECT tr.doc_id,
+      |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+      |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+      |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
+      |WHERE NOT tr.is_eval AND ev.is_eval
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
     * Used by `text_langid` and `sample_stratified`.

@@ -35,4 +35,43 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("canonical_id"))
+
+  /** Incremental exact admission — the daily-run twin of
+    * [[NearDup.incrementalNearDups]] for the exact-key family: admit a new
+    * batch against a persisted canonical key table WITHOUT re-aggregating
+    * the whole corpus.
+    *
+    * Contract (oracle-checked as `dedup_incremental_exact`): incremental
+    * admission ≡ whole-corpus exact dedup of index ∪ batch restricted to
+    * batch ids, under the same append-only monotone-ids invariant as the
+    * near-dup operator (guarded loudly). A batch doc's canonical is the
+    * index canonical when its key is already indexed, else the minimum
+    * batch id sharing the key; `admitted` = the doc IS that canonical.
+    *
+    * Scale shape: one hash aggregation over the batch (map-side combined)
+    * plus an equi-join against the key table on the fixed 32-byte md5 key —
+    * O(batch) work given the persisted table (`indexKeys`); the rebuild
+    * default aggregates the index once, same as the near-dup twin.
+    *
+    * @param indexKeys yesterday's persisted key table
+    *   `(text_key, canonical_id)`; rebuilt from `indexDocs` when absent.
+    */
+  def incrementalExact(indexDocs: DataFrame, batchDocs: DataFrame,
+                       indexKeys: Option[DataFrame] = None): DataFrame = {
+    NearDup.requireMonotoneIds(indexDocs, batchDocs, "incrementalExact")
+    val idx = indexKeys.getOrElse(
+        indexDocs.select(md5(col("text")).as("text_key"), col("doc_id"))
+          .groupBy(col("text_key")).agg(min(col("doc_id")).as("canonical_id")))
+      .select(col("text_key"), col("canonical_id").as("idx_canonical"))
+    val bk = batchDocs.select(col("doc_id"), md5(col("text")).as("text_key"))
+    val batchCanon = bk.groupBy(col("text_key"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    bk.join(batchCanon, "text_key")
+      .join(idx, Seq("text_key"), "left")
+      .select(col("doc_id"),
+        coalesce(col("idx_canonical"), col("batch_min")).as("canonical_id"),
+        (coalesce(col("idx_canonical"), col("batch_min")) === col("doc_id"))
+          .as("admitted"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -294,23 +294,34 @@ object NearDup {
     *   rebuilt from the index signatures, which is correct but O(index).
     *   Spec-pinned: both paths produce identical output.
     */
-  def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
-                          maxIters: Int = 50,
-                          indexLabels: Option[DataFrame] = None): DataFrame = {
-    // the monotone-ids invariant is load-bearing (see contract above); a
-    // violation would SILENTLY mis-admit batch docs and strand stale index
-    // labels, so it fails loudly instead. Two scalar aggregates on frames
-    // the pipeline reads anyway; null bounds (either side empty) are the
-    // cold-start / empty-batch cases, which are trivially consistent.
+  /** Fail loudly when the append-only monotone-ids invariant (every index
+    * doc_id < every batch doc_id) does not hold — it is load-bearing for
+    * every incremental dedup operator ('canonical = min id' is only
+    * incrementally maintainable when no batch id can undercut an index
+    * component's stored minimum). Two scalar aggregates on frames the
+    * pipelines read anyway; null bounds (either side empty) are the
+    * cold-start / empty-batch cases, which are trivially consistent.
+    */
+  private[operators] def requireMonotoneIds(indexDocs: DataFrame,
+                                            batchDocs: DataFrame,
+                                            op: String): Unit = {
     val idBounds = indexDocs.agg(max(col("doc_id"))).head()
     val batchBounds = batchDocs.agg(min(col("doc_id"))).head()
     if (!idBounds.isNullAt(0) && !batchBounds.isNullAt(0))
       require(idBounds.getLong(0) < batchBounds.getLong(0),
-        s"incrementalNearDups requires append-only monotone ids " +
+        s"$op requires append-only monotone ids " +
           s"(every index doc_id < every batch doc_id); got index max " +
           s"${idBounds.getLong(0)} >= batch min ${batchBounds.getLong(0)} — " +
-          "'cluster canonical = min id' is not incrementally maintainable " +
-          "under id interleaving; re-cluster the union instead")
+          "'canonical = min id' is not incrementally maintainable " +
+          "under id interleaving; re-run over the whole union instead")
+  }
+
+  def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
+                          maxIters: Int = 50,
+                          indexLabels: Option[DataFrame] = None): DataFrame = {
+    // a violation would SILENTLY mis-admit batch docs and strand stale
+    // index labels — fail loudly instead
+    requireMonotoneIds(indexDocs, batchDocs, "incrementalNearDups")
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()
     val idxSigs = minhashSignatures(idxSh).persist()

@@ -267,6 +267,47 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.clustersFromPairs(empty, maxIters = 1).collect().isEmpty)
   }
 
+  test("incremental exact: planted copies, supplied-key parity, union equivalence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // index: T1 at id 0, unrelated at 2; batch: copy of T1 (10), a new
+    // text twice (11, 12) — covers indexed-key, new-key-first, new-key-dup
+    val index = Seq((0L, base), (2L, other)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, "fresh text"), (12L, "fresh text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(index, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((10L, 0L, false), (11L, 11L, true), (12L, 11L, false)))
+    // a supplied persisted key table reproduces the rebuild path
+    val keys = Dedup.exactDedup(index).select(col("text_key"), col("canonical_id"))
+    val supplied = Dedup.incrementalExact(index, batch, indexKeys = Some(keys))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(supplied == got)
+    // interleaved ids fail loudly, same guard as the near-dup twin
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalExact(index,
+        Seq((1L, "x")).toDF("doc_id", "text")).collect()
+    }
+    assert(ex.getMessage.contains("monotone"))
+    // union equivalence on the real corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val inc = Dedup.incrementalExact(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val whole = Dedup.exactDedup(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keyOf = docs.select(col("doc_id"), md5(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = keyOf.keys.filter(_ >= cut).toSeq.sorted.map { id =>
+      val canon = whole(keyOf(id))
+      (id, canon, canon == id)
+    }
+    assert(inc == expected)
+  }
+
   test("maxDocFreq drops hot shingles from the exact pipeline") {
     // with df cap 1, every shared shingle is dropped → no pairs survive
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()

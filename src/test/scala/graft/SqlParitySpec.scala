@@ -18,7 +18,8 @@ class SqlParitySpec extends SparkSpec {
     ("t2_big_customers_sql", "t2_big_customers"),
     ("dedup_exact_sql", "dedup_exact"),
     ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"),
-    ("dedup_embedding_sql", "dedup_embedding"))
+    ("dedup_embedding_sql", "dedup_embedding"),
+    ("text_decontaminate_sql", "text_decontaminate"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
