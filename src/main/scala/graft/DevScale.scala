@@ -127,6 +127,20 @@ object DevScale {
     timeDocs("pack_shards_500k")(
       graft.operators.Curation.packShards(dc, 65536L).count())
 
+    // decontamination at 500k docs: ~24M 8-gram postings (50k-doc eval
+    // split), equi-join on the 8-byte gram hash; the ~1% planted near-dup
+    // chains whose members straddle the md5 eval split are the expected
+    // contamination hits
+    timeDocs("decontaminate_500k")(
+      graft.operators.Curation.decontaminate(dc).count())
+
+    // incremental EXACT admission at the same 400k/100k split: two hash
+    // aggregations + one key-table equi-join — the cheap daily-run path
+    timeDocs("dedup_inc_exact_500k")(
+      graft.operators.Dedup.incrementalExact(
+        dc.filter(col("doc_id") < 400000L),
+        dc.filter(col("doc_id") >= 400000L)).count())
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)

@@ -24,13 +24,14 @@ object Tables {
     * when it reads TIMESTAMP_NS into its microsecond TIMESTAMP, so oracle
     * comparisons stay exact.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = apply(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    convertEventTs(apply(spark, sfDir, "events"))
+
+  private def convertEventTs(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
-  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")
@@ -50,31 +51,37 @@ object Tables {
     * API. Combined with [[graft.plans.GraftExtensions]] this gives SQL
     * users the full engine including `graft_dot`.
     *
-    * The expensive part of registration is building the DataFrames (each
-    * `spark.read.parquet` reads a footer for schema), so those are memoized
-    * per (session, dir); the temp-view binding itself is a cheap catalog
-    * write and is ALWAYS re-applied — a caller (or test) that dropped or
-    * shadowed one of the ten views with its own data gets the real table
-    * back rather than silently querying foreign rows through a stale
-    * memo-skip.
+    * The expensive part of registration is schema inference (each bare
+    * `spark.read.parquet` reads a footer), so the SCHEMAS are memoized per
+    * (session, dir) and every call rebuilds the DataFrames with
+    * `read.schema(...)` (no footer read) and re-applies the temp-view
+    * binding — a cheap catalog write. A caller (or test) that dropped or
+    * shadowed one of the ten views with its own data therefore gets the
+    * real table back rather than silently querying foreign rows through a
+    * stale memo-skip. Only `StructType`s are cached — a cached DataFrame
+    * would strongly reference its own SparkSession and defeat the weak-key
+    * eviction below (the WeakHashMap value-refers-to-key trap).
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     val hit = cached.get(spark)
-    val dfs =
+    val schemas =
       if (hit != null && hit._1 == sfDir) hit._2
       else {
-        val built = all.map { name =>
-          name -> (if (name == "events") events(spark, sfDir) else apply(spark, sfDir, name))
-        }
+        val built = all.map(name => name -> apply(spark, sfDir, name).schema).toMap
         cached.put(spark, (sfDir, built))
         built
       }
-    dfs.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    all.foreach { name =>
+      val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+      val df = if (name == "events") convertEventTs(raw) else raw
+      df.createOrReplaceTempView(name)
+    }
   }
 
-  // memoized (dir, table DataFrames) PER SESSION (views are session-scoped,
+  // memoized (dir, table schemas) PER SESSION (views are session-scoped,
   // and a dir switch must rebuild); weak keys so a stopped session can be
-  // GC'd
-  private val cached =
-    new java.util.WeakHashMap[SparkSession, (String, Seq[(String, DataFrame)])]()
+  // GC'd — values hold no session reference
+  private val cached = new java.util.WeakHashMap[
+    SparkSession, (String, Map[String, org.apache.spark.sql.types.StructType])]()
 }

@@ -103,15 +103,29 @@ case class WordShingles(child: Expression, n: Int = 3) extends UnaryExpression {
 }
 
 object WordShingles {
-  /** Registry builder: `graft_shingles(text[, n])` — `n` must be a literal
-    * (it is baked into generated code).
+  /** Registry builder: `graft_shingles(text[, n])` — `n` must be a
+    * positive integer literal (it is baked into generated code). Null,
+    * non-integral, and non-positive literals are rejected with the same
+    * curated error rather than leaking an NPE/ClassCastException from
+    * evaluation.
     */
   def build(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(t) => WordShingles(t)
     case Seq(t, n) if n.foldable =>
-      WordShingles(t, n.eval().asInstanceOf[Number].intValue())
+      val v = n.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles expects a positive integer literal n, got " +
+            (if (other == null) "NULL" else s"$other (${other.getClass.getSimpleName})"))
+      }
+      require(v >= 1 && v <= 1000,
+        s"graft_shingles n must be in [1, 1000], got $v")
+      WordShingles(t, v.toInt)
     case _ => throw new IllegalArgumentException(
-      "graft_shingles expects (text) or (text, <literal int n>)")
+      "graft_shingles expects (text) or (text, <positive integer literal n>)")
   }
 
   /** One pass: split on single spaces (trailing empties kept, like

@@ -58,7 +58,12 @@ object Dedup {
     */
   def incrementalExact(indexDocs: DataFrame, batchDocs: DataFrame,
                        indexKeys: Option[DataFrame] = None): DataFrame = {
-    NearDup.requireMonotoneIds(indexDocs, batchDocs, "incrementalExact")
+    // supplied-table path: bound the guard by the stored canonical ids
+    // (the minima being protected) so the index corpus is never scanned
+    NearDup.requireMonotoneIds(
+      indexKeys.map(_.select(col("canonical_id")))
+        .getOrElse(indexDocs.select(col("doc_id"))),
+      batchDocs, "incrementalExact")
     val idx = indexKeys.getOrElse(
         indexDocs.select(md5(col("text")).as("text_key"), col("doc_id"))
           .groupBy(col("text_key")).agg(min(col("doc_id")).as("canonical_id")))

@@ -294,34 +294,17 @@ object NearDup {
     *   rebuilt from the index signatures, which is correct but O(index).
     *   Spec-pinned: both paths produce identical output.
     */
-  /** Fail loudly when the append-only monotone-ids invariant (every index
-    * doc_id < every batch doc_id) does not hold — it is load-bearing for
-    * every incremental dedup operator ('canonical = min id' is only
-    * incrementally maintainable when no batch id can undercut an index
-    * component's stored minimum). Two scalar aggregates on frames the
-    * pipelines read anyway; null bounds (either side empty) are the
-    * cold-start / empty-batch cases, which are trivially consistent.
-    */
-  private[operators] def requireMonotoneIds(indexDocs: DataFrame,
-                                            batchDocs: DataFrame,
-                                            op: String): Unit = {
-    val idBounds = indexDocs.agg(max(col("doc_id"))).head()
-    val batchBounds = batchDocs.agg(min(col("doc_id"))).head()
-    if (!idBounds.isNullAt(0) && !batchBounds.isNullAt(0))
-      require(idBounds.getLong(0) < batchBounds.getLong(0),
-        s"$op requires append-only monotone ids " +
-          s"(every index doc_id < every batch doc_id); got index max " +
-          s"${idBounds.getLong(0)} >= batch min ${batchBounds.getLong(0)} — " +
-          "'canonical = min id' is not incrementally maintainable " +
-          "under id interleaving; re-run over the whole union instead")
-  }
-
   def incrementalNearDups(indexDocs: DataFrame, batchDocs: DataFrame,
                           maxIters: Int = 50,
                           indexLabels: Option[DataFrame] = None): DataFrame = {
     // a violation would SILENTLY mis-admit batch docs and strand stale
-    // index labels — fail loudly instead
-    requireMonotoneIds(indexDocs, batchDocs, "incrementalNearDups")
+    // index labels — fail loudly instead. With a supplied label table the
+    // bound comes from the table (the stored minima being protected), so
+    // the check never re-scans the index corpus in the O(batch) path.
+    requireMonotoneIds(
+      indexLabels.map(_.select(col("doc_id")))
+        .getOrElse(indexDocs.select(col("doc_id"))),
+      batchDocs, "incrementalNearDups")
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()
     val idxSigs = minhashSignatures(idxSh).persist()
@@ -427,6 +410,35 @@ object NearDup {
         .orderBy(col("doc_id"))
         .localCheckpoint()
     } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }
+  }
+
+  /** Fail loudly when the append-only monotone-ids invariant (every index
+    * doc_id < every batch doc_id) does not hold — it is load-bearing for
+    * every incremental dedup operator: 'canonical = min id' is only
+    * incrementally maintainable when no batch id can undercut a stored
+    * index minimum (otherwise admission flags flip and on-disk labels go
+    * stale without any error). `indexIds` is the id column of whatever
+    * index artifact the caller's path actually reads — the raw corpus when
+    * rebuilding, the persisted label/key table when one is supplied — so
+    * the guard's cost stays within that path's documented profile (it
+    * never forces a corpus scan in the O(batch) path; ids of index docs
+    * absent from a supplied artifact are singletons with no stored state
+    * to go stale). Two scalar aggregates; null bounds (either side empty)
+    * are the cold-start / empty-batch cases, trivially consistent.
+    */
+  private[operators] def requireMonotoneIds(indexIds: DataFrame,
+                                            batchDocs: DataFrame,
+                                            op: String): Unit = {
+    val idCol = col(indexIds.columns.head)
+    val idBounds = indexIds.agg(max(idCol)).head()
+    val batchBounds = batchDocs.agg(min(col("doc_id"))).head()
+    if (!idBounds.isNullAt(0) && !batchBounds.isNullAt(0))
+      require(idBounds.getLong(0) < batchBounds.getLong(0),
+        s"$op requires append-only monotone ids " +
+          s"(every index doc_id < every batch doc_id); got index max " +
+          s"${idBounds.getLong(0)} >= batch min ${batchBounds.getLong(0)} — " +
+          "'canonical = min id' is not incrementally maintainable " +
+          "under id interleaving; re-run over the whole union instead")
   }
 
   /** Per-round partition count for the label-propagation frames:

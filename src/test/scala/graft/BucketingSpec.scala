@@ -55,10 +55,13 @@ class BucketingSpec extends SparkSpec {
       val plan = planOf(sess)
       assert(!plan.contains("Exchange"),
         s"session_window over bucketed events should not shuffle:\n$plan")
-      // same sessions as the plain parquet path (modulo row order)
+      // same sessions as the plain parquet path (modulo row order); the
+      // scan side gets the same null filters the bucketed write applied
       val viaBucket = sess.collect().map(_.toSeq).toSet
       val viaScan = graft.operators.Sessions.sessionAgg(
-          Tables.events(spark, "/root/testdata/sf0.001"), lit("30 seconds"))
+          Tables.events(spark, "/root/testdata/sf0.001")
+            .filter(col("user_id").isNotNull && col("ts").isNotNull),
+          lit("30 seconds"))
         .collect().map(_.toSeq).toSet
       assert(viaBucket == viaScan)
     }

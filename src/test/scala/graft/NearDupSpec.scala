@@ -290,6 +290,18 @@ class NearDupSpec extends SparkSpec {
         Seq((1L, "x")).toDF("doc_id", "text")).collect()
     }
     assert(ex.getMessage.contains("monotone"))
+    // the supplied-key path is genuinely O(batch): an EMPTY index corpus
+    // with the persisted key table still yields the full answer, and the
+    // guard bounds by the stored canonicals (batch min 1 < canonical 2)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val viaKeysOnly = Dedup.incrementalExact(noDocs, batch, indexKeys = Some(keys))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(viaKeysOnly == got)
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalExact(noDocs, Seq((1L, "x")).toDF("doc_id", "text"),
+        indexKeys = Some(keys)).collect()
+    }
+    assert(ex2.getMessage.contains("monotone"))
     // union equivalence on the real corpus
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
