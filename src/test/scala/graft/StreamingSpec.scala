@@ -270,6 +270,43 @@ class FileSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact admission across micro-batches equals whole-corpus dedup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      // three micro-batches with internal AND cross-batch duplicates
+      val batches = Seq(
+        Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha")),
+        Seq((10L, "beta"), (11L, "gamma"), (12L, "gamma")),
+        Seq((20L, "alpha"), (21L, "delta")))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        StreamingSessions.appendReplayFile(
+          b.toDF("doc_id", "text"), in, i)
+      }
+      graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+        in.toString, root.resolve("keys").toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      val got = spark.read.parquet(root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      // contract: identical to whole-corpus exact dedup over the union
+      val all = batches.flatten.toDF("doc_id", "text")
+      val canon = graft.operators.Dedup.exactDedup(all)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keyOf = all.select(col("doc_id"), md5(col("text")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = batches.flatten.map(_._1).sorted.map { id =>
+        (id, canon(keyOf(id)), canon(keyOf(id)) == id)
+      }
+      assert(got == want)
+      // the persisted key table holds exactly the four canonicals
+      val keys = spark.read.parquet(root.resolve("keys").toString)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(keys == canon.toSet)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("CSV-line stream parses through the same permissive stage as batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream")
