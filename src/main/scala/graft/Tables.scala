@@ -58,7 +58,11 @@ object Tables {
     * binding — a cheap catalog write. A caller (or test) that dropped or
     * shadowed one of the ten views with its own data therefore gets the
     * real table back rather than silently querying foreign rows through a
-    * stale memo-skip. Only `StructType`s are cached — a cached DataFrame
+    * stale memo-skip. The memo assumes the parquet under a given dir is
+    * immutable (true for the driver-generated fixtures): rewriting a file
+    * in place with a DIFFERENT schema would read through the stale cached
+    * schema — switch dirs (the memo keys on dir) or restart the session to
+    * pick up a schema change. Only `StructType`s are cached — a cached DataFrame
     * would strongly reference its own SparkSession and defeat the weak-key
     * eviction below (the WeakHashMap value-refers-to-key trap).
     */

@@ -429,9 +429,11 @@ object NearDup {
   private[operators] def requireMonotoneIds(indexIds: DataFrame,
                                             batchDocs: DataFrame,
                                             op: String): Unit = {
-    val idCol = col(indexIds.columns.head)
+    // cast to long so Integer-typed id columns don't ClassCastException in
+    // the getLong extraction below (the invariant error must stay reachable)
+    val idCol = col(indexIds.columns.head).cast("long")
     val idBounds = indexIds.agg(max(idCol)).head()
-    val batchBounds = batchDocs.agg(min(col("doc_id"))).head()
+    val batchBounds = batchDocs.agg(min(col("doc_id").cast("long"))).head()
     if (!idBounds.isNullAt(0) && !batchBounds.isNullAt(0))
       require(idBounds.getLong(0) < batchBounds.getLong(0),
         s"$op requires append-only monotone ids " +

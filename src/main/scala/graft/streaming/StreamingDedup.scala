@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Exactly-once caveat (documented, not hidden): plain parquet appends
   * make a replayed micro-batch append twice; a production deployment puts
   * a transactional table format or batch-id-keyed idempotent writer under
-  * the same loop. The admission LOGIC is unchanged either way, which is
-  * what the spec pins (stream ≡ whole-corpus batch dedup).
+  * the same loop. To keep that failure BOUNDED to the output dir, the key
+  * table is canonicalized on read (min canonical_id per text_key) — a
+  * replayed append can duplicate key rows on disk, but later batches
+  * still see one row per key, so their admission joins never fan out.
+  * The admission LOGIC is unchanged either way, which is what the spec
+  * pins (stream ≡ whole-corpus batch dedup).
   */
 object StreamingDedup {
 
@@ -47,8 +51,18 @@ object StreamingDedup {
       val b = batch.persist()
       try {
         val sess = b.sparkSession
+        // Hadoop FS existence check (not java.io.File) so the key table can
+        // live on HDFS/S3 in a cluster deployment, per the docstring above.
+        val keyPath = new org.apache.hadoop.fs.Path(keyDir)
+        val fs = keyPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
         val idx =
-          if (new java.io.File(keyDir).exists()) sess.read.parquet(keyDir)
+          if (fs.exists(keyPath))
+            // canonicalize on read: a replayed append may have written a
+            // key twice; min(canonical_id) per key keeps admission joins
+            // one-row-per-key regardless (min of duplicates == the value)
+            sess.read.schema(keySchema).parquet(keyDir)
+              .groupBy(col("text_key"))
+              .agg(min(col("canonical_id")).as("canonical_id"))
           else sess.createDataFrame(
             sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
         val admitted = graft.operators.Dedup

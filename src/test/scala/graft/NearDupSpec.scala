@@ -234,6 +234,14 @@ class NearDupSpec extends SparkSpec {
       NearDup.incrementalNearDups(index, batch).collect()
     }
     assert(ex.getMessage.contains("monotone"))
+    // integer-typed ids reach the same invariant error, not a
+    // ClassCastException from the long extraction inside the guard
+    val intIndex = Seq((0, base), (7, other)).toDF("doc_id", "text")
+    val intBatch = Seq((5, nearDup)).toDF("doc_id", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalExact(intIndex, intBatch).collect()
+    }
+    assert(ex2.getMessage.contains("monotone"))
   }
 
   test("incremental: a supplied index label table reproduces the rebuild path") {

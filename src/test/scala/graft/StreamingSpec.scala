@@ -307,6 +307,41 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("replay-duplicated key table stays bounded: admission joins never fan out") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-replay")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val keys = root.resolve("keys")
+      StreamingSessions.appendReplayFile(
+        Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"), in, 0)
+      graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+        in.toString, keys.toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      // simulate a replayed micro-batch: every key-table file appended twice
+      val keyFiles = java.nio.file.Files.list(keys).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      assert(keyFiles.nonEmpty)
+      keyFiles.foreach { f =>
+        java.nio.file.Files.copy(f,
+          f.resolveSibling("replayed-" + f.getFileName.toString))
+      }
+      // a later batch joining the corrupted table must still emit exactly
+      // one row per batch doc, with the original canonicals
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text"), in, 1)
+      graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+        in.toString, keys.toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      val out = spark.read.parquet(root.resolve("out").toString)
+        .filter(col("doc_id") >= 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(out == Seq((10L, 0L, false), (11L, 11L, true)))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("CSV-line stream parses through the same permissive stage as batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream")
