@@ -300,6 +300,21 @@ object SparkEntry {
       NearDup.incrementalNearDups(
         docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
     }),
+    // same split through the ARTIFACT-TABLE path: the index side is the
+    // three tables a previous run persists (shingles, signatures, labels),
+    // never re-read text — must land on the identical whole-corpus answer
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val index = docs.filter(col("doc_id") < cut)
+      val idxSh = NearDup.shingled(index).persist()
+      try NearDup.incrementalNearDupsIndexed(
+        idxSh, NearDup.minhashSignatures(idxSh),
+        NearDup.nearDupClusters(index),
+        docs.filter(col("doc_id") >= cut))._1
+      finally idxSh.unpersist()
+    }),
     // incremental exact admission: same 80/20 split, key-table join shape
     "dedup_incremental_exact" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -801,16 +816,9 @@ object SparkEntry {
     // union-vs-incremental equivalence: whole-corpus transitive closure,
     // restricted to the batch ids (the operator must reproduce it while
     // only propagating labels over the batch-side subgraph)
-    "dedup_incremental" ->
-      s"""WITH RECURSIVE
-         |$clusterCtes,
-         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cid
-         |        FROM reach GROUP BY a)
-         |SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id,
-         |       (coalesce(l.cid, d.doc_id) = d.doc_id) AS admitted
-         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-         |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
-         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" -> incrementalNearDupOracle,
+    // the artifact-table path must land on the SAME whole-corpus answer
+    "dedup_incremental_indexed" -> incrementalNearDupOracle,
     // whole-corpus exact dedup restricted to the batch ids — the same
     // union-vs-incremental equivalence contract as dedup_incremental
     "dedup_incremental_exact" ->
@@ -994,6 +1002,21 @@ object SparkEntry {
       |  SELECT u, v FROM e
       |  UNION
       |  SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)""".stripMargin
+
+  /** Whole-corpus transitive closure restricted to the batch ids — the
+    * union-vs-incremental equivalence contract shared by the
+    * document-corpus and artifact-table incremental near-dup paths.
+    */
+  private val incrementalNearDupOracle: String =
+    s"""WITH RECURSIVE
+       |$clusterCtes,
+       |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+       |        FROM reach GROUP BY a)
+       |SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id,
+       |       (coalesce(l.cid, d.doc_id) = d.doc_id) AS admitted
+       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+       |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Brute-force word-3-gram Jaccard ≥ 1/2 pairs — ground truth for both
     * the MinHash+LSH and inverted-index near-dup queries (the LSH banding

@@ -309,6 +309,84 @@ object NearDup {
     val bSh = shingled(batchDocs).persist()
     val idxSigs = minhashSignatures(idxSh).persist()
     try {
+      // production: yesterday's label table (doc_id, cluster_id) read from
+      // disk and passed as `indexLabels` — that is what makes the operator
+      // O(batch), not O(index), per run. Absent one, it is rebuilt from the
+      // SAME persisted index artifacts the candidate join uses (shingles +
+      // signatures), not from raw text again. An index doc absent from the
+      // label table is a singleton — its component label is itself.
+      val idxLab = indexLabels
+        .getOrElse(clustersFromPairs(verifyJaccard(lshCandidates(idxSigs), idxSh)))
+      admitCore(idxSh, idxSigs, indexDocs.select(col("doc_id")), idxLab,
+        bSh, batchDocs.select(col("doc_id")), maxIters)._1
+    } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }
+  }
+
+  /** Artifact-table variant of [[incrementalNearDups]] — the shape a
+    * CONTINUOUS ingest pipeline runs: the index is not a document corpus
+    * but the three persisted artifacts the previous runs wrote (shingle
+    * sets, minhash signature table, sparse cluster-label table), so each
+    * admission is O(batch) compute plus equi-joins against the artifact
+    * tables; index TEXT is never re-read, never re-shingled.
+    *
+    * Returns `(admissions, updatedLabels)`:
+    *  - `admissions` — every batch doc with its union-corpus `cluster_id`
+    *    and `admitted`, identical to [[incrementalNearDups]] on the same
+    *    split (oracle-checked as `dedup_incremental_indexed`).
+    *  - `updatedLabels` — the label table to persist for the NEXT run:
+    *    stored rows re-pointed through this batch's component merges (a
+    *    batch doc can bridge two index components; every member of the
+    *    losing component must re-label or later batches would admit
+    *    against a stale minimum), plus this batch's non-canonical docs.
+    *    The table is SPARSE — a doc absent from it is its own canonical
+    *    (singletons and cluster minima), which keeps it proportional to
+    *    the duplicate count, not the corpus. Rows are canonicalized by
+    *    `min(cluster_id)` per doc, so labels only ever decrease and a
+    *    twice-applied update (replayed micro-batch) is idempotent.
+    *    Production MERGEs the delta into a transactional table; the
+    *    snapshot returned here is the equivalent full state.
+    *
+    * The monotone-id guard bounds by the shingle artifact's ids (covering
+    * every doc that can collide) — a column-pruned scan answered largely
+    * from parquet footer stats, never a text read.
+    */
+  def incrementalNearDupsIndexed(indexShingles: DataFrame, indexSigs: DataFrame,
+                                 indexLabels: DataFrame, batchDocs: DataFrame,
+                                 maxIters: Int = 50): (DataFrame, DataFrame) = {
+    requireMonotoneIds(indexShingles.select(col("doc_id")), batchDocs,
+      "incrementalNearDupsIndexed")
+    val bSh = shingled(batchDocs).persist()
+    try {
+      val (admissions, quotient) = admitCore(indexShingles, indexSigs,
+        indexShingles.select(col("doc_id")), indexLabels,
+        bSh, batchDocs.select(col("doc_id")), maxIters)
+      // re-point stored labels through this batch's merges (old component
+      // label -> merged minimum), then add the batch's non-canonical rows
+      // and the losing-component nodes themselves (their id WAS a stored
+      // minimum; it now labels to the merged one)
+      val qmap = quotient.select(col("id").as("old_label"), col("label").as("new_label"))
+      val oldRelabeled = indexLabels.as("l")
+        .join(qmap, col("l.cluster_id") === col("old_label"), "left")
+        .select(col("l.doc_id"),
+          coalesce(col("new_label"), col("l.cluster_id")).as("cluster_id"))
+      val newRows = quotient.filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      val updated = oldRelabeled.union(newRows)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      (admissions, updated.localCheckpoint())
+    } finally bSh.unpersist()
+  }
+
+  /** Shared admission core over prepared index artifacts. Returns the
+    * batch admissions and the full converged quotient-graph label frame
+    * (batch docs + touched index component nodes) for label-store
+    * maintenance. Both frames are localCheckpointed (self-contained).
+    */
+  private def admitCore(idxSh: DataFrame, idxSigs: DataFrame,
+                        idxIdFrame: DataFrame, idxLabels: DataFrame,
+                        bSh: DataFrame, batchIds: DataFrame,
+                        maxIters: Int): (DataFrame, DataFrame) = {
+    {
       def bandsOf(sigs: DataFrame): DataFrame = sigs
         .select(col("doc_id"),
           posexplode(graft.functions.TextHashOps
@@ -339,17 +417,8 @@ object NearDup {
         .filter(col("inter") * 2 >= col("uni"))
         .select(col("doc_b"), col("doc_o"))
         .localCheckpoint()
-      val idxIds = indexDocs.select(col("doc_id").as("doc_o"))
-      // production: yesterday's label table (doc_id, cluster_id) read from
-      // disk and passed as `indexLabels` — that is what makes the operator
-      // O(batch), not O(index), per run. Absent one, it is rebuilt from the
-      // SAME persisted index artifacts the candidate join uses (shingles +
-      // signatures), not from raw text again. An index doc absent from the
-      // label table is a singleton — its component label is itself.
-      val idxLab = indexLabels
-        .getOrElse(clustersFromPairs(verifyJaccard(lshCandidates(idxSigs), idxSh)))
-        .select(col("doc_id").as("doc_o"), col("cluster_id"))
-      val batchIds = batchDocs.select(col("doc_id"))
+      val idxIds = idxIdFrame.select(col(idxIdFrame.columns.head).as("doc_o"))
+      val idxLab = idxLabels.select(col("doc_id").as("doc_o"), col("cluster_id"))
       // quotient-graph edges: batch-batch pairs as-is; batch-index pairs
       // collapse the index side to its COMPONENT id (stored label), with
       // both orientations so minima flow batch -> component -> batch —
@@ -367,7 +436,7 @@ object NearDup {
       // frame is batch-proportional and the edge frame candidate-bounded,
       // so size partitions to the larger of the two (edges is
       // checkpointed and the batch count is a parquet count — both cheap)
-      val parts = partsFor(math.max(edges.count(), batchDocs.count()))
+      val parts = partsFor(math.max(edges.count(), batchIds.count()))
       val allEdges = bEdges
         .union(bcEdges)
         .union(bcEdges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
@@ -403,13 +472,14 @@ object NearDup {
         s"incremental label propagation did not converge within $maxIters " +
           "rounds — the batch-side quotient graph has a longer chain than " +
           "the iteration budget")
-      labels // restrict the quotient graph's labels to the batch nodes
+      val admissions = labels // restrict quotient labels to the batch nodes
         .join(batchIds, labels("id") === batchIds("doc_id"))
         .select(col("doc_id"), col("label").as("cluster_id"),
           (col("label") === col("doc_id")).as("admitted"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
-    } finally { idxSigs.unpersist(); bSh.unpersist(); idxSh.unpersist() }
+      (admissions, labels)
+    }
   }
 
   /** Fail loudly when the append-only monotone-ids invariant (every index

@@ -84,4 +84,104 @@ object StreamingDedup {
       .start()
     q.awaitTermination()
   }
+
+  private val shingleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingles", org.apache.spark.sql.types.ArrayType(StringType))))
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", org.apache.spark.sql.types.ArrayType(LongType))))
+  private val labelSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("cluster_id", LongType)))
+
+  /** Streaming NEAR-dup admission — the continuous form of
+    * [[graft.operators.NearDup.incrementalNearDupsIndexed]]: each
+    * micro-batch is admitted against the persisted artifact tables
+    * (`indexDir/shingles`, `indexDir/sigs`, `indexDir/labels/batch=N`),
+    * then the artifacts are extended — shingles/signatures append
+    * (map-only over the batch), and the label table is snapshotted under
+    * the micro-batch's id.
+    *
+    * Replay safety, by construction rather than by luck:
+    *  - the batch is first filtered to ids ABOVE the signature artifact's
+    *    frontier (`max(doc_id)` — parquet footer stats), so a replayed
+    *    micro-batch whose artifacts already landed processes an empty
+    *    effective batch instead of tripping the monotone-id guard;
+    *  - the label snapshot (versioned `batch=N`, overwrite) is written
+    *    BEFORE the artifact appends, and the snapshot math is idempotent
+    *    (labels only decrease; union + min per doc), so every crash point
+    *    replays to the same state;
+    *  - the one non-idempotent write is the output append — same
+    *    documented caveat as the exact loop (duplicate OUTPUT rows, never
+    *    corrupted index state).
+    */
+  def nearDupAdmissionStream(spark: SparkSession, inDir: String,
+                             indexDir: String, outDir: String,
+                             ckptDir: String): Unit = {
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        val sess = b.sparkSession
+        val conf = sess.sparkContext.hadoopConfiguration
+        def readOr(sub: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(indexDir, sub)
+          if (p.getFileSystem(conf).exists(p))
+            sess.read.schema(schema).parquet(p.toString)
+          else sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        val labRoot = new org.apache.hadoop.fs.Path(indexDir, "labels")
+        val labFs = labRoot.getFileSystem(conf)
+        // latest complete label snapshot (highest batch=N); a replayed
+        // batch N reads the same N-1 state it saw the first time only if
+        // its own overwrite hasn't landed — either way the snapshot it
+        // writes is derived from monotone-decreasing labels, so re-running
+        // against its own output is a no-op (min is idempotent)
+        val latest: Option[org.apache.hadoop.fs.Path] =
+          if (!labFs.exists(labRoot)) None
+          else labFs.listStatus(labRoot).toSeq
+            .filter(_.getPath.getName.startsWith("batch="))
+            .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
+            .lastOption.map(_.getPath)
+        val idxLab = latest
+          .map(p => sess.read.schema(labelSchema).parquet(p.toString))
+          .getOrElse(sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema))
+        val idxSigs = readOr("sigs", sigSchema)
+        // replay frontier: docs at-or-below the signature artifact's max id
+        // were already admitted AND indexed by an earlier (crashed-after-
+        // append) attempt of this batch — reprocessing them would trip the
+        // monotone-id guard and double-index them
+        val frontier = idxSigs.agg(max(col("doc_id"))).head()
+        val eff = (if (frontier.isNullAt(0)) b
+                   else b.filter(col("doc_id") > frontier.getLong(0))).persist()
+        try {
+          val (admissions, newLabels) = graft.operators.NearDup
+            .incrementalNearDupsIndexed(
+              readOr("shingles", shingleSchema), idxSigs, idxLab, eff)
+          admissions.write.mode("append").parquet(outDir)
+          // snapshot labels BEFORE the artifact appends: if the append
+          // crashes, the replayed batch re-derives the identical snapshot
+          // (ignored-extra label rows + min-idempotence), never a stale one
+          newLabels.write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
+          // extend the artifacts with this batch (map-only passes)
+          val bSh = graft.operators.NearDup.shingled(eff).persist()
+          try {
+            bSh.write.mode("append")
+              .parquet(new org.apache.hadoop.fs.Path(indexDir, "shingles").toString)
+            graft.operators.NearDup.minhashSignatures(bSh).write.mode("append")
+              .parquet(new org.apache.hadoop.fs.Path(indexDir, "sigs").toString)
+          } finally bSh.unpersist()
+        } finally eff.unpersist()
+      } finally b.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
 }

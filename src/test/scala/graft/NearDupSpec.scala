@@ -269,6 +269,34 @@ class NearDupSpec extends SparkSpec {
     assert(supplied == rebuilt)
   }
 
+  test("indexed artifacts reproduce the document-corpus incremental path") {
+    import spark.implicits._
+    // bridge construction again — artifact tables built exactly as a prior
+    // run would persist them; admissions must be identical, and the updated
+    // label table must carry the bridge merge for every attached doc
+    def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val A = block("a", 150); val B = block("b", 150)
+    val M = block("m", 150); val F = block("f", 75)
+    val index = Seq(
+      (0L, (A ++ M).mkString(" ")),
+      (5L, (B ++ M).mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (A.drop(50) ++ M ++ B.take(100)).mkString(" ")),
+      (11L, (B ++ M.take(75) ++ F).mkString(" "))).toDF("doc_id", "text")
+    val want = NearDup.incrementalNearDups(index, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val idxSh = NearDup.shingled(index)
+    val (got, updated) = NearDup.incrementalNearDupsIndexed(
+      idxSh, NearDup.minhashSignatures(idxSh),
+      NearDup.nearDupClusters(index), batch)
+    assert(got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq == want)
+    // index docs 0 and 5 start as separate singletons (no stored rows);
+    // the bridge at 10 merges them, so the new store must re-point 5
+    val store = updated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store == Set((5L, 0L), (10L, 0L), (11L, 0L)))
+  }
+
   test("clustersFromPairs: maxIters=1 accepts an empty (trivially converged) graph") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_i", "doc_j")

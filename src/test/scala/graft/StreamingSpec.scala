@@ -342,6 +342,67 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streaming near-dup admission: cross-batch bridge merges reach later batches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-neardup")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+      val A = block("a", 150); val B = block("b", 150)
+      val M = block("m", 150); val F = block("f", 75)
+      // batch 0: two far-apart docs (J≈0.33 — below threshold, both admitted)
+      // batch 1: a BRIDGE doc similar to both — merges them into cluster 0
+      // batch 2: a satellite similar only to doc 5 — must still label 0,
+      //          which requires batch 1's merge to have re-pointed 5's
+      //          stored label (the cross-batch bridge case)
+      val batches = Seq(
+        Seq((0L, (A ++ M).mkString(" ")), (5L, (B ++ M).mkString(" "))),
+        Seq((10L, (A.drop(50) ++ M ++ B.take(100)).mkString(" "))),
+        Seq((11L, (B ++ M.take(75) ++ F).mkString(" "))))
+      batches.zipWithIndex.foreach { case (bt, i) =>
+        StreamingSessions.appendReplayFile(bt.toDF("doc_id", "text"), in, i)
+      }
+      val index = root.resolve("index")
+      graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
+        in.toString, index.toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      def readOut() = spark.read.parquet(root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      assert(got == Seq((0L, 0L, true), (5L, 5L, true),
+        (10L, 0L, false), (11L, 0L, false)))
+      // per-batch parity with the batch operator run sequentially
+      val folded = batches.indices.flatMap { i =>
+        val idx = batches.take(i).flatten
+        val want =
+          if (idx.isEmpty)
+            graft.operators.NearDup.nearDupClusters(
+              batches(i).toDF("doc_id", "text")) // no index yet; all pairs internal
+          else graft.operators.NearDup.incrementalNearDups(
+            idx.toDF("doc_id", "text"), batches(i).toDF("doc_id", "text"))
+        val m = want.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        batches(i).map(_._1).map(id =>
+          (id, m.getOrElse(id, id), m.getOrElse(id, id) == id))
+      }.sortBy(_._1)
+      assert(got == folded)
+      // final label snapshot: sparse store = non-canonical members only
+      val labDirs = java.nio.file.Files.list(index.resolve("labels")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      val lastLab = labDirs.map(_.stripPrefix("batch=").toLong).max
+      val store = spark.read
+        .parquet(index.resolve("labels").resolve(s"batch=$lastLab").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(store == Set((5L, 0L), (10L, 0L), (11L, 0L)))
+      // full replay with a fresh checkpoint: every batch falls below the
+      // artifact frontier -> empty effective batches, output unchanged
+      graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
+        in.toString, index.toString,
+        root.resolve("out").toString, root.resolve("ckpt2").toString)
+      assert(readOut() == got)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("CSV-line stream parses through the same permissive stage as batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream")
