@@ -208,6 +208,10 @@ object SparkEntry {
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
+    // data-mixing: per-language keep rates (bps), incl. a dropped (fr=0)
+    // and a fully-kept (de=10000) stratum
+    "sample_mixture" -> ((s, dir) => Curation.mixtureSample(Tables.documents(s, dir),
+      Map("en" -> 2500, "es" -> 7500, "de" -> 10000, "zh" -> 5000))),
     // benchmark decontamination: training docs sharing any word-8-gram
     // with the held-out split (md5-bucket 10% of the corpus)
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables.documents(s, dir))),
@@ -370,6 +374,9 @@ object SparkEntry {
         |ORDER BY vec_i, vec_j""".stripMargin)
     }),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.4)),
+    // SemDeDup-style admission: components over the LSH-verified pair
+    // graph, keep the minimum vec_id per component
+    "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -660,6 +667,17 @@ object SparkEntry {
          |SELECT doc_id, pred_lang, stratum_rank FROM r
          |WHERE stratum_rank <= 40
          |ORDER BY pred_lang, stratum_rank""".stripMargin,
+    // mixture sampling: same langid CTEs + md5-bucket thinning per
+    // language at the query's rates ('fr' absent -> dropped)
+    "sample_mixture" ->
+      s"""WITH $langCtes
+         |SELECT l.doc_id, pred_lang FROM lang l
+         |WHERE CAST(('0x' || substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % 10000 <
+         |      CASE pred_lang WHEN 'en' THEN 2500 WHEN 'es' THEN 7500
+         |                     WHEN 'de' THEN 10000 WHEN 'zh' THEN 5000
+         |                     ELSE 0 END
+         |ORDER BY l.doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |    string_split(text, ' ') AS w FROM documents),
@@ -890,6 +908,7 @@ object SparkEntry {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
     "dedup_embedding_lsh" -> lshPairOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -921,22 +940,50 @@ object SparkEntry {
     * at 1e-18 agree bit-for-bit. This pins the LSH pipeline — bucketing,
     * probing, verify — not just its output rows.
     */
-  private val lshPairOracle: String = {
+  /** Shared CTE chain replicating the deterministic hyperplane bucketing
+    * (`emb` → `b(vec_id, ve, bucket)`).
+    */
+  private val lshBucketCtes: String = {
     val bucketExpr = graft.operators.Similarity.planes.zipWithIndex.map {
       case (pl, i) =>
         val arr = pl.map(w => s"${Math.round(w * 1000)}/1000.0")
           .mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(ve, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n     + ")
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |b AS (SELECT vec_id, ve,
-       |  CAST($bucketExpr AS BIGINT) AS bucket FROM v)
+       |  CAST($bucketExpr AS BIGINT) AS bucket FROM emb)""".stripMargin
+  }
+
+  private val lshPairOracle: String =
+    s"""WITH $lshBucketCtes
        |SELECT x.vec_id AS vec_i, y.vec_id AS vec_j
        |FROM b x JOIN b y ON x.vec_id < y.vec_id
        | AND bit_count(xor(x.bucket, y.bucket)) <= 1
        |WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4
        |ORDER BY vec_i, vec_j""".stripMargin
-  }
+
+  /** Transitive closure over the LSH-verified cosine pair graph, keep-min
+    * per component — the SemDeDup admission contract.
+    */
+  private val semanticDedupOracle: String =
+    s"""WITH RECURSIVE
+       |$lshBucketCtes,
+       |p AS (SELECT x.vec_id AS u, y.vec_id AS w
+       |      FROM b x JOIN b y ON x.vec_id < y.vec_id
+       |       AND bit_count(xor(x.bucket, y.bucket)) <= 1
+       |      WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4),
+       |e AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
+       |reach(a, z) AS (
+       |  SELECT u, w FROM e
+       |  UNION
+       |  SELECT r.a, e.w FROM reach r JOIN e ON r.z = e.u),
+       |lab AS (SELECT a AS vec_id, least(a, min(z)) AS cid
+       |        FROM reach GROUP BY a)
+       |SELECT emb.vec_id, coalesce(l.cid, emb.vec_id) AS cluster_id,
+       |       (coalesce(l.cid, emb.vec_id) = emb.vec_id) AS kept
+       |FROM emb LEFT JOIN lab l ON emb.vec_id = l.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
 
   /** Eval-overlap contamination oracle: 8-gram join on shingle TEXT (the
     * Spark sides join on xxhash64 of the same strings — identical result

@@ -96,6 +96,30 @@ object Curation {
       .orderBy(col("pred_lang"), col("stratum_rank"))
   }
 
+  /** Deterministic mixture sampler — the data-MIXING step of training
+    * corpus assembly: each language keeps `ratesBps(lang)`/10000 of its
+    * documents (the per-source weights of a training mixture), applied as
+    * content-free Bernoulli thinning by [[sampleBucket]] on `doc_id`.
+    * Languages absent from `ratesBps` are dropped (rate 0).
+    *
+    * Reproducibility is the design constraint: re-deriving the same
+    * mixture months later, on different partitioning, must give the same
+    * rows — hence hash thinning, no RNG. Scale shape: language-ID's token
+    * aggregate is the only shuffle; the rate lookup and threshold are a
+    * map-side filter over its output.
+    */
+  def mixtureSample(documents: DataFrame, ratesBps: Map[String, Int]): DataFrame = {
+    // disjoint per-language conditions, so map iteration order is
+    // irrelevant to the result
+    val rateCol = ratesBps.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("pred_lang") === l, lit(r)).otherwise(acc)
+    }
+    graft.functions.TextAnalysis.langId(documents)
+      .select(col("doc_id"), col("pred_lang"))
+      .filter(sampleBucket(col("doc_id")) < rateCol)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget shard packing — the "cut the corpus into ~N-token
     * training shards" step of an LLM data pipeline. Contract: documents
     * are packed in `doc_id` order and a document belongs to shard

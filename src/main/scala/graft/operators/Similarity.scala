@@ -115,6 +115,36 @@ object Similarity {
       .orderBy(col("vec_i"), col("vec_j"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method): embedding-space near-duplicates
+    * are grouped by connected components over the LSH-verified cosine
+    * pair graph, and each component keeps its minimum `vec_id` as the
+    * surviving representative. The paper clusters with k-means and prunes
+    * within clusters; the bucketing here is the deterministic hyperplane
+    * LSH (∪ hamming-1 probes) so the grouping itself is oracle-checkable
+    * — same candidates-then-verify scale shape, no all-pairs stage.
+    *
+    * Output: every vector with its component id and `kept` flag — the
+    * admission frame a curation pipeline joins back to the corpus.
+    *
+    * Scale: pair generation is the equi-join of [[cosineNearDupPairsLsh]];
+    * component labeling runs on the pair set (duplicate-rate-proportional,
+    * never corpus-proportional); the final left join is corpus-wide but
+    * map-heavy (AQE broadcasts the label side when small).
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(embeddings, threshold)
+      .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
+    val labels = NearDup.clustersFromPairs(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact cosine top-k: queries = vec_id < `numQueries`, ranked by
     * round(cos, 6) desc with vec_id tie-break (engine-robust ordering).
     * The query side is broadcast — the corpus scan never shuffles until

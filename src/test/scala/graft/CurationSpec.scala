@@ -48,6 +48,34 @@ class CurationSpec extends SparkSpec {
     assert(s.toSet == again.toSet)
   }
 
+  test("mixture sample: per-language rates, drop-all and keep-all strata") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lang = graft.functions.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+    val langOf = lang.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rates = Map("en" -> 2500, "es" -> 7500, "de" -> 10000, "zh" -> 5000)
+    val got = Curation.mixtureSample(docs, rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // sample ids are strictly ascending (orderBy contract)
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    // language labels match the language-ID operator
+    got.foreach { case (id, l) => assert(langOf(id) == l) }
+    // keep-all stratum is complete; absent stratum ('fr', rate 0) is empty
+    val gotByLang = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val allByLang = langOf.groupBy(_._2).view.mapValues(_.keySet).toMap
+    assert(gotByLang.getOrElse("de", Set.empty) == allByLang.getOrElse("de", Set.empty))
+    assert(!gotByLang.contains("fr") && allByLang.contains("fr"))
+    // membership is exactly the sampleBucket rule per language
+    val buckets = docs.select(col("doc_id"),
+        Curation.sampleBucket(col("doc_id")).as("bkt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = langOf.collect {
+      case (id, l) if buckets(id) < rates.getOrElse(l, 0) => (id, l)
+    }.toSet
+    assert(got.toSet == want)
+  }
+
   test("decontamination: planted 8-gram leak is flagged; clean docs are not") {
     import spark.implicits._
     // pick ids by their actual md5 bucket so the planted split is stable

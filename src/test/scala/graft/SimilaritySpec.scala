@@ -99,6 +99,31 @@ class SimilaritySpec extends SparkSpec {
     assert(cand * 3 < all, s"candidates $cand not << all pairs $all")
   }
 
+  test("semantic dedup equals a driver-side union-find over the LSH pair graph") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = Similarity.cosineNearDupPairsLsh(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // the fixture must exercise the non-trivial path
+    // reference labeling: union-find on the collected pair set
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) { val (lo, hi) = (math.min(ri, rj), math.max(ri, rj))
+        parent(hi) = lo }
+    }
+    val got = Similarity.semanticDedup(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == emb.count())
+    got.foreach { case (id, cluster, kept) =>
+      assert(cluster == find(id), s"vec $id labeled $cluster, want ${find(id)}")
+      assert(kept == (cluster == id))
+    }
+  }
+
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayOps
