@@ -141,6 +141,55 @@ object DevScale {
         dc.filter(col("doc_id") < 400000L),
         dc.filter(col("doc_id") >= 400000L)).count())
 
+    // artifact-table incremental near-dup at the same split — the index
+    // build (yesterday's amortized cost: shingle/signature/label tables)
+    // timed APART from the admission (the recurring daily cost). The gap
+    // between dedup_inc_indexed and dedup_incremental_500k is what the
+    // persisted artifacts buy.
+    timeDocs("neardup_index_build") {
+      val idx = dc.filter(col("doc_id") < 400000L)
+      graft.operators.NearDup.shingled(idx)
+        .write.mode("overwrite").parquet("/tmp/scale_idx_sh")
+      graft.operators.NearDup
+        .minhashSignatures(spark.read.parquet("/tmp/scale_idx_sh"))
+        .write.mode("overwrite").parquet("/tmp/scale_idx_sig")
+      graft.operators.NearDup.nearDupClusters(idx)
+        .write.mode("overwrite").parquet("/tmp/scale_idx_lab")
+      spark.read.parquet("/tmp/scale_idx_lab").count()
+    }
+    timeDocs("dedup_inc_indexed_500k") {
+      val (adm, upd) = graft.operators.NearDup.incrementalNearDupsIndexed(
+        spark.read.parquet("/tmp/scale_idx_sh"),
+        spark.read.parquet("/tmp/scale_idx_sig"),
+        spark.read.parquet("/tmp/scale_idx_lab"),
+        dc.filter(col("doc_id") >= 400000L))
+      upd.count() // label-store maintenance is part of the daily cost
+      adm.count()
+    }
+
+    // semantic dedup at 500k 64-dim vectors with 1% planted near-identical
+    // pairs. 6 planes (the sf-bench default) would collide Θ(n²/64); the
+    // 20-plane family (~1M buckets) keeps candidates equi-join-bounded —
+    // the plane count is the corpus-size knob, planes stay deterministic.
+    val nVecs = 500000L
+    def vecAt(idCol: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64(idCol * 64 + d), lit(2001)) - lit(1000)) / 1000.0)
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      when(pmod(col("id"), lit(100)) === 1,
+        // near-identical to the previous vector: one component nudged
+        transform(vecAt(col("id") - 1), (x, i) =>
+          x + when(i === 0, lit(0.01)).otherwise(lit(0.0))))
+        .otherwise(vecAt(col("id"))).as("embedding"))
+    vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
+    val ve = spark.read.parquet("/tmp/scale_vecs")
+    timeDocs("semantic_dedup_500k") {
+      val out = graft.operators.Similarity.semanticDedup(ve, 0.9, numPlanes = 20)
+      val dropped = out.filter(!col("kept")).count()
+      println(f"  (dropped $dropped of ~5000 planted dups)")
+      out.count()
+    }
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)

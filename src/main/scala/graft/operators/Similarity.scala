@@ -97,10 +97,11 @@ object Similarity {
     * and oracle-checkable, which the `dedup_embedding_lsh` query pins
     * against an independent SQL replica of the same hyperplanes.
     */
-  def cosineNearDupPairsLsh(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                            numPlanes: Int = NumPlanes): DataFrame = {
     val prep = prepared(embeddings)
-      .withColumn("bucket", bucketOf(embeddings, col("v")))
-    val probes = (0 to NumPlanes).map {
+      .withColumn("bucket", bucketOf(embeddings, col("v"), numPlanes))
+    val probes = (0 to numPlanes).map {
       case 0 => col("bucket")
       case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
     }
@@ -132,8 +133,9 @@ object Similarity {
     * never corpus-proportional); the final left join is corpus-wide but
     * map-heavy (AQE broadcasts the label side when small).
     */
-  def semanticDedup(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val pairs = cosineNearDupPairsLsh(embeddings, threshold)
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    numPlanes: Int = NumPlanes): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(embeddings, threshold, numPlanes)
       .select(col("vec_i").as("doc_i"), col("vec_j").as("doc_j"))
     val labels = NearDup.clustersFromPairs(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -167,10 +169,15 @@ object Similarity {
   val NumPlanes = 6
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) derived
-    * from a hash of the literal string "plane_p_d", mapped into
-    * [-1, 1]. Seeded data, no RNG state — identical across runs/engines.
+    * by splitmix64 from the flat index, mapped into [-1, 1]. Seeded data,
+    * no RNG state — identical across runs/engines. The plane COUNT is the
+    * corpus-size knob: expected bucket collisions are Θ(n²/2^planes), so
+    * a 5k-vector bench corpus is fine at 6 planes while a 500k-vector
+    * scale run wants ~20 (collision rate measured in DevScale); the
+    * first `n` planes of a larger family equal the smaller family, so
+    * raising the count only refines buckets.
     */
-  val planes: Seq[Seq[Double]] = Seq.tabulate(NumPlanes) { p =>
+  def planesFor(n: Int): Seq[Seq[Double]] = Seq.tabulate(n) { p =>
     Seq.tabulate(64) { d =>
       // xxHash-free host-side derivation: splitmix64 on (p*64+d)
       var z = (p * 64 + d + 1).toLong * 0x9E3779B97F4A7C15L
@@ -181,11 +188,15 @@ object Similarity {
     }
   }
 
+  val planes: Seq[Seq[Double]] = planesFor(NumPlanes)
+
   /** Random-hyperplane bucket id (sign bits of plane dot products). */
-  def bucketOf(df: DataFrame, v: Column): Column =
-    (0 until NumPlanes)
-      .map(p => when(dotN(df, v, typedlit(planes(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
+  def bucketOf(df: DataFrame, v: Column, numPlanes: Int = NumPlanes): Column = {
+    val pls = planesFor(numPlanes)
+    (0 until numPlanes)
+      .map(p => when(dotN(df, v, typedlit(pls(p))) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
+  }
 
   val IvfCells = 16
   /** Default probe count — half the cells. An honest quantizer on this
