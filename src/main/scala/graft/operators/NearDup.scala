@@ -352,10 +352,17 @@ object NearDup {
     */
   def incrementalNearDupsIndexed(indexShingles: DataFrame, indexSigs: DataFrame,
                                  indexLabels: DataFrame, batchDocs: DataFrame,
-                                 maxIters: Int = 50): (DataFrame, DataFrame) = {
+                                 maxIters: Int = 50,
+                                 batchShingles: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
     requireMonotoneIds(indexShingles.select(col("doc_id")), batchDocs,
       "incrementalNearDupsIndexed")
-    val bSh = shingled(batchDocs).persist()
+    // a caller that also APPENDS the batch shingles to its artifact store
+    // (the streaming loop) passes them in already-cached so the hottest
+    // stage isn't computed twice; a supplied frame's caching is the
+    // caller's to manage
+    val owned = batchShingles.isEmpty
+    val bSh = batchShingles.getOrElse(shingled(batchDocs).persist())
     try {
       val (admissions, quotient) = admitCore(indexShingles, indexSigs,
         indexShingles.select(col("doc_id")), indexLabels,
@@ -373,8 +380,13 @@ object NearDup {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       val updated = oldRelabeled.union(newRows)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        // sparse-store invariant: a doc whose label IS its id is absent by
+        // convention; a supplied NON-sparse label table (e.g. raw
+        // nearDupClusters output, which carries canonical self-rows) must
+        // not leak self-rows into the persisted store forever
+        .filter(col("doc_id") =!= col("cluster_id"))
       (admissions, updated.localCheckpoint())
-    } finally bSh.unpersist()
+    } finally if (owned) bSh.unpersist()
   }
 
   /** Shared admission core over prepared index artifacts. Returns the
@@ -386,100 +398,98 @@ object NearDup {
                         idxIdFrame: DataFrame, idxLabels: DataFrame,
                         bSh: DataFrame, batchIds: DataFrame,
                         maxIters: Int): (DataFrame, DataFrame) = {
-    {
-      def bandsOf(sigs: DataFrame): DataFrame = sigs
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextHashOps
-            .bandKeysNative(sigs.sparkSession, col("sig"))))
-        .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
-          col("col").as("band_key"))
-      // consumed twice (allBands union + the candidate probe side), and the
-      // signature+band computation above the persisted shingles is not free
-      // — materialize once; the frame is batch-proportional (32 rows/doc)
-      val bBands = bandsOf(minhashSignatures(bSh)).localCheckpoint()
-      val allBands = bandsOf(idxSigs).union(bBands)
-      // candidate adjacency: batch doc -> any colliding doc (both
-      // orientations for batch-batch pairs — propagation wants symmetry)
-      val cands = bBands.as("x").join(allBands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") =!= col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_o"))
-        .distinct()
-      // exact verify (same integer cross-multiply as verifyJaccard)
-      val sb = bSh.select(col("doc_id").as("doc_b"), col("shingles").as("s_b"))
-      val so = idxSh.union(bSh)
-        .select(col("doc_id").as("doc_o"), col("shingles").as("s_o"))
-      val edges = cands.join(sb, "doc_b").join(so, "doc_o")
-        .withColumn("inter", size(array_intersect(col("s_b"), col("s_o"))).cast("long"))
-        .withColumn("uni",
-          size(col("s_b")).cast("long") + size(col("s_o")).cast("long") - col("inter"))
-        .filter(col("inter") * 2 >= col("uni"))
-        .select(col("doc_b"), col("doc_o"))
-        .localCheckpoint()
-      val idxIds = idxIdFrame.select(col(idxIdFrame.columns.head).as("doc_o"))
-      val idxLab = idxLabels.select(col("doc_id").as("doc_o"), col("cluster_id"))
-      // quotient-graph edges: batch-batch pairs as-is; batch-index pairs
-      // collapse the index side to its COMPONENT id (stored label), with
-      // both orientations so minima flow batch -> component -> batch —
-      // the path a bridging batch doc needs to merge two index components
-      // for every other attached batch doc
-      val bcEdges = edges.join(idxIds, "doc_o")
-        .join(idxLab, Seq("doc_o"), "left")
-        .select(col("doc_b").as("doc_i"),
-          coalesce(col("cluster_id"), col("doc_o")).as("doc_j"))
-        .distinct()
-        .localCheckpoint() // referenced 3× (labels init + both union arms)
-      val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
-        .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
-      // same scale-aware coalesce policy as clustersFromPairs; the label
-      // frame is batch-proportional and the edge frame candidate-bounded,
-      // so size partitions to the larger of the two (edges is
-      // checkpointed and the batch count is a parquet count — both cheap)
-      val parts = partsFor(math.max(edges.count(), batchIds.count()))
-      val allEdges = bEdges
-        .union(bcEdges)
-        .union(bcEdges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+    def bandsOf(sigs: DataFrame): DataFrame = sigs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextHashOps
+          .bandKeysNative(sigs.sparkSession, col("sig"))))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_key"))
+    // consumed twice (allBands union + the candidate probe side), and the
+    // signature+band computation above the persisted shingles is not free
+    // — materialize once; the frame is batch-proportional (32 rows/doc)
+    val bBands = bandsOf(minhashSignatures(bSh)).localCheckpoint()
+    val allBands = bandsOf(idxSigs).union(bBands)
+    // candidate adjacency: batch doc -> any colliding doc (both
+    // orientations for batch-batch pairs — propagation wants symmetry)
+    val cands = bBands.as("x").join(allBands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_b"), col("y.doc_id").as("doc_o"))
+      .distinct()
+    // exact verify (same integer cross-multiply as verifyJaccard)
+    val sb = bSh.select(col("doc_id").as("doc_b"), col("shingles").as("s_b"))
+    val so = idxSh.union(bSh)
+      .select(col("doc_id").as("doc_o"), col("shingles").as("s_o"))
+    val edges = cands.join(sb, "doc_b").join(so, "doc_o")
+      .withColumn("inter", size(array_intersect(col("s_b"), col("s_o"))).cast("long"))
+      .withColumn("uni",
+        size(col("s_b")).cast("long") + size(col("s_o")).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_b"), col("doc_o"))
+      .localCheckpoint()
+    val idxIds = idxIdFrame.select(col(idxIdFrame.columns.head).as("doc_o"))
+    val idxLab = idxLabels.select(col("doc_id").as("doc_o"), col("cluster_id"))
+    // quotient-graph edges: batch-batch pairs as-is; batch-index pairs
+    // collapse the index side to its COMPONENT id (stored label), with
+    // both orientations so minima flow batch -> component -> batch —
+    // the path a bridging batch doc needs to merge two index components
+    // for every other attached batch doc
+    val bcEdges = edges.join(idxIds, "doc_o")
+      .join(idxLab, Seq("doc_o"), "left")
+      .select(col("doc_b").as("doc_i"),
+        coalesce(col("cluster_id"), col("doc_o")).as("doc_j"))
+      .distinct()
+      .localCheckpoint() // referenced 3× (labels init + both union arms)
+    val bEdges = edges.join(batchIds.select(col("doc_id").as("doc_o")), "doc_o")
+      .select(col("doc_b").as("doc_i"), col("doc_o").as("doc_j"))
+    // same scale-aware coalesce policy as clustersFromPairs; the label
+    // frame is batch-proportional and the edge frame candidate-bounded,
+    // so size partitions to the larger of the two (edges is
+    // checkpointed and the batch count is a parquet count — both cheap)
+    val parts = partsFor(math.max(edges.count(), batchIds.count()))
+    val allEdges = bEdges
+      .union(bcEdges)
+      .union(bcEdges.select(col("doc_j").as("doc_i"), col("doc_i").as("doc_j")))
+      .coalesce(parts).localCheckpoint()
+    // nodes: batch docs + touched index components; a component node's
+    // id IS its stored minimum, so every initial label is its own id
+    var labels = batchIds.select(col("doc_id").as("id"))
+      .union(bcEdges.select(col("doc_j").as("id")))
+      .distinct()
+      .withColumn("label", col("id"))
+      .coalesce(parts).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = allEdges
+        .join(labels, allEdges("doc_j") === labels("id"))
+        .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .coalesce(parts).localCheckpoint()
-      // nodes: batch docs + touched index components; a component node's
-      // id IS its stored minimum, so every initial label is its own id
-      var labels = batchIds.select(col("doc_id").as("id"))
-        .union(bcEdges.select(col("doc_j").as("id")))
-        .distinct()
-        .withColumn("label", col("id"))
-        .coalesce(parts).localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIters) {
-        val neighborMin = allEdges
-          .join(labels, allEdges("doc_j") === labels("id"))
-          .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
-        val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .coalesce(parts).localCheckpoint()
-        // same final-round rule as clustersFromPairs: a 1-round budget must
-        // still be able to observe convergence
-        if (iter >= 1 || iter == maxIters - 1) {
-          val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-            .filter(col("n.label") =!= col("o.label")).count()
-          converged = changed == 0
-        }
-        labels = next
-        iter += 1
+      // same final-round rule as clustersFromPairs: a 1-round budget must
+      // still be able to observe convergence
+      if (iter >= 1 || iter == maxIters - 1) {
+        val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label")).count()
+        converged = changed == 0
       }
-      require(converged,
-        s"incremental label propagation did not converge within $maxIters " +
-          "rounds — the batch-side quotient graph has a longer chain than " +
-          "the iteration budget")
-      val admissions = labels // restrict quotient labels to the batch nodes
-        .join(batchIds, labels("id") === batchIds("doc_id"))
-        .select(col("doc_id"), col("label").as("cluster_id"),
-          (col("label") === col("doc_id")).as("admitted"))
-        .orderBy(col("doc_id"))
-        .localCheckpoint()
-      (admissions, labels)
+      labels = next
+      iter += 1
     }
+    require(converged,
+      s"incremental label propagation did not converge within $maxIters " +
+        "rounds — the batch-side quotient graph has a longer chain than " +
+        "the iteration budget")
+    val admissions = labels // restrict quotient labels to the batch nodes
+      .join(batchIds, labels("id") === batchIds("doc_id"))
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("label") === col("doc_id")).as("admitted"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    (admissions, labels)
   }
 
   /** Fail loudly when the append-only monotone-ids invariant (every index

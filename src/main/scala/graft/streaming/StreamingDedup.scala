@@ -56,7 +56,7 @@ object StreamingDedup {
         val keyPath = new org.apache.hadoop.fs.Path(keyDir)
         val fs = keyPath.getFileSystem(sess.sparkContext.hadoopConfiguration)
         val idx =
-          if (fs.exists(keyPath))
+          (if (fs.exists(keyPath))
             // canonicalize on read: a replayed append may have written a
             // key twice; min(canonical_id) per key keeps admission joins
             // one-row-per-key regardless (min of duplicates == the value)
@@ -64,18 +64,41 @@ object StreamingDedup {
               .groupBy(col("text_key"))
               .agg(min(col("canonical_id")).as("canonical_id"))
           else sess.createDataFrame(
-            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema)
-        val admitted = graft.operators.Dedup
-          .incrementalExact(b.limit(0), b, indexKeys = Some(idx))
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], keySchema))
           .persist()
         try {
-          admitted.write.mode("append").parquet(outDir)
-          // extend the index with this batch's newly-admitted canonicals
-          admitted.filter(col("admitted")).join(b, "doc_id")
-            .select(md5(col("text")).as("text_key"),
-              col("doc_id").as("canonical_id"))
-            .write.mode("append").parquet(keyDir)
-        } finally admitted.unpersist()
+          // replay frontier: a batch whose key append already landed (crash
+          // before the checkpoint commit) would trip the monotone-id guard
+          // on its own stored canonicals; docs at-or-below the stored
+          // maximum are filtered out instead of re-admitted
+          val frontier = idx.agg(max(col("canonical_id"))).head()
+          val eff = if (frontier.isNullAt(0)) b
+                    else b.filter(col("doc_id") > frontier.getLong(0))
+          // replay-vs-violation discrimination: every processed doc's
+          // text_key is in the key table (its canonical was appended in
+          // the same batch), so a dropped doc with an UNKNOWN key is
+          // genuinely out-of-order input — fail loudly, don't drop data
+          if (!frontier.isNullAt(0)) {
+            val unknown = b.filter(col("doc_id") <= frontier.getLong(0))
+              .select(md5(col("text")).as("text_key"))
+              .join(idx, Seq("text_key"), "left_anti").count()
+            require(unknown == 0,
+              s"exactAdmissionStream: $unknown below-frontier docs have " +
+                "keys absent from the index — out-of-order ingest (not a " +
+                "replay); re-run the batch through whole-corpus dedup")
+          }
+          val admitted = graft.operators.Dedup
+            .incrementalExact(eff.limit(0), eff, indexKeys = Some(idx))
+            .persist()
+          try {
+            admitted.write.mode("append").parquet(outDir)
+            // extend the index with this batch's newly-admitted canonicals
+            admitted.filter(col("admitted")).join(eff, "doc_id")
+              .select(md5(col("text")).as("text_key"),
+                col("doc_id").as("canonical_id"))
+              .write.mode("append").parquet(keyDir)
+          } finally admitted.unpersist()
+        } finally idx.unpersist()
       } finally b.unpersist()
     }
     val q = stream.writeStream.foreachBatch(step)
@@ -103,14 +126,24 @@ object StreamingDedup {
     * the micro-batch's id.
     *
     * Replay safety, by construction rather than by luck:
-    *  - the batch is first filtered to ids ABOVE the signature artifact's
-    *    frontier (`max(doc_id)` — parquet footer stats), so a replayed
-    *    micro-batch whose artifacts already landed processes an empty
-    *    effective batch instead of tripping the monotone-id guard;
-    *  - the label snapshot (versioned `batch=N`, overwrite) is written
-    *    BEFORE the artifact appends, and the snapshot math is idempotent
-    *    (labels only decrease; union + min per doc), so every crash point
-    *    replays to the same state;
+    *  - the batch is filtered to ids ABOVE the SHINGLE artifact's frontier
+    *    (`max(doc_id)` — parquet footer stats), and the shingle append is
+    *    the LAST write of the step, so the frontier artifact commits only
+    *    after everything else: a replayed micro-batch either reprocesses
+    *    in full (artifacts at most duplicate-appended, which the admission
+    *    joins absorb — candidates are `distinct`ed, propagation takes
+    *    minima) or sees an empty effective batch;
+    *  - dropped below-frontier docs are checked against the signature
+    *    artifact: a dropped doc with no stored signature (and ≥1 shingle)
+    *    is genuinely out-of-order input, which fails loudly instead of
+    *    silently losing data (shingle-less docs can't be distinguished
+    *    and are skipped — they carry no dedup state either way);
+    *  - label snapshots are versioned `batch=N` with Spark's `_SUCCESS`
+    *    marker required at read — a crash mid-snapshot leaves an
+    *    uncommitted dir the next read ignores; snapshot math is idempotent
+    *    (labels only decrease; union + min per doc) and the snapshot is
+    *    written before the artifact appends, so every crash point replays
+    *    to the same state; old snapshots are pruned (latest two kept);
     *  - the one non-idempotent write is the output append — same
     *    documented caveat as the exact loop (duplicate OUTPUT rows, never
     *    corrupted index state).
@@ -134,47 +167,80 @@ object StreamingDedup {
         }
         val labRoot = new org.apache.hadoop.fs.Path(indexDir, "labels")
         val labFs = labRoot.getFileSystem(conf)
-        // latest complete label snapshot (highest batch=N); a replayed
-        // batch N reads the same N-1 state it saw the first time only if
-        // its own overwrite hasn't landed — either way the snapshot it
-        // writes is derived from monotone-decreasing labels, so re-running
-        // against its own output is a no-op (min is idempotent)
-        val latest: Option[org.apache.hadoop.fs.Path] =
-          if (!labFs.exists(labRoot)) None
+        def committedSnapshots(): Seq[org.apache.hadoop.fs.Path] =
+          if (!labFs.exists(labRoot)) Seq.empty
           else labFs.listStatus(labRoot).toSeq
             .filter(_.getPath.getName.startsWith("batch="))
+            // a crash mid-snapshot leaves a dir without Spark's _SUCCESS
+            // marker; reading it would silently resurrect an EMPTY label
+            // store (absence = own-canonical in the sparse semantics) and
+            // re-snapshot the degraded state — only committed dirs count
+            .filter(s => labFs.exists(
+              new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
             .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
-            .lastOption.map(_.getPath)
-        val idxLab = latest
+            .map(_.getPath)
+        // latest committed label snapshot; a replayed batch N may read its
+        // own committed output — safe, because the snapshot it re-derives
+        // is identical (labels only decrease; min is idempotent)
+        val idxLab = committedSnapshots().lastOption
           .map(p => sess.read.schema(labelSchema).parquet(p.toString))
           .getOrElse(sess.createDataFrame(
             sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelSchema))
         val idxSigs = readOr("sigs", sigSchema)
-        // replay frontier: docs at-or-below the signature artifact's max id
-        // were already admitted AND indexed by an earlier (crashed-after-
-        // append) attempt of this batch — reprocessing them would trip the
-        // monotone-id guard and double-index them
-        val frontier = idxSigs.agg(max(col("doc_id"))).head()
+        val idxSh = readOr("shingles", shingleSchema)
+        // replay frontier from the SHINGLE artifact — the last write of
+        // this step, so by the time a doc is at-or-below the frontier,
+        // every other write for its batch has landed; reprocessing it
+        // would trip the monotone-id guard and double-index it
+        val frontier = idxSh.agg(max(col("doc_id"))).head()
         val eff = (if (frontier.isNullAt(0)) b
                    else b.filter(col("doc_id") > frontier.getLong(0))).persist()
         try {
-          val (admissions, newLabels) = graft.operators.NearDup
-            .incrementalNearDupsIndexed(
-              readOr("shingles", shingleSchema), idxSigs, idxLab, eff)
-          admissions.write.mode("append").parquet(outDir)
-          // snapshot labels BEFORE the artifact appends: if the append
-          // crashes, the replayed batch re-derives the identical snapshot
-          // (ignored-extra label rows + min-idempotence), never a stale one
-          newLabels.write.mode("overwrite")
-            .parquet(new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
-          // extend the artifacts with this batch (map-only passes)
+          // replay-vs-violation discrimination: every indexed doc has a
+          // signature row (sigs append precedes the frontier append), so a
+          // dropped doc with shingles but no stored signature is genuinely
+          // out-of-order input — fail loudly rather than silently drop it.
+          // (Shingle-less docs carry no signature by construction and are
+          // skipped — no dedup state exists to go stale for them.)
+          if (!frontier.isNullAt(0)) {
+            val droppedWithShingles = graft.operators.NearDup
+              .shingled(b.filter(col("doc_id") <= frontier.getLong(0)))
+              .select(col("doc_id"))
+            val unknown = droppedWithShingles
+              .join(idxSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .count()
+            require(unknown == 0,
+              s"nearDupAdmissionStream: $unknown below-frontier docs have " +
+                "no stored signature — out-of-order ingest (not a replay); " +
+                "re-run the batch through whole-corpus dedup")
+          }
+          // batch shingles are shared between admission and the artifact
+          // append — shingling is the hottest dedup stage, don't pay it 2×
           val bSh = graft.operators.NearDup.shingled(eff).persist()
           try {
-            bSh.write.mode("append")
-              .parquet(new org.apache.hadoop.fs.Path(indexDir, "shingles").toString)
+            val (admissions, newLabels) = graft.operators.NearDup
+              .incrementalNearDupsIndexed(idxSh, idxSigs, idxLab, eff,
+                batchShingles = Some(bSh))
+            admissions.write.mode("append").parquet(outDir)
+            // snapshot labels BEFORE the artifact appends: if an append
+            // crashes, the replayed batch re-derives the identical snapshot
+            // (ignored-extra label rows + min-idempotence), never stale.
+            // newLabels is localCheckpointed (materialized), so overwriting
+            // the very snapshot it was read from is safe.
+            newLabels.write.mode("overwrite")
+              .parquet(new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
+            // extend the artifacts: sigs first, the frontier-bearing
+            // shingle table LAST (see replay-safety contract above)
             graft.operators.NearDup.minhashSignatures(bSh).write.mode("append")
               .parquet(new org.apache.hadoop.fs.Path(indexDir, "sigs").toString)
+            bSh.write.mode("append")
+              .parquet(new org.apache.hadoop.fs.Path(indexDir, "shingles").toString)
           } finally bSh.unpersist()
+          // bounded snapshot retention: replay only ever needs the latest
+          // committed snapshot; keep two (current + predecessor) so a
+          // reader racing the prune still finds one
+          committedSnapshots().dropRight(2)
+            .foreach(p => labFs.delete(p, true))
         } finally eff.unpersist()
       } finally b.unpersist()
     }

@@ -297,6 +297,22 @@ class NearDupSpec extends SparkSpec {
     assert(store == Set((5L, 0L), (10L, 0L), (11L, 0L)))
   }
 
+  test("indexed: a non-sparse supplied label table doesn't leak self-rows into the store") {
+    import spark.implicits._
+    // index with an internal near-dup pair -> nearDupClusters emits the
+    // canonical self-row (0,0); the updated store must stay sparse
+    val index = Seq((0L, base), (1L, nearDup)).toDF("doc_id", "text")
+    val batch = Seq((10L, base)).toDF("doc_id", "text")
+    val idxSh = NearDup.shingled(index)
+    val labels = NearDup.nearDupClusters(index)
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((0L, 0L), (1L, 0L))) // the self-row is really in the input
+    val (_, updated) = NearDup.incrementalNearDupsIndexed(
+      idxSh, NearDup.minhashSignatures(idxSh), labels, batch)
+    val store = updated.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store == Set((1L, 0L), (10L, 0L)))
+  }
+
   test("clustersFromPairs: maxIters=1 accepts an empty (trivially converged) graph") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_i", "doc_j")

@@ -342,6 +342,43 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("exact admission: full replay is a no-op; out-of-order input fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-exact-replay")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      Seq(Seq((0L, "alpha"), (1L, "beta")), Seq((10L, "alpha"), (11L, "gamma")))
+        .zipWithIndex.foreach { case (bt, i) =>
+          StreamingSessions.appendReplayFile(bt.toDF("doc_id", "text"), in, i)
+        }
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+          in.toString, root.resolve("keys").toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString)
+      run("ckpt")
+      def readOut() = spark.read.parquet(root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      assert(got == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)))
+      // replaying the whole stream with a fresh checkpoint (the lost-
+      // checkpoint disaster case) previously wedged on the monotone-id
+      // guard; with the frontier filter it is a no-op
+      run("ckpt2")
+      assert(readOut() == got)
+      // a genuinely out-of-order batch — an old id with an UNKNOWN text —
+      // must fail loudly, not be silently dropped
+      StreamingSessions.appendReplayFile(
+        Seq((2L, "zeta")).toDF("doc_id", "text"), in, 2)
+      val ex = intercept[Exception] { run("ckpt3") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("streaming near-dup admission: cross-batch bridge merges reach later batches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-neardup")
@@ -386,20 +423,48 @@ class FileSourceSpec extends SparkSpec {
           (id, m.getOrElse(id, id), m.getOrElse(id, id) == id))
       }.sortBy(_._1)
       assert(got == folded)
-      // final label snapshot: sparse store = non-canonical members only
-      val labDirs = java.nio.file.Files.list(index.resolve("labels")).toArray.toSeq
-        .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-      val lastLab = labDirs.map(_.stripPrefix("batch=").toLong).max
-      val store = spark.read
-        .parquet(index.resolve("labels").resolve(s"batch=$lastLab").toString)
+      // final label snapshot: sparse store = non-canonical members only;
+      // old snapshots pruned (at most two committed versions retained)
+      def committedLabelDirs() = java.nio.file.Files
+        .list(index.resolve("labels")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith("batch=") &&
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      assert(committedLabelDirs().size <= 2)
+      val lastLab = committedLabelDirs()
+        .maxBy(_.getFileName.toString.stripPrefix("batch=").toLong)
+      val store = spark.read.parquet(lastLab.toString)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(store == Set((5L, 0L), (10L, 0L), (11L, 0L)))
+      // a crash mid-snapshot leaves an UNCOMMITTED higher-numbered dir
+      // (no _SUCCESS); readers must ignore it rather than resurrect an
+      // empty label store
+      val fake = index.resolve("labels").resolve("batch=99")
+      java.nio.file.Files.createDirectories(fake)
       // full replay with a fresh checkpoint: every batch falls below the
       // artifact frontier -> empty effective batches, output unchanged
       graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
         in.toString, index.toString,
         root.resolve("out").toString, root.resolve("ckpt2").toString)
       assert(readOut() == got)
+      // the replayed latest committed store still carries the bridge merge
+      val store2 = spark.read.parquet(committedLabelDirs()
+          .maxBy(_.getFileName.toString.stripPrefix("batch=").toLong).toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(store2 == store)
+      // genuinely out-of-order input — an old id with an unknown text —
+      // fails loudly instead of being silently dropped
+      StreamingSessions.appendReplayFile(
+        Seq((1L, block("z", 50).mkString(" "))).toDF("doc_id", "text"), in, 3)
+      val ex = intercept[Exception] {
+        graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
+          in.toString, index.toString,
+          root.resolve("out").toString, root.resolve("ckpt3").toString)
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
     } finally StreamingSessions.deleteRecursively(root)
   }
 
