@@ -81,6 +81,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Curation.cleanCorpus(emptyDocs, 30L).count() == 0)
   }
 
+  test("round-5 operators on empty / degenerate inputs") {
+    // semantic dedup on an empty embedding table
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(emptyEmb, 0.4).count() == 0)
+    // a single vector is its own kept canonical
+    val one = Seq((7L, Seq.fill(4)(1f))).toDF("vec_id", "embedding")
+    assert(Similarity.semanticDedup(one, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      == Seq((7L, 7L, true)))
+    // mixture sampling with an empty rate map keeps nothing; empty corpus ok
+    val docs = Seq((0L, "the a the a"), (1L, "data query data")).toDF("doc_id", "text")
+    assert(Curation.mixtureSample(docs, Map.empty).count() == 0)
+    assert(Curation.mixtureSample(emptyDocs, Map("en" -> 10000)).count() == 0)
+    // indexed incremental near-dup: cold start from all-empty artifacts
+    val emptySh = Seq.empty[(Long, Seq[String])].toDF("doc_id", "shingles")
+    val emptySig = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sig")
+    val emptyLab = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val batch = Seq((5L, "alpha beta gamma delta"),
+      (6L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val (adm, upd) = NearDup.incrementalNearDupsIndexed(
+      emptySh, emptySig, emptyLab, batch)
+    assert(adm.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      == Seq((5L, 5L, true), (6L, 5L, false)))
+    assert(upd.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((6L, 5L)))
+    // and an empty batch against real artifacts
+    val idxSh = NearDup.shingled(batch)
+    val (adm2, upd2) = NearDup.incrementalNearDupsIndexed(
+      idxSh, NearDup.minhashSignatures(idxSh), upd, emptyDocs)
+    assert(adm2.count() == 0)
+    assert(upd2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((6L, 5L))) // store passes through unchanged
+  }
+
   test("registerAll re-binds a view a caller dropped or shadowed") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
