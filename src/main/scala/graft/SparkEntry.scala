@@ -110,6 +110,8 @@ object SparkEntry {
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_pivot_status_priority" -> ((s, dir) =>
+      Relational.pivotPriorityMatrix(Tables.orders(s, dir))),
     "q_set_ops_segments" -> ((s, dir) =>
       Relational.userSegments(Tables.events(s, dir))),
     "q_value_percentiles" -> ((s, dir) =>
@@ -590,6 +592,15 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY mktsegment, orderpriority""".stripMargin,
+    // wide-format pivot: declared-domain count matrix, FILTER replica
+    "q_pivot_status_priority" ->
+      """SELECT o_orderstatus AS orderstatus,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1_urgent,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2_high,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3_medium,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4_not_specified,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY orderstatus""".stripMargin,
     "q_value_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5) * 100, 0) / 100.0 AS p50,

@@ -206,6 +206,27 @@ object Relational {
         col("n_orders"), col("total_price"))
       .orderBy(col("mktsegment"), col("orderpriority"))
 
+  /** Status × priority count matrix via `pivot` — the wide-format OLAP
+    * reshape. The pivot VALUES are declared (the fixed TPC-H priority
+    * domain), which skips the distinct-discovery scan Spark otherwise
+    * runs to find pivot columns and keeps the schema static; the plan is
+    * then one hash aggregation (PivotFirst) over the same single shuffle
+    * as a plain groupBy. Empty cells are filled to 0 so the wide counts
+    * match a SQL `count(*) FILTER` replica exactly.
+    */
+  def pivotPriorityMatrix(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus").as("orderstatus"),
+        col("1-URGENT").as("p1_urgent"), col("2-HIGH").as("p2_high"),
+        col("3-MEDIUM").as("p3_medium"),
+        col("4-NOT SPECIFIED").as("p4_not_specified"),
+        col("5-LOW").as("p5_low"))
+      .orderBy(col("orderstatus"))
+
   /** Tumbling-window (calendar-day) activity rollup — the batch twin of a
     * streaming `window(ts, "1 day")` aggregation; Spark's epoch-aligned
     * 1-day windows coincide with `date_trunc('day')` in UTC.

@@ -468,6 +468,46 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("near-dup admission survives the sigs-appended/shingles-missing crash window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-crashwin")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+      val t0 = block("a", 100).mkString(" ")
+      val b0 = Seq((0L, t0), (1L, block("b", 100).mkString(" ")))
+      val b1 = Seq((10L, t0), (11L, block("c", 100).mkString(" ")))
+      StreamingSessions.appendReplayFile(b0.toDF("doc_id", "text"), in, 0)
+      val index = root.resolve("index")
+      def run(): Unit = graft.streaming.StreamingDedup.nearDupAdmissionStream(
+        spark, in.toString, index.toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      run()
+      // simulate batch 1 crashing between its two artifact appends: sigs
+      // landed, shingles (the frontier artifact) did not — then the batch
+      // replays. The frontier still excludes batch 1, the monotone guard
+      // checks the shingle artifact (still clean), and the duplicate sig
+      // rows are absorbed by the distinct'd candidate join.
+      val b1df = b1.toDF("doc_id", "text")
+      graft.operators.NearDup
+        .minhashSignatures(graft.operators.NearDup.shingled(b1df))
+        .write.mode("append").parquet(index.resolve("sigs").toString)
+      StreamingSessions.appendReplayFile(b1df, in, 1)
+      run() // continues from the checkpoint; batch 1 reprocesses in full
+      val got = spark.read.parquet(root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)))
+      // the artifacts healed: shingles carry each doc once, sigs at most
+      // twice (the duplicate is tolerated, not propagated further)
+      val shCnt = spark.read.parquet(index.resolve("shingles").toString)
+        .groupBy(col("doc_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shCnt == Map(0L -> 1L, 1L -> 1L, 10L -> 1L, 11L -> 1L))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("CSV-line stream parses through the same permissive stage as batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream")
