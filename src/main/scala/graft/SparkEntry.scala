@@ -236,6 +236,15 @@ object SparkEntry {
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
     }),
+    // context-window chunking: fixed 200-char windows at stride 150 (50
+    // chars of overlap), the corpus → training-sequences step; map-only
+    "chunk_docs" -> ((s, dir) => Curation.chunkDocs(Tables.documents(s, dir))),
+    // the same screen with a broadcast-Bloom prune of the training-side
+    // postings before the shuffle (the 100 TB shape); the exact join after
+    // the prune removes Bloom false positives, so the output — and the
+    // oracle — are identical to text_decontaminate
+    "text_decontaminate_bloom" -> ((s, dir) =>
+      Curation.decontaminateBloom(Tables.documents(s, dir))),
     // Gopher-style repetition quality signals (top-2-gram share,
     // duplicate-3-gram share, exact integer basis points)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
@@ -743,6 +752,17 @@ object SparkEntry {
     // side joins on xxhash64 of the same strings — identical result barring
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
     "text_decontaminate_sql" -> decontaminateOracle,
+    "text_decontaminate_bloom" -> decontaminateOracle,
+    "chunk_docs" ->
+      """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+        |  substring(text, CAST(u.i * 150 + 1 AS INT), 200) AS chunk_text,
+        |  CAST(len(substring(text, CAST(u.i * 150 + 1 AS INT), 200)) AS BIGINT)
+        |    AS n_chars
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, (len(text) - 1) // 150)) AS i
+        |      FROM documents
+        |      WHERE text IS NOT NULL AND len(text) > 0) u(doc_id, text, i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_decontaminate" -> decontaminateOracle,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -157,6 +157,37 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking — split each document into fixed-size
+    * overlapping character windows, the step that turns a curated corpus
+    * into model-ready training sequences. Chunk `i` covers
+    * `[i·stride, i·stride + chunkChars)`; `stride < chunkChars` gives the
+    * usual overlap so no span is lost at a chunk boundary. A non-empty doc
+    * of length L yields `⌊(L-1)/stride⌋ + 1` chunks (every offset below L
+    * starts one; the tail chunk is naturally short); empty/null texts yield
+    * none.
+    *
+    * Scale shape: map-only — `sequence` + `explode` + `substring`, all
+    * codegen'd, no shuffle, no state. The one ordering shuffle here is the
+    * driver-compare `orderBy`; a production writer would drop it and let
+    * chunks stay wherever their parent doc's partition is.
+    */
+  def chunkDocs(documents: DataFrame, chunkChars: Int = 200,
+                strideChars: Int = 150): DataFrame = {
+    require(chunkChars > 0 && strideChars > 0, "chunk and stride must be positive")
+    documents
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          expr(s"(CAST(length(text) AS BIGINT) - 1L) div $strideChars")))
+          .as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, CAST(chunk_idx * $strideChars + 1 AS INT), $chunkChars)")
+          .as("chunk_text"))
+      .withColumn("n_chars", length(col("chunk_text")).cast("long"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Benchmark decontamination — the "did my training corpus leak the eval
     * set?" screen every LLM data pipeline runs before training. A training
     * doc is contaminated when it shares at least one long word-`n`-gram
@@ -181,22 +212,67 @@ object Curation {
     */
   def decontaminate(documents: DataFrame, evalBps: Int = 1000,
                     n: Int = 8): DataFrame = {
-    val spark = documents.sparkSession
-    val postings = documents.select(col("doc_id"),
-        explode(graft.functions.TextHashOps
-          .shinglesNative(spark, col("text"), n)).as("ng"))
-      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"),
-        (sampleBucket(col("doc_id")) < evalBps).as("is_eval"))
+    val postings = contaminationPostings(documents, evalBps, n)
     // no distinct needed: shingles are already distinct WITHIN a doc, so
     // (ngh, doc) posting rows are unique on both sides
     val evalSide = postings.filter(col("is_eval"))
       .select(col("ngh"), col("doc_id").as("eval_doc_id"))
-    postings.filter(!col("is_eval"))
-      .join(evalSide, "ngh")
+    contaminationReport(postings.filter(!col("is_eval")), evalSide)
+  }
+
+  /** (ngram-hash, doc, is_eval) posting rows shared by the decontamination
+    * variants: word-`n`-gram shingles hashed to 8 bytes, eval membership by
+    * the content-free id bucket.
+    */
+  private def contaminationPostings(documents: DataFrame, evalBps: Int,
+                                    n: Int): DataFrame = {
+    val spark = documents.sparkSession
+    documents.select(col("doc_id"),
+        explode(graft.functions.TextHashOps
+          .shinglesNative(spark, col("text"), n)).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"),
+        (sampleBucket(col("doc_id")) < evalBps).as("is_eval"))
+  }
+
+  private def contaminationReport(trainSide: DataFrame,
+                                  evalSide: DataFrame): DataFrame =
+    trainSide.join(evalSide, "ngh")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("eval_doc_id")).as("n_eval_docs"),
         count_distinct(col("ngh")).as("n_shared_ngrams"))
       .orderBy(col("doc_id"))
+
+  /** [[decontaminate]] with a Bloom prefilter on the training side — the
+    * shape that survives 100 TB. The exact screen shuffles EVERY training
+    * posting to the join, but almost all of them miss (contamination is
+    * rare by construction); at corpus scale the training-posting shuffle is
+    * the entire cost. Here the eval n-gram hashes — benchmark-sized, fixed
+    * as the corpus grows — are aggregated into a Bloom filter
+    * ([[graft.functions.BloomOps.buildLongBloom]], bits ∝ eval items only),
+    * which rides the plan to every task and drops non-member training
+    * postings map-side, BEFORE the shuffle. The surviving ~fpp-fraction
+    * still goes through the exact equi-join, so false positives are
+    * eliminated and the output is bit-identical to [[decontaminate]] (same
+    * oracle); false negatives don't exist. Costs one extra pass over the
+    * eval slice (doc count + bloom aggregate) — O(benchmark), not
+    * O(corpus).
+    */
+  def decontaminateBloom(documents: DataFrame, evalBps: Int = 1000,
+                         n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val spark = documents.sparkSession
+    val postings = contaminationPostings(documents, evalBps, n)
+    val evalSide = postings.filter(col("is_eval"))
+      .select(col("ngh"), col("doc_id").as("eval_doc_id"))
+    // sizing: eval docs × a per-doc shingle cap. Counting docs (not
+    // postings) avoids a full shingling pass; oversizing only widens the
+    // filter (~9.6 bits/item at fpp 0.01), it never raises the fpp.
+    val evalDocs = documents
+      .filter(sampleBucket(col("doc_id")) < evalBps).count()
+    val bloom = graft.functions.BloomOps.buildLongBloom(
+      evalSide.select(col("ngh")), "ngh", evalDocs * 256, fpp)
+    val pruned = postings.filter(!col("is_eval"))
+      .filter(graft.functions.BloomOps.mightContain(spark, bloom, col("ngh")))
+    contaminationReport(pruned, evalSide)
   }
 
   /** The curation funnel: (1) quality gate — at least `minTokens`

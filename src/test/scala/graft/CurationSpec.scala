@@ -117,6 +117,56 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._1).toSet.intersect(evalIds).isEmpty)
   }
 
+  test("bloom decontaminate ≡ exact decontaminate; bloom prune is in the plan") {
+    val exact = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloomed = Curation.decontaminateBloom(docs)
+    val got = bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the exact post-join removes Bloom false positives: bit-identical output
+    assert(got == exact)
+    // the prune predicate must sit in the plan (map-side, before the join)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("might_contain"))
+  }
+
+  test("bloom prune never drops a true member (no false negatives)") {
+    import spark.implicits._
+    val keys = (0L until 1000L).toDF("k")
+    val bloom = graft.functions.BloomOps.buildLongBloom(keys, "k", 1000L)
+    val kept = (0L until 1000L).toDF("k")
+      .filter(graft.functions.BloomOps.mightContain(spark, bloom, col("k")))
+      .count()
+    assert(kept == 1000L)
+  }
+
+  test("chunking: coverage, overlap, tail, and empty-doc contract") {
+    import spark.implicits._
+    // lengths straddling the boundaries: 0 (dropped), 1, exactly one
+    // stride, one chunk, chunk+1, several chunks
+    val d = Seq(
+      (0L, ""), (1L, "a" * 1), (2L, "b" * 150), (3L, "c" * 200),
+      (4L, "d" * 201), (5L, "e" * 1000)).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(d, 200, 150).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!byDoc.contains(0L))                       // empty doc → no chunks
+    assert(byDoc(1L).map(_._4).toSeq == Seq(1L))      // single short chunk
+    assert(byDoc(2L).map(_._4).toSeq == Seq(150L))    // len == stride → 1 chunk
+    assert(byDoc(3L).map(_._4).toSeq == Seq(200L, 50L)) // len == chunk → tail at 150
+    assert(byDoc(4L).map(_._4).toSeq == Seq(200L, 51L))
+    // reconstruction: stitching chunk i's first `stride` chars re-derives
+    // the doc (overlap is redundant, nothing is lost at boundaries)
+    val stitched = byDoc(5L).map { case (_, i, t, _) =>
+      if (i == byDoc(5L).last._2) t else t.take(150) }.mkString
+    assert(stitched == "e" * 1000)
+    // every non-tail chunk overlaps the next by chunk - stride chars
+    byDoc(5L).toSeq.sliding(2).foreach {
+      case Seq((_, _, a, _), (_, _, b, _)) => assert(a.drop(150) == b.take(50))
+      case _ => ()
+    }
+  }
+
   test("distinctive tokens: rank by integer tf/df, rare beats common") {
     import spark.implicits._
     val d = Seq(
