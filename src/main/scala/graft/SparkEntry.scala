@@ -236,6 +236,10 @@ object SparkEntry {
         |WHERE NOT tr.is_eval AND ev.is_eval
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)
     }),
+    // relative quality gate: keep the top 75% of the corpus by type-token
+    // ratio, threshold from a bounded score histogram (ties inclusive)
+    "quality_gate" -> ((s, dir) =>
+      Curation.qualityQuantileGate(Tables.documents(s, dir))),
     // context-window chunking: fixed 200-char windows at stride 150 (50
     // chars of overlap), the corpus → training-sequences step; map-only
     "chunk_docs" -> ((s, dir) => Curation.chunkDocs(Tables.documents(s, dir))),
@@ -305,6 +309,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
+    // quality-aware canonicalization: per near-dup cluster keep the member
+    // with the most tokens (ties → lowest id), not the arbitrary min id
+    "dedup_keep_best" -> ((s, dir) => NearDup.keepBestNearDups(Tables.documents(s, dir))),
     // incremental (daily-run) dedup: the first 80% of ids play the
     // persisted canonical index, the rest arrive as the new batch;
     // admission must equal whole-corpus clustering restricted to the batch
@@ -753,6 +760,22 @@ object SparkEntry {
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
     "text_decontaminate_sql" -> decontaminateOracle,
     "text_decontaminate_bloom" -> decontaminateOracle,
+    "quality_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |    (len(list_distinct(string_split(text, ' '))) * 20000
+        |       + len(string_split(text, ' ')))
+        |      // (2 * len(string_split(text, ' '))) AS ttr_bp
+        |  FROM documents),
+        |h AS (SELECT ttr_bp, count(*) AS cnt FROM t GROUP BY ttr_bp),
+        |c AS (SELECT ttr_bp,
+        |        sum(cnt) OVER (ORDER BY ttr_bp DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS total
+        |      FROM h),
+        |thr AS (SELECT max(ttr_bp) AS thr FROM c
+        |        WHERE cum * 10000 >= total * 7500)
+        |SELECT doc_id, CAST(ttr_bp AS BIGINT) AS ttr_bp
+        |FROM t, thr WHERE ttr_bp >= thr ORDER BY doc_id""".stripMargin,
     "chunk_docs" ->
       """SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
         |  substring(text, CAST(u.i * 150 + 1 AS INT), 200) AS chunk_text,
@@ -862,6 +885,22 @@ object SparkEntry {
          |$clusterCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // keep-best canonicalization: same cluster closure, then a per-cluster
+    // first_value window ordered by (n_tokens DESC, doc_id)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |$clusterCtes,
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |m AS (SELECT lab.doc_id, lab.cluster_id,
+         |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM lab JOIN documents d ON lab.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id, n_tokens,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_tokens DESC, doc_id) AS keep_id,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_tokens DESC, doc_id) = doc_id AS kept
+         |FROM m ORDER BY doc_id""".stripMargin,
     // union-vs-incremental equivalence: whole-corpus transitive closure,
     // restricted to the batch ids (the operator must reproduce it while
     // only propagating labels over the batch-side subgraph)

@@ -157,6 +157,46 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Global-quantile quality gate — "keep the top `keepBps`/10000 of the
+    * corpus by quality score", the relative form of a quality filter (an
+    * absolute threshold drifts as the corpus mix changes; a quantile
+    * doesn't). Score = type-token ratio in basis points (`ttr_bp` from
+    * [[graft.functions.TextAnalysis.qualityScore]]); the kept set is
+    * `score >= T*` where `T*` is the highest score whose cumulative count
+    * reaches `⌈n·keepBps/10000⌉` — the whole tie class at the boundary
+    * stays in, so membership is a pure function of a doc's score
+    * (deterministic, engine-portable, no per-doc global rank).
+    *
+    * Scale shape: the threshold comes from a score HISTOGRAM — one
+    * partial-aggregated groupBy over scores, then a cumulative window over
+    * the distinct-score frame, which is bounded by the score domain
+    * (`ttr_bp` ∈ [0, 10000]) rather than the corpus, so the
+    * single-partition window is safe at any corpus size. The kept-set
+    * filter is then a 1-row-broadcast join — never a global sort of the
+    * corpus (the row_number formulation would funnel 100 TB through one
+    * reducer). Integer cross-multiply (`cum·10000 ≥ total·keepBps`) avoids
+    * FP quantile math entirely.
+    */
+  def qualityQuantileGate(documents: DataFrame, keepBps: Int = 7500): DataFrame = {
+    require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    val scored = graft.functions.TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("ttr_bp"))
+    val hist = scored.groupBy(col("ttr_bp")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("ttr_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("total", sum(col("cnt")).over(allW))
+      .filter(col("cum") * 10000 >= col("total") * keepBps)
+      .agg(max(col("ttr_bp")).as("thr"))
+    scored.join(thr)
+      .filter(col("ttr_bp") >= col("thr"))
+      .select(col("doc_id"), col("ttr_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Context-window chunking — split each document into fixed-size
     * overlapping character windows, the step that turns a curated corpus
     * into model-ready training sequences. Chunk `i` covers

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection over `documents` (north-star extension —
@@ -200,6 +201,34 @@ object NearDup {
   def nearDupClusters(documents: DataFrame, maxIters: Int = 50): DataFrame =
     clustersFromPairs(
       minhashNearDups(documents).select(col("doc_i"), col("doc_j")), maxIters)
+
+  /** Quality-aware canonicalization of the near-dup clusters: instead of
+    * the arbitrary keep-lowest-id rule, keep the member a curation pipeline
+    * actually wants — the longest version (whitespace token count), ties
+    * broken by lowest id so the choice stays deterministic. Near-dup groups
+    * in web corpora are typically a full page plus truncated/boilerplate
+    * variants; min-id keeps whichever was crawled first, keep-best keeps
+    * the most complete one.
+    *
+    * One row per clustered doc: `doc_id, cluster_id, n_tokens, keep_id,
+    * kept`. The per-cluster argmax is a `first_value` window partitioned by
+    * `cluster_id` — cluster frames are duplicate-group-sized (bounded by
+    * the dedup threshold, not the corpus), so no single-reducer risk; the
+    * token count rides the existing cluster join, no extra corpus pass.
+    */
+  def keepBestNearDups(documents: DataFrame, maxIters: Int = 50): DataFrame = {
+    val members = nearDupClusters(documents, maxIters)
+      .join(documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    members
+      .withColumn("keep_id", first(col("doc_id")).over(w))
+      .withColumn("kept", col("keep_id") === col("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("keep_id"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Connected-component labeling over an already-verified near-dup pair
     * set — the label-table build an incremental pipeline runs against

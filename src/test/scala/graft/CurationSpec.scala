@@ -140,6 +140,36 @@ class CurationSpec extends SparkSpec {
     assert(kept == 1000L)
   }
 
+  test("quality gate: threshold semantics, tie inclusion, keep-all bound") {
+    import spark.implicits._
+    // scores are driven by distinct/total token ratio; craft docs with
+    // known ttr_bp: all-distinct = (n*20000+n)/(2n) = 10000 (plus div
+    // truncation), heavy repetition scores low
+    val d = Seq(
+      (0L, "a b c d e f g h"),          // all distinct → high
+      (1L, "x x x x x x x x"),          // 1 distinct  → low
+      (2L, "p q r s p q r s"),          // mid
+      (3L, "k l m n o aa bb cc")        // all distinct → high (tie with 0)
+    ).toDF("doc_id", "text")
+    val scores = graft.functions.TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("ttr_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // keep top 50% of 4 docs → K=2; docs 0 and 3 tie at the top, both kept
+    val kept50 = Curation.qualityQuantileGate(d, 5000).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept50 == Set(0L, 3L), s"scores were $scores")
+    // keepBps=10000 keeps everything
+    val keptAll = Curation.qualityQuantileGate(d, 10000).collect()
+      .map(_.getLong(0)).toSet
+    assert(keptAll == Set(0L, 1L, 2L, 3L))
+    // membership is a pure function of score: every kept score >= every
+    // dropped score, and no kept/dropped pair shares a score
+    val kept25 = Curation.qualityQuantileGate(d, 2500).collect()
+      .map(_.getLong(0)).toSet
+    val (k, dr) = scores.partition { case (id, _) => kept25(id) }
+    assert(k.nonEmpty && k.values.min > dr.values.max)
+  }
+
   test("chunking: coverage, overlap, tail, and empty-doc contract") {
     import spark.implicits._
     // lengths straddling the boundaries: 0 (dropped), 1, exactly one

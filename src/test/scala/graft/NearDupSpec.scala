@@ -54,6 +54,42 @@ class NearDupSpec extends SparkSpec {
     assert(out.values.toSet == Set(10L), "one component, canonical = min id")
   }
 
+  test("keep-best: longest member wins regardless of id; ties fall to min id") {
+    // cluster where the LONGEST member has the HIGHEST id — min-id and
+    // keep-best must disagree (pins that quality drives the choice)
+    val longer = base + " with extra trailing context words appended"
+    val d = Seq(
+      (10L, base),
+      (11L, base.replace("today", "tomorrow")),
+      (12L, longer),                     // most tokens, largest id
+      (99L, other)).toDF("doc_id", "text")
+    val out = NearDup.keepBestNearDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L))
+    assert(out.forall(_._2 == 10L), "cluster label stays min id")
+    assert(out.forall(_._3 == 12L), "representative is the longest member")
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(12L))
+    // tie case: equal token counts → lowest id kept
+    val tied = Seq((20L, base), (21L, base.replace("today", "tomorrow")))
+      .toDF("doc_id", "text")
+    val t = NearDup.keepBestNearDups(tied).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    assert(t.forall(_._2 == 20L) && t.filter(_._3).map(_._1).toSeq == Seq(20L))
+  }
+
+  test("keep-best on sf0.001: exactly one kept per cluster, and it's the argmax") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = NearDup.keepBestNearDups(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      val kept = members.filter(_._5)
+      assert(kept.length == 1)
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1 && members.forall(_._4 == best._1))
+    }
+  }
+
   test("native shingles match the builtin array_distinct/transform formulation") {
     import org.apache.spark.sql.functions._
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
