@@ -43,7 +43,13 @@ object BloomOps {
     */
   def buildLongBloom(df: DataFrame, colName: String, expectedItems: Long,
                      fpp: Double = 0.01): Array[Byte] = {
-    val bf = df.stat.bloomFilter(colName, math.max(expectedItems, 64L), fpp)
+    val items = math.max(expectedItems, 64L)
+    // Spark's stat.bloomFilter NPEs on an empty frame (its aggregate
+    // returns no buffer to deserialize); an empty reference set means a
+    // contains-nothing filter, so hand back a fresh empty bloom instead
+    val bf =
+      if (df.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+      else df.stat.bloomFilter(colName, items, fpp)
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
     out.toByteArray

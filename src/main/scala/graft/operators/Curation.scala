@@ -186,13 +186,17 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val thr = hist
+    // bounded scalar collect (the dedup_incremental cut pattern): one long
+    // from a domain-bounded frame, then a plain pushdown-able filter —
+    // keeps the corpus-side plan join-free
+    val thrRow = hist
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("total", sum(col("cnt")).over(allW))
       .filter(col("cum") * 10000 >= col("total") * keepBps)
       .agg(max(col("ttr_bp")).as("thr"))
-    scored.join(thr)
-      .filter(col("ttr_bp") >= col("thr"))
+      .head()
+    if (thrRow.isNullAt(0)) scored.filter(lit(false)) // empty corpus
+    else scored.filter(col("ttr_bp") >= thrRow.getLong(0))
       .select(col("doc_id"), col("ttr_bp"))
       .orderBy(col("doc_id"))
   }

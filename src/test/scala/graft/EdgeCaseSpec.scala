@@ -115,6 +115,20 @@ class EdgeCaseSpec extends SparkSpec {
       == Seq((6L, 5L))) // store passes through unchanged
   }
 
+  test("continuation-round operators on empty / degenerate inputs") {
+    val docs = Seq((0L, "the a the a"), (1L, "data query data")).toDF("doc_id", "text")
+    // quality gate: empty corpus → empty frame (null-threshold path)
+    assert(Curation.qualityQuantileGate(emptyDocs).count() == 0)
+    // chunking: empty corpus and all-empty texts both yield no chunks
+    assert(Curation.chunkDocs(emptyDocs).count() == 0)
+    assert(Curation.chunkDocs(Seq((0L, "")).toDF("doc_id", "text")).count() == 0)
+    // keep-best: corpus with no near-dups → no clustered rows
+    assert(NearDup.keepBestNearDups(docs).count() == 0)
+    // bloom decontaminate: empty corpus → empty report (bloom over zero
+    // eval docs must not divide-by-zero or NPE)
+    assert(Curation.decontaminateBloom(emptyDocs).count() == 0)
+  }
+
   test("registerAll re-binds a view a caller dropped or shadowed") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
