@@ -108,6 +108,8 @@ object SparkEntry {
       Relational.slidingActivity(Tables.events(s, dir))),
     "q_range_join_errors" -> ((s, dir) =>
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
+    "q_window_funnel" -> ((s, dir) =>
+      Relational.windowFunnel(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_pivot_status_priority" -> ((s, dir) =>
@@ -208,6 +210,7 @@ object SparkEntry {
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
+    "text_typicality" -> ((s, dir) => TextAnalysis.typicality(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
     // data-mixing: per-language keep rates (bps), incl. a dropped (fr=0)
@@ -259,6 +262,7 @@ object SparkEntry {
     // Dedup extensions
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
+    "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     // Near-dup extensions: MinHash+LSH and the exact inverted-index
     // Jaccard both reproduce the brute-force oracle at Jaccard ≥ 0.5;
     // SimHash is Spark-hash-specific (no SQL oracle; ScalaTest-covered).
@@ -600,6 +604,27 @@ object SparkEntry {
         | AND a.event_type = 'purchase' AND b.event_type = 'error'
         | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
         |ORDER BY purchase_id, error_id""".stripMargin,
+    // greedy chained funnel: each stage anchors on the earliest qualifying
+    // event, so the whole funnel is a join chain (no sequence scan)
+    "q_window_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + INTERVAL 1800 SECOND
+        |       GROUP BY e.user_id)
+        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+        |                 WHEN t2 IS NOT NULL THEN 2
+        |                 ELSE 1 END AS BIGINT) AS funnel_step,
+        |  count(*) AS n_users
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
@@ -755,6 +780,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY tok""".stripMargin,
+    // unigram typicality: integer ppm arithmetic (sum() CAST back from
+    // DuckDB's HUGEINT promotion so the hash compare sees BIGINT)
+    "text_typicality" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY tok),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+        |ppm AS (SELECT tok, (tf * 1000000) // n_total AS tf_ppm FROM tf, tot)
+        |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  (CAST(sum(tf_ppm) AS BIGINT) * 2 + count(*)) // (2 * count(*))
+        |    AS mean_tf_ppm,
+        |  min(tf_ppm) AS min_tf_ppm,
+        |  CAST(sum(CASE WHEN tf_ppm < 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rare_cnt
+        |FROM occ JOIN ppm ON occ.tok = ppm.tok
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
     // eval-overlap contamination: 8-gram join on shingle TEXT (the Spark
     // side joins on xxhash64 of the same strings — identical result barring
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
@@ -832,6 +873,27 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    // sub-document span dedup: first (doc_id, pos) occurrence of each
+    // 10-token chunk survives; docs rebuilt from surviving chunks
+    "dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |chunks AS (SELECT doc_id, i AS pos,
+        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks CROSS JOIN unnest(range((len(w) + 9) // 10)) AS t(i)),
+        |winners AS (SELECT doc_id, pos, chunk FROM (
+        |    SELECT doc_id, pos, chunk,
+        |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |    FROM chunks) WHERE rn = 1),
+        |reb AS (SELECT doc_id, count(*) AS spans_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM winners GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(reb.clean_text, '') AS clean_text,
+        |  coalesce(reb.spans_kept, 0) AS spans_kept,
+        |  ((len(w) + 9) // 10) - coalesce(reb.spans_kept, 0) AS spans_dropped
+        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

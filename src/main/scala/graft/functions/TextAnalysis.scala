@@ -143,6 +143,47 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("tok"))
 
+  /** Unigram "typicality" score — the exact-integer stand-in for the
+    * unigram-LM log-prob quality filter (CCNet/Gopher-style "does this doc
+    * read like the corpus?"): mean corpus frequency of the doc's token
+    * occurrences in parts-per-million (round-half-up), the rarest token's
+    * ppm, and a rare-token count (< 100 ppm ⇒ rarer than 0.01% of the
+    * corpus). Log-prob itself is monotone in these and NOT bit-portable
+    * across engines (`ln` has no cross-libm guarantee), so the score stays
+    * in integer math like the rest of the family.
+    *
+    * Scale shape: tf is one skew-safe exploded hash aggregate (map-side
+    * combined); the corpus total is a bounded scalar collect (ONE long —
+    * the quality-gate cut pattern, keeping the per-token plan join-free
+    * where a 1-row broadcast cross join would plan a
+    * BroadcastNestedLoopJoin); the occurrences⋈ppm join is an equi-join on
+    * the token key whose build side is one fixed-width row per DISTINCT
+    * token — hot-token skew splits cleanly on the probe side (AQE skew
+    * join), because the build side has exactly one row per key.
+    */
+  def typicality(documents: DataFrame): DataFrame = {
+    val occ = tokenRows(documents)
+    val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val totRow = tf.agg(sum(col("tf"))).head()
+    if (totRow.isNullAt(0))
+      return documents.select(col("doc_id"), lit(0L).as("n_tokens"),
+        lit(0L).as("mean_tf_ppm"), lit(0L).as("min_tf_ppm"),
+        lit(0L).as("rare_cnt")).filter(lit(false))
+    val nTotal = totRow.getLong(0)
+    val ppm = tf.select(col("tok"),
+      expr(s"(tf * 1000000) div ${nTotal}L").as("tf_ppm"))
+    occ.join(ppm, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tf_ppm")).as("sum_ppm"),
+        min(col("tf_ppm")).as("min_tf_ppm"),
+        sum(when(col("tf_ppm") < 100, 1L).otherwise(0L)).as("rare_cnt"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(sum_ppm * 2 + n_tokens) div (2 * n_tokens)").as("mean_tf_ppm"),
+        col("min_tf_ppm"), col("rare_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-bigram profiles for the n-gram language-ID variant: a few
     * discriminative bigrams per language, scored by occurrence count.
     */

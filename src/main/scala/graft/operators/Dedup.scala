@@ -79,4 +79,59 @@ object Dedup {
           .as("admitted"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sub-document exact dedup — remove duplicate token SPANS across the
+    * corpus, keeping each span's first occurrence (suffix-array dedup à la
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better", approximated with fixed non-overlapping `spanTokens`-token
+    * chunks — the practical Spark form: boilerplate that repeats across
+    * documents is dropped from every doc but the earliest).
+    *
+    * Semantics (oracle-checked as `text_span_dedup`): chunk each doc's
+    * whitespace tokens into consecutive groups of `spanTokens`; a chunk
+    * occurrence survives iff it is the lexicographically-first
+    * `(doc_id, pos)` occurrence of that exact chunk text corpus-wide;
+    * `clean_text` is the surviving chunks rejoined in position order
+    * (empty string when every span was seen earlier).
+    *
+    * Scale shape — aggregation-only, no self-join: the winner per distinct
+    * chunk is `min(struct(doc_id, pos))`, a partial-aggregable hash
+    * aggregate, so a boilerplate chunk with a billion occurrences
+    * collapses map-side instead of flooding one reducer (the skew that
+    * kills the naive `row_number() over (partition by chunk)` spelling).
+    * Survivors ARE the winner rows — no join back to occurrences is ever
+    * needed; reassembly is one `groupBy(doc_id)` over ≤ n_chunks surviving
+    * rows plus an equi-join to the per-doc chunk counts (computed
+    * row-locally on the base table). Shuffled bytes are bounded by the
+    * chunk text (≤ `spanTokens` tokens), never the document.
+    */
+  def spanDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
+    val n = spanTokens
+    val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_chunks",
+        expr(s"cast((size(w) + ${n - 1}) div $n as bigint)"))
+    val occurrences = base.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int(n_chunks) - 1), " +
+            s"i -> array_join(slice(w, i * $n + 1, $n), ' '))"))
+          .as(Seq("pos", "chunk")))
+    val winners = occurrences
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_at"))
+      .select(col("first_at.doc_id").as("doc_id"),
+        col("first_at.pos").as("pos"), col("chunk"))
+    val rebuilt = winners.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("spans_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, chunk))), x -> x.chunk)"),
+          " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("spans_kept"), lit(0L)).as("spans_kept"),
+        (col("n_chunks") - coalesce(col("spans_kept"), lit(0L)))
+          .as("spans_dropped"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -314,6 +314,52 @@ object Relational {
       .orderBy(col("purchase_id"), col("error_id"))
   }
 
+  /** Window funnel (ClickHouse `windowFunnel` flavor): how far along the
+    * `steps` sequence does each user get, with each step required to land
+    * strictly after the previous step's first qualifying time and within
+    * `stepWithinSec` of it? Output is the funnel histogram
+    * `(funnel_step, n_users)` — the conversion report an event-analytics
+    * engine serves directly. Semantics here are the deterministic greedy
+    * chain (each stage anchors on the EARLIEST qualifying event), which
+    * makes the result oracle-expressible as a join chain rather than a
+    * per-user sequence scan.
+    *
+    * Scale shape: one filtered aggregation plus one equi-join per step,
+    * every one of them hash-partitioned on `user_id` — the exchange is
+    * reusable across stages (same key), so a 1000-executor run shuffles
+    * the events table once per step filter and nothing else; per-stage
+    * state is one timestamp per surviving user. No windows, no sequence
+    * UDF, no per-user sort.
+    */
+  def windowFunnel(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   stepWithinSec: Long = 1800): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    // stages(i): users whose first i+1 steps chain within the window
+    val stages = steps.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = col(s"t${i + 1}")
+        events.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .where(col("ts") > tPrev &&
+            col("ts") <= tPrev + expr(s"INTERVAL $stepWithinSec SECONDS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t${i + 2}"))
+    }
+    val joined = stages.tail.zipWithIndex.foldLeft(stages.head) {
+      case (acc, (s, i)) =>
+        acc.join(s.select(col("user_id"), col(s"t${i + 2}")),
+          Seq("user_id"), "left")
+    }
+    val maxStep = (2 to steps.length).foldLeft(lit(1)) {
+      case (acc, i) => when(col(s"t$i").isNotNull, lit(i)).otherwise(acc)
+    }
+    joined.select(maxStep.cast("long").as("funnel_step"))
+      .groupBy(col("funnel_step")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_step"))
+  }
+
   /** JSON scalar extraction (events.props) + per-type aggregate — the
     * `get_json_object` path stays codegen'd; no UDF.
     */
