@@ -399,6 +399,9 @@ object SparkEntry {
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
+    // spherical k-means clustering; the oracle re-runs the ENTIRE Lloyd
+    // loop (md5 seed + 3 fixed-point iterations) as unrolled DuckDB CTEs
+    "cluster_embeddings" -> ((s, dir) => Similarity.clusterEmbeddings(Tables.embeddings(s, dir))),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -1041,6 +1044,7 @@ object SparkEntry {
         |ORDER BY vec_i, vec_j""".stripMargin,
     "dedup_embedding_lsh" -> lshPairOracle,
     "dedup_semantic" -> semanticDedupOracle,
+    "cluster_embeddings" -> kmeansClusterOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -1085,6 +1089,65 @@ object SparkEntry {
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |b AS (SELECT vec_id, ve,
        |  CAST($bucketExpr AS BIGINT) AS bucket FROM emb)""".stripMargin
+  }
+
+  /** Unrolled-CTE DuckDB replica of [[graft.operators.Similarity
+    * .clusterEmbeddings]]'s full training loop: md5-ordered seed pick,
+    * then per Lloyd iteration (i) centroids re-listed from components +
+    * norms, (ii) assignment by rounded cosine (ties → higher cell, exactly
+    * [[graft.functions.NearestCells]]'s selection), (iii) fixed-point mean
+    * update `sum(round(x·2^20))::BIGINT / (n·2^20)` with empty cells
+    * keeping their centroid. Fixed-point sums are order-independent, so
+    * both engines agree bit-for-bit; the only double ops are the dot
+    * products, identical sequential loops in both.
+    */
+  private val kmeansClusterOracle: String = {
+    val cells = graft.operators.Similarity.IvfCells
+    val iters = graft.operators.Similarity.IvfKmeansIters
+    val Scale = 1L << 20
+    def cents(k: Int) =
+      s"""c$k AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM cp$k GROUP BY cell),
+         |n$k AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$k)""".stripMargin
+    def asg(name: String, k: Int) =
+      s"""$name AS (SELECT vec_id, cell FROM (
+         |  SELECT p.vec_id, n.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+         |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+         |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+         |  FROM p CROSS JOIN n$k n) WHERE rn = 1)""".stripMargin
+    def upd(k: Int) =
+      s"""cp${k + 1} AS (
+         |  SELECT prev.cell, prev.pos,
+         |    CASE WHEN s.n IS NULL THEN prev.cx
+         |         ELSE CAST(s.sx AS DOUBLE) / (CAST(s.n AS DOUBLE) * $Scale.0) END AS cx
+         |  FROM cp$k prev LEFT JOIN (
+         |    SELECT a.cell, t.i + 1 AS pos,
+         |      sum(CAST(round(pp.v[t.i + 1] * $Scale.0, 0) AS BIGINT)) AS sx,
+         |      count(*) AS n
+         |    FROM a${k + 1} a JOIN p pp USING (vec_id)
+         |    CROSS JOIN unnest(range(len(pp.v))) AS t(i)
+         |    GROUP BY a.cell, t.i + 1) s
+         |  ON prev.cell = s.cell AND prev.pos = s.pos)""".stripMargin
+    val head =
+      s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                        CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |cp0 AS (
+         |  SELECT CAST(s.rn - 1 AS INTEGER) AS cell, t.i + 1 AS pos,
+         |         s.v[t.i + 1] AS cx
+         |  FROM (SELECT vec_id, v, row_number() OVER
+         |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |        FROM p) s CROSS JOIN unnest(range(len(s.v))) AS t(i)
+         |  WHERE s.rn <= $cells)""".stripMargin
+    val body = (0 until iters)
+      .flatMap(k => Seq(cents(k), asg(s"a${k + 1}", k), upd(k)))
+    val tail = Seq(cents(iters), asg("af", iters))
+    (Seq(head) ++ body ++ tail).mkString("WITH ", ",\n", "\n") +
+      """SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
+        |  min(vec_id) AS min_vec_id
+        |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   private val lshPairOracle: String =

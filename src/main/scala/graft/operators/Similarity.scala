@@ -240,11 +240,19 @@ object Similarity {
     * partial-aggregated shuffle.
     */
   private[graft] def kmeansCentroids(prep: DataFrame, cells: Int,
-                                     iters: Int): Seq[Seq[Double]] = {
+                                     iters: Int,
+                                     portableSeed: Boolean = false): Seq[Seq[Double]] = {
     val spark = prep.sparkSession
     val Scale = 1L << 20
+    // portableSeed picks the seed vectors by md5-of-id order instead of
+    // xxhash64 — same pseudo-random-without-RNG-state property, but md5
+    // exists verbatim in DuckDB, so [[clusterEmbeddings]]'s whole Lloyd
+    // loop can be replicated in the SQL oracle
+    val seedOrd =
+      if (portableSeed) md5(col("vec_id").cast("string"))
+      else xxhash64(col("vec_id"))
     var centroids: Array[Array[Double]] = prep
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(seedOrd, col("vec_id"))
       .limit(cells)
       .select(col("v"))
       .collect()
@@ -311,6 +319,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Corpus clustering by spherical k-means — the embedding-space
+    * partitioner an LLM-data pipeline uses for semantic sharding, domain
+    * discovery, and cluster-balanced mixing (and the exact quantizer the
+    * IVF index trains). Same deterministic Lloyd loop as [[ivfTopK]]
+    * ([[kmeansCentroids]] — fixed-point means, rounded cosine
+    * assignment), but seeded by md5-of-id order so EVERY step of the
+    * training loop is replicable in portable SQL: the DuckDB oracle
+    * re-runs init + all `iters` Lloyd iterations as unrolled CTEs and
+    * must land on the identical cell histogram. That graduates the
+    * k-means machinery itself — not just a downstream recall floor — to
+    * oracle-checked.
+    *
+    * Output: one row per non-empty cell `(cell, n_vectors, min_vec_id)`;
+    * cell ids are seed-order ranks (0-based).
+    *
+    * Scale shape: identical to the IVF build — per-iteration work is one
+    * map pass (a codegen'd `cells × dim` dot-product loop per row) plus
+    * one partially-aggregated `(cell, pos)` shuffle of fixed-point longs;
+    * driver traffic is the bounded `cells × dim` centroid matrix per
+    * iteration, never row-proportional.
+    */
+  def clusterEmbeddings(embeddings: DataFrame, cells: Int = IvfCells,
+                        iters: Int = IvfKmeansIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prep = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prep, cells, iters, portableSeed = true)
+    prep
+      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, 1), 1))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .select(col("cell").cast("long").as("cell"), col("n_vectors"),
+        col("min_vec_id"))
+      .orderBy(col("cell"))
   }
 
   /** Quantitative correctness floor for the approximate ANN paths: joins

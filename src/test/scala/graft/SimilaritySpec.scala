@@ -177,4 +177,19 @@ class SimilaritySpec extends SparkSpec {
       prep(emb.repartition(13)), 16, 3)
     assert(a == b, "centroids differ across partitionings")
   }
+
+  test("clusterEmbeddings partitions the corpus exactly once, layout-invariant") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.clusterEmbeddings(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every vector lands in exactly one cell; cell ids are seed ranks
+    assert(out.map(_._2).sum == emb.count())
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall { case (c, n, _) => c >= 0 && c < 16 && n > 0 })
+    // physical layout must not move a single vector (fixed-point means +
+    // rounded assignment are order-free)
+    val re = Similarity.clusterEmbeddings(emb.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == re.toSeq)
+  }
 }
