@@ -190,6 +190,30 @@ object DevScale {
       out.count()
     }
 
+    // k-means corpus clustering at 500k×64-dim (1000× the sf0.01 oracle
+    // corpus): per iteration one map pass + a (cell,pos)=16×64-key
+    // fixed-point shuffle — wall-clock should track the 4 corpus scans
+    // (3 Lloyd + final assignment), nothing quadratic
+    timeDocs("cluster_embeddings_500k") {
+      val out = graft.operators.Similarity.clusterEmbeddings(ve)
+      val cells = out.count()
+      val covered = out.agg(sum(col("n_vectors"))).head().getLong(0)
+      println(f"  ($cells cells cover $covered of $nVecs vectors)")
+      cells
+    }
+
+    // span-level dedup at 500k docs: winner-per-distinct-chunk is one
+    // partial-aggregable shuffle keyed on ≤10-token chunks; each planted
+    // near-dup doc (1%) copies its source's first 50 tokens, so its
+    // chunks 0-4 lose to the source — expected ≈ 5k docs × 5 = 25k
+    // dropped spans, printed for eyeballing
+    timeDocs("span_dedup_500k") {
+      val out = graft.operators.Dedup.spanDedup(dc)
+      val dropped = out.agg(sum(col("spans_dropped"))).head().getLong(0)
+      println(f"  ($dropped duplicate spans removed)")
+      out.count()
+    }
+
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated
     // fact⋈fact joins at 100 TB (vs a per-query shuffle)

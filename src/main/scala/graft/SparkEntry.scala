@@ -211,6 +211,7 @@ object SparkEntry {
     "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
     "text_typicality" -> ((s, dir) => TextAnalysis.typicality(Tables.documents(s, dir))),
+    "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
     // data-mixing: per-language keep rates (bps), incl. a dropped (fr=0)
@@ -799,6 +800,21 @@ object SparkEntry {
         |    AS rare_cnt
         |FROM occ JOIN ppm ON occ.tok = ppm.tok
         |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
+    // boilerplate mining: corpus top-20 3-grams, ties broken by gram text
+    "text_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, array_to_string(w[(i+1):(i+3)], ' ') AS gram
+        |      FROM w CROSS JOIN unnest(range(len(w) - 2)) AS t(i)
+        |      WHERE len(w) >= 3),
+        |occ AS (SELECT gram, count(*) AS n_occurrences FROM g GROUP BY gram),
+        |dfq AS (SELECT gram, count(*) AS n_docs
+        |        FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram),
+        |r AS (SELECT occ.gram, n_occurrences, n_docs,
+        |        CAST(row_number() OVER (ORDER BY n_occurrences DESC, occ.gram)
+        |             AS BIGINT) AS rnk
+        |      FROM occ JOIN dfq ON occ.gram = dfq.gram)
+        |SELECT gram, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 20
+        |ORDER BY rnk""".stripMargin,
     // eval-overlap contamination: 8-gram join on shingle TEXT (the Spark
     // side joins on xxhash64 of the same strings — identical result barring
     // a 64-bit collision, the dedup_ngram_jaccard precedent)

@@ -143,6 +143,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("tok"))
 
+  /** Corpus-wide top-`k` most frequent token `n`-grams with their doc
+    * frequency — boilerplate mining: the header/footer/template phrases
+    * that repeat across an LLM corpus surface at the top of this list,
+    * feeding both the span-dedup and quality-filter thresholds.
+    *
+    * Scale shape: gram rows are one map-side explode (grams never carry
+    * the doc text); total counts and doc frequencies are the two-stage
+    * skew-safe aggregates ([[tokenDocFrequency]]); the global top-k is
+    * `orderBy(...).limit(k)` — Spark plans `TakeOrdered`, a per-partition
+    * top-k merged on the driver, NOT a global sort. The final rank window
+    * runs on k rows (bounded).
+    */
+  def topNgrams(documents: DataFrame, n: Int = 3, k: Int = 20): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), " +
+          s"i -> array_join(slice(w, i + 1, $n), ' '))")).as("gram"))
+    val occ = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+    val docs = grams.distinct().groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    val top = occ.join(docs, "gram")
+      .orderBy(desc("n_occurrences"), col("gram")).limit(k)
+    top.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_occurrences"), col("gram"))).cast("long"))
+      .select(col("gram"), col("n_occurrences"), col("n_docs"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   /** Unigram "typicality" score — the exact-integer stand-in for the
     * unigram-LM log-prob quality filter (CCNet/Gopher-style "does this doc
     * read like the corpus?"): mean corpus frequency of the doc's token

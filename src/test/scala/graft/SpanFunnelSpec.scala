@@ -48,6 +48,18 @@ class SpanFunnelSpec extends SparkSpec {
     assert(TextAnalysis.typicality(docs()).count() == 0)
   }
 
+  test("topNgrams counts occurrences and doc frequency with text tie-breaks") {
+    val d = docs(
+      0L -> "a b c a b c", // grams: "a b c","b c a","c a b","a b c"
+      1L -> "a b c x y z", // grams: "a b c","b c x","c x y","x y z"
+      2L -> "q r")         // too short for a trigram
+    val out = TextAnalysis.topNgrams(d, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.head == ("a b c", 3L, 2L, 1L))
+    // singles tie at 1 occurrence; rank order falls back to gram text
+    assert(out.toSeq.drop(1) == Seq(("b c a", 1L, 1L, 2L), ("b c x", 1L, 1L, 3L)))
+  }
+
   test("windowFunnel chains greedily from each stage's earliest qualifying event") {
     def e(id: Long, t: String, u: Long, typ: String) =
       (id, ts(t), u, typ, 1.0, "{}")
