@@ -1061,6 +1061,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> lshPairOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "cluster_embeddings" -> kmeansClusterOracle,
+    "ann_topk_lsh" -> lshTopKOracle,
+    "ann_topk_ivf" -> ivfTopKOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -1164,6 +1166,74 @@ object SparkEntry {
       """SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
         |  min(vec_id) AS min_vec_id
         |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Full SQL replay of [[graft.operators.Similarity.lshTopK]]: the same
+    * deterministic hyperplane buckets as [[lshBucketCtes]], hamming-1
+    * multi-probe (bucket XOR each single plane bit), rounded-cosine
+    * ranking. Every probe bucket is distinct, so no pair dedup is needed —
+    * same as the Spark side.
+    */
+  private val lshTopKOracle: String = {
+    val flips = 0L +: (0 until graft.operators.Similarity.NumPlanes)
+      .map(i => 1L << i)
+    s"""WITH $lshBucketCtes,
+       |n AS (SELECT vec_id, ve, bucket,
+       |        sqrt(list_dot_product(ve, ve)) AS nrm FROM b),
+       |pr AS (SELECT q.vec_id AS query_id, q.ve AS qv, q.nrm AS qn,
+       |         xor(q.bucket, f.f) AS q_bucket
+       |       FROM n q CROSS JOIN (SELECT CAST(unnest([${flips.mkString(", ")}])
+       |                                   AS BIGINT) AS f) f
+       |       WHERE q.vec_id < 20),
+       |sc AS (SELECT pr.query_id, nn.vec_id AS neighbor_id,
+       |         round(list_dot_product(pr.qv, nn.ve) / (pr.qn * nn.nrm), 6) AS cos_r
+       |       FROM pr JOIN n nn ON nn.bucket = pr.q_bucket
+       |                        AND nn.vec_id <> pr.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Full SQL replay of [[graft.operators.Similarity.ivfTopK]] on top of
+    * [[kmeansClusterOracle]]'s trained centroids: per-vector cell ranking
+    * by rounded cosine (ties → higher cell), corpus membership = rank-1
+    * cell, queries probe their `IvfProbes` nearest cells, candidates
+    * ranked by rounded cosine with vec_id ties. With the quantizer now
+    * md5-seeded, every stage from init to final rank is engine-portable.
+    */
+  private val ivfTopKOracle: String = {
+    val probes = graft.operators.Similarity.IvfProbes
+    // kmeansClusterOracle ends with the final-assignment SELECT; reuse its
+    // CTE chain up to the trained-centroid table n3 by rebuilding the
+    // prefix here (cheap string surgery keeps one source of truth)
+    val ctePrefix = kmeansClusterOracle.substring(0,
+      kmeansClusterOracle.indexOf(",\naf AS"))
+    s"""$ctePrefix,
+       |av AS (SELECT vec_id, cell, rn FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM p CROSS JOIN n${graft.operators.Similarity.IvfKmeansIters} n)),
+       |corp AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS query_id, cell AS q_cell FROM av
+       |        WHERE rn <= $probes AND vec_id < 20),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round(list_dot_product(pq.v, pc.v) / (pq.nrm * pc.nrm), 6) AS cos_r
+       |       FROM qpr q JOIN corp c ON c.cell = q.q_cell
+       |                             AND c.vec_id <> q.query_id
+       |       JOIN p pq ON pq.vec_id = q.query_id
+       |       JOIN p pc ON pc.vec_id = c.vec_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
   }
 
   private val lshPairOracle: String =

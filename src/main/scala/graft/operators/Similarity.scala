@@ -293,7 +293,11 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
               probes: Int = IvfProbes): DataFrame = {
     val prep = prepared(embeddings).localCheckpoint() // feeds k-means scans + the index build
-    val centroids = kmeansCentroids(prep, IvfCells, IvfKmeansIters)
+    // md5-seeded like [[clusterEmbeddings]] — the IVF quantizer IS that
+    // clustering, which lets the ann_topk_ivf oracle replay the whole
+    // train+assign+probe+rank pipeline in SQL
+    val centroids = kmeansCentroids(prep, IvfCells, IvfKmeansIters,
+      portableSeed = true)
     // IVF index build: ONE pass scores all 16 cells per vector via the
     // codegen'd [[graft.functions.NearestCells]] (ordering identical to
     // the former sort_array-of-rounded-score-structs spelling) and keeps
