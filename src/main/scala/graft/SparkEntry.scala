@@ -110,6 +110,11 @@ object SparkEntry {
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
+    // SQL-text twin: the same dialect-portable SQL the oracle runs
+    "q_window_funnel_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(windowFunnelSql)
+    }),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_pivot_status_priority" -> ((s, dir) =>
@@ -610,25 +615,8 @@ object SparkEntry {
         |ORDER BY purchase_id, error_id""".stripMargin,
     // greedy chained funnel: each stage anchors on the earliest qualifying
     // event, so the whole funnel is a join chain (no sequence scan)
-    "q_window_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-        |            WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2
-        |       FROM events e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
-        |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND
-        |       GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t3
-        |       FROM events e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-        |         AND e.ts <= s2.t2 + INTERVAL 1800 SECOND
-        |       GROUP BY e.user_id)
-        |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
-        |                 WHEN t2 IS NOT NULL THEN 2
-        |                 ELSE 1 END AS BIGINT) AS funnel_step,
-        |  count(*) AS n_users
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_funnel" -> windowFunnelSql,
+    "q_window_funnel_sql" -> windowFunnelSql,
     "q_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
@@ -1097,6 +1085,30 @@ object SparkEntry {
   /** Shared CTE chain replicating the deterministic hyperplane bucketing
     * (`emb` → `b(vec_id, ve, bucket)`).
     */
+  /** Dialect-portable funnel SQL: runs verbatim under BOTH Spark SQL (the
+    * `q_window_funnel_sql` SQL-text twin) and DuckDB (the oracle for both
+    * funnel queries) — one string, three roles, so the twin can't drift.
+    */
+  private[graft] val windowFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |         AND e.ts <= s2.t2 + INTERVAL 1800 SECOND
+      |       GROUP BY e.user_id)
+      |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+      |                 WHEN t2 IS NOT NULL THEN 2
+      |                 ELSE 1 END AS BIGINT) AS funnel_step,
+      |  count(*) AS n_users
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val lshBucketCtes: String = {
     val bucketExpr = graft.operators.Similarity.planes.zipWithIndex.map {
       case (pl, i) =>

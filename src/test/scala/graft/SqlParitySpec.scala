@@ -19,7 +19,8 @@ class SqlParitySpec extends SparkSpec {
     ("dedup_exact_sql", "dedup_exact"),
     ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"),
     ("dedup_embedding_sql", "dedup_embedding"),
-    ("text_decontaminate_sql", "text_decontaminate"))
+    ("text_decontaminate_sql", "text_decontaminate"),
+    ("q_window_funnel_sql", "q_window_funnel"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
