@@ -269,6 +269,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
+    "dedup_simhash_md5" -> ((s, dir) => NearDup.simhashNearDupsPortable(Tables.documents(s, dir))),
     // Near-dup extensions: MinHash+LSH and the exact inverted-index
     // Jaccard both reproduce the brute-force oracle at Jaccard ≥ 0.5;
     // SimHash is Spark-hash-specific (no SQL oracle; ScalaTest-covered).
@@ -880,6 +881,32 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    // portable SimHash: 60-bit md5-derived signatures (bit b majority of
+    // token-hash bits), 4x15-bit pigeonhole candidates, hamming<=3 verify
+    "dedup_simhash_md5" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        |      FROM tok),
+        |bits AS (SELECT doc_id, b.b,
+        |           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) b
+        |         GROUP BY doc_id, b.b),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)
+        |               AS BIGINT) AS sig
+        |        FROM bits GROUP BY doc_id),
+        |ch AS (SELECT doc_id, sig, c.c AS chunk_idx,
+        |         (sig >> (15 * c.c)) & 32767 AS chunk_key
+        |       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) c),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j,
+        |           x.sig AS si, y.sig AS sj
+        |         FROM ch x JOIN ch y ON x.chunk_idx = y.chunk_idx
+        |           AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id)
+        |SELECT doc_i, doc_j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(si, sj)) <= 3
+        |ORDER BY doc_i, doc_j""".stripMargin,
     // sub-document span dedup: first (doc_id, pos) occurrence of each
     // 10-token chunk survives; docs rebuilt from surviving chunks
     "dedup_spans" ->

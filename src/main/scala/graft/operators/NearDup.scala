@@ -565,7 +565,9 @@ object NearDup {
     * pigeonhole chunking trick — hamming(a,b) ≤ 3 ⇒ at least one of 4
     * 16-bit chunks equal — then verified with `bit_count(a^b)`, so the
     * operator is EXACT for hamming ≤ 3 despite never comparing all pairs.
-    * (No DuckDB oracle: xxhash64 is Spark-specific; covered by ScalaTest.)
+    * (No DuckDB oracle for THIS variant: xxhash64 is Spark-specific;
+    * covered by ScalaTest — and the algorithm itself is oracle-checked
+    * through the md5-hashed [[simhashNearDupsPortable]] twin.)
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     // signature is a row-local map pass (codegen'd SimHash64, identical
@@ -578,6 +580,55 @@ object NearDup {
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_idx"),
           shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xFFFFL))
+            .as("chunk_key"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_key").as("chunk_key"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk_key") === col("y.chunk_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"),
+        col("x.sig").as("sig_i"), col("y.sig").as("sig_j"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_i").bitwiseXOR(col("sig_j"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** Engine-portable SimHash (oracle-checked twin of [[simhashNearDups]]):
+    * 60-bit signatures from md5-derived token hashes — md5 is identical in
+    * every engine, so unlike the xxhash64 kernel this variant has a full
+    * DuckDB oracle (`dedup_simhash_md5`), closing the one algorithm the
+    * correctness gate otherwise covers only by ScalaTest. Same pigeonhole
+    * guarantee with 4×15-bit chunks: hamming ≤ 3 ⇒ some chunk equal.
+    *
+    * Shape: the signature is ONE hash aggregation (60 conditional sums +
+    * final bit-pack, map-side combined — not a 60× row explode); candidate
+    * generation and verify are identical to the kernel variant. The md5 +
+    * `conv` per token is the portability tax — the xxhash64 kernel stays
+    * the production/bench path.
+    */
+  def simhashNearDupsPortable(documents: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    val Bits = 60
+    val tokens = documents.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)").as("h"))
+    val bitSums = (0 until Bits).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val sigs = tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until Bits).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_idx"),
+          shiftrightunsigned(col("sig"), 15 * c).bitwiseAND(lit(0x7FFFL))
             .as("chunk_key"))): _*)).as("ch"))
       .select(col("doc_id"), col("sig"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_key").as("chunk_key"))

@@ -60,6 +60,16 @@ class SpanFunnelSpec extends SparkSpec {
     assert(out.toSeq.drop(1) == Seq(("b c a", 1L, 1L, 2L), ("b c x", 1L, 1L, 3L)))
   }
 
+  test("portable SimHash: exact-duplicate pair at hamming 0, disjoint texts unpaired") {
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta", // exact dup
+      2L -> "one two three four five six seven eight")       // unrelated
+    val out = graft.operators.NearDup.simhashNearDupsPortable(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 0L)))
+  }
+
   test("windowFunnel chains greedily from each stage's earliest qualifying event") {
     def e(id: Long, t: String, u: Long, typ: String) =
       (id, ts(t), u, typ, 1.0, "{}")
