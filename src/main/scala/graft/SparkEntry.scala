@@ -270,6 +270,15 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s, dir) => Dedup.fingerprintDedup(Tables.documents(s, dir))),
     "dedup_spans" -> ((s, dir) => Dedup.spanDedup(Tables.documents(s, dir))),
     "dedup_simhash_md5" -> ((s, dir) => NearDup.simhashNearDupsPortable(Tables.documents(s, dir))),
+    // daily-run span dedup: batch = top 20% of ids against the 80% index;
+    // the split scalar is a bounded collect, replicated in the oracle
+    "dedup_spans_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val split = docs.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      Dedup.spanDedupIncremental(
+        docs.filter(col("doc_id") < split),
+        docs.filter(col("doc_id") >= split))
+    }),
     // Near-dup extensions: MinHash+LSH and the exact inverted-index
     // Jaccard both reproduce the brute-force oracle at Jaccard ≥ 0.5;
     // SimHash is Spark-hash-specific (no SQL oracle; ScalaTest-covered).
@@ -909,25 +918,11 @@ object SparkEntry {
         |ORDER BY doc_i, doc_j""".stripMargin,
     // sub-document span dedup: first (doc_id, pos) occurrence of each
     // 10-token chunk survives; docs rebuilt from surviving chunks
-    "dedup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-        |              FROM documents),
-        |chunks AS (SELECT doc_id, i AS pos,
-        |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
-        |  FROM toks CROSS JOIN unnest(range((len(w) + 9) // 10)) AS t(i)),
-        |winners AS (SELECT doc_id, pos, chunk FROM (
-        |    SELECT doc_id, pos, chunk,
-        |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
-        |    FROM chunks) WHERE rn = 1),
-        |reb AS (SELECT doc_id, count(*) AS spans_kept,
-        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
-        |  FROM winners GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  coalesce(reb.clean_text, '') AS clean_text,
-        |  coalesce(reb.spans_kept, 0) AS spans_kept,
-        |  ((len(w) + 9) // 10) - coalesce(reb.spans_kept, 0) AS spans_dropped
-        |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+    "dedup_spans" -> spanDedupOracle(""),
+    // incremental contract: whole-corpus span dedup restricted to the
+    // batch ids — exactly what the monotone-ids invariant guarantees
+    "dedup_spans_incremental" -> spanDedupOracle(
+      "WHERE t.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)"),
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -1112,6 +1107,31 @@ object SparkEntry {
   /** Shared CTE chain replicating the deterministic hyperplane bucketing
     * (`emb` → `b(vec_id, ve, bucket)`).
     */
+  /** Whole-corpus span-dedup oracle; `restrict` filters the OUTPUT rows
+    * (winner selection always sees the full corpus) — which is precisely
+    * the incremental operator's contract.
+    */
+  private def spanDedupOracle(restrict: String): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |              FROM documents),
+       |chunks AS (SELECT doc_id, i AS pos,
+       |    array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+       |  FROM toks CROSS JOIN unnest(range((len(w) + 9) // 10)) AS t(i)),
+       |winners AS (SELECT doc_id, pos, chunk FROM (
+       |    SELECT doc_id, pos, chunk,
+       |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+       |    FROM chunks) WHERE rn = 1),
+       |reb AS (SELECT doc_id, count(*) AS spans_kept,
+       |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+       |  FROM winners GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  coalesce(reb.clean_text, '') AS clean_text,
+       |  coalesce(reb.spans_kept, 0) AS spans_kept,
+       |  ((len(w) + 9) // 10) - coalesce(reb.spans_kept, 0) AS spans_dropped
+       |FROM toks t LEFT JOIN reb ON t.doc_id = reb.doc_id
+       |$restrict
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Dialect-portable funnel SQL: runs verbatim under BOTH Spark SQL (the
     * `q_window_funnel_sql` SQL-text twin) and DuckDB (the oracle for both
     * funnel queries) — one string, three roles, so the twin can't drift.

@@ -106,20 +106,40 @@ object Dedup {
     * chunk text (≤ `spanTokens` tokens), never the document.
     */
   def spanDedup(documents: DataFrame, spanTokens: Int = 10): DataFrame = {
-    val n = spanTokens
-    val base = documents.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = chunkBase(documents, spanTokens)
+    finishSpanDedup(base, winnersOf(chunkOccurrences(base, spanTokens)))
+  }
+
+  /** `(doc_id, w, n_chunks)` — tokens + chunk count, row-local. */
+  private def chunkBase(documents: DataFrame, n: Int): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("n_chunks",
         expr(s"cast((size(w) + ${n - 1}) div $n as bigint)"))
-    val occurrences = base.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, int(n_chunks) - 1), " +
-            s"i -> array_join(slice(w, i * $n + 1, $n), ' '))"))
-          .as(Seq("pos", "chunk")))
-    val winners = occurrences
+
+  /** One row per chunk occurrence `(doc_id, pos, chunk)` — map-only. */
+  private def chunkOccurrences(base: DataFrame, n: Int): DataFrame =
+    base.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, int(n_chunks) - 1), " +
+          s"i -> array_join(slice(w, i * $n + 1, $n), ' '))"))
+        .as(Seq("pos", "chunk")))
+
+  /** First `(doc_id, pos)` occurrence per distinct chunk — the
+    * skew-collapsing aggregate of the whole-corpus path, and the persisted
+    * ARTIFACT of the incremental path (yesterday's winner table).
+    */
+  def spanChunkWinners(documents: DataFrame, spanTokens: Int = 10): DataFrame =
+    winnersOf(chunkOccurrences(chunkBase(documents, spanTokens), spanTokens))
+
+  private def winnersOf(occurrences: DataFrame): DataFrame =
+    occurrences
       .groupBy(col("chunk"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first_at"))
       .select(col("first_at.doc_id").as("doc_id"),
         col("first_at.pos").as("pos"), col("chunk"))
+
+  /** Rebuild per-doc clean text + kept/dropped counts from winner rows. */
+  private def finishSpanDedup(base: DataFrame, winners: DataFrame): DataFrame = {
     val rebuilt = winners.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("spans_kept"),
         array_join(
@@ -133,5 +153,38 @@ object Dedup {
         (col("n_chunks") - coalesce(col("spans_kept"), lit(0L)))
           .as("spans_dropped"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental span dedup — the daily-run twin of [[spanDedup]]: clean a
+    * new batch against an existing corpus WITHOUT re-aggregating it.
+    *
+    * Contract (oracle-checked as `dedup_spans_incremental`): output ≡
+    * whole-corpus [[spanDedup]] of index ∪ batch restricted to batch ids,
+    * under the same append-only monotone-ids invariant as the other
+    * incremental operators (guarded loudly). Index ids < batch ids means
+    * an index occurrence of a chunk beats EVERY batch occurrence, so a
+    * batch doc keeps a chunk iff the chunk is absent from the index AND
+    * the doc is its first in-batch occurrence — which is exactly what the
+    * whole-corpus winner aggregation decides.
+    *
+    * Scale shape: one hash aggregation over the batch's chunks plus one
+    * anti equi-join against the index chunk set — O(batch) given the
+    * persisted winner table ([[spanChunkWinners]]); the rebuild default
+    * aggregates the index once, like the near-dup/exact twins. The guard
+    * is two scalar aggregates over ids, bounded by the artifact in the
+    * supplied-table path.
+    */
+  def spanDedupIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
+                           indexWinners: Option[DataFrame] = None,
+                           spanTokens: Int = 10): DataFrame = {
+    NearDup.requireMonotoneIds(
+      indexWinners.map(_.select(col("doc_id")))
+        .getOrElse(indexDocs.select(col("doc_id"))),
+      batchDocs, "spanDedupIncremental")
+    val idx = indexWinners.getOrElse(spanChunkWinners(indexDocs, spanTokens))
+    val batchBase = chunkBase(batchDocs, spanTokens)
+    val inBatch = winnersOf(chunkOccurrences(batchBase, spanTokens))
+    val kept = inBatch.join(idx.select(col("chunk")), Seq("chunk"), "left_anti")
+    finishSpanDedup(batchBase, kept)
   }
 }

@@ -60,6 +60,33 @@ class SpanFunnelSpec extends SparkSpec {
     assert(out.toSeq.drop(1) == Seq(("b c a", 1L, 1L, 2L), ("b c x", 1L, 1L, 3L)))
   }
 
+  test("incremental span dedup equals whole-corpus span dedup restricted to the batch") {
+    val index = docs(
+      0L -> "a b c d",   // owns "a b", "c d"
+      1L -> "p q r s")   // owns "p q", "r s"
+    val batch = docs(
+      10L -> "a b x y",  // "a b" indexed → only "x y" kept
+      11L -> "x y c d",  // "x y" lost in-batch to doc10; "c d" indexed → all dropped
+      12L -> "n e w w")  // untouched
+    val inc = Dedup.spanDedupIncremental(index, batch, spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val whole = Dedup.spanDedup(index.unionAll(batch), spanTokens = 2)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(inc.toSeq == whole.toSeq)
+    assert(inc.toSeq == Seq(
+      (10L, "x y", 1L, 1L), (11L, "", 0L, 2L), (12L, "n e w w", 2L, 0L)))
+    // supplied-artifact path decides identically
+    val art = Dedup.spanDedupIncremental(index, batch,
+      Some(Dedup.spanChunkWinners(index, 2)), spanTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(art.toSeq == inc.toSeq)
+    // interleaved ids violate the invariant loudly
+    intercept[IllegalArgumentException] {
+      Dedup.spanDedupIncremental(batch, index, spanTokens = 2).collect()
+    }
+  }
+
   test("portable SimHash: exact-duplicate pair at hamming 0, disjoint texts unpaired") {
     val d = docs(
       0L -> "alpha beta gamma delta epsilon zeta eta theta",
