@@ -16,33 +16,34 @@ object DevProfile {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     val docs = Tables.documents(spark, dir)
-    // warmup scheduler/codegen
-    docs.count()
-    val sh = NearDup.shingled(docs)
-    time("shingled")(sh.count())
-    val sigs = NearDup.minhashSignatures(sh)
-    time("signatures")(sigs.count())
-    val shP = sh.persist(); shP.count()
-    val sigsP = NearDup.minhashSignatures(shP).persist()
-    time("signatures_cachedsh")(sigsP.count())
-    time("lsh_candidates")(NearDup.lshCandidates(sigsP).count())
-    time("verify_only")(NearDup.verifyJaccard(NearDup.lshCandidates(sigsP), shP).count())
-    shP.unpersist(); sigsP.unpersist()
-    time("minhash_full")(NearDup.minhashNearDups(docs).count())
-    time("clusters_full")(NearDup.nearDupClusters(docs).count())
-    time("ngram_full")(NearDup.jaccardNearDupsExact(docs).count())
-    locally {
-      val s2 = NearDup.shingled(docs)
-      val posting = s2.select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
-        explode(col("shingles")).as("s"))
-        .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
-      time("ngram_postings")(posting.count())
-      time("ngram_pairrows")(posting.as("x").join(posting.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id")).count())
-    }
+    docs.count() // warmup
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val idx = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    // whole-query, twice (cold/warm)
+    time("incremental_1")(NearDup.incrementalNearDups(idx, batch).count())
+    time("incremental_2")(NearDup.incrementalNearDups(idx, batch).count())
+    // stage decomposition
+    val idxSh = NearDup.shingled(idx).persist()
+    time("idx_shingled")(idxSh.count())
+    val idxSigs = NearDup.minhashSignatures(idxSh).persist()
+    time("idx_sigs")(idxSigs.count())
+    val cand = NearDup.lshCandidates(idxSigs)
+    time("idx_lsh_cands")(cand.count())
+    val pairs = NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh)
+    time("idx_verified_pairs")(pairs.count())
+    time("idx_labels_clusters")(NearDup.clustersFromPairs(
+      NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh)).count())
+    val idxLab = NearDup.clustersFromPairs(
+      NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh))
+      .localCheckpoint()
+    time("incremental_with_labels")(
+      NearDup.incrementalNearDups(idx, batch, indexLabels = Some(idxLab)).count())
+    idxSigs.unpersist(); idxSh.unpersist()
     spark.stop()
   }
 }

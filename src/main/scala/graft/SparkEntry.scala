@@ -218,6 +218,18 @@ object SparkEntry {
     "text_typicality" -> ((s, dir) => TextAnalysis.typicality(Tables.documents(s, dir))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
+    // corpus-frequency vocabulary: top-1000 tokens densely numbered by
+    // (count desc, token) — the id table token-id encoding joins against
+    "vocab_topk" -> ((s, dir) => TextAnalysis.buildVocab(Tables.documents(s, dir))),
+    // token-id encoding: each doc as its space-joined vocab-id sequence
+    // (OOV → 0) + coverage counts — the corpus → packable-token-ids step
+    "tokenize_ids" -> ((s, dir) => TextAnalysis.encodeTokenIds(Tables.documents(s, dir))),
+    // domain-level reputation: per-source doc count, duplicate rate, mean
+    // length and mean TTR quality (integer bp, round-half-up)
+    "source_reputation" -> ((s, dir) => Curation.sourceReputation(Tables.documents(s, dir))),
+    // domain-level gate: drop whole sources whose mean TTR < 4800 bp or
+    // exact-dup rate > 2000 bp — the before-any-per-doc-gate web screen
+    "gate_by_source" -> ((s, dir) => Curation.gateBySource(Tables.documents(s, dir))),
     "sample_stratified" -> ((s, dir) => Curation.stratifiedSample(Tables.documents(s, dir), 40)),
     // data-mixing: per-language keep rates (bps), incl. a dropped (fr=0)
     // and a fully-kept (de=10000) stratum
@@ -813,6 +825,71 @@ object SparkEntry {
         |      FROM occ JOIN dfq ON occ.gram = dfq.gram)
         |SELECT gram, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin,
+    // corpus vocabulary: dense ids by (tf desc, token) — a total order, so
+    // "rank then limit" ≡ Spark's "limit then rank"
+    "vocab_topk" ->
+      """WITH occ AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY tok)
+        |SELECT token_id, tok, tf FROM
+        |  (SELECT tok, tf, CAST(row_number() OVER (ORDER BY tf DESC, tok)
+        |     AS BIGINT) AS token_id FROM tf)
+        |WHERE token_id <= 1000 ORDER BY token_id""".stripMargin,
+    // token-id encoding: positional unnest, vocab left join (OOV → id 0),
+    // order restored by string_agg(... ORDER BY pos)
+    "tokenize_ids" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, w[i+1] AS tok, CAST(i AS BIGINT) AS pos
+        |      FROM w CROSS JOIN unnest(range(len(w))) AS u(i)),
+        |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+        |vocab AS (SELECT tok, token_id FROM
+        |    (SELECT tok, CAST(row_number() OVER (ORDER BY tf DESC, tok)
+        |       AS BIGINT) AS token_id FROM tf)
+        |  WHERE token_id <= 1000),
+        |enc AS (SELECT doc_id, pos, coalesce(token_id, 0) AS id,
+        |          token_id IS NULL AS oov
+        |        FROM t LEFT JOIN vocab USING (tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-source reputation: integer round-half-up bp math throughout
+    "source_reputation" ->
+      """WITH t AS (SELECT source, md5(text) AS text_key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |       * 20000 + len(string_split(text, ' ')))
+        |      // (2 * len(string_split(text, ' '))) AS ttr_bp
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text_key) AS BIGINT) AS n_unique_texts,
+        |  ((count(*) - count(DISTINCT text_key)) * 20000 + count(*))
+        |    // (2 * count(*)) AS dup_bp,
+        |  (CAST(sum(n_tokens) AS BIGINT) * 2 + count(*))
+        |    // (2 * count(*)) AS avg_tokens,
+        |  (CAST(sum(ttr_bp) AS BIGINT) * 2 + count(*))
+        |    // (2 * count(*)) AS avg_ttr_bp
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // domain gate: survivors of the reputation floor, whole-source drops
+    "gate_by_source" ->
+      """WITH t AS (SELECT source, md5(text) AS text_key,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |       * 20000 + len(string_split(text, ' ')))
+        |      // (2 * len(string_split(text, ' '))) AS ttr_bp
+        |  FROM documents),
+        |rep AS (SELECT source,
+        |    ((count(*) - count(DISTINCT text_key)) * 20000 + count(*))
+        |      // (2 * count(*)) AS dup_bp,
+        |    (CAST(sum(ttr_bp) AS BIGINT) * 2 + count(*))
+        |      // (2 * count(*)) AS avg_ttr_bp
+        |  FROM t GROUP BY source),
+        |bad AS (SELECT source FROM rep
+        |        WHERE avg_ttr_bp < 4800 OR dup_bp > 2000)
+        |SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.source = d.source)
+        |ORDER BY doc_id""".stripMargin,
     // eval-overlap contamination: 8-gram join on shingle TEXT (the Spark
     // side joins on xxhash64 of the same strings — identical result barring
     // a 64-bit collision, the dedup_ngram_jaccard precedent)

@@ -346,4 +346,52 @@ object TextAnalysis {
   def fingerprints(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), fingerprintCol.as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Corpus-frequency vocabulary: the `k` most frequent whitespace tokens,
+    * densely numbered 1..k by (count desc, token asc) — a total order, so
+    * the id assignment is deterministic across runs and engines. Id 0 is
+    * reserved for out-of-vocabulary tokens by [[encodeTokenIds]].
+    *
+    * Scale shape: one map-side-combined token count, then a global top-k
+    * (`TakeOrdered`, the [[topNgrams]] shape — never a full sort of the
+    * token dictionary); the ranking window runs over k rows only.
+    */
+  def buildVocab(documents: DataFrame, k: Int = 1000): DataFrame = {
+    require(k > 0, "vocab size must be positive")
+    val tf = tokenRows(documents).groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    tf.orderBy(desc("tf"), col("tok")).limit(k)
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("tf"), col("tok"))).cast("long"))
+      .select(col("token_id"), col("tok"), col("tf"))
+      .orderBy(col("token_id"))
+  }
+
+  /** Token-id encoding: each document rendered as its sequence of
+    * [[buildVocab]] ids (OOV → 0), space-joined — the corpus →
+    * "token ids ready for packing" step between [[tokenCounts]] and
+    * [[graft.operators.Curation.packShards]]. Emits the id string plus
+    * token/OOV counts so coverage is measurable per document.
+    *
+    * Scale shape: the exploded token frame joins the k-row vocabulary —
+    * corpus-side probe vs dimension-sized build, AQE broadcasts without a
+    * hint, so the encode is effectively map-side. Order is restored
+    * per-document by sorting the collected (pos, id) structs — a per-doc
+    * array bounded by document length, never a corpus-wide sort.
+    */
+  def encodeTokenIds(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val vocab = buildVocab(documents, vocabSize).select(col("tok"), col("token_id"))
+    val posToks = documents.select(col("doc_id"),
+      posexplode(toks).as(Seq("pos", "tok")))
+    posToks.join(vocab, Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("token_id"), lit(0L)).as("id")))),
+          s => s.getField("id").cast("string"))).as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
 }

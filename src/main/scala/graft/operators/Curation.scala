@@ -345,4 +345,64 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source (domain-level) reputation table: document count, exact
+    * duplicate rate, mean length, and mean type-token-ratio quality per
+    * `source` — the statistics behind domain-level curation (a web corpus
+    * is filtered by DOMAIN reputation before any per-document gate,
+    * because a spam domain's documents are individually plausible but
+    * collectively near-identical). All integer math, round-half-up.
+    *
+    * Scale shape: one exploded token aggregation per doc (map-side
+    * combined, the [[graft.functions.TextAnalysis.qualityScore]] shape),
+    * then a groupBy on `source`. Source cardinality is the domain count
+    * (millions at 100 TB, each row fixed-width) — a plain hash
+    * aggregation; the per-source distinct-text count expands to
+    * (source, text_key) first, so a hot domain splits across partitions
+    * in the partial stage rather than funneling through one reducer.
+    */
+  def sourceReputation(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), col("source"), md5(col("text")).as("text_key"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"), max(col("text_key")).as("text_key"),
+        count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      .select(col("source"), col("text_key"), col("n_tokens"),
+        expr("(n_distinct * 20000 + n_tokens) div (2 * n_tokens)").as("ttr_bp"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_key")).as("n_unique_texts"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("ttr_bp")).as("sum_ttr"))
+      .select(col("source"), col("n_docs"), col("n_unique_texts"),
+        expr("((n_docs - n_unique_texts) * 20000 + n_docs) div (2 * n_docs)")
+          .as("dup_bp"),
+        expr("(total_tokens * 2 + n_docs) div (2 * n_docs)").as("avg_tokens"),
+        expr("(sum_ttr * 2 + n_docs) div (2 * n_docs)").as("avg_ttr_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Domain-level gate: drop every document whose SOURCE fails the
+    * reputation floor — mean TTR below `minAvgTtrBp` or exact-duplicate
+    * rate above `maxDupBp`. The whole-domain exclusion is the point: a
+    * low-reputation domain's documents are removed even when they would
+    * individually pass a per-document gate.
+    *
+    * Scale shape: the bad-source list is a filter over [[sourceReputation]]
+    * (domain-dimension-sized, never corpus-proportional), so the left-anti
+    * equi-join on `source` auto-broadcasts under AQE — no hint, per the
+    * corpus-side no-forced-broadcast rule.
+    */
+  def gateBySource(documents: DataFrame, minAvgTtrBp: Long = 4800,
+                   maxDupBp: Long = 2000): DataFrame = {
+    val bad = sourceReputation(documents)
+      .filter(col("avg_ttr_bp") < minAvgTtrBp || col("dup_bp") > maxDupBp)
+      .select(col("source"))
+    documents.join(bad, Seq("source"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -252,22 +252,17 @@ object NearDup {
       val neighborMin = edges
         .join(labels, edges("doc_j") === labels("id"))
         .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
+      // the changed flag is computed IN the propagate pass (new < old is
+      // exactly `nlabel < label` — labels only ever decrease), so the
+      // per-round convergence probe is a scan of the just-checkpointed
+      // blocks, not a second shuffle join of next against labels
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label")).coalesce(parts).localCheckpoint()
-      // near-dup components are near-cliques (diameter 1-2): round 0
-      // nearly always settles everything, so the convergence count — a
-      // driver action per round — starts at round 1; one extra tiny
-      // propagate round is cheaper than a per-round check. The check must
-      // also run on the FINAL round, else a 1-round budget could never
-      // observe convergence and the require below would reject even a
-      // trivially-settled (or empty) graph.
-      if (iter >= 1 || iter == maxIters - 1) {
-        val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        converged = changed == 0
-      }
-      labels = next
+          .as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+        .coalesce(parts).localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     // a silent early exit would return WRONG labels for any component
@@ -494,18 +489,15 @@ object NearDup {
       val neighborMin = allEdges
         .join(labels, allEdges("doc_j") === labels("id"))
         .groupBy(col("doc_i").as("nid")).agg(min(col("label")).as("nlabel"))
+      // same fused changed-flag probe as clustersFromPairs: no per-round
+      // shuffle join, just a scan of the checkpointed blocks
       val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .coalesce(parts).localCheckpoint()
-      // same final-round rule as clustersFromPairs: a 1-round budget must
-      // still be able to observe convergence
-      if (iter >= 1 || iter == maxIters - 1) {
-        val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label")).count()
-        converged = changed == 0
-      }
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     require(converged,

@@ -268,4 +268,75 @@ class CurationSpec extends SparkSpec {
       s"pred_lang filter did not reach PartitionFilters: $plan")
     graft.streaming.StreamingSessions.deleteRecursively(root)
   }
+
+  test("source reputation: known dup rate and TTR on a fixed fixture") {
+    import spark.implicits._
+    // source A: 4 docs, 2 distinct texts -> dup_bp 5000; B: all unique
+    val fixture = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c d", "A"),
+      (3L, "x y x y", "A"), (4L, "x y x y", "A"),
+      (5L, "p q r s", "B"), (6L, "p p p p", "B"))
+      .toDF("doc_id", "text", "source")
+    val rep = Curation.sourceReputation(fixture).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rep("A")
+    assert(a.getLong(1) == 4 && a.getLong(2) == 2, "A: 4 docs, 2 unique")
+    assert(a.getLong(3) == 5000, s"A dup_bp: got ${a.getLong(3)}")
+    assert(a.getLong(4) == 4, "A avg_tokens")
+    // A ttr: docs 1,2 -> 10000; docs 3,4 -> 2/4 = 5000 bp exactly;
+    // mean = (2*10000 + 2*5000) / 4 = 7500
+    assert(a.getLong(5) == 7500, s"A avg_ttr_bp: got ${a.getLong(5)}")
+    val b = rep("B")
+    assert(b.getLong(3) == 0, "B has no duplicates")
+    // corpus accounting: per-source doc counts cover every doc exactly once
+    val real = docs
+    val total = Curation.sourceReputation(real)
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(total == real.count(), "reputation rows must cover the corpus")
+  }
+
+  test("source gate: whole-source drops, survivors pass the floor") {
+    val real = docs
+    val rep = Curation.sourceReputation(real).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(5))).toSeq
+    val badSources = rep.filter { case (_, dup, ttr) =>
+      ttr < 4800 || dup > 2000 }.map(_._1).toSet
+    assert(badSources.nonEmpty && badSources.size < rep.size,
+      s"thresholds must split the fixture sources, got ${badSources.size}/${rep.size}")
+    val kept = Curation.gateBySource(real).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.forall { case (_, src) => !badSources.contains(src) },
+      "no document from a gated source may survive")
+    // whole-source semantics: every doc of every surviving source is kept
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    val inputBySrc = real.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptBySrc.foreach { case (src, n) =>
+      assert(n == inputBySrc(src), s"source $src partially dropped") }
+  }
+
+  test("vocab + token-id encoding: dense ids, exact roundtrip, OOV = 0") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "the cat sat"), (2L, "the dog sat"), (3L, "the cat ran far"))
+      .toDF("doc_id", "text")
+    // k=3 vocab: the(3) > cat(2) = sat(2) -> tie broken by token asc
+    val vocab = graft.functions.TextAnalysis.buildVocab(fixture, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(vocab.toSeq == Seq((1L, "the", 3L), (2L, "cat", 2L), (3L, "sat", 2L)),
+      s"got ${vocab.toSeq}")
+    val enc = graft.functions.TextAnalysis.encodeTokenIds(fixture, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.toSeq == Seq(
+      (1L, 3L, 0L, "1 2 3"), (2L, 3L, 1L, "1 0 3"), (3L, 4L, 2L, "1 2 0 0")),
+      s"got ${enc.toSeq}")
+    // real-corpus invariants: id-string arity == token count, OOV bounded
+    val real = docs
+    val e = graft.functions.TextAnalysis.encodeTokenIds(real, 100).collect()
+    e.foreach { r =>
+      assert(r.getString(3).split(" ").length == r.getLong(1),
+        s"doc ${r.getLong(0)}: ids arity != n_tokens")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
 }
