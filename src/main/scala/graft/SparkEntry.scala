@@ -115,6 +115,9 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql(windowFunnelSql)
     }),
+    // cohort retention triangle: first-activity-day cohorts × day offsets
+    "q_retention_cohorts" -> ((s, dir) =>
+      Relational.retentionCohorts(Tables.events(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_pivot_status_priority" -> ((s, dir) =>
@@ -218,6 +221,9 @@ object SparkEntry {
     "text_typicality" -> ((s, dir) => TextAnalysis.typicality(Tables.documents(s, dir))),
     "text_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(Tables.documents(s, dir))),
     "text_distinctive" -> ((s, dir) => TextAnalysis.distinctiveTokens(Tables.documents(s, dir))),
+    // BM25-shaped keyword search: top-20 docs for a fixed 3-term query,
+    // exact-integer scoring (rational idf surrogate; k1=1.2, b=0.75)
+    "search_bm25" -> ((s, dir) => TextAnalysis.searchBm25(Tables.documents(s, dir))),
     // corpus-frequency vocabulary: top-1000 tokens densely numbered by
     // (count desc, token) — the id table token-id encoding joins against
     "vocab_topk" -> ((s, dir) => TextAnalysis.buildVocab(Tables.documents(s, dir))),
@@ -825,6 +831,48 @@ object SparkEntry {
         |      FROM occ JOIN dfq ON occ.gram = dfq.gram)
         |SELECT gram, n_occurrences, n_docs, rnk FROM r WHERE rnk <= 20
         |ORDER BY rnk""".stripMargin,
+    // BM25 keyword search: the same integer-scaled scoring expressions,
+    // term for term; DuckDB's 1-row cross join against (n, avgdl) plays
+    // the Spark side's bounded scalar collect
+    "search_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    (CAST(sum(dl) AS BIGINT) * 200 + count(*)) // (2 * count(*))
+        |      AS avgdl_x100 FROM dl),
+        |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+        |       WHERE tok IN ('customer', 'join', 'dup') GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |s AS (SELECT tf.doc_id,
+        |    ((n - df + 1) * 1000) // (df + 1) AS idf_milli,
+        |    (tf * 220 * 1000) // (tf * 100 +
+        |      (120 * (25 + (75 * ((dl.dl * 10000) // avgdl_x100)) // 100)) // 100)
+        |      AS tf_part_milli
+        |  FROM tf JOIN dfq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, tot),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum((idf_milli * tf_part_milli) // 1000) AS BIGINT)
+        |      AS score_milli,
+        |    CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, score_milli, n_terms_hit, rank FROM
+        |  (SELECT *, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
+        |     AS BIGINT) AS rank FROM sc)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // retention triangle: exact epoch-us day offsets over date_trunc
+    "q_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT cohort_day,
+        |  (epoch_us(a.day) - epoch_us(cohort_day)) // 86400000000
+        |    AS offset_days,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // corpus vocabulary: dense ids by (tf desc, token) — a total order, so
     // "rank then limit" ≡ Spark's "limit then rank"
     "vocab_topk" ->

@@ -347,6 +347,51 @@ object TextAnalysis {
     documents.select(col("doc_id"), fingerprintCol.as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** BM25-shaped keyword search over the corpus: top-`k` documents for a
+    * fixed term set, scored by an exact-integer BM25 variant
+    * (k1 = 1.2, b = 0.75, both ×100). The idf factor is the RATIONAL
+    * surrogate `(N - df + 1)/(df + 1)` ×1000 rather than the textbook
+    * log — same ordering for a fixed query, and `ln` has no cross-libm
+    * bit guarantee (the [[typicality]] precedent), so scores stay
+    * engine-portable integers.
+    *
+    * Scale shape: the exploded token frame is filtered to the query terms
+    * BEFORE any aggregation (term-proportional, not corpus-proportional);
+    * df is one tiny rollup of the tf frame (≤ |terms| rows, AQE
+    * broadcast); N/avgdl are one bounded scalar collect (two longs — the
+    * quality-gate cut pattern, keeping the per-doc plan join-free); the
+    * final top-k is `TakeOrdered`, never a global sort.
+    */
+  def searchBm25(documents: DataFrame,
+                 terms: Seq[String] = Seq("customer", "join", "dup"),
+                 k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && k > 0, "searchBm25 needs terms and k > 0")
+    val dl = documents.select(col("doc_id"),
+      size(toks).cast("long").as("dl"))
+    val totRow = dl.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = totRow.getLong(0)
+    if (n == 0)
+      return documents.select(col("doc_id"), lit(0L).as("score_milli"),
+        lit(0L).as("n_terms_hit"), lit(0L).as("rank")).filter(lit(false))
+    val avgdlX100 = (totRow.getLong(1) * 200 + n) / (2 * n)
+    val tf = tokenRows(documents).filter(col("tok").isInCollection(terms))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(df, "tok").join(dl, "doc_id")
+      .withColumn("idf_milli", expr(s"((${n}L - df + 1) * 1000) div (df + 1)"))
+      .withColumn("denom_x100", expr(
+        s"tf * 100 + (120 * (25 + (75 * ((dl * 10000) div ${avgdlX100}L)) div 100)) div 100"))
+      .withColumn("tf_part_milli", expr("(tf * 220 * 1000) div denom_x100"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(idf_milli * tf_part_milli) div 1000")).as("score_milli"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score_milli"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score_milli"), col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Corpus-frequency vocabulary: the `k` most frequent whitespace tokens,
     * densely numbered 1..k by (count desc, token asc) — a total order, so
     * the id assignment is deterministic across runs and engines. Id 0 is

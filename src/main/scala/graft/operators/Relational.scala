@@ -373,4 +373,34 @@ object Relational {
         sum(col("k")).as("sum_k"),
         (sumCents(col("value")) / 100.0).as("sum_value"))
       .orderBy(col("event_type"))
+
+  /** Cohort retention matrix: users grouped by first-activity day, then
+    * for every (cohort, day-offset) the count of cohort members active
+    * that day — the standard product-analytics retention triangle. Day
+    * offsets are exact integer epoch-microsecond arithmetic over
+    * `date_trunc` boundaries (no calendar functions whose week/month
+    * conventions differ across engines).
+    *
+    * Scale shape: activity dedup and cohort assignment are two hash
+    * aggregations keyed on `user_id` (+day); the activity⋈cohort join is
+    * an equi-join on `user_id`, both sides user-proportional — AQE
+    * broadcasts the cohort side when the user dimension is small, and
+    * the final (cohort, offset) rollup is bounded by days², not users.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val activity = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .select(col("cohort_day"),
+        expr("(unix_micros(day) - unix_micros(cohort_day)) div 86400000000")
+          .as("offset_days"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
 }

@@ -104,4 +104,34 @@ class MultimodalTextSpec extends SparkSpec {
       assert(r.getLong(3) == 1L, s"ips doc $id")
     }
   }
+
+  test("bm25 search: rare-term docs outrank common-term docs, ranks dense") {
+    import spark.implicits._
+    // 'rare' appears in one doc, 'common' in all; same lengths — the
+    // rare-term doc must win on idf alone
+    val fixture = Seq(
+      (1L, "common alpha beta gamma"), (2L, "common rare beta gamma"),
+      (3L, "common alpha beta gamma"), (4L, "common alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val hits = TextAnalysis.searchBm25(fixture, Seq("common", "rare"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(hits.head._1 == 2L, s"rare-term doc must rank first: ${hits.toSeq}")
+    assert(hits.head._3 == 2L, "top doc hits both terms")
+    assert(hits.map(_._4).toSeq == (1L to hits.length).toSeq, "dense ranks")
+    // real corpus: every hit contains at least one query term; scores
+    // are non-increasing in rank
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val top = TextAnalysis.searchBm25(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.nonEmpty)
+    assert(top.sliding(2).forall { case Array(a, b) => a._2 >= b._2 },
+      "scores must be non-increasing in rank order")
+    val ids = top.map(_._1).toSeq
+    val withTerm = real
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(col("text").contains("customer") || col("text").contains("join")
+        || col("text").contains("dup"))
+      .count()
+    assert(withTerm == ids.length, "every hit contains a query term")
+  }
 }

@@ -38,6 +38,31 @@ class RelationalSpec extends SparkSpec {
       "±2h inclusive; 1µs past the boundary excluded")
   }
 
+  test("retention cohorts: offset-0 row equals cohort size, offsets non-negative") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val m = graft.operators.Relational.retentionCohorts(events).collect()
+      .map(r => ((r.getTimestamp(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m.nonEmpty)
+    assert(m.keys.forall(_._2 >= 0), "day offsets must be non-negative")
+    // offset 0 of each cohort counts exactly the users whose first
+    // activity day IS the cohort day
+    val cohortSizes = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      .groupBy(col("cohort_day")).count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (day, size) =>
+      assert(m.get((day, 0L)).contains(size),
+        s"cohort $day: offset-0 count ${m.get((day, 0L))} != size $size")
+    }
+    // retention never exceeds the cohort's size at any offset
+    m.foreach { case ((day, off), n) =>
+      assert(n <= cohortSizes(day), s"cohort $day offset $off overcounts")
+    }
+  }
+
   test("registerAll exposes the suite to SQL text") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
