@@ -236,6 +236,36 @@ object DevScale {
     val exchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
     println(s"bucketed-join exchanges on user_id = $exchanges (want 0)")
     time("bucketed_join_agg")(joined.count())
+
+    // round-5 additions at the same 500k-doc / 10M-event corpora ------
+
+    // domain-reputation over 1000 synthetic sources (500 docs each): the
+    // per-source rollup is domain-dimension-sized; the gate's anti-join
+    // build side is the bad-source subset of those 1000 rows
+    val srcDocs = dc.withColumn("source",
+      concat(lit("src"), pmod(col("doc_id"), lit(1000))))
+    timeDocs("source_reputation_500k")(
+      graft.operators.Curation.sourceReputation(srcDocs).count())
+    timeDocs("gate_by_source_500k")(
+      graft.operators.Curation.gateBySource(srcDocs).count())
+
+    // token-id encoding at 500k docs: 31-token vocab broadcast to the
+    // 27.5M-row exploded frame; per-doc order restored by a 55-element
+    // struct sort — nothing corpus-global
+    timeDocs("tokenize_ids_500k")(
+      graft.functions.TextAnalysis.encodeTokenIds(dc, 1000).count())
+
+    // BM25 search at 500k docs: the exploded frame filters to the three
+    // query terms BEFORE aggregation, so the scored frame is
+    // term-proportional (~1.5M rows of 27.5M)
+    timeDocs("search_bm25_500k")(
+      graft.functions.TextAnalysis.searchBm25(
+        dc, Seq("scan", "hash", "edited"), 20).count())
+
+    // retention triangle at 10M events / 50k users: two user-keyed hash
+    // aggs + one user equi-join; output bounded by days² (30×30)
+    time("retention_10m")(
+      graft.operators.Relational.retentionCohorts(ev).count())
     spark.stop()
   }
 }

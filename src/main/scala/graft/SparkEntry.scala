@@ -118,6 +118,15 @@ object SparkEntry {
     // cohort retention triangle: first-activity-day cohorts × day offsets
     "q_retention_cohorts" -> ((s, dir) =>
       Relational.retentionCohorts(Tables.events(s, dir))),
+    // arbitrary grouping sets (status totals + priority totals + grand
+    // total in one Expand pass), grouping() bits disambiguating nulls
+    "q_grouping_sets_orders" -> ((s, dir) =>
+      Relational.orderGroupingSets(Tables.orders(s, dir))),
+    // full outer join: user activity vs customer dim, both unmatched
+    // sides preserved
+    "q_full_outer_coverage" -> ((s, dir) =>
+      Relational.userCustomerCoverage(
+        Tables.events(s, dir), Tables.customer(s, dir))),
     "q_cube_orders" -> ((s, dir) =>
       Relational.ordersCube(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_pivot_status_priority" -> ((s, dir) =>
@@ -861,6 +870,31 @@ object SparkEntry {
         |  (SELECT *, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id)
         |     AS BIGINT) AS rank FROM sc)
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // grouping sets with grouping() bits (gid 1 = status rows, 2 =
+    // priority rows, 3 = grand total — same bit order as Spark)
+    "q_grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice) * 100, 0) / 100.0 AS total_price,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
+    // full outer coverage join
+    "q_full_outer_coverage" ->
+      """WITH a AS (SELECT user_id, count(*) AS n_events FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |c AS (SELECT c_custkey,
+        |        round(c_acctbal * 100, 0) / 100.0 AS acctbal FROM customer)
+        |SELECT coalesce(user_id, c_custkey) AS key_id,
+        |  coalesce(n_events, 0) AS n_events,
+        |  user_id IS NOT NULL AS has_events,
+        |  c_custkey IS NOT NULL AS is_customer,
+        |  acctbal
+        |FROM a FULL OUTER JOIN c ON a.user_id = c.c_custkey
+        |ORDER BY key_id""".stripMargin,
     // retention triangle: exact epoch-us day offsets over date_trunc
     "q_retention_cohorts" ->
       """WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -353,21 +353,28 @@ object Curation {
     * because a spam domain's documents are individually plausible but
     * collectively near-identical). All integer math, round-half-up.
     *
-    * Scale shape: one exploded token aggregation per doc (map-side
-    * combined, the [[graft.functions.TextAnalysis.qualityScore]] shape),
-    * then a groupBy on `source`. Source cardinality is the domain count
-    * (millions at 100 TB, each row fixed-width) — a plain hash
-    * aggregation; the per-source distinct-text count expands to
-    * (source, text_key) first, so a hot domain splits across partitions
-    * in the partial stage rather than funneling through one reducer.
+    * Scale shape: the token shuffle carries ONLY (doc_id, tok) — the
+    * per-doc distinct count is two fixed-width hash aggregations (the
+    * skew-safe [[graft.functions.TextAnalysis.tokenDocFrequency]] shape),
+    * then joins the map-only per-doc frame on `doc_id`. Routing `source`
+    * / `text_key` through the exploded aggregation instead (max(string)
+    * buffers) demotes the whole token path to SortAggregate — this shape
+    * keeps every stage a hash aggregation and never sorts the token
+    * explosion (plan-verified at 500k docs; `DevScale`).
+    * The final groupBy on `source` is domain-dimension-sized; its
+    * distinct-text count expands to (source, text_key) keys first, so a
+    * hot domain splits across partitions in the partial stage rather
+    * than funneling through one reducer.
     */
   def sourceReputation(documents: DataFrame): DataFrame = {
+    val nDistinct = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct"))
     val perDoc = documents
       .select(col("doc_id"), col("source"), md5(col("text")).as("text_key"),
-        explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("source")).as("source"), max(col("text_key")).as("text_key"),
-        count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(nDistinct, "doc_id")
       .select(col("source"), col("text_key"), col("n_tokens"),
         expr("(n_distinct * 20000 + n_tokens) div (2 * n_tokens)").as("ttr_bp"))
     perDoc

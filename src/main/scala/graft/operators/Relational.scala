@@ -374,6 +374,48 @@ object Relational {
         (sumCents(col("value")) / 100.0).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Arbitrary GROUPING SETS (beyond the rollup/cube lattices): status
+    * totals, priority totals, and the grand total in ONE pass — Spark
+    * plans a single `Expand` + hash aggregation, not three scans. The
+    * `gid` column (`grouping()` bits) disambiguates "genuinely null
+    * grouping value" from "aggregated away", the standard grouping-sets
+    * pitfall.
+    */
+  def orderGroupingSets(orders: DataFrame): DataFrame =
+    orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sumCents(col("o_totalprice")) / 100.0).as("total_price"),
+        (grouping(col("o_orderstatus")) * 2 +
+          grouping(col("o_orderpriority"))).cast("long").as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("total_price"), col("gid"))
+      .orderBy(col("gid"), col("orderstatus"), col("orderpriority"))
+
+  /** Full outer join: event activity per user ⋈ the customer dimension —
+    * rows survive from BOTH unmatched sides (active non-customers, and
+    * customers with no events), the one outer-join shape the semi/anti/
+    * left family doesn't cover. Equi-join on the key, so the full outer
+    * is a plain shuffled hash/merge join (no nested loop).
+    */
+  def userCustomerCoverage(events: DataFrame, customer: DataFrame): DataFrame = {
+    val activity = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val cust = customer.select(col("c_custkey"),
+      (round(col("c_acctbal") * 100, 0) / 100.0).as("acctbal"))
+    activity.join(cust, activity("user_id") === cust("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("c_custkey")).as("key_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("user_id").isNotNull.as("has_events"),
+        col("c_custkey").isNotNull.as("is_customer"),
+        col("acctbal"))
+      .orderBy(col("key_id"))
+  }
+
   /** Cohort retention matrix: users grouped by first-activity day, then
     * for every (cohort, day-offset) the count of cohort members active
     * that day — the standard product-analytics retention triangle. Day

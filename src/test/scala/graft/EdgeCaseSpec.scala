@@ -129,6 +129,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Curation.decontaminateBloom(emptyDocs).count() == 0)
   }
 
+  test("continuation r5 operators on empty / degenerate inputs") {
+    import graft.functions.TextAnalysis
+    import graft.operators.Relational
+    val emptySrcDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    // reputation/gate on an empty corpus: empty, and the gate keeps
+    // everything when no source fails the floor
+    assert(Curation.sourceReputation(emptySrcDocs).count() == 0)
+    assert(Curation.gateBySource(emptySrcDocs).count() == 0)
+    val good = Seq((1L, "a b c d e f g h", "s1")).toDF("doc_id", "text", "source")
+    assert(Curation.gateBySource(good, minAvgTtrBp = 0L).count() == 1)
+    // vocab/encoding/search on an empty corpus
+    assert(TextAnalysis.buildVocab(emptyDocs).count() == 0)
+    assert(TextAnalysis.encodeTokenIds(emptyDocs).count() == 0)
+    assert(TextAnalysis.searchBm25(emptyDocs).count() == 0)
+    // search with terms absent from the corpus: no hits, no div-by-zero
+    val docs = Seq((0L, "the a the a")).toDF("doc_id", "text")
+    assert(TextAnalysis.searchBm25(docs, Seq("absent")).count() == 0)
+    // retention / grouping sets / full outer on empty inputs
+    assert(Relational.retentionCohorts(emptyEvents).count() == 0)
+    val emptyOrders = Seq.empty[(Long, String, String, Double)]
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    // grand-total row still appears (count 0 over no rows is the SQL
+    // grand-total convention: one row, n=0? No — GROUP BY over an empty
+    // table with grouping sets yields the () set's single row only when
+    // the engine emits it; Spark and DuckDB both emit NOTHING for the
+    // non-() sets and one row for () — pin Spark's behavior here
+    val gs = Relational.orderGroupingSets(emptyOrders).collect()
+    assert(gs.forall(_.getLong(4) == 3L),
+      "only the grand-total set may survive an empty table")
+    assert(Relational.userCustomerCoverage(emptyEvents,
+      Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")).count() == 0)
+  }
+
   test("registerAll re-binds a view a caller dropped or shadowed") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)

@@ -63,6 +63,56 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("grouping sets: one Expand pass, gid bits disambiguate totals") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val df = graft.operators.Relational.orderGroupingSets(orders)
+    // single Expand + aggregation, not a union of three scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected Expand in plan:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      "grouping sets must read the table once")
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getLong(4))
+    assert(byGid.keySet == Set(1L, 2L, 3L), "status=1, priority=2, grand=3")
+    val total = orders.count()
+    assert(byGid(3L).map(_.getLong(2)).sum == total)
+    assert(byGid(1L).map(_.getLong(2)).sum == total, "status rows partition")
+    assert(byGid(2L).map(_.getLong(2)).sum == total, "priority rows partition")
+  }
+
+  test("full outer coverage keeps both unmatched sides") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Relational
+      .userCustomerCoverage(events, customer).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val activeUsers = events.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    val custKeys = customer.select(col("c_custkey")).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == activeUsers ++ custKeys, "key union")
+    // flags must mirror set membership exactly — including the unmatched
+    // sides (event-less customers always exist at this SF; active
+    // non-customers exist only if the fixture id ranges diverge)
+    rows.foreach { case (k, n, hasEv, isCust) =>
+      assert(hasEv == activeUsers.contains(k), s"has_events flag for $k")
+      assert(isCust == custKeys.contains(k), s"is_customer flag for $k")
+      assert((n > 0) == hasEv, s"n_events consistency for $k")
+    }
+    assert(rows.exists(r => !r._3 && r._4), "event-less customer survives")
+    // synthetic check for the other unmatched side, independent of fixture
+    // id ranges: one active user that is definitely not a customer
+    import spark.implicits._
+    val ev1 = Seq((1L, new java.sql.Timestamp(0L), 999999L))
+      .toDF("event_id", "ts", "user_id")
+    val c1 = Seq((1L, 10.0)).toDF("c_custkey", "c_acctbal")
+    val syn = graft.operators.Relational.userCustomerCoverage(ev1, c1)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+    assert(syn.toSet == Set((1L, false, true), (999999L, true, false)))
+  }
+
   test("registerAll exposes the suite to SQL text") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
