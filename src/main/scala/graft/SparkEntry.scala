@@ -122,6 +122,13 @@ object SparkEntry {
     // total in one Expand pass), grouping() bits disambiguating nulls
     "q_grouping_sets_orders" -> ((s, dir) =>
       Relational.orderGroupingSets(Tables.orders(s, dir))),
+    // time-RANGE window frame: trailing-1h per-user count/sum at every
+    // event — the physical-time sliding horizon ROWS frames can't express
+    "q_trailing_hour" -> ((s, dir) =>
+      Relational.trailingHourStats(Tables.events(s, dir))),
+    // unpivot (wide -> long), the inverse of q_pivot_status_priority
+    "q_unpivot_priority" -> ((s, dir) =>
+      Relational.unpivotPriorityMatrix(Tables.orders(s, dir))),
     // full outer join: user activity vs customer dim, both unmatched
     // sides preserved
     "q_full_outer_coverage" -> ((s, dir) =>
@@ -882,6 +889,28 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
+    // time-RANGE trailing window (RANGE over epoch micros; ties share a
+    // frame, so no tie-break column is needed or allowed)
+    "q_trailing_hour" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT)
+        |    / 100.0 AS sum_trailing_1h
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // unpivot: the long form of the pivot matrix, via a 5-row melt spec
+    "q_unpivot_priority" ->
+      """SELECT o_orderstatus AS orderstatus, priority_col,
+        |  CAST(count(*) FILTER (WHERE o_orderpriority = pr) AS BIGINT)
+        |    AS n_orders
+        |FROM orders
+        |CROSS JOIN (VALUES ('p1_urgent', '1-URGENT'), ('p2_high', '2-HIGH'),
+        |    ('p3_medium', '3-MEDIUM'), ('p4_not_specified', '4-NOT SPECIFIED'),
+        |    ('p5_low', '5-LOW')) AS m(priority_col, pr)
+        |GROUP BY orderstatus, priority_col
+        |ORDER BY orderstatus, priority_col""".stripMargin,
     // full outer coverage join
     "q_full_outer_coverage" ->
       """WITH a AS (SELECT user_id, count(*) AS n_events FROM events

@@ -416,6 +416,46 @@ object Relational {
       .orderBy(col("key_id"))
   }
 
+  /** Time-RANGE window frame: per-user trailing-1-hour event count and
+    * value sum at every event — the "rate over a sliding physical-time
+    * horizon" analytic that ROWS frames can't express (a frame of k rows
+    * spans wildly different wall-clock at varying event rates). Ordered
+    * by epoch microseconds with `rangeBetween`, so ties (same-µs events)
+    * all see the same frame — deterministic without an event_id
+    * tie-break, which RANGE frames don't allow.
+    *
+    * Scale shape: one hash shuffle on `user_id` + one in-partition sort —
+    * identical cost to [[userRunningTotals]]; the frame bound adds no
+    * extra pass (Spark maintains a sliding frame over the sorted run).
+    */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L + 1, Window.currentRow)
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(frame).as("n_trailing_1h"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")).over(frame)
+          / 100.0).as("sum_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Unpivot (wide → long): the per-status priority-count matrix melted
+    * back to (status, priority, n) rows — the inverse of
+    * [[pivotPriorityMatrix]], closing the reshape family. Map-only over
+    * the (tiny) pivoted frame; at scale unpivot over a fact table stays
+    * map-only too (each input row fans out to k fixed rows, no shuffle).
+    */
+  def unpivotPriorityMatrix(orders: DataFrame): DataFrame =
+    pivotPriorityMatrix(orders)
+      .unpivot(
+        Array(col("orderstatus")),
+        Array(col("p1_urgent"), col("p2_high"), col("p3_medium"),
+          col("p4_not_specified"), col("p5_low")),
+        "priority_col", "n_orders")
+      .orderBy(col("orderstatus"), col("priority_col"))
+
   /** Cohort retention matrix: users grouped by first-activity day, then
     * for every (cohort, day-offset) the count of cohort members active
     * that day — the standard product-analytics retention triangle. Day

@@ -113,6 +113,40 @@ class RelationalSpec extends SparkSpec {
     assert(syn.toSet == Set((1L, false, true), (999999L, true, false)))
   }
 
+  test("trailing-hour RANGE frame: exact horizon, ties share a frame") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: events at 0s, 1800s, 3600s, 3601s — the 3600s event still
+    // sees 1s-after-epoch? frame is (ts-1h, ts]: at 3600s the 0s event is
+    // EXACTLY 1h old -> excluded by the +1µs lower bound
+    val ev = Seq(
+      (1L, ts(0), 1L, 10.0), (2L, ts(1800), 1L, 20.0),
+      (3L, ts(3600), 1L, 30.0), (4L, ts(3601), 1L, 40.0),
+      // user 2: two events at the SAME microsecond -> same frame
+      (5L, ts(100), 2L, 1.0), (6L, ts(100), 2L, 2.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val rows = graft.operators.Relational.trailingHourStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(1L) == ((1L, 10.0)))
+    assert(rows(2L) == ((2L, 30.0)))
+    assert(rows(3L) == ((2L, 50.0)), "exactly-1h-old event must drop out")
+    assert(rows(4L) == ((3L, 90.0)), "1800/3600/3601 within the hour")
+    assert(rows(5L) == ((2L, 3.0)) && rows(6L) == ((2L, 3.0)),
+      "same-microsecond ties share one frame")
+  }
+
+  test("unpivot is the exact long form of the pivot matrix") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val wide = graft.operators.Relational.pivotPriorityMatrix(orders)
+      .collect().flatMap { r =>
+        Seq("p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low")
+          .zipWithIndex.map { case (c, i) => (r.getString(0), c) -> r.getLong(i + 1) }
+      }.toMap
+    val long = graft.operators.Relational.unpivotPriorityMatrix(orders)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long == wide, "melt(pivot) must reproduce every cell")
+  }
+
   test("registerAll exposes the suite to SQL text") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
