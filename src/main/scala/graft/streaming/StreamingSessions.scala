@@ -10,6 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Input row for the stateful alert operator. */
 case class AlertInput(user_id: Long, session_sum: Double)
 
+/** One heavy-hitter crossing: emitted the first time a key's running
+  * event count reaches the threshold; `n_at_crossing` is the exact count
+  * at that moment (≥ threshold when one micro-batch overshoots).
+  */
+case class HeavyHit(user_id: Long, n_at_crossing: Long)
+
 /** Emitted alert (at most one per user, ever). */
 case class Alert(user_id: Long, first_qualifying_sum: Double, n_suppressed: Long)
 
@@ -288,6 +294,39 @@ object StreamingSessions {
       }
     }
     sessions.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming heavy-hitters: per-key running event count with ONE
+    * emission the instant the count crosses `threshold` — the continuous
+    * form of `HAVING count(*) >= k`, for "this tenant just became hot"
+    * alerting without re-scanning history. Exactly-once per key across
+    * micro-batches and restarts (the count lives in the keyed state
+    * store, and a crossing is detected by the before/after comparison, so
+    * a replayed batch that re-adds rows cannot re-emit).
+    *
+    * State is one long per key — O(distinct keys), fixed-width; keys
+    * whose count stays below the threshold still hold their counter
+    * (frequency must be remembered to be crossable). A deployment that
+    * only cares about recent heat bounds state with a
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `state.setTimeoutDuration`
+    * eviction; the unbounded form here matches the batch oracle exactly.
+    */
+  def heavyHittersStream(events: DataFrame, threshold: Long): Dataset[HeavyHit] = {
+    import events.sparkSession.implicits._
+    require(threshold > 0, "threshold must be positive")
+    def fn(userId: Long, rows: Iterator[Long],
+           state: GroupState[Long]): Iterator[HeavyHit] = {
+      val before = state.getOption.getOrElse(0L)
+      val after = before + rows.size
+      state.update(after)
+      if (before < threshold && after >= threshold)
+        Iterator.single(HeavyHit(userId, after))
+      else Iterator.empty
+    }
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 }

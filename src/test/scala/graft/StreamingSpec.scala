@@ -235,6 +235,55 @@ class StatefulAlertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy hitters: one crossing per key across batches, equals batch HAVING") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingSessions.heavyHittersStream(mem.toDF(), 3L)
+      .writeStream.format("memory").queryName("heavy_hits")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 twice, user 2 once — nobody crosses
+      mem.addData(Ev(ts("2024-01-01 00:00:00"), 1L, 1.0),
+        Ev(ts("2024-01-01 00:00:01"), 1L, 1.0),
+        Ev(ts("2024-01-01 00:00:02"), 2L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("heavy_hits").count() == 0)
+      // batch 2: user 1 crosses exactly at 3; user 2 reaches 2
+      mem.addData(Ev(ts("2024-01-01 00:01:00"), 1L, 1.0),
+        Ev(ts("2024-01-01 00:01:01"), 2L, 1.0))
+      q.processAllAvailable()
+      // batch 3: user 1 keeps going (no re-emit); user 2 overshoots 2->4
+      mem.addData(Ev(ts("2024-01-01 00:02:00"), 1L, 1.0),
+        Ev(ts("2024-01-01 00:02:01"), 2L, 1.0),
+        Ev(ts("2024-01-01 00:02:02"), 2L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("heavy_hits").orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 3L), (2L, 4L)),
+        s"exact crossing for 1, overshoot count for 2; got ${got.toSeq}")
+    } finally q.stop()
+    // batch twin on the real fixture: streamed crossing set == HAVING rule
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).count().filter(col("count") >= 100)
+      .collect().map(_.getLong(0)).toSet
+    val mem2 = MemoryStream[Ev]
+    val q2 = StreamingSessions.heavyHittersStream(mem2.toDF(), 100L)
+      .writeStream.format("memory").queryName("heavy_hits_real")
+      .outputMode("append").start()
+    try {
+      val all = ev.select(col("ts"), col("user_id"), col("value"))
+        .collect().map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      val (a, b) = all.splitAt(all.length / 2)
+      mem2.addData(a.toSeq); q2.processAllAvailable()
+      mem2.addData(b.toSeq); q2.processAllAvailable()
+      val streamed = spark.table("heavy_hits_real").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"streamed crossings must equal batch HAVING (${streamed.size} vs ${expected.size})")
+    } finally q2.stop()
+  }
+
   test("report sink renders the reference's fixed-width rows") {
     val df = Seq((4L, 120.5, 40.17)).toDF("user_id", "session_sum", "session_avg")
     val line = graft.sinks.ReportSink.fixedWidth(df).collect().head.getString(0)
