@@ -240,6 +240,20 @@ object SparkEntry {
     // BM25-shaped keyword search: top-20 docs for a fixed 3-term query,
     // exact-integer scoring (rational idf surrogate; k1=1.2, b=0.75)
     "search_bm25" -> ((s, dir) => TextAnalysis.searchBm25(Tables.documents(s, dir))),
+    // bigram-LM fluency score: per-occurrence P(w2|w1) in integer ppm —
+    // the conditional-probability filter unigram typicality can't see
+    "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+    // corpus-version diff: deterministic synthetic "yesterday vs today"
+    // split of the fixture (old = id%10!=0; new = id%7!=0 with text
+    // edited when id%5==0) -> added/removed/changed/unchanged per id
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.corpusDiff(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     // corpus-frequency vocabulary: top-1000 tokens densely numbered by
     // (count desc, token) — the id table token-id encoding joins against
     "vocab_topk" -> ((s, dir) => TextAnalysis.buildVocab(Tables.documents(s, dir))),
@@ -936,6 +950,37 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_active
         |FROM a JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // bigram LM: P(w2|w1) ppm per occurrence, doc mean/min
+    "text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, w[i+1] AS w1, w[i+1] || ' ' || w[i+2] AS gram
+        |      FROM w CROSS JOIN unnest(range(len(w) - 1)) AS t(i)
+        |      WHERE len(w) >= 2),
+        |uni AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w1),
+        |c2 AS (SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM g GROUP BY gram),
+        |s AS (SELECT doc_id, (c2 * 1000000) // c1 AS cond_ppm
+        |      FROM g JOIN c2 USING (gram) JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  (CAST(sum(cond_ppm) AS BIGINT) * 2 + count(*)) // (2 * count(*))
+        |    AS mean_cond_ppm,
+        |  min(cond_ppm) AS min_cond_ppm
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // corpus diff over the same deterministic synthetic split
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_key FROM documents
+        |           WHERE doc_id % 10 != 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |          AS new_key
+        |      FROM documents WHERE doc_id % 7 != 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN old_key IS NULL THEN 'added'
+        |       WHEN new_key IS NULL THEN 'removed'
+        |       WHEN old_key = new_key THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // corpus vocabulary: dense ids by (tf desc, token) — a total order, so
     // "rank then limit" ≡ Spark's "limit then rank"
     "vocab_topk" ->

@@ -214,6 +214,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM "fluency" score — the conditional-probability step up
+    * from [[typicality]]'s unigram model (the CCNet-style LM filter):
+    * for every bigram occurrence `w1 w2`, the corpus-estimated
+    * P(w2|w1) ≈ count(w1 w2) / count(w1) in integer ppm, aggregated to
+    * a per-document mean and minimum. Fluent text chains high-probability
+    * transitions; shuffled or template text scores low even when every
+    * UNIGRAM is common — which is exactly what the unigram filter can't
+    * see. Integer math end-to-end (`log`-free for the same cross-libm
+    * reason as [[typicality]] / [[searchBm25]]).
+    *
+    * Scale shape: bigram and unigram counts are two map-combined hash
+    * aggregations; the occurrence⋈count joins have one fixed-width row
+    * per DISTINCT gram on the build side, so hot-gram skew splits on the
+    * probe side (AQE). Nothing carries document text past the explode.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, concat_ws(' ', w[i], w[i+1]) AS gram))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.gram"))
+    val uni = tokenRows(documents).groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bi = grams.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+    grams
+      .join(bi, "gram")
+      .join(uni.withColumnRenamed("tok", "w1"), "w1")
+      .withColumn("cond_ppm", expr("(c2 * 1000000) div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cond_ppm")).as("sum_ppm"),
+        min(col("cond_ppm")).as("min_cond_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(sum_ppm * 2 + n_bigrams) div (2 * n_bigrams)").as("mean_cond_ppm"),
+        col("min_cond_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Character-bigram profiles for the n-gram language-ID variant: a few
     * discriminative bigrams per language, scored by occurrence count.
     */

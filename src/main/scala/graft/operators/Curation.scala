@@ -402,6 +402,29 @@ object Curation {
     * equi-join on `source` auto-broadcasts under AQE — no hint, per the
     * corpus-side no-forced-broadcast rule.
     */
+  /** Corpus-version diff: which documents were added, removed, or had
+    * their text changed between two corpus snapshots — the audit step
+    * between "yesterday's curated corpus" and "today's" that every
+    * incremental pipeline (exact/near-dup/span admission) assumes
+    * upstream. Content comparison is by md5, so the diff never holds two
+    * copies of the text in the join.
+    *
+    * Scale shape: one full outer equi-join on `doc_id` of two map-only
+    * (doc_id, md5) projections — both sides corpus-proportional,
+    * shuffle-partitioned by the join key; output rows are fixed-width.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_key"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_key"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_key").isNull, "added")
+          .when(col("new_key").isNull, "removed")
+          .when(col("old_key") === col("new_key"), "unchanged")
+          .otherwise("changed").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   def gateBySource(documents: DataFrame, minAvgTtrBp: Long = 4800,
                    maxDupBp: Long = 2000): DataFrame = {
     val bad = sourceReputation(documents)

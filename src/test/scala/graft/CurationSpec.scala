@@ -315,6 +315,23 @@ class CurationSpec extends SparkSpec {
       assert(n == inputBySrc(src), s"source $src partially dropped") }
   }
 
+  test("corpus diff: all four statuses, exactly once per id") {
+    import spark.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, neu).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")), s"got ${got.toSeq}")
+    // self-diff of the real corpus: everything unchanged
+    val real = docs
+    val self = Curation.corpusDiff(real, real)
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+    assert(self.count() == real.count())
+  }
+
   test("vocab + token-id encoding: dense ids, exact roundtrip, OOV = 0") {
     import spark.implicits._
     val fixture = Seq(

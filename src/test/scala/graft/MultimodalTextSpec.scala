@@ -105,6 +105,25 @@ class MultimodalTextSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: exact conditional ppm on a fixed fixture") {
+    import spark.implicits._
+    val fixture = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // c1: a=2 b=2 c=1 d=1; c2: "a b"=2, "b c"=1, "b d"=1
+    // cond_ppm: a->b = 2e6/2 = 1000000; b->c = b->d = 1e6/2 = 500000
+    val got = TextAnalysis.bigramLmScore(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 750000L, 500000L),
+      (2L, 2L, 750000L, 500000L)), s"got ${got.toSeq}")
+    // fluency discrimination: a doc of repeated high-probability
+    // transitions outscores one pairing the same tokens randomly
+    val d2 = Seq((1L, "x y x y x y x y"), (2L, "y y x x y x y x"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLmScore(d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(2L),
+      s"fluent chain must outscore shuffled tokens: $scores")
+  }
+
   test("bm25 search: rare-term docs outrank common-term docs, ranks dense") {
     import spark.implicits._
     // 'rare' appears in one doc, 'common' in all; same lengths — the
