@@ -243,6 +243,26 @@ object SparkEntry {
     // bigram-LM fluency score: per-occurrence P(w2|w1) in integer ppm —
     // the conditional-probability filter unigram typicality can't see
     "text_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLmScore(Tables.documents(s, dir))),
+    // the END-TO-END training-data pipeline, one oracle-exact query:
+    // domain-reputation gate -> corpus-relative quality quantile gate
+    // (threshold computed on the gated subset) -> exact dedup (keep min
+    // id) -> near-dup canonicalization against FULL-corpus clusters ->
+    // token-budget shard packing of the survivors
+    "pipeline_training_data" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val g1 = docs.join(
+        Curation.gateBySource(docs).select(col("doc_id")), "doc_id")
+      val g2 = docs.join(
+        Curation.qualityQuantileGate(g1).select(col("doc_id")), "doc_id")
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val ex = g2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val nonCanonical = NearDup.nearDupClusters(docs)
+        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      Curation.packShards(ex.join(nonCanonical, Seq("doc_id"), "left_anti"),
+        2048L)
+    }),
     // corpus-version diff: deterministic synthetic "yesterday vs today"
     // split of the fixture (old = id%10!=0; new = id%7!=0 with text
     // edited when id%5==0) -> added/removed/changed/unchanged per id
@@ -1273,6 +1293,52 @@ object SparkEntry {
     // curation funnel: quality gate >= 30 tokens, keep-lowest exact dedup,
     // then drop non-canonical members of the (full-corpus) near-dup
     // clusters — same cluster CTEs as dedup_clusters
+    // the full pipeline: every stage is an already-oracle-checked
+    // fragment; this entry re-verifies their COMPOSITION (threshold
+    // computed on the domain-gated subset, clusters on the full corpus)
+    "pipeline_training_data" ->
+      s"""WITH RECURSIVE
+         |$clusterCtes,
+         |nc AS (SELECT a AS doc_id FROM reach GROUP BY a
+         |       HAVING least(a, min(b)) <> a),
+         |dt AS (SELECT doc_id, source, md5(text) AS text_key,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |       * 20000 + len(string_split(text, ' ')))
+         |      // (2 * len(string_split(text, ' '))) AS ttr_bp
+         |  FROM documents),
+         |rep AS (SELECT source,
+         |    ((count(*) - count(DISTINCT text_key)) * 20000 + count(*))
+         |      // (2 * count(*)) AS dup_bp,
+         |    (CAST(sum(ttr_bp) AS BIGINT) * 2 + count(*))
+         |      // (2 * count(*)) AS avg_ttr_bp
+         |  FROM dt GROUP BY source),
+         |bad AS (SELECT source FROM rep
+         |        WHERE avg_ttr_bp < 4800 OR dup_bp > 2000),
+         |g1 AS (SELECT dt.* FROM dt
+         |       WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.source = dt.source)),
+         |h AS (SELECT ttr_bp, count(*) AS cnt FROM g1 GROUP BY ttr_bp),
+         |c AS (SELECT ttr_bp,
+         |        sum(cnt) OVER (ORDER BY ttr_bp DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |        sum(cnt) OVER () AS total
+         |      FROM h),
+         |thr AS (SELECT max(ttr_bp) AS thr FROM c
+         |        WHERE cum * 10000 >= total * 7500),
+         |g2 AS (SELECT g1.* FROM g1, thr WHERE g1.ttr_bp >= thr),
+         |ex AS (SELECT doc_id, n_tokens FROM (
+         |        SELECT doc_id, n_tokens,
+         |          row_number() OVER (PARTITION BY text_key ORDER BY doc_id) AS rn
+         |        FROM g2) WHERE rn = 1),
+         |surv AS (SELECT doc_id, n_tokens FROM ex
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM nc))
+         |SELECT doc_id, n_tokens,
+         |  CAST(prefix // 2048 AS BIGINT) AS shard_id FROM (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM surv)
+         |ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE
          |$clusterCtes,

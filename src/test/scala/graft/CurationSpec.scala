@@ -315,6 +315,42 @@ class CurationSpec extends SparkSpec {
       assert(n == inputBySrc(src), s"source $src partially dropped") }
   }
 
+  test("training-data pipeline: every survivor passes every stage, shards respect capacity") {
+    val rows = SparkEntry.queries("pipeline_training_data")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val survivors = rows.map(_._1).toSet
+    val real = docs
+    // stage 4: no survivor is a non-canonical near-dup member
+    val nonCanonical = NearDup.nearDupClusters(real)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(nonCanonical).isEmpty, "near-dup gate")
+    // stage 3: survivor texts are pairwise distinct
+    val texts = real.filter(col("doc_id").isin(survivors.toSeq: _*))
+      .select(md5(col("text"))).collect().map(_.getString(0))
+    assert(texts.length == texts.distinct.length, "exact-dedup gate")
+    // stage 1: no survivor comes from a gated-out source
+    val keptSources = Curation.gateBySource(real).collect()
+      .map(_.getString(1)).toSet
+    val survivorSources = real
+      .filter(col("doc_id").isin(survivors.toSeq: _*))
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(survivorSources.subsetOf(keptSources), "domain gate")
+    // stage 5: consecutive-doc packing never splits a shard's budget
+    // (prefix-sum contract: shard_id is monotone non-decreasing in doc_id
+    // and each shard's token total stays under capacity + one doc)
+    val byShard = rows.groupBy(_._3)
+    assert(rows.sortBy(_._1).map(_._3).toSeq.sliding(2)
+      .forall(s => s.length < 2 || s(0) <= s(1)), "shard ids monotone")
+    byShard.foreach { case (sid, docsIn) =>
+      val tot = docsIn.map(_._2).sum
+      val maxDoc = docsIn.map(_._2).max
+      assert(tot < 2048L + maxDoc, s"shard $sid over budget: $tot")
+    }
+  }
+
   test("corpus diff: all four statuses, exactly once per id") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
