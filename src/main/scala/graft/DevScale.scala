@@ -266,6 +266,39 @@ object DevScale {
     // aggs + one user equi-join; output bounded by days² (30×30)
     time("retention_10m")(
       graft.operators.Relational.retentionCohorts(ev).count())
+
+    // bigram LM at 500k docs: ~27M bigram occurrences through two
+    // map-combined count aggs + two per-distinct-gram joins
+    timeDocs("bigram_lm_500k")(
+      graft.functions.TextAnalysis.bigramLmScore(dc).count())
+
+    // corpus diff at 500k vs a 90%-overlap second version: one full
+    // outer equi-join of md5 projections
+    timeDocs("corpus_diff_500k") {
+      val v2 = dc.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Curation.corpusDiff(dc, v2).count()
+    }
+
+    // the composed training-data pipeline at 500k docs (1000 sources):
+    // domain gate -> subset quantile gate -> exact dedup -> near-dup
+    // canonicalize (full corpus) -> shard pack — the whole-corpus
+    // near-dup clustering dominates, everything else is aggregations
+    timeDocs("pipeline_500k") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val g1 = srcDocs.join(graft.operators.Curation
+        .gateBySource(srcDocs, minAvgTtrBp = 3000).select(col("doc_id")), "doc_id")
+      val g2 = srcDocs.join(graft.operators.Curation
+        .qualityQuantileGate(g1).select(col("doc_id")), "doc_id")
+      val ex = g2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val nonCanonical = graft.operators.NearDup.nearDupClusters(dc)
+        .filter(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      graft.operators.Curation.packShards(
+        ex.join(nonCanonical, Seq("doc_id"), "left_anti"), 65536L).count()
+    }
     spark.stop()
   }
 }

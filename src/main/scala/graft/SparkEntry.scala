@@ -280,6 +280,9 @@ object SparkEntry {
     // token-id encoding: each doc as its space-joined vocab-id sequence
     // (OOV → 0) + coverage counts — the corpus → packable-token-ids step
     "tokenize_ids" -> ((s, dir) => TextAnalysis.encodeTokenIds(Tables.documents(s, dir))),
+    // quality-weighted sampling: keep probability = ttr_bp/10000 via the
+    // content-free md5 bucket — soft quality gate, no cliff effects
+    "sample_weighted" -> ((s, dir) => Curation.weightedSample(Tables.documents(s, dir))),
     // domain-level reputation: per-source doc count, duplicate rate, mean
     // length and mean TTR quality (integer bp, round-half-up)
     "source_reputation" -> ((s, dir) => Curation.sourceReputation(Tables.documents(s, dir))),
@@ -1265,6 +1268,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 10000 < 2000
+        |ORDER BY doc_id""".stripMargin,
+    // weighted sample: keep iff bucket < quality score (ttr bp)
+    "sample_weighted" ->
+      """WITH t AS (SELECT doc_id,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |       * 20000 + len(string_split(text, ' ')))
+        |      // (2 * len(string_split(text, ' '))) AS ttr_bp
+        |  FROM documents)
+        |SELECT doc_id, ttr_bp FROM t
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < ttr_bp
         |ORDER BY doc_id""".stripMargin,
     "pack_shards" ->
       """SELECT doc_id, n_tokens,

@@ -402,6 +402,26 @@ object Curation {
     * equi-join on `source` auto-broadcasts under AQE — no hint, per the
     * corpus-side no-forced-broadcast rule.
     */
+  /** Quality-weighted deterministic sampling: keep each document with
+    * probability proportional to its quality score (TTR basis points /
+    * 10000) — the soft form of a quality gate (a hard threshold throws
+    * away ALL below-bar text; weighted sampling keeps a calibrated
+    * fraction, the standard way to de-bias without cliff effects).
+    * Membership is `sampleBucket(doc_id) < ttr_bp`: content-free bucket,
+    * so re-runs, engines, and partitionings agree bit-for-bit, and raising
+    * a doc's score can only ADD it to the sample (monotone, like the
+    * rate-monotone subset property of [[deterministicSample]]).
+    *
+    * Scale shape: the score is one exploded hash aggregation (the
+    * [[graft.functions.TextAnalysis.qualityScore]] shape); the keep
+    * decision is a per-row comparison — no shuffle beyond the score agg.
+    */
+  def weightedSample(documents: DataFrame): DataFrame =
+    graft.functions.TextAnalysis.qualityScore(documents)
+      .select(col("doc_id"), col("ttr_bp"))
+      .filter(sampleBucket(col("doc_id")) < col("ttr_bp"))
+      .orderBy(col("doc_id"))
+
   /** Corpus-version diff: which documents were added, removed, or had
     * their text changed between two corpus snapshots — the audit step
     * between "yesterday's curated corpus" and "today's" that every

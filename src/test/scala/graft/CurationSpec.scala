@@ -351,6 +351,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: membership is exactly bucket < score, reproducible") {
+    val real = docs
+    val kept = Curation.weightedSample(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty && kept.size < real.count())
+    // exact membership rule, recomputed independently
+    val scored = graft.functions.TextAnalysis.qualityScore(real)
+      .select(col("doc_id"), col("ttr_bp"),
+        Curation.sampleBucket(col("doc_id")).as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    scored.foreach { case (id, ttr, bkt) =>
+      assert(kept.contains(id) == (bkt < ttr), s"doc $id: bkt=$bkt ttr=$ttr")
+    }
+    // reproducible
+    val again = Curation.weightedSample(real).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(again == kept.keySet)
+  }
+
   test("corpus diff: all four statuses, exactly once per id") {
     import spark.implicits._
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
