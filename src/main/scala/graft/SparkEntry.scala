@@ -126,6 +126,9 @@ object SparkEntry {
     // event — the physical-time sliding horizon ROWS frames can't express
     "q_trailing_hour" -> ((s, dir) =>
       Relational.trailingHourStats(Tables.events(s, dir))),
+    // distribution ranks: ntile/percent_rank/cume_dist per event type
+    "q_value_distribution" -> ((s, dir) =>
+      Relational.valueDistribution(Tables.events(s, dir))),
     // unpivot (wide -> long), the inverse of q_pivot_status_priority
     "q_unpivot_priority" -> ((s, dir) =>
       Relational.unpivotPriorityMatrix(Tables.orders(s, dir))),
@@ -926,6 +929,17 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY gid, orderstatus, orderpriority""".stripMargin,
+    // distribution ranks: the (value, event_id) order leaves no ties
+    "q_value_distribution" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  AND event_id IS NOT NULL
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
     // time-RANGE trailing window (RANGE over epoch micros; ties share a
     // frame, so no tie-break column is needed or allowed)
     "q_trailing_hour" ->

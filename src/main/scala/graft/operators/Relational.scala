@@ -416,6 +416,33 @@ object Relational {
       .orderBy(col("key_id"))
   }
 
+  /** Distribution-rank analytics: decile bucket (`ntile`), `percent_rank`
+    * and `cume_dist` of every event's value within its event type — the
+    * remaining third of the window-function family (ranking / analytic /
+    * aggregate frames are covered elsewhere). The (value, event_id)
+    * ordering leaves no ties, so all three functions are deterministic
+    * and engine-portable ((rank-1)/(n-1) is one exact-int double
+    * division in both engines).
+    *
+    * Scale shape: one hash shuffle on `event_type` + one in-partition
+    * sort shared by all three functions. A skewed type is the
+    * single-key-window limit (like sessionization, an order-dependent
+    * window can't split a key); the mitigation at 100 TB is bucketing by
+    * a coarser key upstream, not a different operator.
+    */
+  def valueDistribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(10).over(w).cast("long").as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("event_id"))
+  }
+
   /** Time-RANGE window frame: per-user trailing-1-hour event count and
     * value sum at every event — the "rate over a sliding physical-time
     * horizon" analytic that ROWS frames can't express (a frame of k rows

@@ -147,6 +147,20 @@ class RelationalSpec extends SparkSpec {
     assert(long == wide, "melt(pivot) must reproduce every cell")
   }
 
+  test("value distribution: balanced deciles, rank endpoints, cume bounds") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = graft.operators.Relational.valueDistribution(events).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, grp) =>
+      val sizes = grp.groupBy(_._2).view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$tpe deciles unbalanced: $sizes")
+      val pr = grp.map(_._3)
+      assert(pr.min == 0.0 && pr.max == 1.0, s"$tpe percent_rank endpoints")
+      assert(grp.map(_._4).forall(c => c > 0.0 && c <= 1.0), s"$tpe cume bounds")
+    }
+  }
+
   test("registerAll exposes the suite to SQL text") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
