@@ -20,6 +20,42 @@ class SessionPropertySpec extends AnyFunSuite {
       rnd.nextInt(20000) / 100.0))
   }
 
+  test("corpus diff properties over random snapshot pairs") {
+    import graft.operators.Curation
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d")
+      def text() = List.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(4))).mkString(" ")
+      val ids = (0L until 40L).toList
+      val old = ids.filter(_ => rnd.nextBoolean()).map(i => (i, text()))
+      val neu = ids.filter(_ => rnd.nextBoolean()).map(i => (i, text()))
+      val oldDf = old.toDF("doc_id", "text"); val neuDf = neu.toDF("doc_id", "text")
+      val got = Curation.corpusDiff(oldDf, neuDf).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // statuses partition the id union, each id exactly once
+      assert(got.keySet == (old.map(_._1) ++ neu.map(_._1)).toSet)
+      val oldM = old.toMap; val neuM = neu.toMap
+      got.foreach { case (id, st) =>
+        val want = (oldM.get(id), neuM.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) => if (a == b) "unchanged" else "changed"
+          case _ => fail(s"id $id in neither side")
+        }
+        assert(st == want, s"seed $seed id $id: got $st want $want")
+      }
+      // swapping snapshots flips added<->removed, keeps the rest
+      val rev = Curation.corpusDiff(neuDf, oldDf).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      got.foreach { case (id, st) =>
+        val flipped = st match {
+          case "added" => "removed"; case "removed" => "added"; case s => s
+        }
+        assert(rev(id) == flipped, s"seed $seed id $id asymmetric")
+      }
+    }
+  }
+
   test("session invariants hold for random streams; result is row-order-insensitive") {
     for (seed <- 1L to 5L) {
       val rows = randomStream(seed)
