@@ -161,6 +161,16 @@ class EdgeCaseSpec extends SparkSpec {
       "only the grand-total set may survive an empty table")
     assert(Relational.userCustomerCoverage(emptyEvents,
       Seq.empty[(Long, Double)].toDF("c_custkey", "c_acctbal")).count() == 0)
+    // late r5 additions: all total on empty/degenerate input
+    assert(Curation.weightedSample(emptyDocs).count() == 0)
+    assert(Curation.corpusDiff(emptyDocs, emptyDocs).count() == 0)
+    assert(TextAnalysis.bigramLmScore(emptyDocs).count() == 0)
+    // single-token docs have no bigrams: no row, not a div-by-zero
+    assert(TextAnalysis.bigramLmScore(
+      Seq((0L, "only")).toDF("doc_id", "text")).count() == 0)
+    assert(Relational.valueDistribution(emptyEvents).count() == 0)
+    assert(Relational.trailingHourStats(emptyEvents).count() == 0)
+    assert(Relational.retentionCohorts(emptyEvents).count() == 0)
   }
 
   test("registerAll re-binds a view a caller dropped or shadowed") {
