@@ -91,4 +91,48 @@ class BucketingSpec extends SparkSpec {
       } finally spark.sql(s"DROP TABLE IF EXISTS $dim")
     }
   }
+
+  test("exact admission vs a key table bucketed by text_key: index side never re-shuffles") {
+    // the artifact-table daily-run shape: yesterday's canonical key table
+    // is persisted bucketed by its join key, so today's admission join
+    // shuffles ONLY the new batch — at 100 TB the index is the big side,
+    // and this is the difference between O(batch) and O(corpus) shuffle
+    val table = "dedup_keys_bucketed_spec"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val idx = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val keys = idx.select(md5(col("text")).as("text_key"), col("doc_id"))
+      .groupBy(col("text_key")).agg(min(col("doc_id")).as("canonical_id"))
+    keys.write.mode("overwrite").bucketBy(8, "text_key").sortBy("text_key")
+      .saveAsTable(table)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // align shuffle partitions with the bucket count, as a deployment
+      // would — otherwise the probe side re-shuffles to the bucket count
+      // and the index-side saving is masked by a new batch-side exchange
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        def keyExchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange hashpartitioning\\(text_key".r
+            .findAllIn(planOf(df)).length
+        val viaBucketed = graft.operators.Dedup.incrementalExact(
+          idx, batch, Some(spark.table(table)))
+        val viaInline = graft.operators.Dedup.incrementalExact(
+          idx, batch, Some(keys))
+        assert(keyExchanges(viaBucketed) == keyExchanges(viaInline) - 1,
+          s"the bucketed key table must drop exactly its own exchange:\n" +
+            planOf(viaBucketed))
+        // identical admissions either way
+        assert(viaBucketed.collect().map(_.toSeq).toSeq ==
+          viaInline.collect().map(_.toSeq).toSeq)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
