@@ -18,6 +18,20 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val nestedLoopAllowed = Set("ann_topk_brute", "ann_recall_floor")
 
+  /** The one query allowed to lack a DuckDB oracle: its xxhash64 kernel
+    * is engine-specific; the algorithm is oracle-checked through the
+    * md5-portable twin `dedup_simhash_md5`.
+    */
+  private val oracleExempt = Set("dedup_simhash")
+
+  test("every query has an oracle (or a documented exemption); no orphan oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) == oracleExempt,
+      s"queries without an oracle beyond the documented exemption: ${(q -- o) -- oracleExempt}")
+    assert((o -- q).isEmpty, s"oracles for nonexistent queries: ${o -- q}")
+  }
+
   test("no driver query plans a cartesian or nested-loop join (except brute baselines)") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
