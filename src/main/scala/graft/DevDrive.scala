@@ -55,6 +55,14 @@ object DevDrive {
         |                           CAST(b.embedding AS ARRAY<DOUBLE>)) AS d
         |FROM embeddings a JOIN embeddings b ON b.vec_id = 0 AND a.vec_id = 1
         |""".stripMargin).collect().head.toString)
+    // 6. round-5 curation/search surface
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    println("bm25 top hit = " + graft.functions.TextAnalysis
+      .searchBm25(docs).collect().head.toString)
+    println("gated docs = " + graft.operators.Curation.gateBySource(docs).count())
+    println("corpus self-diff unchanged = " + graft.operators.Curation
+      .corpusDiff(docs, docs).filter(
+        org.apache.spark.sql.functions.col("status") === "unchanged").count())
     spark.stop()
   }
 }
