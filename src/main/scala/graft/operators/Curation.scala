@@ -391,17 +391,6 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  /** Domain-level gate: drop every document whose SOURCE fails the
-    * reputation floor — mean TTR below `minAvgTtrBp` or exact-duplicate
-    * rate above `maxDupBp`. The whole-domain exclusion is the point: a
-    * low-reputation domain's documents are removed even when they would
-    * individually pass a per-document gate.
-    *
-    * Scale shape: the bad-source list is a filter over [[sourceReputation]]
-    * (domain-dimension-sized, never corpus-proportional), so the left-anti
-    * equi-join on `source` auto-broadcasts under AQE — no hint, per the
-    * corpus-side no-forced-broadcast rule.
-    */
   /** Quality-weighted deterministic sampling: keep each document with
     * probability proportional to its quality score (TTR basis points /
     * 10000) — the soft form of a quality gate (a hard threshold throws
@@ -445,6 +434,17 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-level gate: drop every document whose SOURCE fails the
+    * reputation floor — mean TTR below `minAvgTtrBp` or exact-duplicate
+    * rate above `maxDupBp`. The whole-domain exclusion is the point: a
+    * low-reputation domain's documents are removed even when they would
+    * individually pass a per-document gate.
+    *
+    * Scale shape: the bad-source list is a filter over [[sourceReputation]]
+    * (domain-dimension-sized, never corpus-proportional), so the left-anti
+    * equi-join on `source` auto-broadcasts under AQE — no hint, per the
+    * corpus-side no-forced-broadcast rule.
+    */
   def gateBySource(documents: DataFrame, minAvgTtrBp: Long = 4800,
                    maxDupBp: Long = 2000): DataFrame = {
     val bad = sourceReputation(documents)

@@ -87,7 +87,7 @@ object Dedup {
     * chunks — the practical Spark form: boilerplate that repeats across
     * documents is dropped from every doc but the earliest).
     *
-    * Semantics (oracle-checked as `text_span_dedup`): chunk each doc's
+    * Semantics (oracle-checked as `dedup_spans`): chunk each doc's
     * whitespace tokens into consecutive groups of `spanTokens`; a chunk
     * occurrence survives iff it is the lexicographically-first
     * `(doc_id, pos)` occurrence of that exact chunk text corpus-wide;

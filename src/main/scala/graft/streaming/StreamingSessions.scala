@@ -301,9 +301,14 @@ object StreamingSessions {
     * emission the instant the count crosses `threshold` — the continuous
     * form of `HAVING count(*) >= k`, for "this tenant just became hot"
     * alerting without re-scanning history. Exactly-once per key across
-    * micro-batches and restarts (the count lives in the keyed state
-    * store, and a crossing is detected by the before/after comparison, so
-    * a replayed batch that re-adds rows cannot re-emit).
+    * micro-batches and restarts: the count lives in the keyed state store,
+    * whose versioned checkpointing means a replayed batch re-runs against
+    * the same pre-batch state version and deterministically re-derives the
+    * SAME emission rows — end-to-end exactly-once then needs the sink to
+    * be idempotent per batch id (memory/file sinks are; see
+    * `StreamingDedup` for the batch-id-keyed pattern). The before/after
+    * comparison only guarantees at most one crossing per key per lineage,
+    * not replay dedup by itself.
     *
     * State is one long per key — O(distinct keys), fixed-width; keys
     * whose count stays below the threshold still hold their counter

@@ -151,11 +151,9 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.retentionCohorts(emptyEvents).count() == 0)
     val emptyOrders = Seq.empty[(Long, String, String, Double)]
       .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
-    // grand-total row still appears (count 0 over no rows is the SQL
-    // grand-total convention: one row, n=0? No — GROUP BY over an empty
-    // table with grouping sets yields the () set's single row only when
-    // the engine emits it; Spark and DuckDB both emit NOTHING for the
-    // non-() sets and one row for () — pin Spark's behavior here
+    // On an empty table, GROUPING SETS emits no rows for the non-()
+    // sets; only the () grand-total set may contribute a row. Spark and
+    // DuckDB agree — this pins that behavior.
     val gs = Relational.orderGroupingSets(emptyOrders).collect()
     assert(gs.forall(_.getLong(4) == 3L),
       "only the grand-total set may survive an empty table")
