@@ -283,6 +283,12 @@ object SparkEntry {
     // token-id encoding: each doc as its space-joined vocab-id sequence
     // (OOV → 0) + coverage counts — the corpus → packable-token-ids step
     "tokenize_ids" -> ((s, dir) => TextAnalysis.encodeTokenIds(Tables.documents(s, dir))),
+    // subword (BPE) merge-rule training: 10 rounds of pair-count + argmax
+    // over the word-type table; the whole loop replays as unrolled CTEs
+    "vocab_bpe" -> ((s, dir) => TextAnalysis.trainBpeMerges(Tables.documents(s, dir))),
+    // subword (BPE) encoding: apply the trained merges to every word and
+    // emit dense token-id sequences — the encoding an LLM pipeline ships
+    "tokenize_bpe" -> ((s, dir) => TextAnalysis.encodeBpe(Tables.documents(s, dir))),
     // quality-weighted sampling: keep probability = ttr_bp/10000 via the
     // content-free md5 bucket — soft quality gate, no cliff effects
     "sample_weighted" -> ((s, dir) => Curation.weightedSample(Tables.documents(s, dir))),
@@ -1046,6 +1052,10 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS ids_str
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // BPE training replayed as unrolled CTEs (one pair-count + argmax +
+    // replace round per merge rank — the cluster_embeddings pattern)
+    "vocab_bpe" -> bpeVocabOracle(10),
+    "tokenize_bpe" -> bpeTokenizeOracle(10),
     // per-source reputation: integer round-half-up bp math throughout
     "source_reputation" ->
       """WITH t AS (SELECT source, md5(text) AS text_key,
@@ -1434,6 +1444,84 @@ object SparkEntry {
   /** Shared CTE chain replicating the deterministic hyperplane bucketing
     * (`emb` → `b(vec_id, ve, bucket)`).
     */
+  /** Unrolled-CTE replica of the BPE training loop
+    * ([[graft.functions.TextAnalysis.bpeMerges]]): `w0` is the lowercased
+    * `[a-z]+` word-type table with corpus counts; each round r is three
+    * CTEs — `p_r` counts adjacent symbol pairs (1-based list subscripts
+    * over the `..`-delimited symseq; `s` = ['', sym1..symN, ''], so lhs
+    * indices run 2..len-2), `m_r` is the (count DESC, lhs, rhs) argmax,
+    * `e_r` applies the merge with the same one-outer-dot `replace`
+    * contract as the Spark side. `replace` is leftmost non-overlapping in
+    * both engines, so greedy application order is pinned bit-for-bit.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val base =
+      """w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+        |e0 AS (SELECT word, c,
+        |    regexp_replace(word, '(.)', '..\1', 'g') || '..' AS symseq
+        |  FROM w0)""".stripMargin
+    val iters = (1 to k).map { r =>
+      s"""p$r AS (SELECT s[i] AS lhs, s[i + 1] AS rhs,
+         |    CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e${r - 1})
+         |  CROSS JOIN unnest(range(2, len(s) - 1)) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |e$r AS (SELECT word, c,
+         |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
+         |            '.' || m.lhs || m.rhs || '.') AS symseq
+         |  FROM e${r - 1}, m$r m)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  private def bpeVocabOracle(k: Int): String = {
+    val rows = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs,
+         |  lhs || rhs AS merged, cnt AS pair_count FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeTrainCtes(k)}\nSELECT * FROM (\n$rows\n) ORDER BY merge_rank"
+  }
+
+  /** BPE encoding oracle: re-trains via [[bpeTrainCtes]], then applies the
+    * k merges in rank order to every doc's positional word stream and
+    * encodes the final symbols with dense (count DESC, sym) ids — the
+    * exact [[graft.functions.TextAnalysis.encodeBpe]] contract, including
+    * docs with zero alphabetic words dropping out on both sides.
+    */
+  private def bpeTokenizeOracle(k: Int): String = {
+    val enc = (1 to k).map { r =>
+      s"""x$r AS (SELECT doc_id, pos,
+         |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
+         |            '.' || m.lhs || m.rhs || '.') AS symseq
+         |  FROM x${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainCtes(k)},
+       |d0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents)
+       |  CROSS JOIN unnest(range(len(w))) AS u(i)),
+       |x0 AS (SELECT doc_id, pos,
+       |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
+       |  FROM d0 WHERE regexp_full_match(word, '[a-z]+')),
+       |$enc,
+       |sy AS (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
+       |vc AS (SELECT sym, CAST(count(*) AS BIGINT) AS n FROM sy GROUP BY sym),
+       |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+       |    AS BIGINT) AS id FROM vc),
+       |en AS (SELECT doc_id, pos, spos, id FROM sy JOIN vi USING (sym))
+       |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str
+       |FROM en GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Whole-corpus span-dedup oracle; `restrict` filters the OUTPUT rows
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.

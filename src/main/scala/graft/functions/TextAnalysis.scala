@@ -464,6 +464,152 @@ object TextAnalysis {
     * per-document by sorting the collected (pos, id) structs — a per-doc
     * array bounded by document length, never a corpus-wide sort.
     */
+  /** BPE pre-tokenization: lowercased whitespace tokens restricted to
+    * `[a-z]+` — a defined normalization (like real pipelines' byte-level
+    * pre-tokenizers, scoped to what both engines hash identically). The
+    * restriction also guarantees the `.`-separator symbol encoding below
+    * can never collide with symbol text.
+    */
+  private val BpeWordRe = "^[a-z]+$"
+
+  /** A word's symbol sequence is encoded as one string with a TWO-dot
+    * boundary between symbols (and at both ends): `low` → `..l..o..w..`.
+    * Applying merge (a,b)→ab is then a plain `replace` of `.a..b.` with
+    * `.ab.`: the pattern consumes ONE dot from each outer boundary (so
+    * back-to-back occurrences still match — each boundary keeps a dot for
+    * its neighbor) and both dots of the inner boundary. `replace` is
+    * leftmost non-overlapping in Spark and DuckDB alike, which IS the
+    * canonical greedy BPE application order (`aaa` → `aa`,`a`).
+    */
+  private def bpeInitSymseq(word: Column): Column =
+    concat(regexp_replace(word, "(.)", "..$1"), lit(".."))
+
+  private def bpeMergePattern(lhs: String, rhs: String): (String, String) =
+    (s".$lhs..$rhs.", s".$lhs$rhs.")
+
+  /** Symbols of a symseq string: split on the double-dot boundary and drop
+    * the leading/trailing empties (`..a..b..` → ["", a, b, ""]).
+    */
+  private def bpeSymbols(symseq: Column): Column = {
+    val arr = split(symseq, "[.][.]")
+    slice(arr, lit(2), size(arr) - lit(2))
+  }
+
+  /** The BPE training loop: `numMerges` rounds of (pair-count, argmax,
+    * apply) over the word-TYPE table — each round's winning pair is
+    * collected to the driver (ONE bounded row per round, the
+    * [[graft.operators.Similarity.clusterEmbeddings]] fixed-point-loop
+    * shape), so the whole training replays as unrolled CTEs in the oracle.
+    *
+    * Determinism: argmax order is (count DESC, lhs ASC, rhs ASC) — a total
+    * order over distinct pairs; both engines compare [a-z]+ strings
+    * bytewise, so ties break identically.
+    *
+    * Scale shape: the corpus is touched ONCE (one map-side-combined word
+    * count); every training round runs on the cached word-type table —
+    * vocabulary-sized, never corpus-sized — and its pair count is another
+    * map-combined hash aggregate. At 100 TB the type table is millions of
+    * rows against trillions of corpus tokens; the driver holds one
+    * (lhs, rhs, count) row per round.
+    */
+  private[graft] def bpeMerges(documents: DataFrame,
+                               numMerges: Int): Seq[(Long, String, String, Long)] = {
+    require(numMerges > 0 && numMerges <= 64, "numMerges must be in 1..64")
+    val wordTypes = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("symseq", bpeInitSymseq(col("word")))
+      .cache()
+    try {
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var cur = wordTypes
+      var r = 1
+      while (r <= numMerges) {
+        val exploded = cur.select(col("word"), col("c"),
+          posexplode(bpeSymbols(col("symseq"))).as(Seq("i", "sym")))
+        val byWord = org.apache.spark.sql.expressions.Window
+          .partitionBy("word").orderBy("i")
+        val top = exploded
+          .withColumn("rhs", lead(col("sym"), 1).over(byWord))
+          .filter(col("rhs").isNotNull)
+          .groupBy(col("sym").as("lhs"), col("rhs"))
+          .agg(sum(col("c")).as("cnt"))
+          .orderBy(desc("cnt"), col("lhs"), col("rhs"))
+          .limit(1).collect()
+        require(top.nonEmpty,
+          s"corpus exhausted adjacent symbol pairs after ${r - 1} merges; " +
+            s"lower numMerges (wanted $numMerges)")
+        val (lhs, rhs, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, lhs, rhs, cnt))
+        val (pat, rep) = bpeMergePattern(lhs, rhs)
+        cur = cur.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
+        r += 1
+      }
+      out.result()
+    } finally wordTypes.unpersist()
+  }
+
+  /** Byte-pair-encoding merge table: the `numMerges` highest-count adjacent
+    * symbol-pair merges, trained from a character-level start over the
+    * corpus's lowercased `[a-z]+` words (Sennrich et al. 2016, without the
+    * end-of-word marker). Row r is the pair merged in round r with its
+    * pre-merge corpus pair count — the merge rules a real subword
+    * tokenizer ships ([[encodeBpe]] applies them).
+    */
+  def trainBpeMerges(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeMerges(documents, numMerges)
+      .map { case (r, lhs, rhs, cnt) => (r, lhs, rhs, lhs + rhs, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Subword (BPE) token-id encoding: apply [[trainBpeMerges]]'s rules in
+    * rank order to every word, then encode the resulting subword tokens
+    * with dense ids ranked by (corpus count DESC, token ASC) — the
+    * [[buildVocab]] numbering contract, but over the POST-MERGE symbol
+    * inventory, so ids are never position- or merge-rank-ambiguous (two
+    * different merges can produce the same string). No OOV is possible:
+    * the symbol inventory is closed over the same corpus it encodes.
+    *
+    * Scale shape: encoding is map-only — `numMerges` chained literal
+    * `replace`es inside one codegen'd projection — then one exploded
+    * hash-aggregate builds the symbol vocabulary (≤ 26 + numMerges rows;
+    * the ranking window runs over that bounded dictionary, not the
+    * corpus) and the id join probes it map-side under AQE broadcast.
+    * Per-doc order is restored by sorting bounded (word_pos, sym_pos, id)
+    * structs, never a corpus-wide sort.
+    */
+  def encodeBpe(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val merges = bpeMerges(documents, numMerges)
+    val words = documents.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+      .filter(col("word").rlike(BpeWordRe))
+      .withColumn("symseq", bpeInitSymseq(col("word")))
+    val encoded = merges.foldLeft(words) { case (df, (_, lhs, rhs, _)) =>
+      val (pat, rep) = bpeMergePattern(lhs, rhs)
+      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
+    }
+    val syms = encoded.select(col("doc_id"), col("pos"),
+      posexplode(bpeSymbols(col("symseq"))).as(Seq("spos", "sym")))
+    val vocab = syms.groupBy(col("sym")).agg(count(lit(1)).as("n"))
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n"), col("sym"))).cast("long"))
+      .select(col("sym"), col("id"))
+    syms.join(vocab, Seq("sym"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("spos"), col("id")))),
+          s => s.getField("id").cast("string"))).as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   def encodeTokenIds(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val vocab = buildVocab(documents, vocabSize).select(col("tok"), col("token_id"))
     val posToks = documents.select(col("doc_id"),

@@ -1,0 +1,129 @@
+package graft
+
+import graft.functions.TextAnalysis
+
+/** Deterministic word-level BPE: training argmax order, greedy merge
+  * application, pre-tokenization normalization, and the id-encoding
+  * contract — all against hand-computed expectations (the Sennrich et al.
+  * 2016 low/lower/newest/widest corpus, adapted to the no-end-of-word
+  * variant this engine ships).
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word counts: low×5, lower×2, newest×6, widest×3
+  private def sennrichDocs = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"),
+    (3L, "newest newest newest newest newest newest"),
+    (4L, "widest widest widest")).toDF("doc_id", "text")
+
+  test("trainBpeMerges reproduces the hand-computed merge table") {
+    val got = TextAnalysis.trainBpeMerges(sennrichDocs, numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // overlap-weighted pair counts, argmax (count DESC, lhs, rhs):
+    // round 1: (e,s)=9 ties (s,t)=9, lex picks (e,s); then each cascade
+    // below follows from re-counting after the greedy application.
+    val expected = Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L),
+      (5L, "e", "w", "ew", 6L),
+      (6L, "ew", "est", "ewest", 6L),
+      (7L, "n", "ewest", "newest", 6L),
+      (8L, "d", "est", "dest", 3L),
+      (9L, "i", "dest", "idest", 3L),
+      (10L, "w", "idest", "widest", 3L))
+    assert(got.toSeq == expected)
+  }
+
+  test("encodeBpe emits dense count-ranked ids in word order") {
+    // after 10 merges: low→[low], lower→[low,e,r], newest→[newest],
+    // widest→[widest]; symbol counts: low=7, newest=6, widest=3, e=2, r=2
+    // → ids low=1, newest=2, widest=3, e=4, r=5
+    val got = TextAnalysis.encodeBpe(sennrichDocs, numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val expected = Seq(
+      (1L, 5L, 5L, "1 1 1 1 1"),
+      (2L, 2L, 6L, "1 4 5 1 4 5"),
+      (3L, 6L, 6L, "2 2 2 2 2 2"),
+      (4L, 3L, 3L, "3 3 3"))
+    assert(got.toSeq == expected)
+  }
+
+  test("merge application is greedy leftmost (aaa -> aa,a)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    // (a,a) counts BOTH overlapping positions per word: 2 words × 2 = 4;
+    // applying it pairs leftmost-first, so round 2 merges (aa,a), not
+    // (a,aa)
+    val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "aa", "a", "aaa", 2L)))
+    val enc = TextAnalysis.encodeBpe(docs, numMerges = 1).collect()
+    // one merge: aaa → [aa, a] per word; counts aa=2, a=2 → ids aa=2, a=1
+    // ((count DESC, sym ASC): tie at 2 → "a" before "aa")
+    assert(enc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3))).toSeq == Seq((1L, 2L, 4L, "2 1 2 1")))
+  }
+
+  test("pre-tokenization lowercases and drops non-[a-z]+ words") {
+    val docs = Seq(
+      (1L, "The the THE x9 ab!c the"),
+      (2L, "9000 !!")).toDF("doc_id", "text")
+    // only 'the'×4 survives; pairs (t,h)=4 and (h,e)=4 tie → lex (h,e)
+    val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.toSeq == Seq(("h", "e", 4L)))
+    // doc 2 has no alphabetic words: it drops out of the encoding
+    val enc = TextAnalysis.encodeBpe(docs, numMerges = 1)
+    assert(enc.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("training fails loudly when pairs run out") {
+    val docs = Seq((1L, "a b ab")).toDF("doc_id", "text")
+    // exactly one adjacent pair (a,b) exists; round 2 finds nothing
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMerges(docs, numMerges = 2).collect()
+    }
+    assert(e.getMessage.contains("exhausted"))
+  }
+
+  test("encoding round-trips: ids decode back to the document's words") {
+    val docs = Seq(
+      (1L, "streaming merge streaming window"),
+      (2L, "window merge scan"),
+      (3L, "scan scan streaming")).toDF("doc_id", "text")
+    val k = 6
+    val enc = TextAnalysis.encodeBpe(docs, numMerges = k).collect()
+    // rebuild the id → symbol map exactly as encodeBpe defines it
+    val merges = TextAnalysis.bpeMerges(docs, k)
+    val symsOf: String => Seq[String] = { word =>
+      var seq = word.flatMap(ch => s"..$ch") + ".."
+      merges.foreach { case (_, lhs, rhs, _) =>
+        seq = seq.replace(s".$lhs..$rhs.", s".$lhs$rhs.")
+      }
+      seq.split("\\.\\.").toSeq.filter(_.nonEmpty)
+    }
+    val words = docs.collect().flatMap(r =>
+      r.getString(1).split(" ").filter(_.matches("[a-z]+"))
+        .map(w => (r.getLong(0), w))).toSeq
+    val counts = words.flatMap { case (_, w) => symsOf(w) }
+      .groupBy(identity).view.mapValues(_.size).toSeq
+    val idOf = counts.sortBy { case (s, n) => (-n, s) }
+      .zipWithIndex.map { case ((s, _), i) => s -> (i + 1L) }.toMap
+    val expect = words.groupBy(_._1).view.mapValues(ws =>
+      ws.flatMap { case (_, w) => symsOf(w).map(idOf) }).toMap
+    enc.foreach { r =>
+      val ids = r.getString(3).split(" ").map(_.toLong).toSeq
+      assert(ids == expect(r.getLong(0)),
+        s"doc ${r.getLong(0)} id sequence mismatch")
+      assert(r.getLong(2) == ids.size)
+    }
+  }
+}
