@@ -20,17 +20,55 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * dedup, index join, and the append are all the engine's own relational
   * operators.
   *
-  * Exactly-once caveat (documented, not hidden): plain parquet appends
-  * make a replayed micro-batch append twice; a production deployment puts
-  * a transactional table format or batch-id-keyed idempotent writer under
-  * the same loop. To keep that failure BOUNDED to the output dir, the key
-  * table is canonicalized on read (min canonical_id per text_key) — a
-  * replayed append can duplicate key rows on disk, but later batches
-  * still see one row per key, so their admission joins never fan out.
-  * The admission LOGIC is unchanged either way, which is what the spec
-  * pins (stream ≡ whole-corpus batch dedup).
+  * Exactly-once OUTPUT: admissions are written through the batch-id-keyed
+  * idempotent writer ([[writeOutputBatch]]) — batch N's rows land in
+  * `outDir/batch=N` by OVERWRITE, so a replayed micro-batch replaces its
+  * own output with the identical re-derived rows instead of appending a
+  * duplicate, and readers ([[readOutput]]) only see `_SUCCESS`-committed
+  * batch dirs. The KEY table still absorbs replayed appends by
+  * canonicalize-on-read (min canonical_id per text_key) — a replayed
+  * append can duplicate key rows on disk, but later batches still see one
+  * row per key, so their admission joins never fan out. The admission
+  * LOGIC is unchanged either way, which is what the spec pins (stream ≡
+  * whole-corpus batch dedup).
   */
 object StreamingDedup {
+
+  /** Batch-id-keyed idempotent output write: batch `batchId`'s admissions
+    * land in `outDir/batch=<id>` via overwrite — replaying the batch
+    * recomputes the identical rows (admission math is deterministic given
+    * the same index state, which the frontier contract guarantees) and
+    * replaces its own directory. An EMPTY admissions frame means the
+    * effective batch was empty, i.e. a full replay of an already-committed
+    * batch whose rows live in their original batch dir — writing would
+    * overwrite committed output with nothing, so it is skipped.
+    */
+  private def writeOutputBatch(admissions: DataFrame, outDir: String,
+                               batchId: Long): Unit =
+    if (!admissions.isEmpty)
+      admissions.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId").toString)
+
+  /** Committed admission output across all batch dirs. A crash mid-write
+    * leaves a dir without Spark's `_SUCCESS` marker; its batch has not
+    * committed to the streaming checkpoint either, so it WILL replay and
+    * overwrite the orphan — readers skip it rather than surface partial
+    * rows. Leaf dirs are passed explicitly, so no `batch` partition
+    * column is inferred into the result schema.
+    */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filter(s => fs.exists(
+          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString)
+    require(dirs.nonEmpty, s"no committed output batches under $outDir")
+    spark.read.parquet(dirs: _*)
+  }
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
@@ -47,7 +85,7 @@ object StreamingDedup {
                            outDir: String, ckptDir: String): Unit = {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val step: (DataFrame, Long) => Unit = (batch, _) => {
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val b = batch.persist()
       try {
         val sess = b.sparkSession
@@ -91,7 +129,7 @@ object StreamingDedup {
             .incrementalExact(eff.limit(0), eff, indexKeys = Some(idx))
             .persist()
           try {
-            admitted.write.mode("append").parquet(outDir)
+            writeOutputBatch(admitted, outDir, batchId)
             // extend the index with this batch's newly-admitted canonicals
             admitted.filter(col("admitted")).join(eff, "doc_id")
               .select(md5(col("text")).as("text_key"),
@@ -144,9 +182,10 @@ object StreamingDedup {
     *    (labels only decrease; union + min per doc) and the snapshot is
     *    written before the artifact appends, so every crash point replays
     *    to the same state; old snapshots are pruned (latest two kept);
-    *  - the one non-idempotent write is the output append — same
-    *    documented caveat as the exact loop (duplicate OUTPUT rows, never
-    *    corrupted index state).
+    *  - the output write is batch-id-keyed and idempotent
+    *    ([[writeOutputBatch]]): a replayed batch overwrites its own
+    *    `batch=N` dir with the identical re-derived rows, so no crash
+    *    point can duplicate OUTPUT rows.
     */
   def nearDupAdmissionStream(spark: SparkSession, inDir: String,
                              indexDir: String, outDir: String,
@@ -221,7 +260,7 @@ object StreamingDedup {
             val (admissions, newLabels) = graft.operators.NearDup
               .incrementalNearDupsIndexed(idxSh, idxSigs, idxLab, eff,
                 batchShingles = Some(bSh))
-            admissions.write.mode("append").parquet(outDir)
+            writeOutputBatch(admissions, outDir, batchId)
             // snapshot labels BEFORE the artifact appends: if an append
             // crashes, the replayed batch re-derives the identical snapshot
             // (ignored-extra label rows + min-idempotence), never stale.

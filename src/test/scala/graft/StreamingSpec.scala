@@ -336,7 +336,8 @@ class FileSourceSpec extends SparkSpec {
       graft.streaming.StreamingDedup.exactAdmissionStream(spark,
         in.toString, root.resolve("keys").toString,
         root.resolve("out").toString, root.resolve("ckpt").toString)
-      val got = spark.read.parquet(root.resolve("out").toString)
+      val got = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         .sortBy(_._1).toSeq
       // contract: identical to whole-corpus exact dedup over the union
@@ -383,7 +384,8 @@ class FileSourceSpec extends SparkSpec {
       graft.streaming.StreamingDedup.exactAdmissionStream(spark,
         in.toString, keys.toString,
         root.resolve("out").toString, root.resolve("ckpt").toString)
-      val out = spark.read.parquet(root.resolve("out").toString)
+      val out = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
         .filter(col("doc_id") >= 10L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         .sortBy(_._1).toSeq
@@ -405,7 +407,8 @@ class FileSourceSpec extends SparkSpec {
           in.toString, root.resolve("keys").toString,
           root.resolve("out").toString, root.resolve(ckpt).toString)
       run("ckpt")
-      def readOut() = spark.read.parquet(root.resolve("out").toString)
+      def readOut() = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         .sortBy(_._1).toSeq
       val got = readOut()
@@ -425,6 +428,80 @@ class FileSourceSpec extends SparkSpec {
         if (t == null) Seq.empty
         else t.getMessage +: causes(t.getCause)
       assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("batch-id-keyed output: a replayed batch replaces, not duplicates, its rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-idem")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def run(): Unit = graft.streaming.StreamingDedup.exactAdmissionStream(
+        spark, in.toString, root.resolve("keys").toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"), in, 0)
+      run()
+      // the crash window the old append-mode writer could NOT survive:
+      // batch 1's first attempt wrote its output, then died before the
+      // key append and the checkpoint commit. Simulate the orphaned
+      // output dir, then let the stream process batch 1 "for the first
+      // time" — the idempotent writer must REPLACE the orphan, not
+      // append a duplicate next to it.
+      Seq((10L, 0L, false), (11L, 11L, true))
+        .toDF("doc_id", "canonical_id", "admitted")
+        .write.mode("overwrite")
+        .parquet(root.resolve("out").resolve("batch=1").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text"), in, 1)
+      run() // same checkpoint: the next micro-batch id is 1
+      val rows = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)),
+        s"duplicated or lost output rows: $rows")
+      // a crash mid-write leaves an uncommitted (no _SUCCESS) orphan dir;
+      // readers skip it — its batch has not committed and will replay
+      java.nio.file.Files.createDirectories(
+        root.resolve("out").resolve("batch=99"))
+      assert(graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString).count() == 4)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("near-dup output is replay-idempotent through the same crash window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-nd-idem")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+      val t0 = block("a", 100).mkString(" ")
+      def run(): Unit = graft.streaming.StreamingDedup.nearDupAdmissionStream(
+        spark, in.toString, root.resolve("index").toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((0L, t0), (1L, block("b", 100).mkString(" ")))
+          .toDF("doc_id", "text"), in, 0)
+      run()
+      // orphaned output from batch 1's crashed first attempt (output
+      // landed; label snapshot / sigs / shingles did not; no commit)
+      Seq((10L, 0L, false), (11L, 11L, true))
+        .toDF("doc_id", "cluster_id", "admitted")
+        .write.mode("overwrite")
+        .parquet(root.resolve("out").resolve("batch=1").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, t0), (11L, block("c", 100).mkString(" ")))
+          .toDF("doc_id", "text"), in, 1)
+      run()
+      val rows = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)),
+        s"duplicated or lost output rows: $rows")
     } finally StreamingSessions.deleteRecursively(root)
   }
 
@@ -452,7 +529,8 @@ class FileSourceSpec extends SparkSpec {
       graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
         in.toString, index.toString,
         root.resolve("out").toString, root.resolve("ckpt").toString)
-      def readOut() = spark.read.parquet(root.resolve("out").toString)
+      def readOut() = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         .sortBy(_._1).toSeq
       val got = readOut()
@@ -543,7 +621,8 @@ class FileSourceSpec extends SparkSpec {
         .write.mode("append").parquet(index.resolve("sigs").toString)
       StreamingSessions.appendReplayFile(b1df, in, 1)
       run() // continues from the checkpoint; batch 1 reprocesses in full
-      val got = spark.read.parquet(root.resolve("out").toString)
+      val got = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
         .sortBy(_._1).toSeq
       assert(got == Seq((0L, 0L, true), (1L, 1L, true),
