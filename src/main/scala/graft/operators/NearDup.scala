@@ -391,26 +391,35 @@ object NearDup {
       val (admissions, quotient) = admitCore(indexShingles, indexSigs,
         indexShingles.select(col("doc_id")), indexLabels,
         bSh, batchDocs.select(col("doc_id")), maxIters)
-      // re-point stored labels through this batch's merges (old component
-      // label -> merged minimum), then add the batch's non-canonical rows
-      // and the losing-component nodes themselves (their id WAS a stored
-      // minimum; it now labels to the merged one)
-      val qmap = quotient.select(col("id").as("old_label"), col("label").as("new_label"))
-      val oldRelabeled = indexLabels.as("l")
-        .join(qmap, col("l.cluster_id") === col("old_label"), "left")
-        .select(col("l.doc_id"),
-          coalesce(col("new_label"), col("l.cluster_id")).as("cluster_id"))
-      val newRows = quotient.filter(col("id") =!= col("label"))
-        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      val updated = oldRelabeled.union(newRows)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        // sparse-store invariant: a doc whose label IS its id is absent by
-        // convention; a supplied NON-sparse label table (e.g. raw
-        // nearDupClusters output, which carries canonical self-rows) must
-        // not leak self-rows into the persisted store forever
-        .filter(col("doc_id") =!= col("cluster_id"))
-      (admissions, updated.localCheckpoint())
+      (admissions, repointLabels(quotient, indexLabels))
     } finally if (owned) bSh.unpersist()
+  }
+
+  /** Label-store maintenance shared by the indexed incremental operators:
+    * re-point stored labels through this batch's merges (old component
+    * label -> merged minimum), then add the batch's non-canonical rows
+    * and the losing-component nodes themselves (their id WAS a stored
+    * minimum; it now labels to the merged one). The result keeps the
+    * sparse-store invariant: a doc whose label IS its id is absent by
+    * convention — a supplied NON-sparse label table (e.g. raw
+    * nearDupClusters output, which carries canonical self-rows) must not
+    * leak self-rows into the persisted store forever. Canonicalized by
+    * `min(cluster_id)` per doc, so labels only ever decrease and a
+    * twice-applied update (replayed micro-batch) is idempotent.
+    */
+  private[operators] def repointLabels(quotient: DataFrame,
+                                       indexLabels: DataFrame): DataFrame = {
+    val qmap = quotient.select(col("id").as("old_label"), col("label").as("new_label"))
+    val oldRelabeled = indexLabels.as("l")
+      .join(qmap, col("l.cluster_id") === col("old_label"), "left")
+      .select(col("l.doc_id"),
+        coalesce(col("new_label"), col("l.cluster_id")).as("cluster_id"))
+    val newRows = quotient.filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    oldRelabeled.union(newRows)
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .localCheckpoint()
   }
 
   /** Shared admission core over prepared index artifacts. Returns the
@@ -452,6 +461,20 @@ object NearDup {
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_b"), col("doc_o"))
       .localCheckpoint()
+    admitFromEdges(edges, idxIdFrame, idxLabels, batchIds, maxIters)
+  }
+
+  /** Quotient-graph admission over a VERIFIED edge set `(doc_b, doc_o)` —
+    * the propagation stage shared by the shingle/minhash candidates
+    * ([[admitCore]]) and the embedding-LSH candidates
+    * ([[graft.operators.Similarity.semanticDedupIncremental]]). `edges`
+    * must be localCheckpointed (it is counted and re-joined) and contain
+    * batch→neighbor adjacency with batch-batch pairs in both
+    * orientations. Returns (admissions, converged quotient labels).
+    */
+  private[operators] def admitFromEdges(edges: DataFrame, idxIdFrame: DataFrame,
+                                        idxLabels: DataFrame, batchIds: DataFrame,
+                                        maxIters: Int): (DataFrame, DataFrame) = {
     val idxIds = idxIdFrame.select(col(idxIdFrame.columns.head).as("doc_o"))
     val idxLab = idxLabels.select(col("doc_id").as("doc_o"), col("cluster_id"))
     // quotient-graph edges: batch-batch pairs as-is; batch-index pairs

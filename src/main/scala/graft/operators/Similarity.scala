@@ -147,6 +147,87 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The persistable LSH bucket artifact `(vec_id, bucket)` — what an
+    * incremental semantic-dedup deployment stores so later batches never
+    * recompute the index corpus's plane projections (the embedding
+    * analogue of the minhash signature table). The plane family is
+    * prefix-stable ([[planesFor]]), so a stored bucket table stays valid
+    * when the plane count is later RAISED only if rebucketing; same
+    * `numPlanes` must be used across runs (assert it in the pipeline).
+    */
+  def bucketTable(embeddings: DataFrame, numPlanes: Int = NumPlanes): DataFrame =
+    prepared(embeddings)
+      .select(col("vec_id"), bucketOf(embeddings, col("v"), numPlanes).as("bucket"))
+
+  /** Incremental semantic dedup — admit a batch of embeddings against the
+    * persisted artifacts of previous runs (the
+    * [[graft.operators.NearDup.incrementalNearDupsIndexed]] shape, for
+    * embedding space): candidates are the batch's bucket ∪ hamming-1
+    * probes equi-joined against the stored bucket table ∪ the batch's own
+    * buckets, verified by exact cosine against the vector stores, then
+    * min-label propagation over the quotient graph of batch vectors plus
+    * touched index COMPONENTS — so a bridging batch vector merges two
+    * stored components for every attached vector, exactly as whole-corpus
+    * [[semanticDedup]] would.
+    *
+    * Returns `(admissions, updatedLabels)`: admissions = every batch
+    * vector's union-corpus `cluster_id` + `kept` flag (≡ [[semanticDedup]]
+    * over the union, restricted to the batch — oracle-checked as
+    * `dedup_semantic_incremental`); updatedLabels = the sparse label table
+    * to persist for the next run, bridge merges re-pointed.
+    *
+    * Scale: O(batch) — the index is touched only through the bucket
+    * equi-join (batch-probe-proportional build side) and the sparse
+    * candidate-id join against the vector store; no whole-index pair
+    * generation, no corpus re-bucketing.
+    */
+  def semanticDedupIncremental(indexEmb: DataFrame, indexBuckets: DataFrame,
+                               indexLabels: DataFrame, batchEmb: DataFrame,
+                               threshold: Double, numPlanes: Int = NumPlanes,
+                               maxIters: Int = 50): (DataFrame, DataFrame) = {
+    NearDup.requireMonotoneIds(indexBuckets.select(col("vec_id")),
+      batchEmb.select(col("vec_id").as("doc_id")), "semanticDedupIncremental")
+    // consumed by probes, the bucket union, and verify — materialize once;
+    // batch-proportional
+    val bPrep = prepared(batchEmb)
+      .withColumn("bucket", bucketOf(batchEmb, col("v"), numPlanes))
+      .localCheckpoint()
+    val probes = (0 to numPlanes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }
+    val bProbe = bPrep.select(col("vec_id").as("doc_b"),
+      explode(array(probes: _*)).as("probe"))
+    val allBuckets = indexBuckets
+      .select(col("vec_id").as("doc_o"), col("bucket").as("bucket_o"))
+      .union(bPrep.select(col("vec_id").as("doc_o"), col("bucket").as("bucket_o")))
+    // batch-batch pairs land in both orientations automatically: hamming ≤ 1
+    // is symmetric, so each side's probe set hits the other's home bucket
+    val cands = bProbe.join(allBuckets,
+        col("probe") === col("bucket_o") && col("doc_b") =!= col("doc_o"))
+      .select(col("doc_b"), col("doc_o")).distinct()
+    val bv = bPrep.select(col("vec_id").as("doc_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val ov = prepared(indexEmb)
+      .union(bPrep.select(col("vec_id"), col("v"), col("nrm")))
+      .select(col("vec_id").as("doc_o"), col("v").as("v_o"), col("nrm").as("n_o"))
+    val edges = cands.join(bv, "doc_b").join(ov, "doc_o")
+      .filter(dotN(batchEmb, col("v_b"), col("v_o")) /
+        (col("n_b") * col("n_o")) >= threshold)
+      .select(col("doc_b"), col("doc_o"))
+      .localCheckpoint()
+    val (adm, quotient) = NearDup.admitFromEdges(edges,
+      indexBuckets.select(col("vec_id")),
+      indexLabels.select(col("vec_id").as("doc_id"), col("cluster_id")),
+      batchEmb.select(col("vec_id").as("doc_id")), maxIters)
+    val admissions = adm.select(col("doc_id").as("vec_id"), col("cluster_id"),
+      col("admitted").as("kept"))
+    val updated = NearDup.repointLabels(quotient,
+        indexLabels.select(col("vec_id").as("doc_id"), col("cluster_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    (admissions, updated)
+  }
+
   /** Exact cosine top-k: queries = vec_id < `numQueries`, ranked by
     * round(cos, 6) desc with vec_id tie-break (engine-robust ordering).
     * The query side is broadcast — the corpus scan never shuffles until

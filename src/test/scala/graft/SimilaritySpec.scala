@@ -124,6 +124,60 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental semantic dedup: bridge merge re-points a stored component") {
+    import org.apache.spark.sql.functions._
+    // 2D fixture in dims (0,1): the six hyperplanes' sign boundaries in
+    // this subspace sit at 52.5/108.3/166.0/166.1/170.1/173.3 deg, so
+    // B(157, id 0), A(110, id 5), M(135.5, id 10) share one bucket and
+    // S(103, id 11) sits one flipped plane (108.3) away — hamming 1.
+    // At threshold 0.9 (cos 25.8 deg) the verified edges are exactly
+    // M-A (25.5 deg), M-B (21.5), S-A (7): S's ONLY edge is A, so its
+    // admission label is 0 only if M's bridge merge of components {0} and
+    // {5} re-points A's component — the strict cross-batch bridge case.
+    def vec(deg: Double): Seq[Float] = {
+      val a = Array.fill(64)(0f)
+      a(0) = math.cos(math.toRadians(deg)).toFloat
+      a(1) = math.sin(math.toRadians(deg)).toFloat
+      a.toSeq
+    }
+    val emb = vecs((0L, vec(157.0)), (5L, vec(110.0)),
+      (10L, vec(135.5)), (11L, vec(103.0)))
+    // whole-corpus reference: one component, min id 0
+    val whole = Similarity.semanticDedup(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(whole == Seq((0L, 0L, true), (5L, 0L, false),
+      (10L, 0L, false), (11L, 0L, false)))
+    val index = emb.filter(col("vec_id") < 10)
+    val (adm, lab) = Similarity.semanticDedupIncremental(
+      index, Similarity.bucketTable(index),
+      Similarity.semanticDedup(index, 0.9).filter(!col("kept"))
+        .select(col("vec_id"), col("cluster_id")),
+      emb.filter(col("vec_id") >= 10), 0.9)
+    assert(adm.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getBoolean(2))).toSeq == Seq((10L, 0L, false), (11L, 0L, false)))
+    // the updated sparse store carries the re-pointed component node 5
+    assert(lab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5L, 0L), (10L, 0L), (11L, 0L)))
+  }
+
+  test("incremental semantic dedup equals whole-corpus dedup on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val index = emb.filter(col("vec_id") < cut)
+    val got = Similarity.semanticDedupIncremental(
+      index, Similarity.bucketTable(index),
+      Similarity.semanticDedup(index, 0.4).filter(!col("kept"))
+        .select(col("vec_id"), col("cluster_id")),
+      emb.filter(col("vec_id") >= cut), 0.4)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val want = Similarity.semanticDedup(emb, 0.4)
+      .filter(col("vec_id") >= cut)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayOps
