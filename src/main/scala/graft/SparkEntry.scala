@@ -495,6 +495,21 @@ object SparkEntry {
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
+    // incremental semantic admission: first 80% of vec_ids play the
+    // persisted index (bucket table + sparse labels from previous runs),
+    // the rest arrive as the new batch; must equal whole-corpus semantic
+    // dedup restricted to the batch (incl. bridge merges)
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val index = emb.filter(col("vec_id") < cut)
+      Similarity.semanticDedupIncremental(
+        index, Similarity.bucketTable(index),
+        Similarity.semanticDedup(index, 0.4)
+          .filter(!col("kept")).select(col("vec_id"), col("cluster_id")),
+        emb.filter(col("vec_id") >= cut), 0.4)._1
+    }),
     // spherical k-means clustering; the oracle re-runs the ENTIRE Lloyd
     // loop (md5 seed + 3 fixed-point iterations) as unrolled DuckDB CTEs
     "cluster_embeddings" -> ((s, dir) => Similarity.clusterEmbeddings(Tables.embeddings(s, dir))),
@@ -1225,23 +1240,63 @@ object SparkEntry {
         |  octet_length(encode(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16))) AS frame_bytes,
         |  md5(substring(b, CAST(frame_idx * 16 + 1 AS INT), 16)) AS frame_key
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
-    "multimodal_features" -> {
-      val fcols = (0 until 8).map(k =>
-        s"  ((octet_length(encode(text)) * 31 + $k) % 1000) / 1000.0 AS f$k")
-      s"""SELECT doc_id,
-         |${fcols.mkString(",\n")}
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
-    "multimodal_resize" ->
-      """-- text is pure ASCII, so character slicing == the byte slicing
-        |-- Spark performs on the binary media column (see multimodal_frames)
+    // the oracle recomputes the pixel statistics from the CLOSED-FORM
+    // fixture recipe (Multimodal.makePpm), independently of the binary
+    // path — Spark must reproduce them through a real P6 header parse +
+    // byte decode, so any decode defect breaks the hash
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, w, h,
+        |    (doc_id * 7 + i * 13) % 256 AS r,
+        |    (doc_id * 11 + i * 17) % 256 AS g,
+        |    (doc_id * 3 + i * 29) % 256 AS b
+        |  FROM d CROSS JOIN unnest(range(w * h)) AS t(i)),
+        |lx AS (SELECT *, (299 * r + 587 * g + 114 * b) // 1000 AS luma
+        |       FROM px)
         |SELECT doc_id,
-        |  (64 + n_chars % 576) // 2 AS new_width,
-        |  (48 + n_chars % 432) // 2 AS new_height,
-        |  octet_length(encode(text)) AS orig_bytes,
-        |  octet_length(encode(substring(text, 1, CAST((n_chars + 3) // 4 AS INT)))) AS thumb_bytes,
-        |  md5(substring(text, 1, CAST((n_chars + 3) // 4 AS INT))) AS thumb_key
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST((sum(r) * 1000) // count(*) AS BIGINT) AS mean_r_milli,
+        |  CAST((sum(g) * 1000) // count(*) AS BIGINT) AS mean_g_milli,
+        |  CAST((sum(b) * 1000) // count(*) AS BIGINT) AS mean_b_milli,
+        |  CAST((sum(luma) * 1000) // count(*) AS BIGINT) AS mean_luma_milli,
+        |  CAST(max(luma) AS BIGINT) AS max_luma,
+        |  CAST(min(luma) AS BIGINT) AS min_luma
+        |FROM lx GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // 2x box-downsample recomputed from the same recipe: output pixel
+    // (x, y) averages the 2x2 source block; P6 byte counts are
+    // 9 + digits(w) + digits(h) + 3wh (header "P6\n<w> <h>\n255\n")
+    "multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |           FROM documents),
+        |rp AS (SELECT doc_id, w, h, w // 2 AS nw, h // 2 AS nh,
+        |    j % (w // 2) AS x, j // (w // 2) AS y
+        |  FROM d CROSS JOIN unnest(range((w // 2) * (h // 2))) AS t(j)),
+        |rv AS (SELECT doc_id, w, h, nw, nh,
+        |    (((doc_id*7 + ((2*y)*w + 2*x)*13) % 256)
+        |     + ((doc_id*7 + ((2*y)*w + 2*x + 1)*13) % 256)
+        |     + ((doc_id*7 + ((2*y+1)*w + 2*x)*13) % 256)
+        |     + ((doc_id*7 + ((2*y+1)*w + 2*x + 1)*13) % 256)) // 4
+        |    + (((doc_id*11 + ((2*y)*w + 2*x)*17) % 256)
+        |     + ((doc_id*11 + ((2*y)*w + 2*x + 1)*17) % 256)
+        |     + ((doc_id*11 + ((2*y+1)*w + 2*x)*17) % 256)
+        |     + ((doc_id*11 + ((2*y+1)*w + 2*x + 1)*17) % 256)) // 4
+        |    + (((doc_id*3 + ((2*y)*w + 2*x)*29) % 256)
+        |     + ((doc_id*3 + ((2*y)*w + 2*x + 1)*29) % 256)
+        |     + ((doc_id*3 + ((2*y+1)*w + 2*x)*29) % 256)
+        |     + ((doc_id*3 + ((2*y+1)*w + 2*x + 1)*29) % 256)) // 4 AS pxsum
+        |  FROM rp)
+        |SELECT doc_id,
+        |  CAST(max(nw) AS BIGINT) AS new_width,
+        |  CAST(max(nh) AS BIGINT) AS new_height,
+        |  CAST(9 + length(CAST(max(w) AS VARCHAR))
+        |    + length(CAST(max(h) AS VARCHAR))
+        |    + max(w) * max(h) * 3 AS BIGINT) AS orig_bytes,
+        |  CAST(9 + length(CAST(max(nw) AS VARCHAR))
+        |    + length(CAST(max(nh) AS VARCHAR))
+        |    + max(nw) * max(nh) * 3 AS BIGINT) AS thumb_bytes,
+        |  CAST(sum(pxsum) AS BIGINT) AS thumb_sum
+        |FROM rv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
@@ -1406,7 +1461,9 @@ object SparkEntry {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
     "dedup_embedding_lsh" -> lshPairOracle,
-    "dedup_semantic" -> semanticDedupOracle,
+    "dedup_semantic" -> semanticDedupOracle(),
+    "dedup_semantic_incremental" -> semanticDedupOracle(
+      "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "cluster_embeddings" -> kmeansClusterOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
@@ -1721,7 +1778,11 @@ object SparkEntry {
   /** Transitive closure over the LSH-verified cosine pair graph, keep-min
     * per component — the SemDeDup admission contract.
     */
-  private val semanticDedupOracle: String =
+  /** Whole-corpus semantic-dedup closure; `restrict` filters the OUTPUT
+    * rows (the closure always sees the full corpus) — which is precisely
+    * the incremental operator's contract.
+    */
+  private def semanticDedupOracle(restrict: String = ""): String =
     s"""WITH RECURSIVE
        |$lshBucketCtes,
        |p AS (SELECT x.vec_id AS u, y.vec_id AS w
@@ -1738,6 +1799,7 @@ object SparkEntry {
        |SELECT emb.vec_id, coalesce(l.cid, emb.vec_id) AS cluster_id,
        |       (coalesce(l.cid, emb.vec_id) = emb.vec_id) AS kept
        |FROM emb LEFT JOIN lab l ON emb.vec_id = l.vec_id
+       |$restrict
        |ORDER BY emb.vec_id""".stripMargin
 
   /** Eval-overlap contamination oracle: 8-gram join on shingle TEXT (the

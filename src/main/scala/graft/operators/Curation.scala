@@ -128,24 +128,38 @@ object Curation {
     *
     * Scale shape: a global running sum is the textbook distributed
     * prefix-sum, NOT one global window (which would serialize the corpus
-    * through a single reducer). Three stages: (1) per-bucket token totals
-    * — a parallel aggregation over `doc_id div bucketSize` buckets;
-    * (2) exclusive running offsets across bucket TOTALS — a window over
-    * |corpus|/bucketSize rows (tiny; recursively two-levelable if a
-    * corpus ever outgrows it); (3) intra-bucket exclusive prefix sums —
-    * windows partitioned by bucket, all parallel — plus the bucket offset.
+    * through a single reducer). Two recursion levels: (1) per-bucket token
+    * totals — a parallel aggregation over `doc_id div bucketSize` buckets;
+    * (2) bucket offsets via SUPER-buckets of `bucketSize` buckets each —
+    * running offsets across super-bucket totals (the only unpartitioned
+    * window, over |corpus|/bucketSize² rows: ~600 rows at 10^10 docs —
+    * sub-dimension-sized at any plausible corpus) plus per-super-bucket
+    * running offsets of its buckets (windows partitioned by super-bucket,
+    * ≤ bucketSize rows each, all parallel); (3) intra-bucket exclusive
+    * prefix sums — windows partitioned by bucket, all parallel — plus the
+    * bucket offset. No window anywhere runs unpartitioned over a
+    * corpus-proportional frame (plan-asserted in CurationSpec).
     */
   def packShards(documents: DataFrame, capacityTokens: Long,
                  bucketSize: Long = 4096): DataFrame = {
     val toks = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bkt"))
-    val wB = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy(col("bkt"))
+    val bktTotals = toks.groupBy(col("bkt"))
       .agg(sum(col("n_tokens")).as("bkt_tokens"))
-      .withColumn("bkt_offset",
-        coalesce(sum(col("bkt_tokens")).over(wB), lit(0L)))
+      .withColumn("sbkt", expr(s"bkt div $bucketSize"))
+    val wSB = Window.orderBy(col("sbkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sbOffsets = bktTotals.groupBy(col("sbkt"))
+      .agg(sum(col("bkt_tokens")).as("sb_tokens"))
+      .withColumn("sb_offset",
+        coalesce(sum(col("sb_tokens")).over(wSB), lit(0L)))
+      .select(col("sbkt"), col("sb_offset"))
+    val wBinSB = Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bktTotals.join(sbOffsets, "sbkt")
+      .withColumn("bkt_offset", col("sb_offset") +
+        coalesce(sum(col("bkt_tokens")).over(wBinSB), lit(0L)))
       .select(col("bkt"), col("bkt_offset"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -234,12 +234,24 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id"), col("n_tokens"), expr("prefix div 2048").as("shard_id"))
       .orderBy(col("doc_id"))
     assert(fast.collect().toSeq.map(_.toSeq) == naive.collect().toSeq.map(_.toSeq))
-    // scale shape: the doc-proportional window must be PARTITIONED by
-    // bucket; only the bucket-totals window (|corpus|/bucketSize rows)
-    // runs unpartitioned
-    val plan = fast.queryExecution.executedPlan.toString
-    assert(plan.contains("windowspecdefinition(bkt"),
-      s"per-doc prefix window is not bucket-partitioned:\n$plan")
+    // scale shape: no window may run unpartitioned over a
+    // corpus-proportional frame — per-doc prefixes are partitioned by
+    // bucket, bucket offsets by super-bucket; the single allowed
+    // unpartitioned window runs over SUPER-bucket totals
+    // (|corpus|/bucketSize² rows)
+    val wins = fast.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1,
+      s"expected exactly one unpartitioned window (super-bucket totals), got ${unpart.size}")
+    assert(unpart.head.orderSpec.flatMap(_.references.toSeq.map(_.name))
+      .forall(_ == "sbkt"),
+      "the unpartitioned window must range over super-bucket totals only")
+    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "bkt"))),
+      "per-doc prefix window is not bucket-partitioned")
+    assert(wins.exists(_.partitionSpec.exists(_.references.exists(_.name == "sbkt"))),
+      "bucket-offset window is not super-bucket-partitioned")
     // and the result is bucketSize-invariant (the prefix sum is exact,
     // not an approximation tied to the chosen bucketing)
     val other = Curation.packShards(real, 2048L, bucketSize = 7)

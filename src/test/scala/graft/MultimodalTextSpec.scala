@@ -31,22 +31,48 @@ class MultimodalTextSpec extends SparkSpec {
     assert(f(0).getAs[String]("frame_key") == f(1).getAs[String]("frame_key"))
   }
 
-  test("resize halves dimensions and keeps a quarter-length thumbnail") {
-    val r = Multimodal.resize(docs).collect().find(_.getLong(0) == 0L).get
-    assert(r.getAs[Long]("new_width") == (64 + 13) / 2)
-    assert(r.getAs[Long]("new_height") == (48 + 13) / 2)
-    assert(r.getAs[Long]("orig_bytes") == 13L)
-    assert(r.getAs[Long]("thumb_bytes") == 4L) // ceil(13/4)
+  test("decodePpm parses header (incl. comments) and round-trips encodePpm") {
+    val px = Array[Byte](0, 50, 100, -1, -106, 42) // 2x1, (255,150,42) 2nd px
+    val enc = Multimodal.encodePpm(2, 1, px)
+    val (w, h, got) = Multimodal.decodePpm(enc)
+    assert((w, h) == (2, 1) && got.toSeq == px.toSeq)
+    // a netpbm comment between magic and dims must be skipped
+    val commented =
+      "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++ px
+    val (w2, h2, got2) = Multimodal.decodePpm(commented)
+    assert((w2, h2) == (2, 1) && got2.toSeq == px.toSeq)
+    // truncated body fails loudly rather than decoding garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(enc.dropRight(1))
+    }
   }
 
-  test("feature extraction stub is deterministic and dimension-correct") {
-    val df = Multimodal.extractFeatures(docs, dim = 4)
-    assert(df.columns.toSeq == Seq("doc_id", "f0", "f1", "f2", "f3"))
-    val f = df.collect()
-    assert(f.length == 2)
-    val row = f.find(_.getLong(0) == 0L).get
-    val feats = (0 until 4).map(k => row.getAs[Double](s"f$k"))
-    assert(feats == Multimodal.decodeStub(Array.fill(13)(0: Byte), 4).toSeq)
+  test("feature extraction decodes real pixels: doc 0 statistics by hand") {
+    // doc 0: w=4, h=3, r=13i%256, g=17i%256, b=29i%256 over i=0..11;
+    // r,g never wrap (sum(i)=66 -> means 858,1122); b wraps from i=9
+    // (261,290,319 -> 5,34,63), sum_b=1146; per-pixel luma floors
+    // (299r+587g+114b)/1000 -> sum 1041, max at i=11 (159)
+    val row = Multimodal.extractFeatures(docs).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(row.getAs[Long]("width") == 4L)
+    assert(row.getAs[Long]("height") == 3L)
+    assert(row.getAs[Long]("mean_r_milli") == 71500L)
+    assert(row.getAs[Long]("mean_g_milli") == 93500L)
+    assert(row.getAs[Long]("mean_b_milli") == 95500L)
+    assert(row.getAs[Long]("mean_luma_milli") == 86750L)
+    assert(row.getAs[Long]("max_luma") == 159L)
+    assert(row.getAs[Long]("min_luma") == 0L)
+  }
+
+  test("resize box-downsamples real pixels: doc 0 summary by hand") {
+    // doc 0: 4x3 -> 2x1; block means: (32,42,72) and (58,76,130);
+    // thumb_sum=410; orig="P6\n4 3\n255\n"+36=47; thumb="P6\n2 1\n255\n"+6=17
+    val r = Multimodal.resize(docs).collect().find(_.getLong(0) == 0L).get
+    assert(r.getAs[Long]("new_width") == 2L)
+    assert(r.getAs[Long]("new_height") == 1L)
+    assert(r.getAs[Long]("orig_bytes") == 47L)
+    assert(r.getAs[Long]("thumb_bytes") == 17L)
+    assert(r.getAs[Long]("thumb_sum") == 410L)
   }
 
   test("langId: argmax with fixed tie-break order") {
