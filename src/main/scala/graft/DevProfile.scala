@@ -3,7 +3,8 @@ package graft
 // Scratch profiling harness (dev aid).
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.NearDup
+import graft.streaming.StreamingSessions
+import graft.operators.Sessions
 
 object DevProfile {
   def main(args: Array[String]): Unit = {
@@ -16,34 +17,41 @@ object DevProfile {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    val docs = Tables.documents(spark, dir)
-    docs.count() // warmup
-    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
-      .head().getLong(0)
-    val idx = docs.filter(col("doc_id") < cut)
-    val batch = docs.filter(col("doc_id") >= cut)
-    // whole-query, twice (cold/warm)
-    time("incremental_1")(NearDup.incrementalNearDups(idx, batch).count())
-    time("incremental_2")(NearDup.incrementalNearDups(idx, batch).count())
-    // stage decomposition
-    val idxSh = NearDup.shingled(idx).persist()
-    time("idx_shingled")(idxSh.count())
-    val idxSigs = NearDup.minhashSignatures(idxSh).persist()
-    time("idx_sigs")(idxSigs.count())
-    val cand = NearDup.lshCandidates(idxSigs)
-    time("idx_lsh_cands")(cand.count())
-    val pairs = NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh)
-    time("idx_verified_pairs")(pairs.count())
-    time("idx_labels_clusters")(NearDup.clustersFromPairs(
-      NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh)).count())
-    val idxLab = NearDup.clustersFromPairs(
-      NearDup.verifyJaccard(NearDup.lshCandidates(idxSigs), idxSh))
-      .localCheckpoint()
-    time("incremental_with_labels")(
-      NearDup.incrementalNearDups(idx, batch, indexLabels = Some(idxLab)).count())
-    idxSigs.unpersist(); idxSh.unpersist()
+    val ev = Tables.events(spark, dir)
+    ev.count() // warmup
+    // streaming warmup (same as Bench)
+    val synth = spark.range(1000).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
+      pmod(col("id"), lit(20)).as("user_id"),
+      lit("view").as("event_type"),
+      (col("id") % 100).cast("double").as("value"),
+      lit("{}").as("props"))
+    StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"))
+      .queryExecution.toRdd.count()
+    // fixed streaming-machinery cost: replays over 1k rows with varying
+    // micro-batch counts and state providers
+    for (round <- 1 to 2; s <- Seq(1, 2, 4))
+      time(s"tiny s=$s rocks r$round")(
+        StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"),
+          slices = s).queryExecution.toRdd.count())
+    for (round <- 1 to 2)
+      time(s"tiny s=2 hdfs r$round")(
+        StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"),
+          useRocksDb = false).queryExecution.toRdd.count())
+    for (round <- 1 to 2) {
+      time(s"t1_replay r$round")(
+        StreamingSessions.replayOutOfOrder(ev, lit("30 seconds"))
+          .queryExecution.toRdd.count())
+      time(s"t2_replay r$round")(
+        StreamingSessions.replayOutOfOrder(ev, lit("2 hours"),
+          streamTransform = s => s.filter(col("session_sum") >= 300.0)
+            .select(col("user_id")).dropDuplicates("user_id"),
+          useRocksDb = false)
+          .queryExecution.toRdd.count())
+    }
     spark.stop()
   }
 }

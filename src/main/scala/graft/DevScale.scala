@@ -168,9 +168,11 @@ object DevScale {
     }
 
     // semantic dedup at 500k 64-dim vectors with 1% planted near-identical
-    // pairs. 6 planes (the sf-bench default) would collide Θ(n²/64); the
-    // 20-plane family (~1M buckets) keeps candidates equi-join-bounded —
-    // the plane count is the corpus-size knob, planes stay deterministic.
+    // pairs. 6 planes (the sf-bench default) would collide Θ(n²/64);
+    // autoPlanes(500k) = 18 (~262k buckets) keeps candidates
+    // equi-join-bounded — the plane count is the corpus-size knob, planes
+    // stay deterministic. The curve below records recall (planted dups
+    // dropped) and candidate volume around the auto answer.
     val nVecs = 500000L
     def vecAt(idCol: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(63)), d =>
@@ -183,11 +185,15 @@ object DevScale {
         .otherwise(vecAt(col("id"))).as("embedding"))
     vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
     val ve = spark.read.parquet("/tmp/scale_vecs")
-    timeDocs("semantic_dedup_500k") {
-      val out = graft.operators.Similarity.semanticDedup(ve, 0.9, numPlanes = 20)
-      val dropped = out.filter(!col("kept")).count()
-      println(f"  (dropped $dropped of ~5000 planted dups)")
-      out.count()
+    val autoP = graft.operators.Similarity.autoPlanes(nVecs)
+    println(s"autoPlanes($nVecs) = $autoP")
+    for (p <- Seq(autoP - 4, autoP, autoP + 4)) {
+      timeDocs(s"semantic_dedup p=$p") {
+        val out = graft.operators.Similarity.semanticDedup(ve, 0.9, numPlanes = p)
+        val dropped = out.filter(!col("kept")).count()
+        println(f"  (p=$p: dropped $dropped of ~5000 planted dups)")
+        out.count()
+      }
     }
 
     // k-means corpus clustering at 500k×64-dim (1000× the sf0.01 oracle

@@ -271,6 +271,28 @@ object Similarity {
 
   val planes: Seq[Seq[Double]] = planesFor(NumPlanes)
 
+  /** Corpus-size-derived plane count: the smallest `p` whose expected
+    * candidate load stays bounded — with uniformly occupied buckets and
+    * the hamming-≤1 probe set (p+1 buckets per vector), candidates per
+    * vector ≈ `n·(p+1)/2^p`; pick the smallest p that keeps it at or
+    * under `maxCandidatesPerVector`. Yields 6 at the 500-vector oracle
+    * corpus (so the pinned `NumPlanes` default IS the auto answer
+    * there), 10 at the 5k bench corpus, 18 at 500k (DevScale measures
+    * the recall/scan curve around it). The plane family is prefix-stable
+    * ([[planesFor]]), but BUCKETS are not comparable across counts —
+    * incremental pipelines must pin the count their stored bucket
+    * artifact was built with ([[bucketTable]]) and rebucket to adopt a
+    * larger family.
+    */
+  def autoPlanes(corpusRows: Long, maxCandidatesPerVector: Long = 64): Int = {
+    require(corpusRows >= 0 && maxCandidatesPerVector > 0,
+      "corpusRows must be non-negative and the candidate budget positive")
+    var p = 1
+    while (p < 62 &&
+      corpusRows * (p + 1) > maxCandidatesPerVector * (1L << p)) p += 1
+    p
+  }
+
   /** Random-hyperplane bucket id (sign bits of plane dot products). */
   def bucketOf(df: DataFrame, v: Column, numPlanes: Int = NumPlanes): Column = {
     val pls = planesFor(numPlanes)

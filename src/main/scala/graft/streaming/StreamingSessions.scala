@@ -74,15 +74,23 @@ object StreamingSessions {
     *    mod jitter)` — deterministic, and an event can arrive behind
     *    events up to `jitter` later than it, never more, so a watermark
     *    `delay > jitter` must lose nothing;
-    *  - the keyed rows are split into `slices` contiguous files replayed
-    *    one per micro-batch (`maxFilesPerTrigger=1`, explicit increasing
-    *    file mtimes pin the source's processing order);
-    *  - one far-future [[FlushUser]] sentinel file closes the stream: the
-    *    sentinel batch's max event time raises the watermark, and
+    *  - the keyed rows are RANGE-split on the replay key into `slices`
+    *    contiguous files replayed one per micro-batch
+    *    (`maxFilesPerTrigger=1`, explicit increasing file mtimes pin the
+    *    source's processing order). Equal key ranges, not equal row
+    *    counts: every key in file k precedes every key in file k+1 —
+    *    the arrival-order contract — without the single-partition
+    *    global `ntile` sort an equal-count split would need, and all
+    *    slices are written by ONE `partitionBy("slice")` job;
+    *  - one far-future [[FlushUser]] sentinel row rides in the LAST
+    *    slice: its batch's max event time raises the watermark, and
     *    `AvailableNow` runs one final (empty) batch under that advanced
     *    watermark, which emits every remaining real session (append mode
     *    emits a session only once a later batch's watermark passes its
-    *    end — the final empty batch is that later batch);
+    *    end — the final empty batch is that later batch). In-batch
+    *    position is irrelevant (watermarks advance at batch boundaries),
+    *    so folding the sentinel into the last data batch saves a whole
+    *    micro-batch of fixed planning/commit cost per replay;
     *  - the memory-sink table, minus the sentinel user, is the result.
     *
     * `streamTransform` appends extra STREAM-side operators between the
@@ -95,29 +103,39 @@ object StreamingSessions {
                        jitterUs: Long = 300L * 1000000, // 5 minutes
                        slices: Int = 2,
                        streamTransform: DataFrame => DataFrame = identity,
-                       useRocksDb: Boolean = true): DataFrame = {
+                       useRocksDb: Boolean = true,
+                       statePartitions: Int = 4): DataFrame = {
     val spark = events.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
-    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-    // materialized once: each slice write below filters this frame, and
-    // without the checkpoint every write would redo the global sort
-    val keyed = events
-      .withColumn("okey",
-        unix_micros(col("ts")) + pmod(xxhash64(col("event_id")), lit(jitterUs)))
-      .withColumn("slice",
-        ntile(slices).over(Window.orderBy(col("okey"), col("event_id"))))
-      .localCheckpoint()
+    val okey = unix_micros(col("ts")) +
+      pmod(xxhash64(col("event_id")), lit(jitterUs))
+    // one scan for every bound the split needs
+    val bounds = events.agg(max(col("ts")), min(okey), max(okey)).head()
+    val maxTs = bounds.getTimestamp(0)
+    val (minK, maxK) = (bounds.getLong(1), bounds.getLong(2))
+    val span = maxK - minK + 1
     val dataCols = events.columns.map(col)
-    // slice i -> one parquet file with a pinned name + mtime so the file
-    // source replays them in order (harness-only single-partition sort
-    // and per-slice coalesce(1): the stream's arrival order IS the thing
-    // under test, so the harness serializes it deliberately)
+    val sliced = events
+      .withColumn("slice",
+        (((okey - minK) * slices) / span).cast("int") + 1)
+      .union(flushFrame(events, maxTs, 1).withColumn("slice", lit(slices)))
+    // one job writes every slice file (repartition by slice -> one file
+    // per slice dir), then the files are pinned into mtime order
+    val stage = root.resolve("stage")
+    sliced.repartition(slices, col("slice"))
+      .write.partitionBy("slice").parquet(stage.toString)
     (1 to slices).foreach { i =>
-      appendReplayFile(keyed.filter(col("slice") === i).select(dataCols: _*),
-        inDir, i)
+      val dir = stage.resolve(s"slice=$i")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val part = java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val dest = inDir.resolve(f"$i%05d.parquet")
+        java.nio.file.Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dest.toFile.setLastModified(i * 60000L)
+      }
     }
-    appendReplayFile(flushFrame(events, maxTs, 1), inDir, slices + 1)
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val sinkName = "graft_ooo_sink"
@@ -134,7 +152,7 @@ object StreamingSessions {
       "spark.sql.streaming.stateStore.providerClass",
       "spark.sql.streaming.noDataMicroBatches.enabled")
     val snapshot = mutatedKeys.map(k => k -> spark.conf.getOption(k))
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     spark.conf.set("spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true")
     // load-bearing for the single-sentinel design: the final sessions
     // emit in the no-data micro-batch AvailableNow runs after the

@@ -178,6 +178,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("autoPlanes tracks the corpus-size candidate budget") {
+    // n(p+1)/2^p <= 64 at the smallest p: 6 at the 500-vector oracle
+    // corpus (the pinned NumPlanes default IS the auto answer there),
+    // 10 at the 5k bench corpus, 18 at the 500k DevScale corpus
+    assert(Similarity.autoPlanes(500) == 6)
+    assert(Similarity.autoPlanes(5000) == 10)
+    assert(Similarity.autoPlanes(500000) == 18)
+    // monotone in corpus size, bounded for the Long bucket
+    val ps = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.autoPlanes(_))
+    assert(ps == ps.sorted && ps.last < 62)
+  }
+
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayOps
