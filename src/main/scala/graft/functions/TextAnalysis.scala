@@ -526,14 +526,17 @@ object TextAnalysis {
       var cur = wordTypes
       var r = 1
       while (r <= numMerges) {
-        val exploded = cur.select(col("word"), col("c"),
-          posexplode(bpeSymbols(col("symseq"))).as(Seq("i", "sym")))
-        val byWord = org.apache.spark.sql.expressions.Window
-          .partitionBy("word").orderBy("i")
-        val top = exploded
-          .withColumn("rhs", lead(col("sym"), 1).over(byWord))
-          .filter(col("rhs").isNotNull)
-          .groupBy(col("sym").as("lhs"), col("rhs"))
+        // adjacent pairs in one row-local projection (slice keeps the
+        // lambda index in bounds; a 1-symbol word slices to empty and
+        // explode drops it) — each round is a scan of the cached type
+        // table + one map-combined aggregate, no window shuffle
+        val top = cur
+          .withColumn("syms", bpeSymbols(col("symseq")))
+          .select(col("c"), explode(expr(
+            """transform(slice(syms, 1, greatest(size(syms) - 1, 0)),
+              |  (s, i) -> struct(s AS lhs, syms[i + 1] AS rhs))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum(col("c")).as("cnt"))
           .orderBy(desc("cnt"), col("lhs"), col("rhs"))
           .limit(1).collect()
@@ -593,8 +596,12 @@ object TextAnalysis {
       val (pat, rep) = bpeMergePattern(lhs, rhs)
       df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
     }
+    // consumed twice (vocab count + the id join): materialize so the
+    // numMerges-replace projection over the exploded token frame runs
+    // once — the persist a production pipeline would give this stage
     val syms = encoded.select(col("doc_id"), col("pos"),
       posexplode(bpeSymbols(col("symseq"))).as(Seq("spos", "sym")))
+      .localCheckpoint()
     val vocab = syms.groupBy(col("sym")).agg(count(lit(1)).as("n"))
       .withColumn("id", row_number().over(
         org.apache.spark.sql.expressions.Window
