@@ -63,6 +63,39 @@ object DevDrive {
     println("corpus self-diff unchanged = " + graft.operators.Curation
       .corpusDiff(docs, docs).filter(
         org.apache.spark.sql.functions.col("status") === "unchanged").count())
+    // 7. round-6 surface: BPE, incremental semantic dedup, PPM decode,
+    //    exactly-once streaming output reads
+    import org.apache.spark.sql.functions.{col, expr}
+    println("bpe merges = " + graft.functions.TextAnalysis
+      .trainBpeMerges(docs, numMerges = 5).collect()
+      .map(r => r.getString(3)).mkString(","))
+    println("bpe encoded doc0 = " + graft.functions.TextAnalysis
+      .encodeBpe(docs, numMerges = 5).collect().head.toString)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val index = emb.filter(col("vec_id") < cut)
+    val (adm, labs) = graft.operators.Similarity.semanticDedupIncremental(
+      index, graft.operators.Similarity.bucketTable(index),
+      graft.operators.Similarity.semanticDedup(index, 0.4)
+        .filter(!col("kept")).select(col("vec_id"), col("cluster_id")),
+      emb.filter(col("vec_id") >= cut), 0.4)
+    println(s"semantic admissions = ${adm.count()}, label store = ${labs.count()}")
+    println("autoPlanes(1e9) = " + graft.operators.Similarity.autoPlanes(1000000000L))
+    val (w, h, px) = graft.operators.Multimodal.decodePpm(
+      graft.operators.Multimodal.makePpm(7L))
+    println(s"ppm doc7 decoded ${w}x$h, ${px.length} sample bytes")
+    val dedupRoot = java.nio.file.Files.createTempDirectory("drive-dedup")
+    val in = dedupRoot.resolve("in"); java.nio.file.Files.createDirectories(in)
+    graft.streaming.StreamingSessions.appendReplayFile(
+      Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text"),
+      in, 0)
+    graft.streaming.StreamingDedup.exactAdmissionStream(spark, in.toString,
+      dedupRoot.resolve("keys").toString, dedupRoot.resolve("out").toString,
+      dedupRoot.resolve("ckpt").toString)
+    println("admission output rows = " + graft.streaming.StreamingDedup
+      .readOutput(spark, dedupRoot.resolve("out").toString).count())
+    graft.streaming.StreamingSessions.deleteRecursively(dedupRoot)
     spark.stop()
   }
 }
