@@ -94,6 +94,70 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("property: engine BPE equals a driver-side reference on random corpora") {
+    // independent reference implementation: mutable pair counting +
+    // cursor-based greedy-leftmost application over symbol vectors (no
+    // string replace / no delimiter encoding — a genuinely different
+    // spelling of the same contract)
+    def refBpe(counts: Map[String, Long], k: Int)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var symsOf = counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        symsOf.foreach { case (w, ss) =>
+          ss.zip(ss.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + counts(w))
+        }
+        assert(pc.nonEmpty, "reference ran out of pairs — weaken the fixture")
+        val ((lhs, rhs), cnt) = pc.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((lhs, rhs, cnt))
+        symsOf = symsOf.map { case (w, ss) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == lhs && ss(i + 1) == rhs) {
+              out += lhs + rhs; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+      (merges.result(), symsOf)
+    }
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      // 8 distinct word types over {a,b,c} (index-keyed last char keeps
+      // them distinct so the pair pool cannot collapse), sampled into docs
+      val pool = (0 until 8).map(i =>
+        List.fill(3 + rnd.nextInt(3))("abc" (rnd.nextInt(3))).mkString
+          + ("abc" (i % 3)))
+      val docs = (0L until 6L).map(d =>
+        (d, List.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val counts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val k = 4
+      val (wantMerges, finalSyms) = refBpe(counts, k)
+      val gotMerges = TextAnalysis.trainBpeMerges(df, k).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(gotMerges == wantMerges, s"seed $seed merge tables differ")
+      // id contract: dense (count desc, sym) over the final inventory
+      val symCounts = docs.flatMap(_._2.split(" "))
+        .flatMap(finalSyms).groupBy(identity).view.mapValues(_.size).toSeq
+      val idOf = symCounts.sortBy { case (s, n) => (-n, s) }
+        .zipWithIndex.map { case ((s, _), i) => s -> (i + 1L) }.toMap
+      val got = TextAnalysis.encodeBpe(df, k).collect()
+      assert(got.length == docs.size)
+      got.foreach { r =>
+        val want = docs.toMap.apply(r.getLong(0)).split(" ").toSeq
+          .flatMap(finalSyms).map(idOf)
+        assert(r.getString(3).split(" ").map(_.toLong).toSeq == want,
+          s"seed $seed doc ${r.getLong(0)} encoding differs")
+      }
+    }
+  }
+
   test("encoding round-trips: ids decode back to the document's words") {
     val docs = Seq(
       (1L, "streaming merge streaming window"),
