@@ -287,9 +287,11 @@ object Similarity {
   def autoPlanes(corpusRows: Long, maxCandidatesPerVector: Long = 64): Int = {
     require(corpusRows >= 0 && maxCandidatesPerVector > 0,
       "corpusRows must be non-negative and the candidate budget positive")
+    // BigInt: `budget << p` overflows Long past p ≈ 57, which would make
+    // the comparison spuriously true and pin huge corpora at the cap
     var p = 1
     while (p < 62 &&
-      corpusRows * (p + 1) > maxCandidatesPerVector * (1L << p)) p += 1
+      BigInt(corpusRows) * (p + 1) > (BigInt(maxCandidatesPerVector) << p)) p += 1
     p
   }
 

@@ -22,10 +22,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Exactly-once OUTPUT: admissions are written through the batch-id-keyed
   * idempotent writer ([[writeOutputBatch]]) — batch N's rows land in
-  * `outDir/batch=N` by OVERWRITE, so a replayed micro-batch replaces its
-  * own output with the identical re-derived rows instead of appending a
-  * duplicate, and readers ([[readOutput]]) only see `_SUCCESS`-committed
-  * batch dirs. The KEY table still absorbs replayed appends by
+  * `outDir/batch=N`, a replayed micro-batch leaves an already-committed
+  * batch dir untouched instead of appending a duplicate (or rewriting it
+  * from a partially-effective replay), and readers ([[readOutput]]) only
+  * see `_SUCCESS`-committed batch dirs. The KEY table still absorbs
+  * replayed appends by
   * canonicalize-on-read (min canonical_id per text_key) — a replayed
   * append can duplicate key rows on disk, but later batches still see one
   * row per key, so their admission joins never fan out. The admission
@@ -34,38 +35,57 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object StreamingDedup {
 
-  /** Batch-id-keyed idempotent output write: batch `batchId`'s admissions
-    * land in `outDir/batch=<id>` via overwrite — replaying the batch
-    * recomputes the identical rows (admission math is deterministic given
-    * the same index state, which the frontier contract guarantees) and
-    * replaces its own directory. An EMPTY admissions frame means the
-    * effective batch was empty, i.e. a full replay of an already-committed
-    * batch whose rows live in their original batch dir — writing would
-    * overwrite committed output with nothing, so it is skipped.
+  /** Batch-id-keyed idempotent output write: batch `batchId`'s admission
+    * rows land in `outDir/batch=<id>`, exactly once across every crash
+    * point. A dir that is already COMMITTED (`_SUCCESS` present) is a
+    * crashed-but-output-complete earlier attempt of this same batch: its
+    * rows were derived from the full batch under the correct pre-batch
+    * index state, so they are kept verbatim — rewriting them is at best
+    * redundant and at worst wrong, because a replayed batch can be only
+    * PARTIALLY effective (its frontier-bearing index append landed, the
+    * checkpoint commit did not, and some below-frontier doc's admission
+    * is no longer recomputable from post-batch state — near-dup labels
+    * mutate under later bridge merges). A crash DURING the output write
+    * leaves the dir uncommitted; the index appends all come after, so
+    * that replay reprocesses the batch in full and overwrites the
+    * partial files. An EMPTY admissions frame with no committed dir is a
+    * genuinely empty input batch; skipped.
     */
   private def writeOutputBatch(admissions: DataFrame, outDir: String,
-                               batchId: Long): Unit =
-    if (!admissions.isEmpty)
-      admissions.write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId").toString)
+                               batchId: Long): Unit = {
+    val target = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
+    val fs = target.getFileSystem(
+      admissions.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS")) &&
+        !admissions.isEmpty)
+      admissions.write.mode("overwrite").parquet(target.toString)
+  }
 
-  /** Committed admission output across all batch dirs. A crash mid-write
-    * leaves a dir without Spark's `_SUCCESS` marker; its batch has not
-    * committed to the streaming checkpoint either, so it WILL replay and
-    * overwrite the orphan — readers skip it rather than surface partial
-    * rows. Leaf dirs are passed explicitly, so no `batch` partition
-    * column is inferred into the result schema.
+  /** Committed `batch=N` dirs under `root`, numerically ordered. A crash
+    * mid-write leaves a dir without Spark's `_SUCCESS` marker; its batch
+    * has not committed to the streaming checkpoint either, so it WILL
+    * replay and overwrite the orphan — readers skip it rather than
+    * surface partial rows.
+    */
+  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
+      .map(_.getPath)
+
+  /** Committed admission output across all batch dirs (see
+    * [[committedBatchDirs]]). Leaf dirs are passed explicitly, so no
+    * `batch` partition column is inferred into the result schema.
     */
   def readOutput(spark: SparkSession, outDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(_.getPath.getName.startsWith("batch="))
-        .filter(s => fs.exists(
-          new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
+    val dirs = committedBatchDirs(fs, root).map(_.toString)
     require(dirs.nonEmpty, s"no committed output batches under $outDir")
     spark.read.parquet(dirs: _*)
   }
@@ -206,18 +226,12 @@ object StreamingDedup {
         }
         val labRoot = new org.apache.hadoop.fs.Path(indexDir, "labels")
         val labFs = labRoot.getFileSystem(conf)
+        // an uncommitted (crashed) snapshot dir would silently resurrect
+        // an EMPTY label store (absence = own-canonical in the sparse
+        // semantics) and re-snapshot the degraded state — only committed
+        // dirs count, per the shared _SUCCESS-gated listing
         def committedSnapshots(): Seq[org.apache.hadoop.fs.Path] =
-          if (!labFs.exists(labRoot)) Seq.empty
-          else labFs.listStatus(labRoot).toSeq
-            .filter(_.getPath.getName.startsWith("batch="))
-            // a crash mid-snapshot leaves a dir without Spark's _SUCCESS
-            // marker; reading it would silently resurrect an EMPTY label
-            // store (absence = own-canonical in the sparse semantics) and
-            // re-snapshot the degraded state — only committed dirs count
-            .filter(s => labFs.exists(
-              new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-            .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
-            .map(_.getPath)
+          committedBatchDirs(labFs, labRoot)
         // latest committed label snapshot; a replayed batch N may read its
         // own committed output — safe, because the snapshot it re-derives
         // is identical (labels only decrease; min is idempotent)

@@ -113,12 +113,21 @@ object StreamingSessions {
     // one scan for every bound the split needs
     val bounds = events.agg(max(col("ts")), min(okey), max(okey)).head()
     val maxTs = bounds.getTimestamp(0)
-    val (minK, maxK) = (bounds.getLong(1), bounds.getLong(2))
-    val span = maxK - minK + 1
+    // null-okey rows (null ts or event_id) take slice 1 — the downstream
+    // watermark stage decides their fate, the harness must not silently
+    // drop them (partitionBy would shunt a null slice into a Hive default
+    // dir the move loop never ships); an all-null corpus degenerates to
+    // one slice
+    val sliceExpr =
+      if (bounds.isNullAt(1)) lit(1)
+      else {
+        val minK = bounds.getLong(1)
+        val span = bounds.getLong(2) - minK + 1
+        coalesce((((okey - minK) * slices) / span).cast("int") + 1, lit(1))
+      }
     val dataCols = events.columns.map(col)
     val sliced = events
-      .withColumn("slice",
-        (((okey - minK) * slices) / span).cast("int") + 1)
+      .withColumn("slice", sliceExpr)
       .union(flushFrame(events, maxTs, 1).withColumn("slice", lit(slices)))
     // one job writes every slice file (repartition by slice -> one file
     // per slice dir), then the files are pinned into mtime order

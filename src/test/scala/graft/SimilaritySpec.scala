@@ -189,6 +189,9 @@ class SimilaritySpec extends SparkSpec {
     val ps = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
       .map(Similarity.autoPlanes(_))
     assert(ps == ps.sorted && ps.last < 62)
+    // huge corpora must not overflow the budget comparison: 2e17 rows
+    // stop at p=58 (64·2^58 ≥ 2e17·59), not at the 62 cap
+    assert(Similarity.autoPlanes(200000000000000000L) == 58)
   }
 
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {

@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("replay does not drop rows whose jitter key is null") {
+    import spark.implicits._
+    // a null event_id (or ts) nulls the replay key; the range split must
+    // still ship the row (slice 1), not shunt it into a Hive default
+    // partition the file mover ignores — the downstream watermark stage,
+    // not the harness, decides its fate (sessionAgg keeps null event_id)
+    val base = (1L to 10L).map(i =>
+      (Some(i), ts(f"2024-01-01 00:00:${i}%02d"), 7L, "view", 1.0, "{}"))
+    val events = (base :+ ((Option.empty[Long],
+      ts("2024-01-01 00:00:30"), 7L, "view", 5.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = StreamingSessions.replayOutOfOrder(events, lit("2 minutes"))
+      .collect().map(_.toSeq).toSeq
+    val want = Sessions.sessionAgg(events, lit("2 minutes"))
+      .orderBy("user_id", "session_start").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the null-event_id row's value must be inside the session: 11 events
+    // summing 15.0 (10 x 1.0 + the null-keyed 5.0)
+    assert(got.exists(r => r.contains(11L) && r.contains(15.0)),
+      s"null-keyed row lost from the replayed session: $got")
+  }
+
   test("checkpoint recovery: restart resumes session state, no dup/lost sessions") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
@@ -431,7 +453,7 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
-  test("batch-id-keyed output: a replayed batch replaces, not duplicates, its rows") {
+  test("batch-id-keyed output: a replayed batch never duplicates its rows") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-idem")
     try {
@@ -443,11 +465,11 @@ class FileSourceSpec extends SparkSpec {
         Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"), in, 0)
       run()
       // the crash window the old append-mode writer could NOT survive:
-      // batch 1's first attempt wrote its output, then died before the
-      // key append and the checkpoint commit. Simulate the orphaned
-      // output dir, then let the stream process batch 1 "for the first
-      // time" — the idempotent writer must REPLACE the orphan, not
-      // append a duplicate next to it.
+      // batch 1's first attempt committed its output, then died before
+      // the key append and the checkpoint commit. Simulate the committed
+      // dir, then let the stream process batch 1 "for the first time" —
+      // the idempotent writer must keep exactly ONE copy of the rows,
+      // not append a duplicate next to them.
       Seq((10L, 0L, false), (11L, 11L, true))
         .toDF("doc_id", "canonical_id", "admitted")
         .write.mode("overwrite")
@@ -468,6 +490,89 @@ class FileSourceSpec extends SparkSpec {
         root.resolve("out").resolve("batch=99"))
       assert(graft.streaming.StreamingDedup
         .readOutput(spark, root.resolve("out").toString).count() == 4)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("partial replay (frontier below batch max) keeps committed output rows") {
+    import spark.implicits._
+    // the window a naive overwrite writer would corrupt: the crashed
+    // attempt's KEY append landed (frontier advanced) but the checkpoint
+    // commit did not, and the batch's max-id doc is a duplicate — the
+    // replay's effective batch is a nonempty strict subset, so rewriting
+    // the batch dir from the subset would destroy the below-frontier
+    // docs' committed rows; the committed dir must be kept verbatim
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-partial")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def run(): Unit = graft.streaming.StreamingDedup.exactAdmissionStream(
+        spark, in.toString, root.resolve("keys").toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text"), in, 0)
+      run()
+      // crashed attempt of batch 1 = (10,'gamma') new, (11,'alpha') dup:
+      // output committed with the true rows, gamma's key appended, no
+      // checkpoint commit
+      Seq((10L, 10L, true), (11L, 0L, false))
+        .toDF("doc_id", "canonical_id", "admitted")
+        .write.mode("overwrite")
+        .parquet(root.resolve("out").resolve("batch=1").toString)
+      Seq(("gamma", 10L)).toDF("text", "canonical_id")
+        .select(md5(col("text")).as("text_key"), col("canonical_id"))
+        .write.mode("append").parquet(root.resolve("keys").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "gamma"), (11L, "alpha")).toDF("doc_id", "text"), in, 1)
+      run() // frontier = 10 -> eff = {11} only
+      val rows = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 10L, true), (11L, 0L, false)),
+        s"partial replay lost or corrupted rows: $rows")
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("near-dup partial replay keeps below-frontier output rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-nd-partial")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def block(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+      val t0 = block("a", 100).mkString(" ")
+      val index = root.resolve("index")
+      def run(): Unit = graft.streaming.StreamingDedup.nearDupAdmissionStream(
+        spark, in.toString, index.toString,
+        root.resolve("out").toString, root.resolve("ckpt").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((0L, t0), (1L, block("b", 100).mkString(" ")))
+          .toDF("doc_id", "text"), in, 0)
+      run()
+      // crashed attempt of batch 1 = (10, near-dup of doc 0) + (11, a
+      // shingle-less doc): EVERY write landed (output, label snapshot,
+      // sigs, shingles) except the checkpoint commit. The shingle
+      // frontier is 10, so the replay's effective batch is {11} — doc
+      // 10's committed row must survive the replay untouched.
+      val b1 = Seq((10L, t0), (11L, "x")).toDF("doc_id", "text")
+      val bSh = graft.operators.NearDup.shingled(b1)
+      graft.operators.NearDup.minhashSignatures(bSh).write.mode("append")
+        .parquet(index.resolve("sigs").toString)
+      bSh.write.mode("append").parquet(index.resolve("shingles").toString)
+      Seq((10L, 0L)).toDF("doc_id", "cluster_id").write.mode("overwrite")
+        .parquet(index.resolve("labels").resolve("batch=1").toString)
+      Seq((10L, 0L, false), (11L, 11L, true))
+        .toDF("doc_id", "cluster_id", "admitted")
+        .write.mode("overwrite")
+        .parquet(root.resolve("out").resolve("batch=1").toString)
+      StreamingSessions.appendReplayFile(b1, in, 1)
+      run()
+      val rows = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(rows == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)),
+        s"near-dup partial replay lost or corrupted rows: $rows")
     } finally StreamingSessions.deleteRecursively(root)
   }
 
