@@ -196,6 +196,39 @@ object DevScale {
       }
     }
 
+    // incremental semantic admission at the same 500k-vector corpus:
+    // 400k-vector persisted index (bucket table + sparse labels — the
+    // amortized build), then a 100k-vector batch admitted O(batch)
+    timeDocs("semdedup_index_build") {
+      val idx = ve.filter(col("vec_id") < 400000L)
+      graft.operators.Similarity.bucketTable(idx, numPlanes = autoP)
+        .write.mode("overwrite").parquet("/tmp/scale_vec_buckets")
+      graft.operators.Similarity.semanticDedup(idx, 0.9, numPlanes = autoP)
+        .filter(!col("kept")).select(col("vec_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet("/tmp/scale_vec_labels")
+      spark.read.parquet("/tmp/scale_vec_labels").count()
+    }
+    timeDocs("semdedup_inc_500k") {
+      val (adm, upd) = graft.operators.Similarity.semanticDedupIncremental(
+        ve.filter(col("vec_id") < 400000L),
+        spark.read.parquet("/tmp/scale_vec_buckets"),
+        spark.read.parquet("/tmp/scale_vec_labels"),
+        ve.filter(col("vec_id") >= 400000L), 0.9, numPlanes = autoP)
+      upd.count() // label-store maintenance is part of the recurring cost
+      val refused = adm.filter(!col("kept")).count()
+      println(f"  (refused $refused of ~1000 planted batch dups)")
+      adm.count()
+    }
+
+    // subword BPE at 500k docs: training touches the corpus once (the
+    // word-TYPE table is 31 rows here), each of the 10 rounds is a tiny
+    // cached-table aggregate; encoding is the heavy map-only pass over
+    // ~27.5M tokens exploded to symbols
+    timeDocs("bpe_train_500k")(
+      graft.functions.TextAnalysis.trainBpeMerges(dc).count())
+    timeDocs("bpe_encode_500k")(
+      graft.functions.TextAnalysis.encodeBpe(dc).count())
+
     // k-means corpus clustering at 500k×64-dim (1000× the sf0.01 oracle
     // corpus): per iteration one map pass + a (cell,pos)=16×64-key
     // fixed-point shuffle — wall-clock should track the 4 corpus scans
