@@ -229,6 +229,22 @@ object DevScale {
     timeDocs("bpe_encode_500k")(
       graft.functions.TextAnalysis.encodeBpe(dc).count())
 
+    // frozen-artifact encode: artifacts trained once on a 400k-doc prefix
+    // (the amortized tokenizer build), then the 100k-doc tail encoded
+    // O(batch) with the shipped tables — no second vocabulary pass
+    timeDocs("bpe_artifacts_build") {
+      val (m, v) = graft.functions.TextAnalysis.bpeArtifacts(
+        dc.filter(col("doc_id") < 400000L))
+      m.write.mode("overwrite").parquet("/tmp/scale_bpe_merges")
+      v.write.mode("overwrite").parquet("/tmp/scale_bpe_vocab")
+      spark.read.parquet("/tmp/scale_bpe_vocab").count()
+    }
+    timeDocs("bpe_encode_inc_500k")(
+      graft.functions.TextAnalysis.encodeBpeWith(
+        spark.read.parquet("/tmp/scale_bpe_merges"),
+        spark.read.parquet("/tmp/scale_bpe_vocab"),
+        dc.filter(col("doc_id") >= 400000L)).count())
+
     // k-means corpus clustering at 500k×64-dim (1000× the sf0.01 oracle
     // corpus): per iteration one map pass + a (cell,pos)=16×64-key
     // fixed-point shuffle — wall-clock should track the 4 corpus scans

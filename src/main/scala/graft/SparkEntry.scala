@@ -289,6 +289,15 @@ object SparkEntry {
     // subword (BPE) encoding: apply the trained merges to every word and
     // emit dense token-id sequences — the encoding an LLM pipeline ships
     "tokenize_bpe" -> ((s, dir) => TextAnalysis.encodeBpe(Tables.documents(s, dir))),
+    // incremental BPE: freeze merge+vocab artifacts on the 4/5 prefix,
+    // encode the 1/5 tail O(batch) with OOV->0 — the tokenizer-ship shape
+    "tokenize_bpe_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val (m, v) = TextAnalysis.bpeArtifacts(docs.filter(col("doc_id") < cut))
+      TextAnalysis.encodeBpeWith(m, v, docs.filter(col("doc_id") >= cut))
+    }),
     // quality-weighted sampling: keep probability = ttr_bp/10000 via the
     // content-free md5 bucket — soft quality gate, no cliff effects
     "sample_weighted" -> ((s, dir) => Curation.weightedSample(Tables.documents(s, dir))),
@@ -1071,6 +1080,7 @@ object SparkEntry {
     // replace round per merge rank — the cluster_embeddings pattern)
     "vocab_bpe" -> bpeVocabOracle(10),
     "tokenize_bpe" -> bpeTokenizeOracle(10),
+    "tokenize_bpe_incremental" -> bpeIncrementalOracle(10),
     // per-source reputation: integer round-half-up bp math throughout
     "source_reputation" ->
       """WITH t AS (SELECT source, md5(text) AS text_key,
@@ -1511,14 +1521,14 @@ object SparkEntry {
     * contract as the Spark side. `replace` is leftmost non-overlapping in
     * both engines, so greedy application order is pinned bit-for-bit.
     */
-  private def bpeTrainCtes(k: Int): String = {
+  private def bpeTrainCtes(k: Int, corpus: String = "documents"): String = {
     val base =
-      """w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+      s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-        |        FROM documents)
+        |        FROM $corpus)
         |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
         |e0 AS (SELECT word, c,
-        |    regexp_replace(word, '(.)', '..\1', 'g') || '..' AS symseq
+        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
         |  FROM w0)""".stripMargin
     val iters = (1 to k).map { r =>
       s"""p$r AS (SELECT s[i] AS lhs, s[i + 1] AS rhs,
@@ -1573,6 +1583,50 @@ object SparkEntry {
        |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
        |    AS BIGINT) AS id FROM vc),
        |en AS (SELECT doc_id, pos, spos, id FROM sy JOIN vi USING (sym))
+       |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str
+       |FROM en GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental-BPE oracle: trains merges AND the frozen vocabulary over
+    * the first 4/5 of doc ids (the artifact corpus — `sv` is the
+    * token-weighted post-merge symbol count, `sum(c)` over the type
+    * table), then encodes the remaining 1/5 with those frozen tables.
+    * Batch symbols absent from the training vocabulary LEFT-JOIN to NULL
+    * and coalesce to id 0 — the
+    * [[graft.functions.TextAnalysis.encodeBpeWith]] OOV contract.
+    */
+  private def bpeIncrementalOracle(k: Int): String = {
+    val cut = "(SELECT (max(doc_id) * 4) // 5 FROM documents)"
+    val enc = (1 to k).map { r =>
+      s"""x$r AS (SELECT doc_id, pos,
+         |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
+         |            '.' || m.lhs || m.rhs || '.') AS symseq
+         |  FROM x${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val train =
+      bpeTrainCtes(k, s"(SELECT * FROM documents WHERE doc_id < $cut) tr")
+    s"""WITH $train,
+       |sv AS (SELECT s[i] AS sym, CAST(sum(c) AS BIGINT) AS n
+       |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i) GROUP BY 1),
+       |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+       |    AS BIGINT) AS id FROM sv),
+       |d0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+       |        FROM documents WHERE doc_id >= $cut)
+       |  CROSS JOIN unnest(range(len(w))) AS u(i)),
+       |x0 AS (SELECT doc_id, pos,
+       |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
+       |  FROM d0 WHERE regexp_full_match(word, '[a-z]+')),
+       |$enc,
+       |sy AS (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
+       |en AS (SELECT doc_id, pos, spos,
+       |    coalesce(vi.id, CAST(0 AS BIGINT)) AS id
+       |  FROM sy LEFT JOIN vi USING (sym))
        |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str

@@ -626,6 +626,96 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Persistable tokenizer artifacts — the two tables a production
+    * pipeline freezes at tokenizer-training time and ships to every
+    * encode job thereafter:
+    *   - merges: `(merge_rank, lhs, rhs, merged, pair_count)`, the
+    *     [[trainBpeMerges]] table verbatim;
+    *   - vocab: `(sym, id, n)`, the post-merge symbol inventory of the
+    *     TRAINING corpus with dense (n DESC, sym ASC) ids, where n is the
+    *     token-weighted occurrence count (type count × word frequency —
+    *     identical to counting over exploded corpus tokens, computed
+    *     vocabulary-sized).
+    * Training touches the corpus twice (the merge loop's word-type count
+    * and this frozen-vocab count), both map-side-combined scans that
+    * reduce to the TYPE table immediately; the artifacts themselves are
+    * bounded (≤ 64 and ≤ 26 + numMerges rows) and live as parquet next
+    * to the corpus.
+    */
+  def bpeArtifacts(documents: DataFrame,
+                   numMerges: Int = 10): (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(documents, numMerges)
+    val mergesDf = merges
+      .map { case (r, lhs, rhs, cnt) => (r, lhs, rhs, lhs + rhs, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val types = documents
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike(BpeWordRe))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("symseq", bpeInitSymseq(col("word")))
+    val post = merges.foldLeft(types) { case (df, (_, lhs, rhs, _)) =>
+      val (pat, rep) = bpeMergePattern(lhs, rhs)
+      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
+    }
+    val vocabDf = post
+      .select(col("c"), explode(bpeSymbols(col("symseq"))).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("c")).as("n"))
+      .orderBy(desc("n"), col("sym"))
+      .collect() // bounded: ≤ 26 + numMerges post-merge symbols
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1L, r.getLong(1)) }
+      .toSeq.toDF("sym", "id", "n")
+    (mergesDf, vocabDf)
+  }
+
+  /** Encode a batch against FROZEN [[bpeArtifacts]] — the incremental
+    * twin of [[encodeBpe]]: same output contract, but merge rules and
+    * vocabulary ids come from the artifact tables instead of the batch
+    * itself, so batches encoded months apart agree token-for-token.
+    *
+    * O(batch): both artifacts are bounded and collected once
+    * driver-side (≤ 64 merge rows, ≤ 26 + numMerges vocab rows), so the
+    * encode is the same one-row-per-word map shape as [[encodeBpe]] with
+    * zero corpus-side joins and no second pass for a vocabulary count.
+    * A symbol with no vocab id — a letter the training corpus never saw,
+    * or a merged symbol that training consumed entirely into a later
+    * merge but that survives standalone in a batch word — encodes as
+    * id 0, the [[encodeTokenIds]] OOV convention.
+    */
+  def encodeBpeWith(merges: DataFrame, vocab: DataFrame,
+                    batch: DataFrame): DataFrame = {
+    val mseq = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank"))
+      .collect() // bounded by the 64-merge training cap
+      .map(r => (r.getString(1), r.getString(2)))
+    val idOf = vocab.select(col("sym"), col("id"))
+      .collect() // bounded post-merge symbol inventory
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = batch.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+      .filter(col("word").rlike(BpeWordRe))
+      .withColumn("symseq", bpeInitSymseq(col("word")))
+    val encoded = mseq.foldLeft(words) { case (df, (lhs, rhs)) =>
+      val (pat, rep) = bpeMergePattern(lhs, rhs)
+      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
+    }
+    val idMap = typedlit(idOf)
+    encoded
+      .withColumn("ids", transform(bpeSymbols(col("symseq")),
+        s => coalesce(element_at(idMap, s), lit(0L))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("ids"))).cast("long").as("n_tokens"),
+        concat_ws(" ", transform(
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("ids")))),
+            s => s.getField("ids"))),
+          i => i.cast("string"))).as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   def encodeTokenIds(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val vocab = buildVocab(documents, vocabSize).select(col("tok"), col("token_id"))
     val posToks = documents.select(col("doc_id"),

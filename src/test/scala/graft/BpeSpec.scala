@@ -158,6 +158,113 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("property: frozen-artifact encode equals a frozen driver reference") {
+    // train on the first 4 docs, encode the last 2 with the frozen
+    // tables; the reference applies the trained merges cursor-based to
+    // each BATCH word (including words the training corpus never saw)
+    // and maps symbols through the frozen id table with OOV -> 0
+    for (seed <- 11L to 15L) {
+      val rnd = new scala.util.Random(seed)
+      val pool = (0 until 8).map(i =>
+        List.fill(3 + rnd.nextInt(3))("abc" (rnd.nextInt(3))).mkString
+          + ("abcd" (i % 4))) // 'd' appears in some words: real OOV odds
+      val docs = (0L until 6L).map(d =>
+        (d, List.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val trainDocs = docs.filter(_._1 < 4L)
+      val k = 4
+      val counts = trainDocs.flatMap(_._2.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      // reference merges + frozen vocab over the TRAINING corpus
+      def applyMerges(word: String,
+                      merges: Seq[(String, String)]): Vector[String] =
+        merges.foldLeft(word.map(_.toString).toVector) { case (ss, (l, r)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i + 1 < ss.length && ss(i) == l && ss(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += ss(i); i += 1 }
+          }
+          out.result()
+        }
+      var symsOf = counts.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val refMerges = Seq.newBuilder[(String, String)]
+      for (_ <- 1 to k) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        symsOf.foreach { case (w, ss) =>
+          ss.zip(ss.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + counts(w))
+        }
+        val ((lhs, rhs), _) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        refMerges += ((lhs, rhs))
+        symsOf = symsOf.map { case (w, _) =>
+          w -> applyMerges(w, refMerges.result())
+        }
+      }
+      val merges = refMerges.result()
+      val frozenCounts = counts.toSeq
+        .flatMap { case (w, c) => symsOf(w).map(_ -> c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val idOf = frozenCounts.sortBy { case (s, n) => (-n, s) }
+        .zipWithIndex.map { case ((s, _), i) => s -> (i + 1L) }.toMap
+      val (mDf, vDf) = TextAnalysis.bpeArtifacts(df.filter($"doc_id" < 4L), k)
+      val got = TextAnalysis.encodeBpeWith(
+        mDf, vDf, df.filter($"doc_id" >= 4L)).collect()
+      assert(got.length == 2, s"seed $seed batch row count")
+      got.foreach { r =>
+        val want = docs.toMap.apply(r.getLong(0)).split(" ").toSeq
+          .flatMap(w => applyMerges(w, merges))
+          .map(s => idOf.getOrElse(s, 0L))
+        assert(r.getString(3).split(" ").map(_.toLong).toSeq == want,
+          s"seed $seed doc ${r.getLong(0)} frozen encoding differs")
+      }
+    }
+  }
+
+  test("frozen artifacts reproduce whole-corpus encode when batch = corpus") {
+    // when the batch IS the training corpus, the frozen vocabulary's
+    // token-weighted type counts equal encodeBpe's per-token counts, so
+    // the two paths must agree id-for-id
+    val (m, v) = TextAnalysis.bpeArtifacts(sennrichDocs, numMerges = 10)
+    val inc = TextAnalysis.encodeBpeWith(m, v, sennrichDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val whole = TextAnalysis.encodeBpe(sennrichDocs, numMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == whole.toSeq)
+  }
+
+  test("frozen artifacts survive a parquet round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_art_")
+    try {
+      val (m, v) = TextAnalysis.bpeArtifacts(sennrichDocs, numMerges = 4)
+      m.write.parquet(dir.resolve("merges").toString)
+      v.write.parquet(dir.resolve("vocab").toString)
+      val inc = TextAnalysis.encodeBpeWith(
+        spark.read.parquet(dir.resolve("merges").toString),
+        spark.read.parquet(dir.resolve("vocab").toString),
+        sennrichDocs).collect().map(r => (r.getLong(0), r.getString(3)))
+      val whole = TextAnalysis.encodeBpe(sennrichDocs, numMerges = 4)
+        .collect().map(r => (r.getLong(0), r.getString(3)))
+      assert(inc.toSeq == whole.toSeq)
+    } finally
+      graft.streaming.StreamingSessions.deleteRecursively(dir)
+  }
+
+  test("frozen vocab encodes unseen batch symbols as OOV id 0") {
+    // training corpus is 'abc'×4 only: merges (a,b)→ab then (ab,c)→abc
+    // consume 'ab' entirely, so the frozen vocabulary is exactly {abc}
+    val train = Seq((1L, "abc abc abc abc")).toDF("doc_id", "text")
+    val (m, v) = TextAnalysis.bpeArtifacts(train, numMerges = 2)
+    assert(v.select("sym").as[String].collect().toSeq == Seq("abc"))
+    // batch: 'ab' survives as a standalone symbol after merge 1 (merge 2
+    // finds no following c) → OOV 0; 'z' was never a training symbol →
+    // OOV 0; 'abc' encodes as id 1
+    val batch = Seq((10L, "ab abc z")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeBpeWith(m, v, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((10L, 3L, 3L, "0 1 0")))
+  }
+
   test("encoding round-trips: ids decode back to the document's words") {
     val docs = Seq(
       (1L, "streaming merge streaming window"),
