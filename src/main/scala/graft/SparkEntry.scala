@@ -312,6 +312,11 @@ object SparkEntry {
     // and a fully-kept (de=10000) stratum
     "sample_mixture" -> ((s, dir) => Curation.mixtureSample(Tables.documents(s, dir),
       Map("en" -> 2500, "es" -> 7500, "de" -> 10000, "zh" -> 5000))),
+    // data-mixing in the unit training runs budget: TOKENS per language
+    // (en/es/zh cut mid-language, de fully kept, fr absent -> dropped)
+    "sample_mixture_tokens" -> ((s, dir) => Curation.mixtureSampleTokens(
+      Tables.documents(s, dir),
+      Map("en" -> 2500L, "es" -> 1200L, "de" -> 100000L, "zh" -> 800L))),
     // benchmark decontamination: training docs sharing any word-8-gram
     // with the held-out split (md5-bucket 10% of the corpus)
     "text_decontaminate" -> ((s, dir) => Curation.decontaminate(Tables.documents(s, dir))),
@@ -522,6 +527,16 @@ object SparkEntry {
     // spherical k-means clustering; the oracle re-runs the ENTIRE Lloyd
     // loop (md5 seed + 3 fixed-point iterations) as unrolled DuckDB CTEs
     "cluster_embeddings" -> ((s, dir) => Similarity.clusterEmbeddings(Tables.embeddings(s, dir))),
+    // incremental assignment: freeze centroid artifacts on the 4/5
+    // vec_id prefix, assign the 1/5 tail O(batch) — keeps semantic
+    // shards stable as the corpus grows
+    "cluster_assign_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val cents = Similarity.clusterArtifacts(emb.filter(col("vec_id") < cut))
+      Similarity.assignWith(cents, emb.filter(col("vec_id") >= cut))
+    }),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -836,6 +851,27 @@ object SparkEntry {
          |                     WHEN 'de' THEN 10000 WHEN 'zh' THEN 5000
          |                     ELSE 0 END
          |ORDER BY l.doc_id""".stripMargin,
+    // token-budget mixture: same langid CTEs; the oracle's single flat
+    // per-language window equals the operator's two-level prefix sum
+    // because both run over the identical (bkt, doc_id) order
+    "sample_mixture_tokens" ->
+      s"""WITH $langCtes,
+         |tk AS (SELECT l.doc_id, pred_lang,
+         |        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |        CAST(('0x' || substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        % 10000 AS bkt
+         |      FROM lang l JOIN documents d ON l.doc_id = d.doc_id),
+         |pf AS (SELECT doc_id, pred_lang, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY pred_lang
+         |          ORDER BY bkt, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0) AS BIGINT) AS prefix_tokens
+         |      FROM tk)
+         |SELECT doc_id, pred_lang, n_tokens, prefix_tokens FROM pf
+         |WHERE prefix_tokens < CASE pred_lang
+         |  WHEN 'en' THEN 2500 WHEN 'es' THEN 1200
+         |  WHEN 'de' THEN 100000 WHEN 'zh' THEN 800 ELSE -1 END
+         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |    string_split(text, ' ') AS w FROM documents),
@@ -1475,6 +1511,7 @@ object SparkEntry {
     "dedup_semantic_incremental" -> semanticDedupOracle(
       "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "cluster_embeddings" -> kmeansClusterOracle,
+    "cluster_assign_incremental" -> kmeansIncrementalOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
@@ -1704,53 +1741,85 @@ object SparkEntry {
     * both engines agree bit-for-bit; the only double ops are the dot
     * products, identical sequential loops in both.
     */
-  private val kmeansClusterOracle: String = {
-    val cells = graft.operators.Similarity.IvfCells
-    val iters = graft.operators.Similarity.IvfKmeansIters
-    val Scale = 1L << 20
-    def cents(k: Int) =
-      s"""c$k AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM cp$k GROUP BY cell),
-         |n$k AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$k)""".stripMargin
-    def asg(name: String, k: Int) =
-      s"""$name AS (SELECT vec_id, cell FROM (
-         |  SELECT p.vec_id, n.cell,
-         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
-         |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
-         |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
-         |  FROM p CROSS JOIN n$k n) WHERE rn = 1)""".stripMargin
-    def upd(k: Int) =
-      s"""cp${k + 1} AS (
-         |  SELECT prev.cell, prev.pos,
-         |    CASE WHEN s.n IS NULL THEN prev.cx
-         |         ELSE CAST(s.sx AS DOUBLE) / (CAST(s.n AS DOUBLE) * $Scale.0) END AS cx
-         |  FROM cp$k prev LEFT JOIN (
-         |    SELECT a.cell, t.i + 1 AS pos,
-         |      sum(CAST(round(pp.v[t.i + 1] * $Scale.0, 0) AS BIGINT)) AS sx,
-         |      count(*) AS n
-         |    FROM a${k + 1} a JOIN p pp USING (vec_id)
-         |    CROSS JOIN unnest(range(len(pp.v))) AS t(i)
-         |    GROUP BY a.cell, t.i + 1) s
-         |  ON prev.cell = s.cell AND prev.pos = s.pos)""".stripMargin
+  private val KmCells = graft.operators.Similarity.IvfCells
+  private val KmIters = graft.operators.Similarity.IvfKmeansIters
+  private val KmScale = 1L << 20
+
+  private def kmCents(k: Int) =
+    s"""c$k AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM cp$k GROUP BY cell),
+       |n$k AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c$k)""".stripMargin
+
+  /** Nearest-cell assignment of `src` rows against iteration-`k` centroids
+    * — the `src` table is aliased to `p`, so the projection works for the
+    * training corpus and any batch table with the same shape.
+    */
+  private def kmAsg(name: String, k: Int, src: String = "p") =
+    s"""$name AS (SELECT vec_id, cell FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM $src p CROSS JOIN n$k n) WHERE rn = 1)""".stripMargin
+
+  private def kmUpd(k: Int) =
+    s"""cp${k + 1} AS (
+       |  SELECT prev.cell, prev.pos,
+       |    CASE WHEN s.n IS NULL THEN prev.cx
+       |         ELSE CAST(s.sx AS DOUBLE) / (CAST(s.n AS DOUBLE) * $KmScale.0) END AS cx
+       |  FROM cp$k prev LEFT JOIN (
+       |    SELECT a.cell, t.i + 1 AS pos,
+       |      sum(CAST(round(pp.v[t.i + 1] * $KmScale.0, 0) AS BIGINT)) AS sx,
+       |      count(*) AS n
+       |    FROM a${k + 1} a JOIN p pp USING (vec_id)
+       |    CROSS JOIN unnest(range(len(pp.v))) AS t(i)
+       |    GROUP BY a.cell, t.i + 1) s
+       |  ON prev.cell = s.cell AND prev.pos = s.pos)""".stripMargin
+
+  /** `(vec_id, v, nrm)` projection of `embeddings` under `where`. */
+  private def kmProj(name: String, where: String) =
+    s"""$name AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                        CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings$where)""".stripMargin
+
+  /** The full Lloyd training chain over `p` = embeddings filtered by
+    * `pWhere`: seed pick + `KmIters` iterations, ending at the trained
+    * centroid table `n$KmIters`.
+    */
+  private def kmTrainCtes(pWhere: String): String = {
     val head =
-      s"""p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                        CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
+      s"""${kmProj("p", pWhere)},
          |cp0 AS (
          |  SELECT CAST(s.rn - 1 AS INTEGER) AS cell, t.i + 1 AS pos,
          |         s.v[t.i + 1] AS cx
          |  FROM (SELECT vec_id, v, row_number() OVER
          |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
          |        FROM p) s CROSS JOIN unnest(range(len(s.v))) AS t(i)
-         |  WHERE s.rn <= $cells)""".stripMargin
-    val body = (0 until iters)
-      .flatMap(k => Seq(cents(k), asg(s"a${k + 1}", k), upd(k)))
-    val tail = Seq(cents(iters), asg("af", iters))
-    (Seq(head) ++ body ++ tail).mkString("WITH ", ",\n", "\n") +
+         |  WHERE s.rn <= $KmCells)""".stripMargin
+    val body = (0 until KmIters)
+      .flatMap(k => Seq(kmCents(k), kmAsg(s"a${k + 1}", k), kmUpd(k)))
+    (Seq(head) ++ body ++ Seq(kmCents(KmIters))).mkString(",\n")
+  }
+
+  private val kmeansClusterOracle: String =
+    "WITH " + kmTrainCtes("") + ",\n" + kmAsg("af", KmIters) + "\n" +
       """SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vectors,
         |  min(vec_id) AS min_vec_id
         |FROM af GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Incremental-assignment oracle: trains the quantizer over the first
+    * 4/5 of vec_ids ([[kmTrainCtes]] on the prefix — the frozen
+    * [[graft.operators.Similarity.clusterArtifacts]] corpus), then
+    * assigns the remaining 1/5 batch against those frozen centroids with
+    * the identical tie contract ([[kmAsg]] over `pb`).
+    */
+  private val kmeansIncrementalOracle: String = {
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      kmProj("pb", s" WHERE vec_id >= $cut") + ",\n" +
+      kmAsg("afb", KmIters, "pb") + "\n" +
+      "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM afb ORDER BY vec_id"
   }
 
   /** Full SQL replay of [[graft.operators.Similarity.lshTopK]]: the same

@@ -120,6 +120,55 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget mixture sampler — [[mixtureSample]] re-expressed in the
+    * unit a training run actually budgets: N TOKENS per language, not a
+    * per-document keep rate. Documents are admitted per language in
+    * content-free ([[sampleBucket]], doc_id) order until the language's
+    * token budget is exhausted: a document is kept iff the total tokens
+    * of all earlier documents in that order (its exclusive prefix) sit
+    * below the budget — overshoot is at most one document, and
+    * re-deriving the mixture months later on any partitioning reproduces
+    * it row-for-row. Languages absent from `budgetTokens` are dropped.
+    *
+    * Scale shape: the per-language running total follows the
+    * [[packShards]] prefix-sum recipe with the md5 bucket ITSELF as the
+    * grouping level — per-(lang, bucket) token totals (≤ 10k groups per
+    * language, bounded), running offsets over those totals (windows over
+    * ≤ 10k rows per language), then intra-bucket exclusive prefixes
+    * (windows partitioned by (lang, bucket), each ~1/10000 of a
+    * language, all parallel). No window runs unpartitioned over a
+    * corpus-proportional frame.
+    */
+  def mixtureSampleTokens(documents: DataFrame,
+                          budgetTokens: Map[String, Long]): DataFrame = {
+    // -1 sentinel for absent languages: no exclusive prefix is < -1, so
+    // they drop; disjoint conditions make map order irrelevant
+    val budgetCol = budgetTokens.foldLeft(lit(-1L)) { case (acc, (l, b)) =>
+      when(col("pred_lang") === l, lit(b)).otherwise(acc)
+    }
+    val toks = graft.functions.TextAnalysis.langId(documents)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")), "doc_id")
+      .withColumn("bkt", sampleBucket(col("doc_id")))
+    val wB = Window.partitionBy(col("pred_lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("pred_lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_tokens")).over(wB), lit(0L)))
+      .select(col("pred_lang"), col("bkt"), col("bkt_offset"))
+    val wI = Window.partitionBy(col("pred_lang"), col("bkt"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(offsets, Seq("pred_lang", "bkt"))
+      .withColumn("prefix_tokens",
+        col("bkt_offset") + coalesce(sum(col("n_tokens")).over(wI), lit(0L)))
+      .filter(col("prefix_tokens") < budgetCol)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("prefix_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget shard packing — the "cut the corpus into ~N-token
     * training shards" step of an LLM data pipeline. Contract: documents
     * are packed in `doc_id` order and a document belongs to shard

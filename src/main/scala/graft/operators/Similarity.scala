@@ -466,6 +466,61 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Persistable clustering artifact — the trained spherical-k-means
+    * centroid table a pipeline freezes at clustering time and ships to
+    * every later assignment job: one `(cell, pos, cx)` row per centroid
+    * component (`cells × dim` rows, bounded constants, never
+    * corpus-proportional). The flat layout keeps the parquet
+    * engine-portable (no array column) and makes re-assembly order
+    * explicit; training is [[kmeansCentroids]] with the md5-portable
+    * seed, so the whole build replays in the SQL oracle.
+    */
+  def clusterArtifacts(embeddings: DataFrame, cells: Int = IvfCells,
+                       iters: Int = IvfKmeansIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val prep = prepared(embeddings).localCheckpoint()
+    kmeansCentroids(prep, cells, iters, portableSeed = true)
+      .zipWithIndex
+      .flatMap { case (cv, cell) =>
+        cv.zipWithIndex.map { case (x, pos) => (cell.toLong, pos.toLong, x) }
+      }.toDF("cell", "pos", "cx")
+  }
+
+  /** Assign a batch of embeddings to FROZEN centroids — the incremental
+    * twin of [[clusterEmbeddings]]: cluster geometry comes from the
+    * persisted [[clusterArtifacts]] table rather than the batch, so
+    * batches arriving months apart land in the same semantic cells (the
+    * shape that keeps cluster-balanced mixing and semantic sharding
+    * stable as a corpus grows).
+    *
+    * O(batch): the artifact is bounded (`cells × dim`) and collected once
+    * driver-side; assignment is the same map-only codegen'd
+    * [[graft.functions.NearestCells]] pass the trainer uses — zero
+    * corpus-side joins, the only shuffle is the final presentation sort.
+    * Assignment ties follow the trainer's contract exactly (rounded
+    * cosine DESC, higher cell wins), so batch = corpus reproduces
+    * [[clusterEmbeddings]] bit-for-bit.
+    */
+  def assignWith(centroids: DataFrame, batch: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val comp = centroids.select(col("cell"), col("pos"), col("cx"))
+      .collect() // bounded: cells × dim artifact rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    require(comp.nonEmpty, "empty centroid artifact")
+    val byCell = comp.groupBy(_._1)
+    val cellIds = byCell.keys.toSeq.sorted
+    require(cellIds == (0L until cellIds.length.toLong),
+      s"centroid artifact cells must be dense 0..k-1, got $cellIds")
+    val cents: Seq[Seq[Double]] =
+      cellIds.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
+    prepared(batch)
+      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), cents, 1), 1).cast("long"))
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Quantitative correctness floor for the approximate ANN paths: joins
     * [[ivfTopK]] and [[lshTopK]] hits against the exact
     * [[bruteForceTopK]] baseline and reports, per method, whether every

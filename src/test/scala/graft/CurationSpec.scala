@@ -76,6 +76,46 @@ class CurationSpec extends SparkSpec {
     assert(got.toSet == want)
   }
 
+  test("token-budget mixture: kept set equals the flat per-language prefix rule") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val budgets = Map("en" -> 2500L, "es" -> 1200L, "de" -> 100000L, "zh" -> 800L)
+    val got = Curation.mixtureSampleTokens(docs, budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // driver-side flat reference over the operator's own building blocks:
+    // per-language cumulative tokens in (bucket, doc_id) order
+    val rows = graft.functions.TextAnalysis.langId(docs)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Curation.sampleBucket(col("doc_id")).as("bkt")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._4, r._1)).flatMap { case (id, l, n, _) =>
+        val keep = budgets.get(l).exists(acc < _)
+        val out = if (keep) Some((id, l, n, acc)) else None
+        acc += n
+        out
+      }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the cut is real: partial languages stop mid-stream, keep-all is whole
+    val keptBy = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val allBy = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(keptBy("en") < allBy("en") && keptBy("de") == allBy("de"))
+    assert(!keptBy.contains("fr") && allBy.contains("fr"))
+    // overshoot is bounded by one document per language
+    got.groupBy(_._2).foreach { case (l, rs) =>
+      val tot = rs.map(_._3).sum
+      assert(tot < budgets(l) + rs.map(_._3).max, s"$l over budget: $tot")
+    }
+    // physical layout must not move the cut
+    val re = Curation.mixtureSampleTokens(docs.repartition(13), budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("decontamination: planted 8-gram leak is flagged; clean docs are not") {
     import spark.implicits._
     // pick ids by their actual md5 bucket so the planted split is stable

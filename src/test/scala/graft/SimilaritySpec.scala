@@ -262,4 +262,52 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == re.toSeq)
   }
+
+  test("frozen-centroid assignment reproduces clusterEmbeddings when batch = corpus") {
+    // same training corpus, same seed, same tie contract -> aggregating
+    // the per-vector assignments must equal the trainer's cell histogram
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.clusterArtifacts(emb)
+    val assigned = Similarity.assignWith(cents, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hist = assigned.groupBy(_._2).map { case (c, rows) =>
+      (c, rows.length.toLong, rows.map(_._1).min) }.toSeq.sorted
+    val whole = Similarity.clusterEmbeddings(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hist == whole)
+  }
+
+  test("centroid artifacts survive a parquet round-trip and assign a new batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cents_")
+    try {
+      // two tight clusters around the axes; train on 6 vectors with
+      // cells=2, then assign two UNSEEN vectors near each cluster
+      val train = vecs(
+        (0L, Seq(1f, 0.01f)), (1L, Seq(1f, -0.02f)), (2L, Seq(1f, 0.03f)),
+        (3L, Seq(0.01f, 1f)), (4L, Seq(-0.02f, 1f)), (5L, Seq(0.03f, 1f)))
+      val cents = Similarity.clusterArtifacts(train, cells = 2, iters = 2)
+      cents.write.parquet(dir.resolve("cents").toString)
+      val loaded = spark.read.parquet(dir.resolve("cents").toString)
+      val batch = vecs((10L, Seq(1f, 0.05f)), (11L, Seq(0.05f, 1f)))
+      val got = Similarity.assignWith(loaded, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the two unseen vectors must land in DIFFERENT cells, and each
+      // with the training vectors it is parallel to
+      val trainCells = Similarity.assignWith(loaded, train).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got(10L) != got(11L))
+      assert(got(10L) == trainCells(0L) && got(11L) == trainCells(3L))
+    } finally
+      graft.streaming.StreamingSessions.deleteRecursively(dir)
+  }
+
+  test("assignWith rejects a sparse (non-dense-cell) centroid artifact") {
+    val emb = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val cents = Similarity.clusterArtifacts(emb, cells = 2, iters = 1)
+    val sparse = cents.filter($"cell" =!= 0L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignWith(sparse, emb)
+    }
+    assert(e.getMessage.contains("dense"))
+  }
 }
