@@ -1,14 +1,12 @@
 package graft
 
-// Scratch profiling harness (dev aid): times the out-of-order replay
-// trio at bench scale and decomposes the fixed streaming-machinery cost
-// (query start + per-micro-batch planning/commit) from data-dependent
-// work. The 500k-vector LSH plane curve lives in DevScale — one owner
-// per fixture.
+// Scratch profiling harness (dev aid): times the round-6 additions at the
+// 500k-doc / 500k-vector DevScale corpora (reuses /tmp/scale_docs and
+// /tmp/scale_vecs if a DevScale run already wrote them). The replay-trio
+// decomposition this file previously held is recorded in
+// ARCHITECTURE.md; rewrite freely per measurement need.
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingSessions
-import graft.operators.Sessions
 
 object DevProfile {
   def main(args: Array[String]): Unit = {
@@ -17,43 +15,36 @@ object DevProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dc = spark.read.parquet("/tmp/scale_docs")
+    val ve = spark.read.parquet("/tmp/scale_vecs")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val rows = f
+      println(f"$name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
     }
-    val ev = Tables.events(spark, dir)
-    ev.count() // warmup
-    val synth = spark.range(1000).select(
-      col("id").as("event_id"),
-      timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L).as("ts"),
-      pmod(col("id"), lit(20)).as("user_id"),
-      lit("view").as("event_type"),
-      (col("id") % 100).cast("double").as("value"),
-      lit("{}").as("props"))
-    StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"))
-      .queryExecution.toRdd.count() // streaming warmup (same as Bench)
-    // fixed cost: a near-empty replay at 1..4 data slices isolates query
-    // start (~1.2 s) and per-micro-batch overhead (~0.6 s)
-    for (round <- 1 to 2; s <- Seq(1, 2, 4))
-      time(s"tiny s=$s r$round")(
-        StreamingSessions.replayOutOfOrder(synth, lit("30 seconds"),
-          slices = s).queryExecution.toRdd.count())
-    for (round <- 1 to 2) {
-      time(s"t1_replay r$round")(
-        StreamingSessions.replayOutOfOrder(ev, lit("30 seconds"))
-          .queryExecution.toRdd.count())
-      time(s"t3_replay r$round")(
-        StreamingSessions.replayOutOfOrder(ev, Sessions.referenceDynamicGap)
-          .queryExecution.toRdd.count())
-      time(s"t2_replay r$round")(
-        StreamingSessions.replayOutOfOrder(ev, lit("2 hours"),
-          streamTransform = s => s.filter(col("session_sum") >= 300.0)
-            .select(col("user_id")).dropDuplicates("user_id"),
-          useRocksDb = false)
-          .queryExecution.toRdd.count())
+    // warmup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    dc.count(); ve.count()
+
+    time("pack_sequences_500k")(
+      graft.operators.Curation.packSequences(dc, 4096L).count())
+    time("mixture_tokens_500k")(
+      graft.operators.Curation.mixtureSampleTokens(dc,
+        Map("en" -> 500000L, "es" -> 500000L, "de" -> 1000000L,
+            "zh" -> 2000000L)).count())
+    time("cluster_assign_build") {
+      graft.operators.Similarity.clusterArtifacts(
+        ve.filter(col("vec_id") < 400000L))
+        .write.mode("overwrite").parquet("/tmp/scale_cents")
+      spark.read.parquet("/tmp/scale_cents").count()
     }
+    time("cluster_assign_inc_500k")(
+      graft.operators.Similarity.assignWith(
+        spark.read.parquet("/tmp/scale_cents"),
+        ve.filter(col("vec_id") >= 400000L)).count())
+    // reference point for the assign gap: whole-corpus retrain
+    time("cluster_embeddings_500k")(
+      graft.operators.Similarity.clusterEmbeddings(ve).count())
     spark.stop()
   }
 }

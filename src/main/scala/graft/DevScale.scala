@@ -257,6 +257,35 @@ object DevScale {
       cells
     }
 
+    // frozen-centroid assignment at the 400k/100k split: the artifact is
+    // 16 cells × 64 dims = 1024 rows; admission of the 100k batch is the
+    // map-only NearestCells pass (compare with cluster_embeddings_500k —
+    // the gap is what freezing the quantizer buys a daily run)
+    timeDocs("cluster_assign_build") {
+      graft.operators.Similarity.clusterArtifacts(
+        ve.filter(col("vec_id") < 400000L))
+        .write.mode("overwrite").parquet("/tmp/scale_cents")
+      spark.read.parquet("/tmp/scale_cents").count()
+    }
+    timeDocs("cluster_assign_inc_500k")(
+      graft.operators.Similarity.assignWith(
+        spark.read.parquet("/tmp/scale_cents"),
+        ve.filter(col("vec_id") >= 400000L)).count())
+
+    // sequence packing at 500k docs / ~27.5M tokens into 4096-token
+    // sequences: the shared prefix sum plus a map-only explode —
+    // ~500k + 6.7k span rows out, tokens never materialized
+    timeDocs("pack_sequences_500k")(
+      graft.operators.Curation.packSequences(dc, 4096L).count())
+
+    // token-budget mixture at 500k docs: per-language admission via the
+    // (lang, md5-bucket) two-level prefix — no corpus-frame window; the
+    // marker words live in the synthetic vocab, so langid stratifies
+    timeDocs("mixture_tokens_500k")(
+      graft.operators.Curation.mixtureSampleTokens(dc,
+        Map("en" -> 500000L, "es" -> 500000L, "de" -> 1000000L,
+            "zh" -> 2000000L)).count())
+
     // span-level dedup at 500k docs: winner-per-distinct-chunk is one
     // partial-aggregable shuffle keyed on ≤10-token chunks; each planted
     // near-dup doc (1%) copies its source's first 50 tokens, so its

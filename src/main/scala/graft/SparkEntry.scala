@@ -476,6 +476,19 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) => Curation.corpusStats(Tables.documents(s, dir))),
     // token-budget shard packing (distributed prefix sum; 2048-token shards)
     "pack_shards" -> ((s, dir) => Curation.packShards(Tables.documents(s, dir), 2048L)),
+    // sequence packing: 128-token training sequences, docs split across
+    // boundaries; one (seq, doc) span row per overlap
+    "pack_sequences" -> ((s, dir) => Curation.packSequences(Tables.documents(s, dir), 128L)),
+    // incremental twin: state over the first 4/5 of ids, batch = the rest;
+    // must land spans exactly where the whole-corpus pack would
+    "pack_sequences_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Curation.packSequencesWith(
+        Curation.packState(docs.filter(col("doc_id") < cut)),
+        docs.filter(col("doc_id") >= cut), 128L)
+    }),
     "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
@@ -1415,6 +1428,55 @@ object SparkEntry {
         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
+    // same exclusive-prefix CTE as pack_shards; the (seq, doc) overlap
+    // rows are pure arithmetic on the offset, unnested per sequence
+    "pack_sequences" ->
+      """WITH pf AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents)),
+        |x AS (SELECT doc_id, n_tokens, prefix,
+        |        prefix // 128 AS s0,
+        |        (prefix + n_tokens - 1) // 128 AS s1
+        |      FROM pf)
+        |SELECT CAST(s0 + t.i AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(prefix, (s0 + t.i) * 128) - prefix AS BIGINT)
+        |    AS doc_offset,
+        |  CAST(greatest(prefix, (s0 + t.i) * 128) - (s0 + t.i) * 128 AS BIGINT)
+        |    AS seq_offset,
+        |  CAST(least(prefix + n_tokens, (s0 + t.i + 1) * 128)
+        |       - greatest(prefix, (s0 + t.i) * 128) AS BIGINT) AS len
+        |FROM x CROSS JOIN unnest(range(s1 - s0 + 1)) AS t(i)
+        |ORDER BY seq_id, doc_id""".stripMargin,
+    // whole-corpus pack restricted to the batch's OUTPUT rows — the
+    // continuation contract: incremental placement ≡ union placement
+    "pack_sequences_incremental" ->
+      """WITH pf AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS prefix
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents)),
+        |x AS (SELECT doc_id, n_tokens, prefix,
+        |        prefix // 128 AS s0,
+        |        (prefix + n_tokens - 1) // 128 AS s1
+        |      FROM pf)
+        |SELECT CAST(s0 + t.i AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(prefix, (s0 + t.i) * 128) - prefix AS BIGINT)
+        |    AS doc_offset,
+        |  CAST(greatest(prefix, (s0 + t.i) * 128) - (s0 + t.i) * 128 AS BIGINT)
+        |    AS seq_offset,
+        |  CAST(least(prefix + n_tokens, (s0 + t.i + 1) * 128)
+        |       - greatest(prefix, (s0 + t.i) * 128) AS BIGINT) AS len
+        |FROM x CROSS JOIN unnest(range(s1 - s0 + 1)) AS t(i)
+        |WHERE doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY seq_id, doc_id""".stripMargin,
     "corpus_manifest" ->
       s"""WITH $langCtes
          |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -190,7 +190,19 @@ object Curation {
     * corpus-proportional frame (plan-asserted in CurationSpec).
     */
   def packShards(documents: DataFrame, capacityTokens: Long,
-                 bucketSize: Long = 4096): DataFrame = {
+                 bucketSize: Long = 4096): DataFrame =
+    tokenPrefix(documents, bucketSize)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prefix div $capacityTokens").as("shard_id"))
+      .orderBy(col("doc_id"))
+
+  /** `(doc_id, n_tokens, prefix)` where `prefix` is the exclusive global
+    * running token total in `doc_id` order — the distributed prefix sum
+    * described in [[packShards]]'s scale note, shared by [[packShards]]
+    * and [[packSequences]].
+    */
+  private def tokenPrefix(documents: DataFrame,
+                          bucketSize: Long): DataFrame = {
     val toks = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bkt"))
@@ -215,9 +227,117 @@ object Curation {
     toks.join(offsets, "bkt")
       .withColumn("prefix",
         col("bkt_offset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"prefix div $capacityTokens").as("shard_id"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("prefix"))
+  }
+
+  /** Sequence packing — the step AFTER tokenization in a training-data
+    * pipeline: the corpus token streams, concatenated in `doc_id` order,
+    * are cut into fixed-length training sequences of exactly `seqLen`
+    * tokens, and documents SPLIT across sequence boundaries (unlike
+    * [[packShards]], which assigns whole documents, and [[chunkDocs]],
+    * which windows each document independently). The result is the
+    * placement table a sequence writer materializes from: one row per
+    * (sequence, document) overlap with the document's token span
+    * `[doc_offset, doc_offset+len)` landing at `seq_offset` within
+    * `seq_id`. Every sequence except the last is exactly `seqLen` tokens
+    * with zero padding waste, and the layout is a pure function of
+    * (corpus, seqLen) — any engine reproduces it bit-for-bit.
+    *
+    * Scale shape: the global token offset per document comes from the
+    * shared [[tokenPrefix]] distributed prefix sum; everything after is
+    * map-only — each document explodes into the `n/seqLen + 1`-bounded
+    * list of sequences it touches, and the spans are arithmetic on the
+    * offset. Tokens are never materialized (the table holds spans, not
+    * token arrays), so the output is ~|corpus| + |tokens|/seqLen fixed-
+    * width rows, never token-proportional.
+    */
+  def packSequences(documents: DataFrame, seqLen: Long,
+                    bucketSize: Long = 4096): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    sequenceSpans(tokenPrefix(documents, bucketSize), seqLen)
+  }
+
+  /** The map-only tail of [[packSequences]]: explode each prefixed doc
+    * into its (sequence, span) overlap rows. `prefixed` must carry
+    * `(doc_id, n_tokens, prefix)` with `prefix` the exclusive global
+    * token offset of the doc in the concatenated stream.
+    */
+  private def sequenceSpans(prefixed: DataFrame, seqLen: Long): DataFrame =
+    prefixed
+      .withColumn("seq_id", explode(sequence(
+        expr(s"prefix div $seqLen"),
+        expr(s"(prefix + n_tokens - 1) div $seqLen"))))
+      .withColumn("slice_start",
+        greatest(col("prefix"), col("seq_id") * seqLen))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        (col("slice_start") - col("prefix")).as("doc_offset"),
+        (col("slice_start") - col("seq_id") * seqLen).as("seq_offset"),
+        (least(col("prefix") + col("n_tokens"), (col("seq_id") + 1) * seqLen)
+          - col("slice_start")).as("len"))
+      .orderBy(col("seq_id"), col("doc_id"))
+
+  /** The single-row pack-state artifact a [[packSequencesWith]] deployment
+    * persists between runs: how much of the concatenated token stream the
+    * already-packed corpus occupies, and the id frontier new batches must
+    * stay above. Build once per corpus (one map-combined aggregation);
+    * update per batch with [[packStateAfter]] — never rescan the index.
+    */
+  def packState(documents: DataFrame): DataFrame =
+    documents.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(max(col("doc_id")), lit(-1L)).as("max_doc_id"),
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("total_tokens"))
+
+  /** The updated artifact after a batch is packed: the next run's
+    * [[packState]], computed from the old state plus one aggregation over
+    * the BATCH only (O(batch), equal to `packState(index ∪ batch)`).
+    */
+  def packStateAfter(state: DataFrame, newDocs: DataFrame): DataFrame =
+    state.crossJoin(packState(newDocs)
+        .select(col("n_docs").as("b_docs"), col("max_doc_id").as("b_max"),
+          col("total_tokens").as("b_tokens")))
+      .select(
+        (col("n_docs") + col("b_docs")).as("n_docs"),
+        greatest(col("max_doc_id"), col("b_max")).as("max_doc_id"),
+        (col("total_tokens") + col("b_tokens")).as("total_tokens"))
+
+  /** Incremental sequence packing — pack a NEW batch of documents as the
+    * continuation of the already-packed token stream summarized by
+    * `state` ([[packState]]): the batch's spans land exactly where
+    * whole-corpus [[packSequences]] over index ∪ batch would place them
+    * (oracle-checked as `pack_sequences_incremental`), so a daily run
+    * appends placement rows without ever touching the packed corpus. The
+    * final index sequence is continued — its unfilled tail is completed
+    * by the batch's first tokens, keeping the zero-padding-waste
+    * invariant across runs.
+    *
+    * Requires the monotone-id invariant every incremental operator here
+    * shares: all batch ids above the state's `max_doc_id` (checked
+    * loudly; a violation means the batch would interleave with already-
+    * packed docs and the placement table is no longer append-only).
+    *
+    * Scale: O(batch) — the state is one row, the guard is one bounded
+    * aggregate, and everything else is [[packSequences]]'s prefix sum and
+    * map-only explode over the batch alone.
+    */
+  def packSequencesWith(state: DataFrame, newDocs: DataFrame, seqLen: Long,
+                        bucketSize: Long = 4096): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val st = state.select(col("max_doc_id").cast("long"),
+      col("total_tokens").cast("long")).head()
+    val (maxId, base) = (st.getLong(0), st.getLong(1))
+    val lo = newDocs.agg(min(col("doc_id")).cast("long")).head()
+    require(lo.isNullAt(0) || lo.getLong(0) > maxId,
+      s"packSequencesWith: batch min doc_id ${lo.get(0)} is not above the " +
+        s"packed corpus frontier $maxId — the batch would interleave with " +
+        "already-packed documents; re-pack the union instead")
+    sequenceSpans(
+      tokenPrefix(newDocs, bucketSize)
+        .withColumn("prefix", col("prefix") + lit(base)),
+      seqLen)
   }
 
   /** Global-quantile quality gate — "keep the top `keepBps`/10000 of the

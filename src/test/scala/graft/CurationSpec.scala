@@ -299,6 +299,91 @@ class CurationSpec extends SparkSpec {
     assert(other == fast.collect().toSeq.map(_.toSeq))
   }
 
+  test("sequence packing tiles the concatenated token stream into exact-length sequences") {
+    import org.apache.spark.sql.functions._
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val L = 128L
+    val packed = Curation.packSequences(real, L, bucketSize = 64)
+    val got = packed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // driver-side reference stream: all docs' tokens in doc_id order
+    val docToks = real.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).sortBy(_._1)
+    val byDoc = docToks.toMap
+    val global = docToks.flatMap { case (id, w) => w.map(t => (id, t)) }
+    // each span must reproduce the exact global-stream slice it claims
+    got.foreach { case (seq, doc, dOff, sOff, len) =>
+      val slice = global.slice((seq * L + sOff).toInt, (seq * L + sOff + len).toInt)
+      assert(slice.forall(_._1 == doc), s"seq $seq span of doc $doc overlaps others")
+      assert(slice.map(_._2).toSeq ==
+        byDoc(doc).slice(dOff.toInt, (dOff + len).toInt).toSeq)
+    }
+    // sequences tile [0, L) gaplessly; all but the last are exactly L
+    val nSeq = got.map(_._1).max + 1
+    assert(nSeq == (global.length + L - 1) / L)
+    got.groupBy(_._1).foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"seq $seq does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, s"gap inside seq $seq")
+        case _ =>
+      }
+      val total = sorted.map(_._5).sum
+      if (seq < nSeq - 1) assert(total == L, s"seq $seq is not full")
+      else assert(total <= L)
+    }
+    // docs really do split across boundaries at this seqLen
+    assert(got.groupBy(_._2).values.exists(_.size > 1))
+    // scale shape: the shared prefix sum keeps its single unpartitioned
+    // window (super-bucket totals); layout + bucketSize must not move rows
+    val unpart = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size == 1)
+    val re = Curation.packSequences(real.repartition(13), L, bucketSize = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("incremental sequence packing continues the stream exactly where the union pack would") {
+    import org.apache.spark.sql.functions._
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val L = 128L
+    val cut = real.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+    val index = real.filter(col("doc_id") < cut)
+    val batch = real.filter(col("doc_id") >= cut)
+    val whole = Curation.packSequences(real, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val inc = Curation.packSequencesWith(Curation.packState(index), batch, L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(inc.toSeq == whole.filter(_._2 >= cut).toSeq)
+    // the boundary sequence really is shared: the batch's first span
+    // completes a sequence the index left partially filled
+    assert(inc.head._4 > 0L, "batch should continue a partially-filled sequence")
+    // empty state packs identically to a fresh whole-corpus run
+    val fresh = Curation.packSequencesWith(
+      Curation.packState(real.filter(lit(false))), real, L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fresh.toSeq == whole.toSeq)
+    // state update is O(batch) and equals a recount of the union
+    val after = Curation.packStateAfter(Curation.packState(index), batch).head()
+    val direct = Curation.packState(real).head()
+    assert(after.toSeq == direct.toSeq)
+    // monotone-id guard: an interleaving batch is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Curation.packSequencesWith(Curation.packState(real), batch, L)
+    }
+    assert(err.getMessage.contains("frontier"))
+    // layout invariance: partitioning and bucketSize must not move spans
+    val re = Curation.packSequencesWith(Curation.packState(index),
+      batch.repartition(13), L, bucketSize = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSeq == inc.toSeq)
+  }
+
   test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
     import org.apache.spark.sql.functions._
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
