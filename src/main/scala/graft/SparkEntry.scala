@@ -489,6 +489,9 @@ object SparkEntry {
         Curation.packState(docs.filter(col("doc_id") < cut)),
         docs.filter(col("doc_id") >= cut), 128L)
     }),
+    // epoch shuffle: 2 epochs of the 128-token sequences into 8 shards
+    "shuffle_epochs" -> ((s, dir) =>
+      Curation.shuffleEpochs(Tables.documents(s, dir), 128L, 2, 8)),
     "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
@@ -562,6 +565,9 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) => Multimodal.sampleFrames(Tables.documents(s, dir))),
     "multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(Tables.documents(s, dir))),
     "multimodal_resize" -> ((s, dir) => Multimodal.resize(Tables.documents(s, dir))),
+    // perceptual hash over real decoded pixels; banded Hamming near-dup
+    "multimodal_phash" -> ((s, dir) => Multimodal.imageHashes(Tables.documents(s, dir))),
+    "multimodal_image_dups" -> ((s, dir) => Multimodal.imageNearDups(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1356,6 +1362,34 @@ object SparkEntry {
         |    + max(nw) * max(nh) * 3 AS BIGINT) AS thumb_bytes,
         |  CAST(sum(pxsum) AS BIGINT) AS thumb_sum
         |FROM rv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // perceptual hash recomputed from the hash-fixture recipe — Spark
+    // must reproduce it through real decode + grid sampling + threshold
+    "multimodal_phash" ->
+      s"""WITH $phashCtes
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  phash
+         |FROM ph ORDER BY doc_id""".stripMargin,
+    // banded Hamming search replicated in SQL: same 4×16-bit bands, same
+    // radius — the oracle's candidate set IS the operator's candidate
+    // set, so a banding defect (not just a hash defect) breaks the match
+    "multimodal_image_dups" ->
+      s"""WITH $phashCtes,
+         |bands AS (SELECT doc_id, phash, bi,
+         |            substring(phash, CAST(bi * 4 + 1 AS INT), 4) AS bv
+         |          FROM ph CROSS JOIN unnest(range(4)) AS t(bi)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.phash AS ha, y.phash AS hb
+         |         FROM bands x JOIN bands y
+         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |hm AS (SELECT doc_a, doc_b,
+         |         CAST(sum(bit_count(xor(
+         |           strpos('0123456789abcdef', substring(ha, CAST(i + 1 AS INT), 1)) - 1,
+         |           strpos('0123456789abcdef', substring(hb, CAST(i + 1 AS INT), 1)) - 1)))
+         |           AS BIGINT) AS hamming
+         |       FROM cand CROSS JOIN unnest(range(16)) AS t(i)
+         |       GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, hamming FROM hm
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
@@ -1477,6 +1511,25 @@ object SparkEntry {
         |FROM x CROSS JOIN unnest(range(s1 - s0 + 1)) AS t(i)
         |WHERE doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |ORDER BY seq_id, doc_id""".stripMargin,
+    // same md5(epoch:seq_id) permutation key; sequence count from the
+    // corpus token total, never from a data scan
+    "shuffle_epochs" ->
+      """WITH tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |            FROM documents),
+        |sq AS (SELECT unnest(range((t + 127) // 128)) AS seq_id FROM tot),
+        |ep AS (SELECT seq_id, e AS epoch
+        |       FROM sq CROSS JOIN unnest(range(2)) AS x(e)),
+        |k AS (SELECT epoch, seq_id,
+        |        md5(CAST(epoch AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR))
+        |          AS skey
+        |      FROM ep),
+        |s AS (SELECT epoch, seq_id, skey,
+        |        CAST(('0x' || substring(skey, 1, 8)) AS BIGINT) % 8 AS shard
+        |      FROM k)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, seq_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, shard
+        |    ORDER BY skey, seq_id) AS BIGINT) AS pos
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
     "corpus_manifest" ->
       s"""WITH $langCtes
          |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2010,6 +2063,44 @@ object SparkEntry {
       |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
       |WHERE NOT tr.is_eval AND ev.is_eval
       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  /** Shared perceptual-hash CTE chain → `ph(doc_id, w, h, phash)`: the
+    * 8×8 average hash recomputed from the hash-fixture pixel recipe
+    * (`Multimodal.makePhashPpm` — planted twins at doc_id ≡ 9 mod 10),
+    * independently of the binary decode path. Used by `multimodal_phash`
+    * and `multimodal_image_dups`.
+    */
+  private val phashCtes: String =
+    """pd AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 10 = 9 THEN doc_id - 9 ELSE doc_id END AS e,
+      |        CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END AS planted
+      |      FROM documents),
+      |pg AS (SELECT doc_id, e, planted, 16 + e % 17 AS w, 12 + e % 13 AS h,
+      |        gi // 8 AS gy, gi % 8 AS gx
+      |      FROM pd CROSS JOIN unnest(range(64)) AS t(gi)),
+      |pp AS (SELECT doc_id, w, h, gy, gx, e, planted,
+      |        ((gy * h) // 8) * w + (gx * w) // 8 AS pi
+      |      FROM pg),
+      |pc AS (SELECT doc_id, w, h, gy, gx,
+      |        CASE WHEN planted = 1 AND pi IN (0, 5, 11)
+      |             THEN least((e*7 + pi*13) % 256, 223) + 32
+      |             ELSE (e*7 + pi*13) % 256 END AS r,
+      |        (e*11 + pi*17) % 256 AS g_,
+      |        (e*3 + pi*29) % 256 AS b
+      |      FROM pp),
+      |pl AS (SELECT doc_id, w, h, gy, gx,
+      |        (299*r + 587*g_ + 114*b) // 1000 AS luma FROM pc),
+      |pm AS (SELECT doc_id, sum(luma) // 64 AS mean FROM pl GROUP BY doc_id),
+      |pb AS (SELECT pl.doc_id, max(w) AS w, max(h) AS h, gy,
+      |        CAST(sum(CASE WHEN luma > mean THEN 1 ELSE 0 END
+      |          * (CASE gx WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32
+      |                     WHEN 3 THEN 16 WHEN 4 THEN 8 WHEN 5 THEN 4
+      |                     WHEN 6 THEN 2 ELSE 1 END)) AS BIGINT) AS byte
+      |      FROM pl JOIN pm ON pl.doc_id = pm.doc_id
+      |      GROUP BY pl.doc_id, gy),
+      |ph AS (SELECT doc_id, max(w) AS w, max(h) AS h,
+      |        string_agg(lower(lpad(hex(byte), 2, '0')), '' ORDER BY gy) AS phash
+      |      FROM pb GROUP BY doc_id)""".stripMargin
 
   /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
     * Used by `text_langid` and `sample_stratified`.

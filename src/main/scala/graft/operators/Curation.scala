@@ -340,6 +340,52 @@ object Curation {
       seqLen)
   }
 
+  /** Deterministic epoch shuffle — training-order randomization for the
+    * sequences [[packSequences]] lays out: for each epoch, every sequence
+    * is assigned a shard (≈ one shuffled training file) and a position
+    * within it, by sorting on the content-free key
+    * `md5(epoch:seq_id)` — a different pseudo-random permutation per
+    * epoch, reproducible bit-for-bit across runs, engines, and
+    * partitionings (no RNG state; the same property [[sampleBucket]]
+    * gives sampling). A trainer streams shard files in (shard, pos)
+    * order and reads each sequence's spans from the placement table.
+    *
+    * Scale shape: the sequence ids are regenerated from ONE bounded
+    * scalar (total corpus tokens → sequence count, the same number
+    * [[packState]] tracks), so there is no corpus scan beyond one
+    * map-combined aggregate and no join back to the data. The only
+    * shuffle is the hash partition on (epoch, shard); position numbering
+    * is a window per (epoch, shard) — `nShards` is the scale knob (size
+    * shards to ~fixed token budgets, so windows stay bounded as the
+    * corpus grows; at 10^10 sequences and 10^5 shards each window ranks
+    * ~10^5 rows). Materializing all epochs at once is the table form —
+    * a deployment that shuffles one epoch ahead of training calls with
+    * `nEpochs = 1` and varies `epochOffset`.
+    */
+  def shuffleEpochs(documents: DataFrame, seqLen: Long, nEpochs: Int,
+                    nShards: Int, epochOffset: Int = 0): DataFrame = {
+    require(seqLen > 0 && nEpochs > 0 && nShards > 0,
+      s"seqLen/nEpochs/nShards must be positive, got $seqLen/$nEpochs/$nShards")
+    val spark = documents.sparkSession
+    val total = documents
+      .agg(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val nSeqs = (total + seqLen - 1) / seqLen
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("skey"), col("seq_id"))
+    spark.range(nSeqs).select(col("id").as("seq_id"))
+      .withColumn("epoch",
+        explode(sequence(lit(epochOffset.toLong),
+          lit(epochOffset.toLong + nEpochs - 1))))
+      .withColumn("skey",
+        md5(concat_ws(":", col("epoch"), col("seq_id"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % nShards)
+      .select(col("epoch"), col("seq_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
   /** Global-quantile quality gate — "keep the top `keepBps`/10000 of the
     * corpus by quality score", the relative form of a quality filter (an
     * absolute threshold drifts as the corpus mix changes; a quantile

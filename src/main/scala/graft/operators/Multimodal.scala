@@ -16,6 +16,10 @@ case class PpmFeatureRow(doc_id: Long, width: Long, height: Long,
 case class PpmResizeRow(doc_id: Long, new_width: Long, new_height: Long,
                         orig_bytes: Long, thumb_bytes: Long, thumb_sum: Long)
 
+/** 8×8 average-hash of one decoded image, as 16 lowercase hex chars. */
+case class ImageHashRow(doc_id: Long, width: Long, height: Long,
+                        phash: String)
+
 /** Multimodal-column operators (north-star extension): image/audio/video
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction / frame-sampling are engine operators over those
@@ -212,6 +216,130 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
       .map(id => MediaRow(id, makePpm(id)))
+  }
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Fixture recipe for the perceptual-hash operators — separate from
+    * [[makePpm]] (whose dimensions/recipe are pinned by the decode
+    * oracles) for two reasons: the hash fixtures need images LARGE enough
+    * that each 8×8 grid cell samples a distinct pixel (w 16–32, h 12–24;
+    * the decode fixtures are 4–8×3–6, where one perturbed pixel feeds
+    * many grid cells and bit flips clump), and they need PLANTED
+    * perceptual twins. Every doc_id ≡ 9 (mod 10) re-renders doc_id−9's
+    * image with the red channel of pixels {0, 5, 11} bumped +32 (capped
+    * at 255) — visually near-identical; over the shipped corpora
+    * (doc_id < 5000) every twin lands within Hamming distance 3 of its
+    * source's hash, which [[imageNearDups]]' default radius covers.
+    */
+  private[graft] def makePhashPpm(docId: Long): Array[Byte] = {
+    val planted = docId % 10 == 9
+    val e = if (planted) docId - 9 else docId
+    val w = (16 + e % 17).toInt; val h = (12 + e % 13).toInt
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val r = ((e * 7 + i * 13) % 256).toInt
+      px(3 * i) =
+        (if (planted && (i == 0 || i == 5 || i == 11)) math.min(r, 223) + 32
+         else r).toByte
+      px(3 * i + 1) = ((e * 11 + i * 17) % 256).toByte
+      px(3 * i + 2) = ((e * 3 + i * 29) % 256).toByte
+      i += 1
+    }
+    encodePpm(w, h, px)
+  }
+
+  /** One hash-fixture image per document (see [[makePhashPpm]]). */
+  def phashMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, makePhashPpm(id)))
+  }
+
+  /** Perceptual image hash (average hash): decode each PPM, sample an
+    * 8×8 luma grid by nearest-neighbor (`sx = gx·w/8`, `sy = gy·h/8`,
+    * integer floors — resolution-independent, so a resized copy hashes
+    * near-identically), and set bit (gy,gx) iff the cell's luma exceeds
+    * the 64-cell integer mean. Returned as 16 lowercase hex chars (byte
+    * gy holds row gy, MSB = gx 0). All integer math over real decoded
+    * bytes — the oracle recomputes the hash from the fixture recipe, so
+    * a decode, sampling, or threshold defect breaks the hash match.
+    *
+    * Scale: map-only off the scan, blob never shuffles (same contract as
+    * [[extractFeatures]]); the output row is fixed-width, so downstream
+    * dedup never touches image bytes.
+    */
+  def imageHashes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    phashMediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (w, h, px) = decodePpm(r.media)
+        val lum = new Array[Long](64)
+        var s = 0L
+        var gi = 0
+        while (gi < 64) {
+          val pi = ((gi / 8) * h / 8 * w + (gi % 8) * w / 8) * 3
+          lum(gi) = (299L * (px(pi) & 0xff) + 587L * (px(pi + 1) & 0xff) +
+            114L * (px(pi + 2) & 0xff)) / 1000L
+          s += lum(gi)
+          gi += 1
+        }
+        val mean = s / 64
+        val hex = new StringBuilder(16)
+        var gy = 0
+        while (gy < 8) {
+          var b = 0
+          var gx = 0
+          while (gx < 8) {
+            if (lum(gy * 8 + gx) > mean) b |= 1 << (7 - gx)
+            gx += 1
+          }
+          hex.append(f"$b%02x")
+          gy += 1
+        }
+        ImageHashRow(r.doc_id, w, h, hex.toString)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate image pairs by banded Hamming search over
+    * [[imageHashes]] — multi-index hashing (Norouzi et al.): the 64-bit
+    * hash splits into 4 bands of 16 bits; by pigeonhole, any pair within
+    * Hamming distance `maxHamming` ≤ 3 agrees exactly on at least one
+    * band, so candidates come from 4 equi-joins on (band index, band
+    * value) and only candidates pay the Hamming check (builtin
+    * `conv`/`^`/`bit_count`, codegen'd). Never all-pairs: the corpus
+    * shuffles once per band on 16-bit keys. Radii above 3 need more
+    * bands than a 64-bit hash can spare at scale (8×8-bit bands collide
+    * every n²/256 pairs) — the scale path is a longer hash (e.g.
+    * 16×16-grid/256-bit, 8×32-bit bands for radius 7), so radius > 3 is
+    * rejected rather than silently degrading.
+    */
+  def imageNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4 bands of a 64-bit hash " +
+        s"(pigeonhole needs bands > radius), got $maxHamming")
+    val h = imageHashes(documents).select(col("doc_id"), col("phash"))
+    val bands = h.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("bi"))
+      .withColumn("bv", expr("substring(phash, bi * 4 + 1, 4)"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    val ham = (0 until 4).map(b =>
+      bit_count(expr(s"cast(conv(substring(ha, ${b * 4 + 1}, 4), 16, 10) as long)")
+        .bitwiseXOR(expr(s"cast(conv(substring(hb, ${b * 4 + 1}, 4), 16, 10) as long)"))))
+      .reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Batched REAL feature extraction: decode each PPM and pool per-channel

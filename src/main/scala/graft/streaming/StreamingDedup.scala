@@ -51,7 +51,7 @@ object StreamingDedup {
     * partial files. An EMPTY admissions frame with no committed dir is a
     * genuinely empty input batch; skipped.
     */
-  private def writeOutputBatch(admissions: DataFrame, outDir: String,
+  private[streaming] def writeOutputBatch(admissions: DataFrame, outDir: String,
                                batchId: Long): Unit = {
     val target = new org.apache.hadoop.fs.Path(outDir, s"batch=$batchId")
     val fs = target.getFileSystem(
@@ -67,7 +67,7 @@ object StreamingDedup {
     * replay and overwrite the orphan — readers skip it rather than
     * surface partial rows.
     */
-  private def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def committedBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
                                  root: org.apache.hadoop.fs.Path)
       : Seq[org.apache.hadoop.fs.Path] =
     if (!fs.exists(root)) Seq.empty

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Streaming sequence packing — the continuous form of
+  * [[graft.operators.Curation.packSequencesWith]]: documents arrive as
+  * micro-batches and each batch's (sequence, document) placement rows are
+  * appended as the exact continuation of the already-packed token stream,
+  * so the placement table grows append-only while every sequence boundary
+  * lands where whole-corpus [[graft.operators.Curation.packSequences]]
+  * over everything-so-far would put it (spec-pinned equality).
+  *
+  * State is the one-row [[graft.operators.Curation.packState]] artifact,
+  * persisted as versioned `stateDir/batch=N` snapshots (`_SUCCESS`-gated
+  * reads, latest committed wins, two retained) and extended per batch by
+  * [[graft.operators.Curation.packStateAfter]] — O(batch) per micro-batch,
+  * nothing ever rescans the packed corpus.
+  *
+  * Replay safety follows the admission-loop contract
+  * ([[StreamingDedup]]): the batch is filtered to ids above the state
+  * frontier (`max_doc_id`); the frontier-bearing state snapshot is the
+  * LAST write of the step, so a replayed batch either reprocesses in full
+  * against the identical pre-batch state (re-deriving byte-identical
+  * placements; the batch-id-keyed idempotent output writer keeps the
+  * committed dir verbatim) or sees an empty effective batch. Each
+  * snapshot also records `prev_max_doc_id`, the frontier BEFORE its own
+  * batch: replay-dropped ids must lie in `(prev_max, max]` — a dropped id
+  * at or below `prev_max` is genuinely out-of-order input and fails
+  * loudly instead of silently losing a document's placement.
+  */
+object StreamingPack {
+
+  private val stateSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("max_doc_id", LongType),
+    StructField("total_tokens", LongType),
+    StructField("prev_max_doc_id", LongType)))
+
+  /** Latest committed pack state under `stateDir`, or the empty-corpus
+    * state. Returned as (n_docs, max_doc_id, total_tokens,
+    * prev_max_doc_id) — a single driver-side row (the artifact is one
+    * row by construction).
+    */
+  def readState(spark: SparkSession, stateDir: String): Row = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingDedup.committedBatchDirs(fs, root).lastOption
+      .map(p => spark.read.schema(stateSchema).parquet(p.toString).head())
+      .getOrElse(Row(0L, -1L, 0L, -1L))
+  }
+
+  /** Committed placement rows across all batch dirs. */
+  def readOutput(spark: SparkSession, outDir: String): DataFrame =
+    StreamingDedup.readOutput(spark, outDir)
+
+  /** Run the packing loop over parquet files appearing in `inDir` (one
+    * file per micro-batch, mtime order) until drained. Placement rows
+    * append under `outDir` (batch-id-keyed, idempotent); the pack-state
+    * snapshots live under `stateDir`.
+    */
+  def packAdmissionStream(spark: SparkSession, inDir: String,
+                          stateDir: String, outDir: String, ckptDir: String,
+                          seqLen: Long): Unit = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val stream = spark.readStream.schema(StreamingDedup.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        val sess = b.sparkSession
+        val st = readState(sess, stateDir)
+        val (frontier, prevMax) = (st.getLong(1), st.getLong(3))
+        val eff = b.filter(col("doc_id") > frontier)
+        // replay-vs-violation discrimination: ids dropped by the frontier
+        // filter must belong to the LAST snapshot's own batch
+        val oldest = b.filter(col("doc_id") <= frontier)
+          .agg(min(col("doc_id"))).head()
+        require(oldest.isNullAt(0) || oldest.getLong(0) > prevMax,
+          s"packAdmissionStream: doc_id ${oldest.get(0)} is at or below " +
+            s"the previous snapshot frontier $prevMax — out-of-order " +
+            "ingest (not a replay); re-pack the union instead")
+        if (!eff.isEmpty) {
+          val stateDf = sess.createDataFrame(
+            java.util.Arrays.asList(
+              Row(st.getLong(0), st.getLong(1), st.getLong(2))),
+            StructType(stateSchema.fields.take(3)))
+          val placements = graft.operators.Curation
+            .packSequencesWith(stateDf, eff, seqLen).persist()
+          try {
+            StreamingDedup.writeOutputBatch(placements, outDir, batchId)
+            // frontier-bearing snapshot LAST (replay-safety contract)
+            val after = graft.operators.Curation
+              .packStateAfter(stateDf, eff)
+              .withColumn("prev_max_doc_id", lit(frontier))
+            after.write.mode("overwrite").parquet(
+              new org.apache.hadoop.fs.Path(stateDir, s"batch=$batchId").toString)
+          } finally placements.unpersist()
+          // bounded retention: latest two committed snapshots
+          val root = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          StreamingDedup.committedBatchDirs(fs, root).dropRight(2)
+            .foreach(p => fs.delete(p, true))
+        }
+      } finally b.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -384,6 +384,46 @@ class CurationSpec extends SparkSpec {
     assert(re.toSeq == inc.toSeq)
   }
 
+  test("epoch shuffle: per-epoch bijection, distinct permutations, bounded windows") {
+    import org.apache.spark.sql.functions._
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val L = 128L
+    val out = Curation.shuffleEpochs(real, L, nEpochs = 2, nShards = 8)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = real.agg(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val nSeqs = (total + L - 1) / L
+    // every sequence appears exactly once per epoch
+    (0L to 1L).foreach { e =>
+      val seqs = got.filter(_._1 == e).map(_._2)
+      assert(seqs.length == nSeqs && seqs.toSet == (0L until nSeqs).toSet)
+    }
+    // positions are contiguous 1..n within each (epoch, shard)
+    got.groupBy(r => (r._1, r._3)).foreach { case ((e, s), rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq,
+        s"non-contiguous positions in epoch $e shard $s")
+    }
+    // epochs are genuinely different permutations of the same sequences
+    val order0 = got.filter(_._1 == 0L).sortBy(r => (r._3, r._4)).map(_._2)
+    val order1 = got.filter(_._1 == 1L).sortBy(r => (r._3, r._4)).map(_._2)
+    assert(order0.toSeq != order1.toSeq)
+    // reproducible bit-for-bit, and epochOffset slices the same table
+    val again = Curation.shuffleEpochs(real, L, nEpochs = 2, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+    val e1 = Curation.shuffleEpochs(real, L, nEpochs = 1, nShards = 8,
+      epochOffset = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(e1.toSeq == got.filter(_._1 == 1L).toSeq)
+    // scale shape: position windows are partitioned (epoch, shard) — no
+    // unpartitioned window anywhere in the plan
+    val unpart = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty)
+  }
+
   test("corpus writer: language partition dirs on disk, pruned reads, full manifest") {
     import org.apache.spark.sql.functions._
     val real = Tables.documents(spark, "/root/testdata/sf0.001")

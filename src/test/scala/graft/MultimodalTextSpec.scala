@@ -75,6 +75,66 @@ class MultimodalTextSpec extends SparkSpec {
     assert(r.getAs[Long]("thumb_sum") == 410L)
   }
 
+  // Driver-side reference aHash straight from the fixture recipe —
+  // independent of the operator's decode/sampling/hex code paths.
+  private def refPhash(d: Long): (Long, Long, String) = {
+    val planted = d % 10 == 9
+    val e = if (planted) d - 9 else d
+    val w = 16 + e % 17; val h = 12 + e % 13
+    val lum = (0 until 64).map { gi =>
+      val i = (gi / 8) * h / 8 * w + (gi % 8) * w / 8
+      val r0 = (e * 7 + i * 13) % 256
+      val r = if (planted && Set(0L, 5L, 11L)(i)) math.min(r0, 223) + 32 else r0
+      (299 * r + 587 * ((e * 11 + i * 17) % 256) +
+        114 * ((e * 3 + i * 29) % 256)) / 1000
+    }
+    val mean = lum.sum / 64
+    val hex = (0 until 8).map { gy =>
+      f"${(0 until 8).map(gx => if (lum(gy * 8 + gx) > mean) 1 << (7 - gx) else 0).sum}%02x"
+    }.mkString
+    (w, h, hex)
+  }
+
+  test("image hashes match a recipe-level reference; layout-invariant") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.imageHashes(real).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(got.length == 500)
+    got.foreach { case (d, t) => assert(t == refPhash(d), s"doc $d") }
+    // map-only derivation: partitioning must not move or change rows
+    val re = Multimodal.imageHashes(real.repartition(13)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("banded image near-dup equals brute-force Hamming at radius 3") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Multimodal.imageNearDups(real).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every planted twin is found (twin hamming ≤ 3 over the shipped
+    // corpora), at the distance the reference hash computes
+    val hashes = (0L until 500L).map(d => d -> refPhash(d)._3).toMap
+    def ham(a: String, b: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    (9L until 500L by 10L).foreach { d =>
+      assert(pairs.get((d - 9, d)).contains(ham(hashes(d - 9), hashes(d))),
+        s"planted twin ($d - 9, $d) missing or mis-distanced")
+    }
+    // pigeonhole completeness: the banded candidate set loses NOTHING at
+    // radius ≤ 3 — brute-force over all hash pairs gives the same set
+    val brute = (for {
+      a <- 0L until 500L; b <- (a + 1) until 500L
+      h = ham(hashes(a), hashes(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(pairs == brute)
+    // radius > 3 would break the 4-band pigeonhole guarantee — rejected
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(real, maxHamming = 4)
+    }
+  }
+
   test("langId: argmax with fixed tie-break order") {
     val d = Seq(
       (0L, "the a the"),          // en markers dominate

@@ -741,6 +741,100 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streaming sequence packing equals whole-corpus packSequences") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-pack")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      // token counts chosen so batch boundaries fall mid-sequence (L=8):
+      // batch 0 ends at token 11, batch 1 at 21 — both continue a
+      // partially-filled sequence
+      val batches = Seq(
+        Seq((0L, "a b c d e"), (1L, "f g h i j k")),
+        Seq((10L, "l m n"), (11L, "o p q r s t u")),
+        Seq((20L, "v w x y z")))
+      batches.zipWithIndex.foreach { case (bt, i) =>
+        StreamingSessions.appendReplayFile(bt.toDF("doc_id", "text"), in, i)
+      }
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingPack.packAdmissionStream(spark,
+          in.toString, root.resolve("state").toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString, 8L)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingPack
+        .readOutput(spark, root.resolve("out").toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val got = readOut()
+      val whole = graft.operators.Curation
+        .packSequences(batches.flatten.toDF("doc_id", "text"), 8L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == whole, "streamed placements differ from the union pack")
+      // a batch really continued a mid-sequence boundary
+      assert(whole.exists(r => r._2 == 10L && r._4 > 0L))
+      // persisted state equals a fresh packState over the union
+      val st = graft.streaming.StreamingPack
+        .readState(spark, root.resolve("state").toString)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2)) == (5L, 20L, 27L))
+      assert(st.getLong(3) == 11L) // frontier before the last batch
+      // lost-checkpoint full replay is a no-op: same rows, same state
+      run("ckpt2")
+      assert(readOut() == got)
+      // genuinely out-of-order input (id at or below prev_max) fails
+      // loudly instead of silently losing a doc's placement
+      StreamingSessions.appendReplayFile(
+        Seq((5L, "zz yy")).toDF("doc_id", "text"), in, 3)
+      val ex = intercept[Exception] { run("ckpt3") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("streaming pack replays the output-committed/state-missing crash window") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-pack-crash")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def run(): Unit =
+        graft.streaming.StreamingPack.packAdmissionStream(spark,
+          in.toString, root.resolve("state").toString,
+          root.resolve("out").toString, root.resolve("ckpt").toString, 8L)
+      StreamingSessions.appendReplayFile(
+        Seq((0L, "a b c d e")).toDF("doc_id", "text"), in, 0)
+      run()
+      // crashed attempt of batch 1: output dir committed, state snapshot
+      // and checkpoint both lost — the replay must keep the committed dir
+      // verbatim (it re-derives identical rows) and then land the state
+      val crashRows = graft.operators.Curation.packSequencesWith(
+        graft.operators.Curation.packState(Seq((0L, "a b c d e"))
+          .toDF("doc_id", "text")),
+        Seq((10L, "f g h i j k")).toDF("doc_id", "text"), 8L)
+      crashRows.write.mode("overwrite")
+        .parquet(root.resolve("out").resolve("batch=1").toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "f g h i j k")).toDF("doc_id", "text"), in, 1)
+      run()
+      val got = graft.streaming.StreamingPack
+        .readOutput(spark, root.resolve("out").toString)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val whole = graft.operators.Curation.packSequences(
+        Seq((0L, "a b c d e"), (10L, "f g h i j k")).toDF("doc_id", "text"), 8L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == whole, s"crash-window replay duplicated or lost rows: $got")
+      val st = graft.streaming.StreamingPack
+        .readState(spark, root.resolve("state").toString)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2)) == (2L, 10L, 11L))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("CSV-line stream parses through the same permissive stage as batch") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-csv-stream")
