@@ -19,19 +19,30 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** `ts` arrives as nanos-since-epoch (LongType); convert to a microsecond
-    * TimestampType with integer division — the same floor DuckDB applies
-    * when it reads TIMESTAMP_NS into its microsecond TIMESTAMP, so oracle
-    * comparisons stay exact.
+  /** Normalize `ts` to microsecond TimestampType regardless of how the
+    * driver generated the fixture. Two raw layouts have shipped:
+    *   - INT64 TIMESTAMP(NANOS), read as LongType under the legacy conf:
+    *     floor-divide to micros — the same floor DuckDB applies reading
+    *     TIMESTAMP_NS into its microsecond TIMESTAMP, so oracles stay exact.
+    *   - timestamp[us] without UTC adjustment, read as TIMESTAMP_NTZ: cast
+    *     to TimestampType. Sessions here run with
+    *     `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *     wall-clock micros as the identical UTC instant DuckDB sees.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     convertEventTs(apply(spark, sfDir, "events"))
 
-  private def convertEventTs(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  private[graft] def convertEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "customer")

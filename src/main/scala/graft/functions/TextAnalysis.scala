@@ -506,19 +506,94 @@ object TextAnalysis {
     * bytewise, so ties break identically.
     *
     * Scale shape: the corpus is touched ONCE (one map-side-combined word
-    * count); every training round runs on the cached word-type table —
-    * vocabulary-sized, never corpus-sized — and its pair count is another
-    * map-combined hash aggregate. At 100 TB the type table is millions of
-    * rows against trillions of corpus tokens; the driver holds one
-    * (lhs, rhs, count) row per round.
+    * count that reduces to the TYPE table immediately); the rounds are
+    * argmax-SEQUENTIAL, so how they run is an adaptive choice on the type
+    * table's size:
+    *   - ≤ [[BpeDriverTypeLimit]] types: collect `(word, count)` once — a
+    *     bounded artifact, the same budget class as the centroid and
+    *     vocab collects elsewhere in this library — and run all rounds in
+    *     driver memory: ZERO per-round Spark jobs. Per-round scheduling
+    *     and codegen otherwise dominate small-vocabulary corpora.
+    *   - larger vocabularies (millions of types at 100 TB against
+    *     trillions of corpus tokens): every round runs on the cached
+    *     distributed type table as a map-combined hash aggregate; the
+    *     driver holds one (lhs, rhs, count) row per round.
+    * Both paths implement the identical argmax total order and greedy
+    * leftmost non-overlapping merge, so the choice is invisible in the
+    * output (spec-pinned equality).
     */
   private[graft] def bpeMerges(documents: DataFrame,
                                numMerges: Int): Seq[(Long, String, String, Long)] = {
     require(numMerges > 0 && numMerges <= 64, "numMerges must be in 1..64")
-    val wordTypes = documents
+    val typeCounts = documents
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike(BpeWordRe))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // one probe job: if the whole type table comes back under the limit
+    // we already hold it — no separate count() pass
+    val probe = typeCounts.limit(BpeDriverTypeLimit + 1).collect()
+    if (probe.length <= BpeDriverTypeLimit)
+      bpeMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    else bpeMergesDistributed(typeCounts, numMerges)
+  }
+
+  /** Bounded-artifact budget for the driver-side training path: 100k
+    * `(word, count)` rows is a few MB on the driver — the same order as
+    * the IVF centroid tables [[graft.operators.Similarity]] collects.
+    */
+  private[graft] val BpeDriverTypeLimit = 100000
+
+  /** Driver-memory merge rounds over a collected type table. Semantics
+    * pinned to the distributed path: pair counts include overlapping
+    * adjacent occurrences (`aaa` counts (a,a) twice), argmax order is
+    * (count DESC, lhs ASC, rhs ASC), and each merge applies greedy
+    * leftmost non-overlapping per word — exactly what the symseq string
+    * `replace` does.
+    */
+  private[graft] def bpeMergesLocal(types: Array[(String, Long)],
+                             numMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    while (r <= numMerges) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnt(k) = cnt.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      require(cnt.nonEmpty,
+        s"corpus exhausted adjacent symbol pairs after ${r - 1} merges; " +
+          s"lower numMerges (wanted $numMerges)")
+      // total order — HashMap iteration order cannot leak into the result
+      val ((lhs, rhs), c) = cnt.minBy { case ((l, rr), n) => (-n, l, rr) }
+      out += ((r.toLong, lhs, rhs, c))
+      words = words.map { case (syms, wc) =>
+        if (syms.length < 2) (syms, wc)
+        else {
+          val merged = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+              merged += lhs + rhs; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.result(), wc)
+        }
+      }
+      r += 1
+    }
+    out.result()
+  }
+
+  /** Distributed merge rounds — the > [[BpeDriverTypeLimit]] path. */
+  private[graft] def bpeMergesDistributed(typeCounts: DataFrame,
+                                   numMerges: Int): Seq[(Long, String, String, Long)] = {
+    val wordTypes = typeCounts
       .withColumn("symseq", bpeInitSymseq(col("word")))
       .cache()
     try {

@@ -21,9 +21,17 @@ object JsonIngest {
   /** Microsecond-precision timestamp wire format: Spark's default JSON
     * timestamp pattern carries millis only, which would silently truncate
     * the events table's microsecond timestamps on the way out.
+    *
+    * `timestampNTZFormat` is pinned to the SAME pattern: `timestampFormat`
+    * does not apply to a `TIMESTAMP_NTZ` column, so without it an NTZ
+    * input renders with the default NTZ pattern and then fails the strict
+    * micros parse on the way back in — every line lands in
+    * `_corrupt_record` and the round-trip silently drops the whole corpus
+    * (0 rows, schema still matching — the worst failure mode).
     */
-  val JsonOptions: Map[String, String] =
-    Map("timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+  val JsonOptions: Map[String, String] = Map(
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** Render rows as JSONL lines ({"event_id":...,"ts":"...",...}). */
   def renderJsonl(events: DataFrame): DataFrame =

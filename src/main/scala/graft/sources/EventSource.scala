@@ -42,34 +42,46 @@ object EventSource {
   /** Streaming file source over a parquet directory — the no-Kafka twin
     * of the reference topology; new files play the role of new offsets.
     *
-    * Handles both timestamp layouts: directories holding already-converted
-    * `TimestampType` events AND raw driver testdata where `ts` is INT64
-    * TIMESTAMP(NANOS) (read as long, floored to micros — the same
-    * conversion as [[graft.Tables.events]], detected from the batch-read
-    * footer schema so the caller never has to know which layout it has).
+    * Handles every timestamp layout the driver fixtures have shipped in,
+    * detected from the batch-read footer schema so the caller never has to
+    * know which one a directory holds (same normalization as
+    * [[graft.Tables.events]]):
+    *   - `TimestampType` — already converted, read as-is;
+    *   - INT64 TIMESTAMP(NANOS) — read as long under the legacy conf,
+    *     floored to micros;
+    *   - timestamp[us] without UTC adjustment (`TIMESTAMP_NTZ`) — read NTZ
+    *     and cast; under the UTC session timezone used throughout this
+    *     library the cast is a pure reinterpretation, no instant shift.
     */
   def parquetStream(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    val tsIsNanos =
-      try spark.read.parquet(dir).schema("ts").dataType == LongType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
       catch { case e: Throwable => restoreConf(spark, key, prev); throw e }
-    if (!tsIsNanos) {
-      // directory holds already-converted TimestampType events: the
-      // legacy conf was only needed for the footer probe — restore it
-      restoreConf(spark, key, prev)
-      spark.readStream.schema(schema).parquet(dir)
-    } else {
-      // TIMESTAMP(NANOS) directory: the conf must REMAIN set — every
-      // micro-batch's parquet read consults it to admit INT64-nanos
-      // columns as LongType, so restoring here would fail the stream at
-      // execution time. This is the same session-wide setting
-      // [[graft.Tables.apply]] makes for all driver testdata reads.
-      val nanosSchema = StructType(schema.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f))
-      spark.readStream.schema(nanosSchema).parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) directory: the conf must REMAIN set — every
+        // micro-batch's parquet read consults it to admit INT64-nanos
+        // columns as LongType, so restoring here would fail the stream at
+        // execution time. This is the same session-wide setting
+        // [[graft.Tables.apply]] makes for all driver testdata reads.
+        val nanosSchema = StructType(schema.map(f =>
+          if (f.name == "ts") StructField("ts", LongType) else f))
+        spark.readStream.schema(nanosSchema).parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        restoreConf(spark, key, prev)
+        val ntzSchema = StructType(schema.map(f =>
+          if (f.name == "ts") StructField("ts", TimestampNTZType) else f))
+        spark.readStream.schema(ntzSchema).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ =>
+        // directory holds already-converted TimestampType events: the
+        // legacy conf was only needed for the footer probe — restore it
+        restoreConf(spark, key, prev)
+        spark.readStream.schema(schema).parquet(dir)
     }
   }
 

@@ -25,11 +25,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * LAST write of the step, so a replayed batch either reprocesses in full
   * against the identical pre-batch state (re-deriving byte-identical
   * placements; the batch-id-keyed idempotent output writer keeps the
-  * committed dir verbatim) or sees an empty effective batch. Each
-  * snapshot also records `prev_max_doc_id`, the frontier BEFORE its own
-  * batch: replay-dropped ids must lie in `(prev_max, max]` — a dropped id
-  * at or below `prev_max` is genuinely out-of-order input and fails
-  * loudly instead of silently losing a document's placement.
+  * committed dir verbatim) or sees an empty effective batch. Dropped ids
+  * are discriminated replay-vs-violation in two tiers: ids in
+  * `(prev_max, max]` (the last snapshot's own batch, recorded as
+  * `prev_max_doc_id`) are admitted on the state alone — O(1), the common
+  * crash-window path; ids at or below `prev_max` only occur on a
+  * full/suffix replay (lost checkpoint), where each must already hold a
+  * committed placement — verified by an anti-join against the output
+  * (rare path, and a full replay rescans everything anyway). An
+  * unplaced id at or below the frontier is genuinely out-of-order input
+  * and fails loudly instead of silently losing a document's placement.
   */
 object StreamingPack {
 
@@ -73,14 +78,23 @@ object StreamingPack {
         val st = readState(sess, stateDir)
         val (frontier, prevMax) = (st.getLong(1), st.getLong(3))
         val eff = b.filter(col("doc_id") > frontier)
-        // replay-vs-violation discrimination: ids dropped by the frontier
-        // filter must belong to the LAST snapshot's own batch
-        val oldest = b.filter(col("doc_id") <= frontier)
-          .agg(min(col("doc_id"))).head()
-        require(oldest.isNullAt(0) || oldest.getLong(0) > prevMax,
-          s"packAdmissionStream: doc_id ${oldest.get(0)} is at or below " +
-            s"the previous snapshot frontier $prevMax — out-of-order " +
-            "ingest (not a replay); re-pack the union instead")
+        // replay-vs-violation discrimination (see class doc): drops in
+        // (prev_max, frontier] are the last snapshot's own batch — fine;
+        // drops at/below prev_max must be a full/suffix replay, i.e.
+        // every such id already holds a committed placement
+        val dropped = b.filter(col("doc_id") <= frontier)
+        val oldest = dropped.agg(min(col("doc_id"))).head()
+        if (!oldest.isNullAt(0) && oldest.getLong(0) <= prevMax) {
+          val placed = readOutput(sess, outDir).select("doc_id")
+          val unplaced = dropped.select("doc_id")
+            .join(placed, Seq("doc_id"), "left_anti")
+            .agg(min(col("doc_id"))).head()
+          require(unplaced.isNullAt(0),
+            s"packAdmissionStream: doc_id ${unplaced.get(0)} is at or " +
+              s"below the pack frontier $frontier but holds no committed " +
+              "placement — out-of-order ingest (not a replay); re-pack " +
+              "the union instead")
+        }
         if (!eff.isEmpty) {
           val stateDf = sess.createDataFrame(
             java.util.Arrays.asList(

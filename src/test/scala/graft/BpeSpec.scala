@@ -158,6 +158,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed training path equals the driver-side path") {
+    // bpeMerges auto-selects the driver-side path for every corpus this
+    // suite can build (the cutover is 100k word types), so the distributed
+    // loop — the 100 TB path — needs its own parity pin against the same
+    // inputs, including an argmax tie (sennrich: (e,s) vs (s,t))
+    import org.apache.spark.sql.functions._
+    def typeCounts(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val corpora = Seq(
+      sennrichDocs -> 10,
+      Seq((1L, "aaa aaa")).toDF("doc_id", "text") -> 2) ++
+      (1L to 3L).map { seed =>
+        val rnd = new scala.util.Random(seed)
+        val pool = (0 until 8).map(i =>
+          List.fill(3 + rnd.nextInt(3))("abc" (rnd.nextInt(3))).mkString
+            + ("abc" (i % 3)))
+        (0L until 6L).map(d =>
+          (d, List.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" ")))
+          .toDF("doc_id", "text") -> 4
+      }
+    corpora.foreach { case (df, k) =>
+      val tc = typeCounts(df)
+      val local = TextAnalysis.bpeMergesLocal(
+        tc.collect().map(r => (r.getString(0), r.getLong(1))), k)
+      val dist = TextAnalysis.bpeMergesDistributed(tc, k)
+      assert(dist == local)
+    }
+  }
+
   test("property: frozen-artifact encode equals a frozen driver reference") {
     // train on the first 4 docs, encode the last 2 with the frozen
     // tables; the reference applies the trained merges cursor-based to

@@ -778,7 +778,8 @@ class FileSourceSpec extends SparkSpec {
       // persisted state equals a fresh packState over the union
       val st = graft.streaming.StreamingPack
         .readState(spark, root.resolve("state").toString)
-      assert((st.getLong(0), st.getLong(1), st.getLong(2)) == (5L, 20L, 27L))
+      // 5 docs; max id 20; tokens = 5+6+3+7+5 = 26 (whitespace split)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2)) == (5L, 20L, 26L))
       assert(st.getLong(3) == 11L) // frontier before the last batch
       // lost-checkpoint full replay is a no-op: same rows, same state
       run("ckpt2")
