@@ -29,12 +29,17 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    errs = {}
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        errs = json.load(open(err_path))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
-            print(f"MISSING  {name}: no spark result")
+            why = errs.get(name, "no spark result")
+            print(f"MISSING  {name}: {why}")
             n_bad += 1
             continue
         got = canon(con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df())
