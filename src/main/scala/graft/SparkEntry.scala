@@ -77,8 +77,13 @@ object SparkEntry {
     // must equal the original events exactly.
     "csv_roundtrip_events" -> ((s, dir) => {
       import s.implicits._
+      // repartition before the parse: line parsing is embarrassingly
+      // parallel and must not inherit the upstream file layout (the
+      // fixture is ONE small parquet file → one scan partition; real
+      // wire ingest arrives from many Kafka partitions/files)
       val lines = CsvIngest.renderCsv(Tables.events(s, dir))
         .union(CsvIngest.malformedFixtures.toDF("value"))
+        .repartition(s.sparkContext.defaultParallelism)
       CsvIngest.parsePermissive(lines).orderBy(col("transaction_id"))
     }),
     // Relational coverage (extensions; SURVEY.md §2.5)
@@ -225,8 +230,12 @@ object SparkEntry {
     // the original events exactly (field-level nulls preserved)
     "jsonl_roundtrip_events" -> ((s, dir) => {
       import s.implicits._
+      // repartition before the parse — same rationale as the CSV twin:
+      // Jackson parse is the expensive stage and must spread across
+      // cores, not run on the fixture's single scan partition
       val lines = JsonIngest.renderJsonl(Tables.events(s, dir))
         .union(JsonIngest.malformedFixtures.toDF("value"))
+        .repartition(s.sparkContext.defaultParallelism)
       JsonIngest.parseJsonl(lines, graft.sources.EventSource.schema)
         .orderBy(col("event_id"))
     }),
