@@ -36,6 +36,32 @@ object BpeProfile {
     time("train_bpe(vocab_bpe)")(TextAnalysis.trainBpeMerges(docs).collect())
     time("encode_bpe(tokenize_bpe)")(
       TextAnalysis.encodeBpe(docs).queryExecution.toRdd.count())
+
+    // Scale probe for the adaptive cutover: synthetic corpora just below
+    // and far above BpeDriverTypeLimit word types (4-letter words drawn
+    // from a hashed id space), exercising BOTH training paths at realistic
+    // vocabulary sizes. 100k docs x 20 words = 2M corpus tokens.
+    def synth(nDocs: Long, types: Int) = {
+      import org.apache.spark.sql.functions._
+      spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(1, 20), i -> concat(
+          chr(97 + pmod(xxhash64(id * 31 + i), $types) % 26),
+          chr(97 + (pmod(xxhash64(id * 31 + i), $types) div 26) % 26),
+          chr(97 + (pmod(xxhash64(id * 31 + i), $types) div 676) % 26),
+          chr(97 + (pmod(xxhash64(id * 31 + i), $types) div 17576) % 26))))""")
+          .as("text"))
+    }
+    Seq(("local_path_90k_types", 90000), ("distributed_300k_types", 300000))
+      .foreach { case (name, types) =>
+        val big = synth(100000L, types)
+        val distinct = time(s"${name}_typecount") {
+          import org.apache.spark.sql.functions._
+          big.select(explode(split(col("text"), " "))).distinct().count()
+        }
+        println(s"  distinct types=$distinct")
+        time(name)(TextAnalysis.trainBpeMerges(big).collect())
+      }
     spark.stop()
   }
 }

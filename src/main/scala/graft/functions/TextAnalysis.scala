@@ -525,16 +525,29 @@ object TextAnalysis {
   private[graft] def bpeMerges(documents: DataFrame,
                                numMerges: Int): Seq[(Long, String, String, Long)] = {
     require(numMerges > 0 && numMerges <= 64, "numMerges must be in 1..64")
-    val typeCounts = documents
+    // the corpus-sized word count is built and CACHED once, before the
+    // probe: the probe's limit only materializes the partitions it
+    // fetches, and on the big-vocabulary handoff the distributed loop
+    // finishes the fill from the probe's own shuffle output — the corpus
+    // is scanned exactly once on either path
+    val wordTypes = documents
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike(BpeWordRe))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-    // one probe job: if the whole type table comes back under the limit
-    // we already hold it — no separate count() pass
-    val probe = typeCounts.limit(BpeDriverTypeLimit + 1).collect()
-    if (probe.length <= BpeDriverTypeLimit)
-      bpeMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
-    else bpeMergesDistributed(typeCounts, numMerges)
+      .withColumn("symseq", bpeInitSymseq(col("word")))
+      .cache()
+    var handoff = false
+    try {
+      // one probe job: if the whole type table comes back under the
+      // limit we already hold it — no separate count() pass
+      val probe = wordTypes.limit(BpeDriverTypeLimit + 1).collect()
+      if (probe.length <= BpeDriverTypeLimit)
+        bpeMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges)
+      else {
+        handoff = true // bpeMergesDistributed owns the unpersist
+        bpeMergesDistributed(wordTypes, numMerges)
+      }
+    } finally if (!handoff) wordTypes.unpersist()
   }
 
   /** Bounded-artifact budget for the driver-side training path: 100k
@@ -590,12 +603,16 @@ object TextAnalysis {
     out.result()
   }
 
-  /** Distributed merge rounds — the > [[BpeDriverTypeLimit]] path. */
+  /** Distributed merge rounds — the > [[BpeDriverTypeLimit]] path.
+    * Accepts the `(word, c, symseq)` type table; caches it (idempotent
+    * when [[bpeMerges]] hands off an already-cached frame) and unpersists
+    * it on exit.
+    */
   private[graft] def bpeMergesDistributed(typeCounts: DataFrame,
                                    numMerges: Int): Seq[(Long, String, String, Long)] = {
-    val wordTypes = typeCounts
-      .withColumn("symseq", bpeInitSymseq(col("word")))
-      .cache()
+    val wordTypes =
+      if (typeCounts.columns.contains("symseq")) typeCounts.cache()
+      else typeCounts.withColumn("symseq", bpeInitSymseq(col("word"))).cache()
     try {
       val out = Seq.newBuilder[(Long, String, String, Long)]
       var cur = wordTypes
