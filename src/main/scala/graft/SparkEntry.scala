@@ -239,6 +239,15 @@ object SparkEntry {
       JsonIngest.parseJsonl(lines, graft.sources.EventSource.schema)
         .orderBy(col("event_id"))
     }),
+    // ORC interchange roundtrip: write the normalized events as ORC,
+    // read them back through the canonical schema — the second builtin
+    // columnar format, microsecond-exact (identity vs the events oracle)
+    "orc_roundtrip_events" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_rt_").toString
+      graft.sources.EventSource.writeOrc(Tables.events(s, dir), out)
+      graft.sources.EventSource.readOrc(s, out).orderBy(col("event_id"))
+    }),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
@@ -818,6 +827,10 @@ object SparkEntry {
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    // ORC roundtrip parity: read(write(events)) == events exactly
+    "orc_roundtrip_events" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
     "q_set_ops_segments" ->

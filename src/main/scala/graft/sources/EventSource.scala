@@ -98,6 +98,28 @@ object EventSource {
   def csvLineStream(spark: SparkSession, dir: String): DataFrame =
     CsvIngest.parsePermissive(spark.readStream.text(dir).toDF("value"))
 
+  /** ORC interchange twin of the parquet path — the second builtin
+    * columnar format a pipeline upstream may hand over. Snappy ORC with
+    * the canonical [[schema]]; timestamps survive at microsecond
+    * precision (ORC carries nanos on the wire), so a write → read
+    * round-trip is exactly the identity on normalized events — the
+    * `orc_roundtrip_events` query pins that against the DuckDB oracle.
+    * Both sides are plain format dispatch on the builtin file source:
+    * every scan optimization the parquet path gets (pushdown, pruning,
+    * vectorized read) applies unchanged.
+    */
+  def writeOrc(events: DataFrame, dir: String): Unit =
+    events.write.mode("overwrite").orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
+  /** Streaming ORC file source with the canonical schema — the ORC twin
+    * of [[parquetStream]]'s already-normalized branch.
+    */
+  def orcStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).orc(dir)
+
   /** Deterministic synthetic workload (S2 twin of `generator1.py`): the
     * rate source drives event ids; payload derives from userID exactly
     * like the reference generator (`generator1.py:20`), and traffic is
