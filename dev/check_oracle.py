@@ -37,9 +37,14 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracles.items()):
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
+        if name in errs:
+            # the query threw THIS run; any result files are stale leftovers
+            # from a previous run into the same out_dir — never compare them
+            print(f"ERROR    {name}: {errs[name]}")
+            n_bad += 1
+            continue
         if not files:
-            why = errs.get(name, "no spark result")
-            print(f"MISSING  {name}: {why}")
+            print(f"MISSING  {name}: no spark result")
             n_bad += 1
             continue
         got = canon(con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df())

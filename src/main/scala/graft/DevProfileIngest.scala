@@ -2,7 +2,6 @@ package graft
 
 // Scratch profiling harness (dev aid): stage-level timing of the
 // CSV/JSONL round-trip queries on a fixture dir.
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CsvIngest, JsonIngest}
@@ -10,19 +9,9 @@ import graft.operators.{CsvIngest, JsonIngest}
 object DevProfileIngest {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Dev.session()
+    import Dev.time
     import spark.implicits._
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
     val ev = Tables.events(spark, sfDir)
     println(s"events=${ev.count()}")
     time("warm")(ev.queryExecution.toRdd.count())

@@ -241,12 +241,17 @@ object SparkEntry {
     }),
     // ORC interchange roundtrip: write the normalized events as ORC,
     // read them back through the canonical schema — the second builtin
-    // columnar format, microsecond-exact (identity vs the events oracle)
+    // columnar format, microsecond-exact (identity vs the events oracle).
+    // Same per-run temp-dir + localCheckpoint + delete discipline as
+    // corpus_manifest: the returned frame is self-contained.
     "orc_roundtrip_events" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_orc_rt_").toString
-      graft.sources.EventSource.writeOrc(Tables.events(s, dir), out)
-      graft.sources.EventSource.readOrc(s, out).orderBy(col("event_id"))
+      val root = java.nio.file.Files.createTempDirectory("graft_orc_rt_")
+      try {
+        val out = root.resolve("events").toString
+        graft.sources.EventSource.writeOrc(Tables.events(s, dir), out)
+        graft.sources.EventSource.readOrc(s, out)
+          .orderBy(col("event_id")).localCheckpoint()
+      } finally graft.streaming.StreamingSessions.deleteRecursively(root)
     }),
     // Text-analysis extensions over documents
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),

@@ -1,18 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Dev aid: time named SparkEntry queries on a fixture dir.
+  * Usage: runMain graft.TimeQ <sfDir> <query>...
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Dev.session()
     spark.range(1000).selectExpr("sum(id)").collect()
     args.drop(1).foreach { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-      println(f"[timeq] $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      Dev.time(name)(
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count())
     }
     spark.stop()
   }

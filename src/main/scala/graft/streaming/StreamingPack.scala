@@ -25,16 +25,19 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * LAST write of the step, so a replayed batch either reprocesses in full
   * against the identical pre-batch state (re-deriving byte-identical
   * placements; the batch-id-keyed idempotent output writer keeps the
-  * committed dir verbatim) or sees an empty effective batch. Dropped ids
-  * are discriminated replay-vs-violation in two tiers: ids in
-  * `(prev_max, max]` (the last snapshot's own batch, recorded as
-  * `prev_max_doc_id`) are admitted on the state alone — O(1), the common
-  * crash-window path; ids at or below `prev_max` only occur on a
-  * full/suffix replay (lost checkpoint), where each must already hold a
-  * committed placement — verified by an anti-join against the output
-  * (rare path, and a full replay rescans everything anyway). An
-  * unplaced id at or below the frontier is genuinely out-of-order input
-  * and fails loudly instead of silently losing a document's placement.
+  * committed dir verbatim) or sees an empty effective batch. Replay-vs-
+  * violation discrimination rests on one invariant: the output batch
+  * commits BEFORE the frontier-bearing state snapshot, so every id a
+  * LEGITIMATE replay re-delivers below the frontier already holds a
+  * committed placement — in the crash window (output committed, state
+  * missing) the old frontier keeps the batch effective rather than
+  * dropped. Dropped ids are therefore anti-joined against the committed
+  * output (only on batches that drop anything — replays and violations;
+  * the steady-state path never pays it), and an UNPLACED id at or below
+  * the frontier is genuinely out-of-order input that fails loudly
+  * instead of silently losing a document's placement. Each snapshot
+  * still records `prev_max_doc_id`, the frontier before its own batch,
+  * as a replay-window diagnostic.
   */
 object StreamingPack {
 
@@ -76,15 +79,15 @@ object StreamingPack {
       try {
         val sess = b.sparkSession
         val st = readState(sess, stateDir)
-        val (frontier, prevMax) = (st.getLong(1), st.getLong(3))
+        val frontier = st.getLong(1)
         val eff = b.filter(col("doc_id") > frontier)
-        // replay-vs-violation discrimination (see class doc): drops in
-        // (prev_max, frontier] are the last snapshot's own batch — fine;
-        // drops at/below prev_max must be a full/suffix replay, i.e.
-        // every such id already holds a committed placement
+        // replay-vs-violation discrimination (see class doc): every
+        // dropped id must already hold a committed placement — output
+        // commits before the state snapshot, so a replayed id always
+        // does and an out-of-order NEW id (at ANY position below the
+        // frontier) never does
         val dropped = b.filter(col("doc_id") <= frontier)
-        val oldest = dropped.agg(min(col("doc_id"))).head()
-        if (!oldest.isNullAt(0) && oldest.getLong(0) <= prevMax) {
+        if (!dropped.isEmpty) {
           val placed = readOutput(sess, outDir).select("doc_id")
           val unplaced = dropped.select("doc_id")
             .join(placed, Seq("doc_id"), "left_anti")

@@ -795,6 +795,36 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streaming pack rejects an unseen id inside the last batch's window") {
+    // an out-of-order NEW doc whose id lands BETWEEN the previous
+    // frontier and the current one pattern-matches a crash-window replay
+    // by id range alone — only the committed-placement check can tell it
+    // apart, so it must fail loudly, not silently drop
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-pack-win")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingPack.packAdmissionStream(spark,
+          in.toString, root.resolve("state").toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString, 8L)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "a b c"), (20L, "d e")).toDF("doc_id", "text"), in, 0)
+      StreamingSessions.appendReplayFile(
+        Seq((25L, "f g"), (30L, "h i j")).toDF("doc_id", "text"), in, 1)
+      run("ckpt")
+      // state now: frontier 30, prev_max 20; id 22 sits inside (20, 30]
+      // but was never packed
+      StreamingSessions.appendReplayFile(
+        Seq((22L, "zz")).toDF("doc_id", "text"), in, 2)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")
+        && m.contains("22")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("streaming pack replays the output-committed/state-missing crash window") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-pack-crash")

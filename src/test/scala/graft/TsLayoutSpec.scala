@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.streaming.StreamingSessions
+
 /** Timestamp-layout drift protection: the driver has regenerated the
   * events fixture in different parquet timestamp encodings across rounds
   * (INT64 TIMESTAMP(NANOS) → timestamp[us]/TIMESTAMP_NTZ), and each drift
@@ -12,57 +14,75 @@ import org.apache.spark.sql.types._
   * contract — microsecond `TimestampType`, identical instants — across
   * every layout that has shipped, so the next drift fails here, in
   * `sbt test`, not a round later in the correctness report.
+  *
+  * The NANOS layout is a COMMITTED pyarrow-written fixture
+  * (`src/test/resources/events_ts_nanos.parquet`, physical type
+  * `INT64 TIMESTAMP(isAdjustedToUTC=false, NANOS)`) because Spark cannot
+  * write that annotation itself — a plain long column would read as
+  * LongType with or without `spark.sql.legacy.parquet.nanosAsLong` and
+  * would never exercise the legacy-conf admission path the real round-1
+  * fixtures require.
   */
 class TsLayoutSpec extends SparkSpec {
   import spark.implicits._
 
-  // one event at 2024-01-01T00:00:01.234567Z plus one a minute later
+  // one event at 2024-01-01T00:00:01.234567Z plus one a minute later —
+  // the same rows the committed nanos fixture holds
   private val microsA = 1704067201234567L
   private val microsB = microsA + 60L * 1000000L
 
-  /** Write `events.parquet` under a fresh dir with `ts` encoded per
+  /** Write (or copy) `events.parquet` under `root` with `ts` encoded per
     * `layout`, returning the dir usable as an sfDir.
     */
-  private def writeLayout(layout: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-ts-$layout")
-    val base = Seq(
-      (1L, microsA, 7L, "view", 1.5, "{}"),
-      (2L, microsB, 8L, "click", 2.5, "{}"))
-      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
-    val df = layout match {
-      case "nanos_long" =>
-        // the INT64-nanos fixture reads as LongType under the legacy
-        // conf; a plain long column round-trips to the same read shape
-        base.withColumn("ts", col("us") * 1000L)
-      case "ntz" =>
-        base.withColumn("ts",
-          timestamp_micros(col("us")).cast(TimestampNTZType))
-      case "timestamp" =>
-        base.withColumn("ts", timestamp_micros(col("us")))
+  private def writeLayout(root: java.nio.file.Path, layout: String): String = {
+    val dir = root.resolve(layout)
+    layout match {
+      case "nanos" =>
+        // the committed fixture FILE goes inside an events.parquet
+        // DIRECTORY (like Spark-written tables) so the streaming file
+        // source — which requires a directory — reads it too
+        val table = dir.resolve("events.parquet")
+        java.nio.file.Files.createDirectories(table)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(
+            getClass.getResource("/events_ts_nanos.parquet").toURI),
+          table.resolve("part-00000.parquet"))
+      case _ =>
+        val base = Seq(
+          (1L, microsA, 7L, "view", 1.5, "{}"),
+          (2L, microsB, 8L, "click", 2.5, "{}"))
+          .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        val withTs = layout match {
+          case "ntz" => base.withColumn("ts",
+            timestamp_micros(col("us")).cast(TimestampNTZType))
+          case "timestamp" => base.withColumn("ts", timestamp_micros(col("us")))
+        }
+        withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve("events.parquet").toString)
     }
-    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/events.parquet")
     dir.toString
   }
 
-  private val layouts = Seq("nanos_long", "ntz", "timestamp")
+  private val layouts = Seq("nanos", "ntz", "timestamp")
 
   test("Tables.events normalizes every shipped ts layout to the same instants") {
-    layouts.foreach { layout =>
-      val ev = Tables.events(spark, writeLayout(layout))
+    val root = java.nio.file.Files.createTempDirectory("graft-ts-batch")
+    try layouts.foreach { layout =>
+      val ev = Tables.events(spark, writeLayout(root, layout))
       assert(ev.schema("ts").dataType == TimestampType,
         s"layout $layout: wrong normalized type")
       val got = ev.orderBy("event_id")
         .select(unix_micros(col("ts"))).as[Long].collect().toSeq
       assert(got == Seq(microsA, microsB),
         s"layout $layout: instants shifted")
-    }
+    } finally StreamingSessions.deleteRecursively(root)
   }
 
   test("parquetStream normalizes every shipped ts layout to the same instants") {
-    layouts.foreach { layout =>
-      val dir = s"${writeLayout(layout)}/events.parquet"
+    val root = java.nio.file.Files.createTempDirectory("graft-ts-stream")
+    try layouts.foreach { layout =>
+      val dir = s"${writeLayout(root, layout)}/events.parquet"
       val streamed = graft.sources.EventSource.parquetStream(spark, dir)
       assert(streamed.schema("ts").dataType == TimestampType,
         s"layout $layout: wrong streaming type")
@@ -72,6 +92,6 @@ class TsLayoutSpec extends SparkSpec {
       val got = spark.table(s"ts_layout_$layout").orderBy("event_id")
         .select(unix_micros(col("ts"))).as[Long].collect().toSeq
       assert(got == Seq(microsA, microsB), s"layout $layout streamed")
-    }
+    } finally StreamingSessions.deleteRecursively(root)
   }
 }
