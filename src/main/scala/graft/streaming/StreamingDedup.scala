@@ -132,18 +132,26 @@ object StreamingDedup {
           val frontier = idx.agg(max(col("canonical_id"))).head()
           val eff = if (frontier.isNullAt(0)) b
                     else b.filter(col("doc_id") > frontier.getLong(0))
-          // replay-vs-violation discrimination: every processed doc's
-          // text_key is in the key table (its canonical was appended in
-          // the same batch), so a dropped doc with an UNKNOWN key is
-          // genuinely out-of-order input — fail loudly, don't drop data
+          // replay-vs-violation discrimination, per DOC not per key: the
+          // output batch commits before the key append, so every id a
+          // legitimate replay re-delivers below the frontier already has
+          // a committed admission row. A key-level check would wave
+          // through an out-of-order NEW doc that happens to share its
+          // text with an indexed one (whole-corpus dedup would have made
+          // the lower id canonical — silently dropping it diverges);
+          // the output anti-join catches exactly that. Only batches that
+          // drop something pay the output read — replays and violations.
           if (!frontier.isNullAt(0)) {
-            val unknown = b.filter(col("doc_id") <= frontier.getLong(0))
-              .select(md5(col("text")).as("text_key"))
-              .join(idx, Seq("text_key"), "left_anti").count()
-            require(unknown == 0,
-              s"exactAdmissionStream: $unknown below-frontier docs have " +
-                "keys absent from the index — out-of-order ingest (not a " +
-                "replay); re-run the batch through whole-corpus dedup")
+            val dropped = b.filter(col("doc_id") <= frontier.getLong(0))
+            if (!dropped.isEmpty) {
+              val unknown = dropped.select(col("doc_id"))
+                .join(readOutput(sess, outDir).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti").count()
+              require(unknown == 0,
+                s"exactAdmissionStream: $unknown below-frontier docs have " +
+                  "no committed admission row — out-of-order ingest (not " +
+                  "a replay); re-run the batch through whole-corpus dedup")
+            }
           }
           val admitted = graft.operators.Dedup
             .incrementalExact(eff.limit(0), eff, indexKeys = Some(idx))
@@ -191,11 +199,12 @@ object StreamingDedup {
     *    in full (artifacts at most duplicate-appended, which the admission
     *    joins absorb — candidates are `distinct`ed, propagation takes
     *    minima) or sees an empty effective batch;
-    *  - dropped below-frontier docs are checked against the signature
-    *    artifact: a dropped doc with no stored signature (and ≥1 shingle)
-    *    is genuinely out-of-order input, which fails loudly instead of
-    *    silently losing data (shingle-less docs can't be distinguished
-    *    and are skipped — they carry no dedup state either way);
+    *  - dropped below-frontier docs are checked per DOC against the
+    *    COMMITTED OUTPUT (which commits before every artifact append, so
+    *    a legitimate replay's ids always hold admission rows): a dropped
+    *    doc with no committed admission row — shingled or not — is
+    *    genuinely out-of-order input, which fails loudly instead of
+    *    silently losing its admission;
     *  - label snapshots are versioned `batch=N` with Spark's `_SUCCESS`
     *    marker required at read — a crash mid-snapshot leaves an
     *    uncommitted dir the next read ignores; snapshot math is idempotent
@@ -249,23 +258,26 @@ object StreamingDedup {
         val eff = (if (frontier.isNullAt(0)) b
                    else b.filter(col("doc_id") > frontier.getLong(0))).persist()
         try {
-          // replay-vs-violation discrimination: every indexed doc has a
-          // signature row (sigs append precedes the frontier append), so a
-          // dropped doc with shingles but no stored signature is genuinely
-          // out-of-order input — fail loudly rather than silently drop it.
-          // (Shingle-less docs carry no signature by construction and are
-          // skipped — no dedup state exists to go stale for them.)
+          // replay-vs-violation discrimination, per DOC via the committed
+          // output (the output batch commits before every artifact
+          // append, so a legitimately replayed id always has a committed
+          // admission row). A signature-membership check covered shingled
+          // docs only — an out-of-order SHINGLE-LESS doc carries no
+          // signature yet still owes the corpus an admission row, and
+          // would have been silently dropped. Only batches that drop
+          // something pay the output read — replays and violations.
           if (!frontier.isNullAt(0)) {
-            val droppedWithShingles = graft.operators.NearDup
-              .shingled(b.filter(col("doc_id") <= frontier.getLong(0)))
-              .select(col("doc_id"))
-            val unknown = droppedWithShingles
-              .join(idxSigs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-              .count()
-            require(unknown == 0,
-              s"nearDupAdmissionStream: $unknown below-frontier docs have " +
-                "no stored signature — out-of-order ingest (not a replay); " +
-                "re-run the batch through whole-corpus dedup")
+            val dropped = b.filter(col("doc_id") <= frontier.getLong(0))
+            if (!dropped.isEmpty) {
+              val unknown = dropped.select(col("doc_id"))
+                .join(readOutput(sess, outDir).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti").count()
+              require(unknown == 0,
+                s"nearDupAdmissionStream: $unknown below-frontier docs " +
+                  "have no committed admission row — out-of-order ingest " +
+                  "(not a replay); re-run the batch through whole-corpus " +
+                  "dedup")
+            }
           }
           // batch shingles are shared between admission and the artifact
           // append — shingling is the hottest dedup stage, don't pay it 2×

@@ -795,6 +795,61 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("exact admission rejects an out-of-order doc sharing text with an indexed one") {
+    // key-level discrimination would wave this through (its text IS in
+    // the key table, via a different doc); whole-corpus dedup would have
+    // made the LOWER id canonical, so silently dropping it diverges —
+    // only the per-doc committed-output check catches it
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-exact-samekey")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+          in.toString, root.resolve("keys").toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"), in, 0)
+      run("ckpt")
+      // doc 3 duplicates indexed text "alpha" but was never processed
+      StreamingSessions.appendReplayFile(
+        Seq((3L, "alpha")).toDF("doc_id", "text"), in, 1)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("near-dup admission rejects an out-of-order shingle-less doc") {
+    // a doc too short to shingle carries no signature, so the old
+    // signature-membership check could not see it — but it still owes
+    // the corpus an admission row, and must fail loudly when dropped
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ndup-short")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val index = root.resolve("index")
+      def block(w: String, n: Int) = Seq.fill(n)(w)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
+          in.toString, index.toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, block("a", 50).mkString(" ")),
+          (11L, block("b", 50).mkString(" "))).toDF("doc_id", "text"), in, 0)
+      run("ckpt")
+      // doc 2 is one word (shingle-less) and below the frontier: never
+      // admitted, no signature to check — only the output check sees it
+      StreamingSessions.appendReplayFile(
+        Seq((2L, "solo")).toDF("doc_id", "text"), in, 1)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("streaming pack rejects an unseen id inside the last batch's window") {
     // an out-of-order NEW doc whose id lands BETWEEN the previous
     // frontier and the current one pattern-matches a crash-window replay
