@@ -90,6 +90,43 @@ object StreamingDedup {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Replay-vs-violation guard shared by the three admission loops (the
+    * two here and [[StreamingPack]]): every doc the frontier filter drops
+    * must hold a COMMITTED output row, because the output batch commits
+    * before any frontier-bearing artifact write — a legitimately replayed
+    * id always has one, an out-of-order NEW id never does. Paid only on
+    * batches that drop something (replays and violations, never the
+    * steady-state path); the output scan carries a doc_id range filter so
+    * parquet footer stats prune non-overlapping batch dirs. An index
+    * frontier with NO committed output (an index seeded from a batch-mode
+    * run against a fresh outDir) treats every drop as unplaced — the
+    * correct loud diagnostic, not an obscure empty-read error.
+    */
+  private[streaming] def requireDroppedAreReplays(dropped: DataFrame,
+      frontier: Long, outDir: String, opName: String): Unit = {
+    val bounds = dropped.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (bounds.isNullAt(0)) return // nothing dropped
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val sess = dropped.sparkSession
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val dirs = committedBatchDirs(fs, root).map(_.toString)
+    val placedIds =
+      if (dirs.isEmpty)
+        sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType))))
+      else sess.read.parquet(dirs: _*).select(col("doc_id"))
+        .filter(col("doc_id").between(lo, hi))
+    val unplaced = dropped.select(col("doc_id")).distinct()
+      .join(placedIds, Seq("doc_id"), "left_anti")
+      .agg(min(col("doc_id")), count(lit(1))).head()
+    require(unplaced.isNullAt(0),
+      s"$opName: doc_id ${unplaced.get(0)} (${unplaced.getLong(1)} in " +
+        s"total) is at or below the frontier $frontier but holds no " +
+        "committed output row — out-of-order ingest (not a replay); " +
+        "re-run through the whole-corpus operator")
+  }
+
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
@@ -132,26 +169,27 @@ object StreamingDedup {
           val frontier = idx.agg(max(col("canonical_id"))).head()
           val eff = if (frontier.isNullAt(0)) b
                     else b.filter(col("doc_id") > frontier.getLong(0))
-          // replay-vs-violation discrimination, per DOC not per key: the
-          // output batch commits before the key append, so every id a
-          // legitimate replay re-delivers below the frontier already has
-          // a committed admission row. A key-level check would wave
-          // through an out-of-order NEW doc that happens to share its
-          // text with an indexed one (whole-corpus dedup would have made
-          // the lower id canonical — silently dropping it diverges);
-          // the output anti-join catches exactly that. Only batches that
-          // drop something pay the output read — replays and violations.
+          // replay-vs-violation discrimination, two independent layers:
+          //  - per DOC against the committed output (shared guard): a
+          //    key-level check alone would wave through an out-of-order
+          //    NEW doc sharing its text with an indexed one (whole-corpus
+          //    dedup would have made the lower id canonical — silently
+          //    dropping it diverges);
+          //  - per KEY against the key table: a crash mid-job-commit of
+          //    the key APPEND can leave the frontier advanced while some
+          //    canonical's key row never became visible (a torn append) —
+          //    the output check can't see that, a replayed doc whose key
+          //    is missing from the index can.
           if (!frontier.isNullAt(0)) {
             val dropped = b.filter(col("doc_id") <= frontier.getLong(0))
-            if (!dropped.isEmpty) {
-              val unknown = dropped.select(col("doc_id"))
-                .join(readOutput(sess, outDir).select(col("doc_id")),
-                  Seq("doc_id"), "left_anti").count()
-              require(unknown == 0,
-                s"exactAdmissionStream: $unknown below-frontier docs have " +
-                  "no committed admission row — out-of-order ingest (not " +
-                  "a replay); re-run the batch through whole-corpus dedup")
-            }
+            requireDroppedAreReplays(dropped, frontier.getLong(0), outDir,
+              "exactAdmissionStream")
+            val torn = dropped.select(md5(col("text")).as("text_key"))
+              .join(idx, Seq("text_key"), "left_anti").count()
+            require(torn == 0,
+              s"exactAdmissionStream: $torn replayed docs have keys " +
+                "absent from the index — torn key append (crash mid-" +
+                "commit); rebuild the key table from whole-corpus dedup")
           }
           val admitted = graft.operators.Dedup
             .incrementalExact(eff.limit(0), eff, indexKeys = Some(idx))
@@ -258,26 +296,31 @@ object StreamingDedup {
         val eff = (if (frontier.isNullAt(0)) b
                    else b.filter(col("doc_id") > frontier.getLong(0))).persist()
         try {
-          // replay-vs-violation discrimination, per DOC via the committed
-          // output (the output batch commits before every artifact
-          // append, so a legitimately replayed id always has a committed
-          // admission row). A signature-membership check covered shingled
-          // docs only — an out-of-order SHINGLE-LESS doc carries no
-          // signature yet still owes the corpus an admission row, and
-          // would have been silently dropped. Only batches that drop
-          // something pay the output read — replays and violations.
+          // replay-vs-violation discrimination, two independent layers:
+          //  - per DOC against the committed output (shared guard; the
+          //    former signature-membership check covered shingled docs
+          //    only — an out-of-order SHINGLE-LESS doc carries no
+          //    signature yet still owes the corpus an admission row);
+          //  - per SHINGLED doc against the shingle artifact: the
+          //    frontier comes from that artifact's max(doc_id), so a
+          //    crash mid-job-commit of the shingle APPEND can advance it
+          //    while other docs' shingle rows never became visible (a
+          //    torn append) — future admissions would silently miss
+          //    near-dups against those docs; a replayed shingled doc
+          //    absent from the artifact exposes it.
           if (!frontier.isNullAt(0)) {
             val dropped = b.filter(col("doc_id") <= frontier.getLong(0))
-            if (!dropped.isEmpty) {
-              val unknown = dropped.select(col("doc_id"))
-                .join(readOutput(sess, outDir).select(col("doc_id")),
-                  Seq("doc_id"), "left_anti").count()
-              require(unknown == 0,
-                s"nearDupAdmissionStream: $unknown below-frontier docs " +
-                  "have no committed admission row — out-of-order ingest " +
-                  "(not a replay); re-run the batch through whole-corpus " +
-                  "dedup")
-            }
+            requireDroppedAreReplays(dropped, frontier.getLong(0), outDir,
+              "nearDupAdmissionStream")
+            val torn = graft.operators.NearDup.shingled(dropped)
+              .select(col("doc_id"))
+              .join(idxSh.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .count()
+            require(torn == 0,
+              s"nearDupAdmissionStream: $torn replayed shingled docs are " +
+                "absent from the shingle artifact — torn shingle append " +
+                "(crash mid-commit); rebuild the artifacts from " +
+                "whole-corpus dedup")
           }
           // batch shingles are shared between admission and the artifact
           // append — shingling is the hottest dedup stage, don't pay it 2×

@@ -85,19 +85,12 @@ object StreamingPack {
         // dropped id must already hold a committed placement — output
         // commits before the state snapshot, so a replayed id always
         // does and an out-of-order NEW id (at ANY position below the
-        // frontier) never does
-        val dropped = b.filter(col("doc_id") <= frontier)
-        if (!dropped.isEmpty) {
-          val placed = readOutput(sess, outDir).select("doc_id")
-          val unplaced = dropped.select("doc_id")
-            .join(placed, Seq("doc_id"), "left_anti")
-            .agg(min(col("doc_id"))).head()
-          require(unplaced.isNullAt(0),
-            s"packAdmissionStream: doc_id ${unplaced.get(0)} is at or " +
-              s"below the pack frontier $frontier but holds no committed " +
-              "placement — out-of-order ingest (not a replay); re-pack " +
-              "the union instead")
-        }
+        // frontier) never does. No torn-append layer here: the state
+        // snapshot is an atomic _SUCCESS-gated versioned dir, not an
+        // append.
+        StreamingDedup.requireDroppedAreReplays(
+          b.filter(col("doc_id") <= frontier), frontier, outDir,
+          "packAdmissionStream")
         if (!eff.isEmpty) {
           val stateDf = sess.createDataFrame(
             java.util.Arrays.asList(

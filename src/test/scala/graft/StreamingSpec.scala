@@ -795,6 +795,76 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("exact admission detects a torn key append on replay") {
+    // a crash mid-job-commit of the key append can advance the frontier
+    // while some canonical's key row never became visible; the committed-
+    // output check alone cannot see it (the replayed doc HAS an output
+    // row) — the key-membership layer must fail loudly
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-exact-torn")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val keys = root.resolve("keys").toString
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.exactAdmissionStream(spark,
+          in.toString, keys, root.resolve("out").toString,
+          root.resolve(ckpt).toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"), in, 0)
+      run("ckpt")
+      // simulate the torn append: doc 10's key row vanishes, the
+      // frontier (max canonical 11) stays advanced
+      val kept = spark.read.parquet(keys)
+        .filter(org.apache.spark.sql.functions.col("canonical_id") =!= 10L)
+        .collect()
+      StreamingSessions.deleteRecursively(java.nio.file.Paths.get(keys))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*),
+        StructType(Seq(StructField("text_key", StringType),
+          StructField("canonical_id", LongType))))
+        .write.parquet(keys)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("torn key append")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("near-dup admission detects a torn shingle append on replay") {
+    // the frontier lives in the shingle artifact's max(doc_id); a torn
+    // append that lost a NON-max doc's shingle rows would silently miss
+    // every future near-dup against that doc — the artifact-membership
+    // layer must fail loudly on the doc's replay
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ndup-torn")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val index = root.resolve("index")
+      def block(w: String, n: Int) = Seq.fill(n)(w)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.nearDupAdmissionStream(spark,
+          in.toString, index.toString,
+          root.resolve("out").toString, root.resolve(ckpt).toString)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, block("a", 50).mkString(" ")),
+          (11L, block("b", 50).mkString(" "))).toDF("doc_id", "text"), in, 0)
+      run("ckpt")
+      // simulate the tear: doc 10's shingle rows vanish; max stays 11
+      val sh = index.resolve("shingles").toString
+      val kept = spark.read.parquet(sh)
+        .filter(org.apache.spark.sql.functions.col("doc_id") =!= 10L)
+        .localCheckpoint().collect()
+      val schema = spark.read.parquet(sh).schema
+      StreamingSessions.deleteRecursively(java.nio.file.Paths.get(sh))
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+        .write.parquet(sh)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("torn shingle append")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("exact admission rejects an out-of-order doc sharing text with an indexed one") {
     // key-level discrimination would wave this through (its text IS in
     // the key table, via a different doc); whole-corpus dedup would have
