@@ -39,7 +39,11 @@ object Curation {
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
-  /** One-row corpus rollup: doc/text/token/char totals, all integers. */
+  /** One-row corpus rollup: doc/text/token/char totals, all integers —
+    * including on an EMPTY corpus (sum/min/max aggregate to null there;
+    * the coalesce keeps the integer-only oracle contract for empty daily
+    * batches).
+    */
   def corpusStats(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("text"),
@@ -48,10 +52,10 @@ object Curation {
       .agg(
         count(lit(1)).as("n_docs"),
         count_distinct(md5(col("text"))).as("n_unique_texts"),
-        sum(col("n_tokens")).as("total_tokens"),
-        min(col("n_tokens")).as("min_tokens"),
-        max(col("n_tokens")).as("max_tokens"),
-        sum(col("n_chars")).as("total_chars"))
+        coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+        coalesce(min(col("n_tokens")), lit(0L)).as("min_tokens"),
+        coalesce(max(col("n_tokens")), lit(0L)).as("max_tokens"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("total_chars"))
 
   /** Stratified deterministic sample: `perStratum` docs per predicted
     * language, chosen by the content-free [[sampleBucket]] order (so the
@@ -61,9 +65,12 @@ object Curation {
     */
   def stratifiedSample(documents: DataFrame, perStratum: Int,
                        subStrata: Int = 16): DataFrame = {
-    val lang = graft.functions.TextAnalysis.langId(documents)
+    // langId already emits exactly one row per doc_id of `documents`
+    // (minus token-less docs, which have no stratum) — joining back
+    // against the documents id set would be an identity at the cost of a
+    // corpus-proportional shuffle join
+    val keyed = graft.functions.TextAnalysis.langId(documents)
       .select(col("doc_id"), col("pred_lang"))
-    val keyed = documents.select(col("doc_id")).join(lang, "doc_id")
       .withColumn("bkt", sampleBucket(col("doc_id")))
     // Two-level top-k so no stratum ever needs a single-reducer sort of
     // its full population. Level 1 ranks inside (stratum, bucket-range)
@@ -190,11 +197,14 @@ object Curation {
     * corpus-proportional frame (plan-asserted in CurationSpec).
     */
   def packShards(documents: DataFrame, capacityTokens: Long,
-                 bucketSize: Long = 4096): DataFrame =
+                 bucketSize: Long = 4096): DataFrame = {
+    require(capacityTokens > 0,
+      s"capacityTokens must be positive, got $capacityTokens")
     tokenPrefix(documents, bucketSize)
       .select(col("doc_id"), col("n_tokens"),
         expr(s"prefix div $capacityTokens").as("shard_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** `(doc_id, n_tokens, prefix)` where `prefix` is the exclusive global
     * running token total in `doc_id` order — the distributed prefix sum
@@ -203,6 +213,10 @@ object Curation {
     */
   private def tokenPrefix(documents: DataFrame,
                           bucketSize: Long): DataFrame = {
+    // a non-positive bucket size makes `doc_id div bucketSize` reverse
+    // (or explode) the bucket order the offset windows sort by — the
+    // prefix sum would be silently wrong, not slow
+    require(bucketSize > 0, s"bucketSize must be positive, got $bucketSize")
     val toks = documents.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       expr(s"doc_id div $bucketSize").as("bkt"))
@@ -294,8 +308,19 @@ object Curation {
   /** The updated artifact after a batch is packed: the next run's
     * [[packState]], computed from the old state plus one aggregation over
     * the BATCH only (O(batch), equal to `packState(index ∪ batch)`).
+    *
+    * Guards the same monotone-id frontier as [[packSequencesWith]]: a
+    * batch overlapping the packed corpus would DOUBLE-COUNT its docs and
+    * tokens here (a union would dedup them), silently corrupting the
+    * persisted state and shifting every later placement.
     */
-  def packStateAfter(state: DataFrame, newDocs: DataFrame): DataFrame =
+  def packStateAfter(state: DataFrame, newDocs: DataFrame): DataFrame = {
+    val maxId = state.select(col("max_doc_id").cast("long")).head().getLong(0)
+    val lo = newDocs.agg(min(col("doc_id")).cast("long")).head()
+    require(lo.isNullAt(0) || lo.getLong(0) > maxId,
+      s"packStateAfter: batch min doc_id ${lo.get(0)} is not above the " +
+        s"packed corpus frontier $maxId — the state would double-count " +
+        "overlapping documents; re-derive it with packState on the union")
     state.crossJoin(packState(newDocs)
         .select(col("n_docs").as("b_docs"), col("max_doc_id").as("b_max"),
           col("total_tokens").as("b_tokens")))
@@ -303,6 +328,7 @@ object Curation {
         (col("n_docs") + col("b_docs")).as("n_docs"),
         greatest(col("max_doc_id"), col("b_max")).as("max_doc_id"),
         (col("total_tokens") + col("b_tokens")).as("total_tokens"))
+  }
 
   /** Incremental sequence packing — pack a NEW batch of documents as the
     * continuation of the already-packed token stream summarized by
@@ -447,6 +473,10 @@ object Curation {
   def chunkDocs(documents: DataFrame, chunkChars: Int = 200,
                 strideChars: Int = 150): DataFrame = {
     require(chunkChars > 0 && strideChars > 0, "chunk and stride must be positive")
+    require(strideChars <= chunkChars,
+      s"strideChars ($strideChars) > chunkChars ($chunkChars) would drop " +
+        "the characters between consecutive chunks — the documented " +
+        "no-span-lost contract requires stride <= chunk")
     documents
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"),
@@ -534,15 +564,20 @@ object Curation {
                          n: Int = 8, fpp: Double = 0.01): DataFrame = {
     val spark = documents.sparkSession
     val postings = contaminationPostings(documents, evalBps, n)
+    // benchmark-sized and consumed three times (sizing count, bloom
+    // aggregate, exact join) — materialize once so eval shingling runs
+    // once and nothing here touches the corpus side
     val evalSide = postings.filter(col("is_eval"))
       .select(col("ngh"), col("doc_id").as("eval_doc_id"))
-    // sizing: eval docs × a per-doc shingle cap. Counting docs (not
-    // postings) avoids a full shingling pass; oversizing only widens the
-    // filter (~9.6 bits/item at fpp 0.01), it never raises the fpp.
-    val evalDocs = documents
-      .filter(sampleBucket(col("doc_id")) < evalBps).count()
+      .localCheckpoint()
+    // sizing: the EXACT distinct n-gram count from the materialized eval
+    // postings. A docs-times-constant estimate undersizes the filter for
+    // eval docs longer than the constant, silently raising the effective
+    // fpp (more survivors to the shuffle — correct but degraded); the
+    // exact count costs one benchmark-sized aggregate on the checkpoint.
+    val items = evalSide.select(col("ngh")).distinct().count()
     val bloom = graft.functions.BloomOps.buildLongBloom(
-      evalSide.select(col("ngh")), "ngh", evalDocs * 256, fpp)
+      evalSide.select(col("ngh")), "ngh", items, fpp)
     val pruned = postings.filter(!col("is_eval"))
       .filter(graft.functions.BloomOps.mightContain(spark, bloom, col("ngh")))
     contaminationReport(pruned, evalSide)
@@ -652,13 +687,20 @@ object Curation {
     * shuffle-partitioned by the join key; output rows are fixed-width.
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_key"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_key"))
+    // presence comes from explicit join-side flags, NOT key nullability:
+    // md5(null text) is null, so key-based presence would misreport a
+    // null-text doc present on both sides as added/removed. Null-safe
+    // key equality then classifies null-vs-null as unchanged and
+    // null-vs-text as changed.
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_key"),
+      lit(true).as("in_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_key"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_key").isNull, "added")
-          .when(col("new_key").isNull, "removed")
-          .when(col("old_key") === col("new_key"), "unchanged")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(col("old_key") <=> col("new_key"), "unchanged")
           .otherwise("changed").as("status"))
       .orderBy(col("doc_id"))
   }
@@ -678,8 +720,12 @@ object Curation {
                    maxDupBp: Long = 2000): DataFrame = {
     val bad = sourceReputation(documents)
       .filter(col("avg_ttr_bp") < minAvgTtrBp || col("dup_bp") > maxDupBp)
-      .select(col("source"))
-    documents.join(bad, Seq("source"), "left_anti")
+      .select(col("source").as("bad_source"))
+    // null-safe anti-join key: sourceReputation groups null sources into
+    // their own domain row, and a plain equi-join key would never match
+    // null — every null-source doc would silently bypass the gate even
+    // when its "domain" fails the reputation floor
+    documents.join(bad, col("source") <=> col("bad_source"), "left_anti")
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))

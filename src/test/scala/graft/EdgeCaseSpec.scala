@@ -171,6 +171,58 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.retentionCohorts(emptyEvents).count() == 0)
   }
 
+  test("corpusDiff classifies null-text docs by presence, not key nullability") {
+    import graft.operators.Curation
+    val old = Seq((1L, null: String), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val niu = Seq((1L, "y"), (2L, null: String), (3L, null: String),
+      (4L, null: String)).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, niu).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // null -> text = changed (not "added"); text -> null = changed (not
+    // "removed"); null on both sides = unchanged; truly-new null doc = added
+    assert(got == Map(1L -> "changed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("gateBySource gates null-source docs through their own domain row") {
+    import graft.operators.Curation
+    // the null-source "domain" is pure duplicates -> fails the dup floor;
+    // a plain equi-join key would never match null and let both docs through
+    val docs = Seq(
+      (1L, null: String, "spam spam spam"),
+      (2L, null: String, "spam spam spam"),
+      (3L, "good.example", "the quick brown fox jumps over lazy dogs today"))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.gateBySource(docs, minAvgTtrBp = 0, maxDupBp = 2000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("corpusStats stays integer-typed on an empty corpus") {
+    import graft.operators.Curation
+    val row = Curation.corpusStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).head()
+    assert((0 until 6).forall(!row.isNullAt(_)))
+    assert(row.getLong(2) == 0L && row.getLong(3) == 0L)
+  }
+
+  test("pack and chunk parameter misuse fails loudly, not silently") {
+    import graft.operators.Curation
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Curation.packShards(docs, 0L))
+    intercept[IllegalArgumentException](
+      Curation.packShards(docs, 2048L, bucketSize = -64L))
+    intercept[IllegalArgumentException](
+      Curation.chunkDocs(docs, chunkChars = 100, strideChars = 150))
+    // overlapping batch would double-count state — guarded like
+    // packSequencesWith
+    val st = Curation.packState(Seq((1L, "a b"), (10L, "c d")).toDF("doc_id", "text"))
+    val ex = intercept[IllegalArgumentException](
+      Curation.packStateAfter(st, Seq((10L, "e f")).toDF("doc_id", "text")))
+    assert(ex.getMessage.contains("frontier"))
+  }
+
   test("registerAll re-binds a view a caller dropped or shadowed") {
     val dir = "/root/testdata/sf0.001"
     Tables.registerAll(spark, dir)
