@@ -20,10 +20,13 @@ import graft.functions.ArrayOps
   *    its recall against the brute-force baseline is asserted in ScalaTest.
   *
   * Numeric determinism: cosines are computed in double (cast from float)
-  * with a sequential fold — and every ordering/threshold decision is made
-  * on `round(cos, 6)` with a vec_id tie-break, so a ±1e-12 formula
-  * difference vs DuckDB's `list_cosine_similarity` cannot flip results.
-  * The near-dup threshold (0.4) sits ≥1e-4 from every pair in the data.
+  * with a sequential fold. The top-k ORDERING paths decide on
+  * `round(cos, 6)` with a vec_id tie-break, so a ±1e-12 formula
+  * difference vs DuckDB's `list_cosine_similarity` cannot flip ranks.
+  * The pair-THRESHOLD filters compare the unrounded cosine — there the
+  * protection is the data margin, not rounding: the near-dup threshold
+  * (0.4) sits ≥1e-4 from every pair in the fixtures, far beyond any
+  * formula-order noise.
   */
 object Similarity {
 
@@ -40,6 +43,30 @@ object Similarity {
 
   private def dotN(df: DataFrame, a: Column, b: Column): Column =
     ArrayOps.dotNative(df.sparkSession, a, b)
+
+  /** The bucket ∪ hamming-1 probe columns over a `bucket` column — ONE
+    * spelling shared by every LSH path (pair search, incremental
+    * admission, multi-probe top-k), so the probe set can never silently
+    * diverge between them.
+    */
+  private def probeCols(numPlanes: Int): Seq[Column] =
+    (0 to numPlanes).map {
+      case 0 => col("bucket")
+      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+    }
+
+  /** Shared top-k presentation: rank `scored` (query_id, vec_id, cos_r)
+    * per query by the engine-robust (round(cos,6) DESC, vec_id) order and
+    * keep the top `k` — one copy of the ordering contract the
+    * [[annRecallReport]] comparison depends on all three methods sharing.
+    */
+  private def presentTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
 
   /** All pairs with cosine ≥ `threshold` (embedding-cosine near-dup),
@@ -101,12 +128,8 @@ object Similarity {
                             numPlanes: Int = NumPlanes): DataFrame = {
     val prep = prepared(embeddings)
       .withColumn("bucket", bucketOf(embeddings, col("v"), numPlanes))
-    val probes = (0 to numPlanes).map {
-      case 0 => col("bucket")
-      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
-    }
     val a = prep.select(col("vec_id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"), explode(array(probes: _*)).as("probe"))
+      col("nrm").as("n_a"), explode(array(probeCols(numPlanes): _*)).as("probe"))
     val b = prep.select(col("vec_id").as("id_b"), col("v").as("v_b"),
       col("nrm").as("n_b"), col("bucket").as("bucket_b"))
     a.join(b, col("probe") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -187,17 +210,26 @@ object Similarity {
                                maxIters: Int = 50): (DataFrame, DataFrame) = {
     NearDup.requireMonotoneIds(indexBuckets.select(col("vec_id")),
       batchEmb.select(col("vec_id").as("doc_id")), "semanticDedupIncremental")
+    // plane-count drift guard: a bucket table stored at a LARGER plane
+    // count than this run probes at carries bucket values outside this
+    // run's bit space — the equi-join keys would live in different
+    // spaces and near-dup pairs would silently vanish. (The opposite
+    // drift — stored smaller, probed larger — is not detectable from
+    // values alone; [[bucketTable]]'s contract requires one numPlanes
+    // across runs.) One bounded aggregate, same loud-failure style as
+    // the monotone-id guard.
+    val maxStored = indexBuckets.agg(max(col("bucket"))).head()
+    require(maxStored.isNullAt(0) || maxStored.getLong(0) < (1L << numPlanes),
+      s"semanticDedupIncremental: stored bucket ${maxStored.get(0)} is " +
+        s"outside the $numPlanes-plane bucket space — the bucket table " +
+        "was built with a different plane count; rebucket the index")
     // consumed by probes, the bucket union, and verify — materialize once;
     // batch-proportional
     val bPrep = prepared(batchEmb)
       .withColumn("bucket", bucketOf(batchEmb, col("v"), numPlanes))
       .localCheckpoint()
-    val probes = (0 to numPlanes).map {
-      case 0 => col("bucket")
-      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
-    }
     val bProbe = bPrep.select(col("vec_id").as("doc_b"),
-      explode(array(probes: _*)).as("probe"))
+      explode(array(probeCols(numPlanes): _*)).as("probe"))
     val allBuckets = indexBuckets
       .select(col("vec_id").as("doc_o"), col("bucket").as("bucket_o"))
       .union(bPrep.select(col("vec_id").as("doc_o"), col("bucket").as("bucket_o")))
@@ -232,19 +264,20 @@ object Similarity {
     * round(cos, 6) desc with vec_id tie-break (engine-robust ordering).
     * The query side is broadcast — the corpus scan never shuffles until
     * the final per-query window (partitioned by query_id).
+    *
+    * Zero-norm vectors (no direction, cosine undefined — NULL under
+    * Spark's x/0) are excluded from BOTH sides in all three top-k
+    * methods: as corpus rows they would rank as trailing NULL "neighbors"
+    * and as queries they would emit k rows of NULL-cosine garbage.
     */
   def bruteForceTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val corpus = prepared(embeddings)
-    val queries = prepared(embeddings).filter(col("vec_id") < numQueries)
+    val corpus = prepared(embeddings).filter(col("nrm") > 0)
+    val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_n"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
         round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    presentTopK(scored, k)
   }
 
   val NumPlanes = 6
@@ -415,19 +448,16 @@ object Similarity {
         col("v"), col("nrm"), centroids, probes))
       .withColumn("cell", element_at(col("cells2"), 1))
       .localCheckpoint()
-    val corpus = assigned.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val queries = assigned.filter(col("vec_id") < numQueries)
+    val corpus = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = assigned.filter(col("vec_id") < numQueries && col("nrm") > 0)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_n"),
         explode(col("cells2")).as("q_cell"))
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
         round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    presentTopK(scored, k)
   }
 
   /** Corpus clustering by spherical k-means — the embedding-space
@@ -512,6 +542,19 @@ object Similarity {
     val cellIds = byCell.keys.toSeq.sorted
     require(cellIds == (0L until cellIds.length.toLong),
       s"centroid artifact cells must be dense 0..k-1, got $cellIds")
+    // per-cell position integrity: a twice-appended or truncated artifact
+    // keeps cells dense but duplicates/drops (cell, pos) rows — the
+    // sorted-pos vector would be the wrong length and the dot product
+    // would silently truncate to min-length, assigning every batch vector
+    // a plausible but wrong cell
+    val dim = byCell(cellIds.head).length
+    cellIds.foreach { c =>
+      val poss = byCell(c).map(_._2).sorted.toSeq
+      require(poss == (0L until dim.toLong),
+        s"centroid artifact cell $c has positions $poss, expected the " +
+          s"complete duplicate-free 0..${dim - 1} — the artifact is " +
+          "corrupted (partial write or double append); rebuild it")
+    }
     val cents: Seq[Seq[Double]] =
       cellIds.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
     prepared(batch)
@@ -536,10 +579,15 @@ object Similarity {
     */
   def annRecallReport(embeddings: DataFrame, numQueries: Int, k: Int,
                       ivfFloor: Long, lshFloor: Long): DataFrame = {
+    // each method's hit frame feeds TWO aggregates (coverage + hits) and
+    // the brute baseline feeds both methods' joins — materialize each
+    // once (numQueries×k rows) or the full scans replay per consumer
     val brute = bruteForceTopK(embeddings, numQueries, k)
       .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     def stats(name: String, approx: DataFrame, floor: Long): DataFrame = {
       val a = approx.select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
       // coverage is measured on the APPROX side — counting over the brute
       // (left) side of the join would always equal numQueries and could
       // never detect a method that stops producing rows for some query
@@ -565,22 +613,15 @@ object Similarity {
     * standard multi-probe LSH recall/latency trade.
     */
   def lshTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val corpus = prepared(embeddings).withColumn("bucket", bucketOf(embeddings, col("v")))
-    val probes = (0 to NumPlanes).map {
-      case 0 => col("bucket")
-      case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
-    }
+    val corpus = prepared(embeddings).filter(col("nrm") > 0)
+      .withColumn("bucket", bucketOf(embeddings, col("v")))
     val queries = corpus.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("q_v"),
-        col("nrm").as("q_n"), explode(array(probes: _*)).as("q_bucket"))
+        col("nrm").as("q_n"), explode(array(probeCols(NumPlanes): _*)).as("q_bucket"))
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
         round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    presentTopK(scored, k)
   }
 }

@@ -310,4 +310,58 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dense"))
   }
+
+  test("assignWith rejects a double-appended or truncated centroid artifact") {
+    val emb = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val cents = Similarity.clusterArtifacts(emb, cells = 2, iters = 1)
+    // a replayed append duplicates every (cell, pos) row: cells stay
+    // dense, positions are no longer unique — must fail, not silently
+    // truncate the dot product
+    val doubled = cents.union(cents)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.assignWith(doubled, emb)
+    }
+    assert(e1.getMessage.contains("corrupted"))
+    // a partial write drops one position row of one cell
+    val truncated = cents.filter($"cell" =!= 1L || $"pos" =!= 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.assignWith(truncated, emb)
+    }
+    assert(e2.getMessage.contains("corrupted"))
+  }
+
+  test("semanticDedupIncremental rejects a bucket table from more planes") {
+    val idx = vecs((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+    val batch = vecs((10L, Seq(1f, 0.01f)))
+    // index bucketed at 12 planes, probed at 6: stored bucket values can
+    // exceed the 6-plane bit space — must fail, not silently miss pairs
+    val wideBuckets = Similarity.bucketTable(idx, numPlanes = 12)
+    val labels = Similarity.semanticDedup(idx, 0.4, numPlanes = 12)
+      .filter(!$"kept").select($"vec_id", $"cluster_id")
+    // guard triggers only when a stored bucket actually uses a high bit;
+    // force one deterministically
+    val forced = wideBuckets.withColumn("bucket",
+      org.apache.spark.sql.functions.lit(1L << 10))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupIncremental(idx, forced, labels, batch, 0.4,
+        numPlanes = 6)
+    }
+    assert(e.getMessage.contains("plane"))
+  }
+
+  test("zero-norm vectors are excluded from top-k on both sides") {
+    // vec 0 is a zero vector: as a query it must emit no rows (not k
+    // NULL-cosine rows); as a corpus row it must never appear as a
+    // neighbor
+    val emb = vecs((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0f, 1f)))
+    Seq(
+      Similarity.bruteForceTopK(emb, numQueries = 2, k = 3),
+      Similarity.lshTopK(emb, numQueries = 2, k = 3),
+      Similarity.ivfTopK(emb, numQueries = 2, k = 3, probes = 2)).foreach { df =>
+      val rows = df.collect()
+      assert(!rows.exists(_.getLong(0) == 0L), "zero-norm query emitted rows")
+      assert(!rows.exists(_.getLong(1) == 0L), "zero-norm neighbor emitted")
+    }
+  }
 }
