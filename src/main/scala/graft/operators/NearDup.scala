@@ -153,12 +153,23 @@ object NearDup {
     val posting =
       if (maxDocFreq == Long.MaxValue) posting0
       else {
+        // consumed by the df aggregate AND the prune join — materialize
+        // once, or the shingle stage (the hottest in every dedup query)
+        // runs twice
+        val p0 = posting0.localCheckpoint()
         // no broadcast hint: |keep| tracks the distinct-shingle count (i.e.
         // the corpus), so forcing a broadcast is an OOM at scale — AQE
         // broadcasts it automatically whenever it is actually small
-        val keep = posting0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        val keep = p0.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDocFreq).select(col("sh"))
-        posting0.join(keep, "sh")
+        // pruning redefines each doc's effective shingle SET, so `n` must
+        // be recomputed as the KEPT posting count: with the pre-prune
+        // size, every union is inflated by the pruned shingles and truly
+        // similar pairs — exact duplicates included — silently drop below
+        // the threshold
+        val kept = p0.drop("n").join(keep, "sh")
+        kept.join(
+          kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n")), "doc_id")
       }
     // size-ratio prune: jac ≥ 1/2 needs |big| ≤ 2·|small| (jac ≤ min/max),
     // so mismatched-size pairs drop before the aggregate; keeps the oracle
@@ -322,12 +333,15 @@ object NearDup {
                           maxIters: Int = 50,
                           indexLabels: Option[DataFrame] = None): DataFrame = {
     // a violation would SILENTLY mis-admit batch docs and strand stale
-    // index labels — fail loudly instead. With a supplied label table the
-    // bound comes from the table (the stored minima being protected), so
-    // the check never re-scans the index corpus in the O(batch) path.
-    requireMonotoneIds(
-      indexLabels.map(_.select(col("doc_id")))
-        .getOrElse(indexDocs.select(col("doc_id"))),
+    // index labels — fail loudly instead. The bound must come from the
+    // index DOCS, not the sparse label table: singleton index docs are
+    // absent from the table by convention, so a label-table bound skips
+    // them entirely (an empty table — no duplicates yesterday — skips
+    // the guard outright) and an interleaved-id batch duplicate of a
+    // retained singleton is admitted as a second keeper. This function
+    // shingles all of indexDocs anyway, so the id scan costs nothing
+    // extra.
+    requireMonotoneIds(indexDocs.select(col("doc_id")),
       batchDocs, "incrementalNearDups")
     val idxSh = shingled(indexDocs).persist()
     val bSh = shingled(batchDocs).persist()

@@ -413,4 +413,33 @@ class NearDupSpec extends SparkSpec {
     val out = NearDup.jaccardNearDupsExact(docs, maxDocFreq = 1L).collect()
     assert(out.isEmpty)
   }
+
+  test("maxDocFreq Jaccard is over the PRUNED shingle space, not pre-prune sizes") {
+    import spark.implicits._
+    // docs 1,2 are exact duplicates: shingles {"p1 p2 p3", "p2 p3 x"}.
+    // "p1 p2 p3" is hot (df 5 > cap 4) and prunes; with pre-prune set
+    // sizes the pair's union was inflated (inter=1, uni=2+2-1=3 → 2 ≥ 3
+    // fails) and the EXACT DUPLICATE silently dropped. Over the pruned
+    // space: n=1 each, inter=1, uni=1 → kept.
+    val fixture = (Seq((1L, "p1 p2 p3 x"), (2L, "p1 p2 p3 x")) ++
+      (3L to 5L).map(i => (i, "p1 p2 p3"))).toDF("doc_id", "text")
+    val out = NearDup.jaccardNearDupsExact(fixture, maxDocFreq = 4L)
+      .select("doc_i", "doc_j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("incrementalNearDups guards interleaved ids even with an empty label table") {
+    import spark.implicits._
+    // yesterday's corpus had no duplicates → the persisted sparse label
+    // table is EMPTY; the monotone-id bound must still come from the
+    // index docs, or an interleaved batch is silently double-admitted
+    val index = Seq((1L, "a b c d e f"), (10L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val batch = Seq((5L, "a b c d e f")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val e = intercept[IllegalArgumentException] {
+      NearDup.incrementalNearDups(index, batch, indexLabels = Some(empty))
+    }
+    assert(e.getMessage.contains("incrementalNearDups"))
+  }
 }
