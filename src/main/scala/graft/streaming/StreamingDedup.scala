@@ -103,8 +103,9 @@ object StreamingDedup {
     * correct loud diagnostic, not an obscure empty-read error.
     */
   private[streaming] def requireDroppedAreReplays(dropped: DataFrame,
-      frontier: Long, outDir: String, opName: String): Unit = {
-    val bounds = dropped.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      frontier: Long, outDir: String, opName: String,
+      idCol: String = "doc_id"): Unit = {
+    val bounds = dropped.agg(min(col(idCol)), max(col(idCol))).head()
     if (bounds.isNullAt(0)) return // nothing dropped
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val sess = dropped.sparkSession
@@ -114,14 +115,14 @@ object StreamingDedup {
     val placedIds =
       if (dirs.isEmpty)
         sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("doc_id", LongType))))
-      else sess.read.parquet(dirs: _*).select(col("doc_id"))
-        .filter(col("doc_id").between(lo, hi))
-    val unplaced = dropped.select(col("doc_id")).distinct()
-      .join(placedIds, Seq("doc_id"), "left_anti")
-      .agg(min(col("doc_id")), count(lit(1))).head()
+          StructType(Seq(StructField(idCol, LongType))))
+      else sess.read.parquet(dirs: _*).select(col(idCol))
+        .filter(col(idCol).between(lo, hi))
+    val unplaced = dropped.select(col(idCol)).distinct()
+      .join(placedIds, Seq(idCol), "left_anti")
+      .agg(min(col(idCol)), count(lit(1))).head()
     require(unplaced.isNullAt(0),
-      s"$opName: doc_id ${unplaced.get(0)} (${unplaced.getLong(1)} in " +
+      s"$opName: $idCol ${unplaced.get(0)} (${unplaced.getLong(1)} in " +
         s"total) is at or below the frontier $frontier but holds no " +
         "committed output row — out-of-order ingest (not a replay); " +
         "re-run through the whole-corpus operator")
@@ -348,6 +349,149 @@ object StreamingDedup {
           // committed snapshot; keep two (current + predecessor) so a
           // reader racing the prune still finds one
           committedSnapshots().dropRight(2)
+            .foreach(p => labFs.delete(p, true))
+        } finally eff.unpersist()
+      } finally b.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+  private val bucketSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("bucket", LongType)))
+  private val semLabelSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cluster_id", LongType)))
+
+  /** Streaming SEMANTIC (embedding-space) admission — the continuous form
+    * of [[graft.operators.Similarity.semanticDedupIncremental]], closing
+    * the streaming column of the dedup matrix (exact ✓, text near-dup ✓,
+    * embedding ✓): each micro-batch of `(vec_id, embedding)` rows is
+    * admitted against the persisted artifact tables (`indexDir/emb` — the
+    * vector store for exact-cosine verify, `indexDir/buckets` — the LSH
+    * bucket table, `indexDir/labels/batch=N` — sparse label snapshots),
+    * then the artifacts are extended.
+    *
+    * The crash-safety construction is the [[nearDupAdmissionStream]]
+    * contract with the BUCKET table as the frontier-bearing artifact
+    * (written LAST): a replayed micro-batch either reprocesses in full
+    * (the vector-store append may duplicate rows — absorbed by
+    * dedupe-on-read, duplicates are bit-identical) or sees an empty
+    * effective batch; dropped below-frontier vectors are checked per
+    * VECTOR against the committed output (legitimate replay) and against
+    * the bucket artifact (torn bucket append detection); label snapshots
+    * are `_SUCCESS`-gated and idempotent to re-derive; the output write
+    * is batch-id-keyed.
+    *
+    * Parameter drift is a silent-corruption risk unique to this loop: a
+    * bucket table probed at a different plane count lives in a different
+    * bit space (near-dup pairs silently vanish), and labels admitted
+    * under a different threshold are a different equivalence relation —
+    * both are pinned in a one-row `indexDir/params` artifact on first
+    * run and `require`d to match on every later one.
+    */
+  def semanticAdmissionStream(spark: SparkSession, inDir: String,
+                              indexDir: String, outDir: String,
+                              ckptDir: String, threshold: Double,
+                              numPlanes: Int): Unit = {
+    // footer-probed input schema: accepts the fixtures' array<float>
+    // layout and an upstream pipeline's array<double> alike; the step
+    // normalizes to array<double> (the artifact layout) either way
+    val inSchema = spark.read.parquet(inDir).schema
+    require(inSchema.fieldNames.contains("vec_id") &&
+      inSchema.fieldNames.contains("embedding"),
+      s"semanticAdmissionStream: input $inDir must carry (vec_id, embedding)")
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val b = batch.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding")).persist()
+      try {
+        val sess = b.sparkSession
+        val conf = sess.sparkContext.hadoopConfiguration
+        def readOr(sub: String, schema: StructType): DataFrame = {
+          val p = new org.apache.hadoop.fs.Path(indexDir, sub)
+          if (p.getFileSystem(conf).exists(p))
+            sess.read.schema(schema).parquet(p.toString)
+          else sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+        // parameter pin (see scaladoc): one bounded read per batch
+        val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "params")
+        val paramsFs = paramsPath.getFileSystem(conf)
+        if (paramsFs.exists(paramsPath)) {
+          val p = sess.read.parquet(paramsPath.toString).head()
+          require(p.getInt(0) == numPlanes && p.getDouble(1) == threshold,
+            s"semanticAdmissionStream: index at $indexDir was built with " +
+              s"numPlanes=${p.getInt(0)}, threshold=${p.getDouble(1)} — " +
+              s"this run passed ($numPlanes, $threshold); parameter drift " +
+              "silently changes the dedup relation, rebuild the index " +
+              "to change parameters")
+        }
+        // dedupe-on-read: a crashed-then-replayed append may have written
+        // a vector (or bucket row) twice; duplicates are bit-identical,
+        // so any-one-per-key restores the exactly-once view
+        val idxEmb = readOr("emb", embSchema).dropDuplicates("vec_id")
+        val idxBuckets = readOr("buckets", bucketSchema).distinct()
+        val labRoot = new org.apache.hadoop.fs.Path(indexDir, "labels")
+        val labFs = labRoot.getFileSystem(conf)
+        val idxLab = committedBatchDirs(labFs, labRoot).lastOption
+          .map(p => sess.read.schema(semLabelSchema).parquet(p.toString))
+          .getOrElse(sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], semLabelSchema))
+        // replay frontier from the BUCKET artifact — the last write of the
+        // step, so a frontier-covered vector's batch has fully landed
+        val frontier = idxBuckets.agg(max(col("vec_id"))).head()
+        val eff = (if (frontier.isNullAt(0)) b
+                   else b.filter(col("vec_id") > frontier.getLong(0))).persist()
+        try {
+          if (!frontier.isNullAt(0)) {
+            val dropped = b.filter(col("vec_id") <= frontier.getLong(0))
+            requireDroppedAreReplays(dropped, frontier.getLong(0), outDir,
+              "semanticAdmissionStream", idCol = "vec_id")
+            // torn bucket append: the frontier artifact itself can commit
+            // partially — a replayed vector absent from it exposes rows
+            // future admissions would silently never probe
+            val torn = dropped.select(col("vec_id"))
+              .join(idxBuckets.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .count()
+            require(torn == 0,
+              s"semanticAdmissionStream: $torn replayed vectors are absent " +
+                "from the bucket artifact — torn bucket append (crash " +
+                "mid-commit); rebuild the index from whole-corpus " +
+                "semanticDedup")
+          }
+          val (admissions, newLabels) = graft.operators.Similarity
+            .semanticDedupIncremental(idxEmb, idxBuckets, idxLab, eff,
+              threshold, numPlanes)
+          writeOutputBatch(admissions, outDir, batchId)
+          // snapshot labels BEFORE the artifact appends (same idempotence
+          // argument as the near-dup loop; newLabels is localCheckpointed,
+          // so overwriting the snapshot it was read from is safe)
+          newLabels.write.mode("overwrite").parquet(
+            new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
+          if (!paramsFs.exists(paramsPath))
+            sess.range(1).select(lit(numPlanes).as("num_planes"),
+              lit(threshold).as("threshold"))
+              .write.mode("overwrite").parquet(paramsPath.toString)
+          if (!eff.isEmpty) {
+            // extend the artifacts: vector store first, the frontier-
+            // bearing bucket table LAST (replay-safety contract above)
+            eff.write.mode("append").parquet(
+              new org.apache.hadoop.fs.Path(indexDir, "emb").toString)
+            graft.operators.Similarity.bucketTable(eff, numPlanes)
+              .write.mode("append").parquet(
+                new org.apache.hadoop.fs.Path(indexDir, "buckets").toString)
+          }
+          // bounded snapshot retention (latest two, as in the near-dup loop)
+          committedBatchDirs(labFs, labRoot).dropRight(2)
             .foreach(p => labFs.delete(p, true))
         } finally eff.unpersist()
       } finally b.unpersist()

@@ -700,6 +700,91 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streaming semantic admission: bridge merges, replay no-op, param pin") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-semantic")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      // dim-16 basis vectors on dims 4 and 8: those two dims share the
+      // same 6-plane sign pattern in the deterministic plane family, so
+      // e4, e8, their normalized sum (the bridge), and a 0.1·e4+0.995·e8
+      // satellite all land in ONE LSH bucket — candidate recall is by
+      // construction, the test asserts semantics not luck
+      def basis(d: Int, x: Double) = Seq.tabulate(16)(i => if (i == d) x else 0.0)
+      def add(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x + y }
+      val e4 = basis(4, 1.0); val e8 = basis(8, 1.0)
+      val bridge = add(basis(4, 0.7071), basis(8, 0.7071))
+      val satellite = add(basis(4, 0.1), basis(8, 0.995))
+      // batch 0: two orthogonal vectors (cos 0 — both admitted)
+      // batch 1: the bridge (cos ≈ .707 to both ≥ .7) merges them
+      // batch 2: the satellite (cos ≈ .995 to e8 only among the index)
+      //          must still label 0 — requires batch 1's merge to have
+      //          re-pointed vec 5's stored label (cross-batch bridge)
+      val batches = Seq(
+        Seq((0L, e4), (5L, e8)),
+        Seq((10L, bridge)),
+        Seq((11L, satellite)))
+      batches.zipWithIndex.foreach { case (bt, i) =>
+        StreamingSessions.appendReplayFile(bt.toDF("vec_id", "embedding"), in, i)
+      }
+      val index = root.resolve("index")
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.semanticAdmissionStream(spark,
+          in.toString, index.toString, root.resolve("out").toString,
+          root.resolve(ckpt).toString, 0.7, 6)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      assert(got == Seq((0L, 0L, true), (5L, 5L, true),
+        (10L, 0L, false), (11L, 0L, false)))
+      // per-batch parity with whole-corpus semanticDedup over each prefix
+      // union, restricted to the batch — the incremental operator's
+      // documented equivalence, now carried by the stream
+      val folded = batches.indices.flatMap { i =>
+        val union = batches.take(i + 1).flatten.toDF("vec_id", "embedding")
+        val ids = batches(i).map(_._1).toSet
+        graft.operators.Similarity.semanticDedup(union, 0.7, 6)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .filter(t => ids(t._1))
+      }.sortBy(_._1).toSeq
+      assert(got == folded)
+      // sparse label store: non-canonical members only, bridge re-point
+      // included; snapshots pruned to at most two committed versions
+      def committedLabelDirs() = java.nio.file.Files
+        .list(index.resolve("labels")).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString.startsWith("batch=") &&
+          java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+      assert(committedLabelDirs().size <= 2)
+      val store = spark.read.parquet(committedLabelDirs()
+          .maxBy(_.getFileName.toString.stripPrefix("batch=").toLong).toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(store == Set((5L, 0L), (10L, 0L), (11L, 0L)))
+      // full replay with a fresh checkpoint: every vector falls below the
+      // bucket-artifact frontier -> empty effective batches, output and
+      // artifact stores unchanged (duplicate-append absorbed)
+      run("ckpt2")
+      assert(readOut() == got)
+      // parameter drift is refused loudly: same index, different threshold
+      val drift = intercept[Exception] { graft.streaming.StreamingDedup
+        .semanticAdmissionStream(spark, in.toString, index.toString,
+          root.resolve("out").toString, root.resolve("ckpt3").toString,
+          0.8, 6) }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(drift).exists(m => m != null && m.contains("parameter drift")))
+      // genuinely out-of-order input — an old id never admitted — fails
+      // loudly instead of being silently dropped
+      StreamingSessions.appendReplayFile(
+        Seq((1L, basis(0, 1.0))).toDF("vec_id", "embedding"), in, 3)
+      val ex = intercept[Exception] { run("ckpt4") }
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("near-dup admission survives the sigs-appended/shingles-missing crash window") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-crashwin")
