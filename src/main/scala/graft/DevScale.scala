@@ -220,6 +220,32 @@ object DevScale {
       adm.count()
     }
 
+    // the CONTINUOUS form at the same corpus: 5 × 100k-vector
+    // micro-batches through the full streaming loop (exactly-once output
+    // commit, label snapshot, vector/bucket artifact appends per batch) —
+    // wall-clock here is the recurring cost of running semantic admission
+    // as a stream instead of the single-shot incremental call above
+    timeDocs("sem_admission_stream") {
+      val root = java.nio.file.Files.createTempDirectory("scale_sem_stream")
+      try {
+        val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+        (0 until 5).foreach { i =>
+          graft.streaming.StreamingSessions.appendReplayFile(
+            ve.filter(col("vec_id") >= i * 100000L &&
+              col("vec_id") < (i + 1) * 100000L), in, i)
+        }
+        graft.streaming.StreamingDedup.semanticAdmissionStream(spark,
+          in.toString, root.resolve("idx").toString,
+          root.resolve("out").toString, root.resolve("ckpt").toString,
+          0.9, autoP)
+        val out = graft.streaming.StreamingDedup
+          .readOutput(spark, root.resolve("out").toString)
+        val refused = out.filter(!col("kept")).count()
+        println(f"  (refused $refused of ~5000 planted dups across 5 batches)")
+        out.count()
+      } finally graft.streaming.StreamingSessions.deleteRecursively(root)
+    }
+
     // subword BPE at 500k docs: training touches the corpus once (the
     // word-TYPE table is 31 rows here), each of the 10 rounds is a tiny
     // cached-table aggregate; encoding is the heavy map-only pass over
@@ -297,6 +323,16 @@ object DevScale {
       println(f"  ($dropped duplicate spans removed)")
       out.count()
     }
+
+    // sliding-window replay at 10M events: the bounded-disorder streaming
+    // harness (2 jittered micro-batches + watermark flush) over the full
+    // synthetic stream — measures that the watermarked window-agg state
+    // (≤ 4 open windows per 6 h of event time) stays flat while the
+    // harness cost tracks data volume, not window count
+    val ev6 = ev.select(col("event_id"), col("ts"), col("user_id"),
+      lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+    time("sliding_replay_10m")(graft.streaming.StreamingSessions
+      .replaySlidingOutOfOrder(ev6).count())
 
     // bucketed co-located join: both sides bucketed+sorted on user_id join
     // with ZERO exchanges — the pre-partitioning strategy for repeated

@@ -111,6 +111,16 @@ object SparkEntry {
       Relational.dailyActivity(Tables.events(s, dir))),
     "q_sliding_activity" -> ((s, dir) =>
       Relational.slidingActivity(Tables.events(s, dir))),
+    // W3/W4 for the tumbling/sliding family: the same bounded-disorder
+    // replay contract the session queries carry — watermarked streaming
+    // sliding windows over jittered arrival must reproduce the batch
+    // rollup exactly (same oracle as q_sliding_activity)
+    "q_sliding_outoforder" -> ((s, dir) =>
+      StreamingSessions.replaySlidingOutOfOrder(Tables.events(s, dir))),
+    // keyed tumbling windows through the same replay contract: daily
+    // per-event-type rollups (the most common production window shape)
+    "q_tumbling_by_type_outoforder" -> ((s, dir) =>
+      StreamingSessions.replayTumblingByTypeOutOfOrder(Tables.events(s, dir))),
     "q_range_join_errors" -> ((s, dir) =>
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
     "q_window_funnel" -> ((s, dir) =>
@@ -776,6 +786,20 @@ object SparkEntry {
         |SELECT w_start, count(*) AS n_events,
         |  round(sum(value) * 100, 0) / 100.0 AS sum_value
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // streaming replay must land on the batch answer: same oracle
+    "q_sliding_outoforder" ->
+      """WITH x AS (
+        |  SELECT value,
+        |    make_timestamp(((epoch_us(ts) // 21600000000) - i) * 21600000000) AS w_start
+        |  FROM events, unnest(range(0, 4)) AS t(i))
+        |SELECT w_start, count(*) AS n_events,
+        |  round(sum(value) * 100, 0) / 100.0 AS sum_value
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tumbling_by_type_outoforder" ->
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(value) * 100, 0) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_range_join_errors" ->
       """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
         |  b.event_id AS error_id, b.ts AS error_ts

@@ -104,7 +104,32 @@ object StreamingSessions {
                        slices: Int = 2,
                        streamTransform: DataFrame => DataFrame = identity,
                        useRocksDb: Boolean = true,
-                       statePartitions: Int = 4): DataFrame = {
+                       statePartitions: Int = 4): DataFrame =
+    replayStageOutOfOrder(events,
+      src => streamTransform(sessionAggStream(src, gap, delay)),
+      jitterUs, slices, useRocksDb, statePartitions)
+
+  /** The replay harness with an arbitrary watermarked stateful stage:
+    * everything [[replayOutOfOrder]] documents (bounded-disorder slicing,
+    * mtime-pinned file order, the watermark-flush sentinel) with the
+    * stage in place of the session aggregation. The stage receives the
+    * raw event stream INCLUDING the [[FlushUser]] sentinel row, which
+    * must reach watermark tracking for the final windows to emit in
+    * append mode — and note that a `user_id != FlushUser` FILTER placed
+    * after `withWatermark` does NOT guarantee that: its predicate is
+    * ts-free, so Catalyst pushes it below the `EventTimeWatermark` node
+    * and the watermark stalls. Exclude the sentinel inside the
+    * aggregation (a keyed groupBy that the harness post-filters, as the
+    * session stage does, or sentinel-null `when` aggregates, as
+    * [[replaySlidingOutOfOrder]] does). A `user_id` output column, if
+    * present, is sentinel-filtered by the harness as before.
+    */
+  def replayStageOutOfOrder(events: DataFrame,
+                            statefulStage: DataFrame => DataFrame,
+                            jitterUs: Long = 300L * 1000000,
+                            slices: Int = 2,
+                            useRocksDb: Boolean = true,
+                            statePartitions: Int = 4): DataFrame = {
     val spark = events.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
@@ -181,7 +206,7 @@ object StreamingSessions {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val result =
       try {
-        val q = streamTransform(sessionAggStream(src, gap, delay)).writeStream
+        val q = statefulStage(src).writeStream
           .format("memory").queryName(sinkName).outputMode("append")
           .option("checkpointLocation", root.resolve("ckpt").toString)
           .trigger(Trigger.AvailableNow())
@@ -189,9 +214,13 @@ object StreamingSessions {
         q.awaitTermination()
         // memory sink rows live on the driver: snapshot them into a local
         // frame so the replay's temp dirs (input files + checkpoint) can
-        // be deleted before returning
-        spark.table(sinkName).filter(col("user_id") =!= FlushUser)
-          .localCheckpoint()
+        // be deleted before returning. A stage whose output keeps no
+        // user_id column has already excluded the sentinel itself (see
+        // the replayStageOutOfOrder contract).
+        val sunk = spark.table(sinkName)
+        (if (sunk.columns.contains("user_id"))
+          sunk.filter(!(col("user_id") <=> lit(FlushUser)))
+        else sunk).localCheckpoint()
       } finally {
         snapshot.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
@@ -199,9 +228,70 @@ object StreamingSessions {
         }
         deleteRecursively(root)
       }
-    // deterministic order over whatever schema streamTransform left
-    result.orderBy(
-      Seq("user_id", "session_start").filter(result.columns.contains).map(col): _*)
+    // deterministic order over whatever schema the stage left
+    result.orderBy(Seq("user_id", "session_start", "w_start", "day", "event_type")
+      .filter(result.columns.contains).map(col): _*)
+  }
+
+  /** Sliding-window replay twin of
+    * [[graft.operators.Relational.slidingActivity]] (1-day windows every
+    * 6 h): the tumbling/sliding window family under the same
+    * bounded-disorder + watermark contract the session family carries —
+    * jitter < delay, so the streamed result must equal the batch rollup
+    * exactly and the batch DuckDB oracle applies unchanged.
+    *
+    * Sentinel handling is subtler than a filter: a post-watermark
+    * `user_id != FlushUser` filter LOOKS right, but its predicate does
+    * not reference the event-time column, so Catalyst pushes it below
+    * the `EventTimeWatermark` node — the sentinel then never reaches
+    * watermark tracking, the watermark stalls at max-real-ts − delay,
+    * and every window ending after it is silently never emitted (the
+    * replay's whole final day vanished in testing). Instead the sentinel
+    * flows THROUGH the watermark into the aggregation and is excluded
+    * inside the aggregates (`count`/`sum` over a sentinel-null `when`),
+    * with sentinel-only windows — necessarily `n_events = 0`, since the
+    * sentinel sits a full day past every real event — dropped by a
+    * post-aggregation filter. Null-safe comparison: a null user_id row
+    * is data, not sentinel. Sum parity with the batch twin holds because
+    * cents rounding happens once on the final per-window sum.
+    */
+  def replaySlidingOutOfOrder(events: DataFrame,
+                              delay: String = "10 minutes"): DataFrame = {
+    // separate counter and summand: a real row with a NULL value must
+    // still count (the batch twin counts rows, not values)
+    val isReal = !(col("user_id") <=> lit(FlushUser))
+    replayStageOutOfOrder(events, src =>
+      src.withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 day", "6 hours"))
+        .agg(count(when(isReal, lit(1))).as("n_events"),
+          (round(sum(when(isReal, col("value"))) * 100, 0) / 100.0).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("n_events"),
+          col("sum_value"))
+        .filter(col("n_events") > 0))
+  }
+
+  /** KEYED tumbling-window replay — the remaining window shape after
+    * sessions (keyed, data-driven bounds) and unkeyed sliding: per-key
+    * fixed windows, the most common production windowing pattern. Daily
+    * per-event-type rollups under the same bounded-disorder + watermark
+    * contract; same sentinel-in-aggregate construction as
+    * [[replaySlidingOutOfOrder]] (the sentinel's own (window, 'flush')
+    * group is all-sentinel by construction and drops at the
+    * post-aggregation filter). Epoch-aligned `window(ts, '1 day').start`
+    * equals `date_trunc('day', ts)`, so the batch GROUP BY oracle
+    * applies unchanged.
+    */
+  def replayTumblingByTypeOutOfOrder(events: DataFrame,
+                                     delay: String = "10 minutes"): DataFrame = {
+    val isReal = !(col("user_id") <=> lit(FlushUser))
+    replayStageOutOfOrder(events, src =>
+      src.withWatermark("ts", delay)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(when(isReal, lit(1))).as("n_events"),
+          (round(sum(when(isReal, col("value"))) * 100, 0) / 100.0).as("sum_value"))
+        .select(col("window.start").as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .filter(col("n_events") > 0))
   }
 
   /** A3 replay twin: the big-customer alert (threshold filter + keyed

@@ -115,6 +115,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("out-of-order replay of sliding windows reproduces the batch rollup") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = StreamingSessions.replaySlidingOutOfOrder(events)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Relational.slidingActivity(events)
+      .orderBy("w_start").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("out-of-order replay of keyed tumbling windows reproduces batch") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = StreamingSessions.replayTumblingByTypeOutOfOrder(events)
+      .collect().map(_.toSeq).toSeq
+    val want = events.groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("value")) * 100, 0) / 100.0).as("sum_value"))
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
   test("replay does not drop rows whose jitter key is null") {
     import spark.implicits._
     // a null event_id (or ts) nulls the replay key; the range split must
