@@ -808,6 +808,88 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("semantic admission survives the emb-appended/buckets-missing crash window") {
+    // a crash between the vector-store append and the bucket (frontier)
+    // append leaves the batch's vectors in emb but not in buckets: the
+    // frontier still excludes the batch, so it replays in full — the
+    // duplicate emb rows must be absorbed by dedupe-on-read, and the
+    // stray batch ids in the index vector store must not perturb
+    // admission (index membership is decided by the BUCKET table)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sem-crashwin")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val index = root.resolve("index")
+      def basis(d: Int, x: Double) = Seq.tabulate(16)(i => if (i == d) x else 0.0)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.semanticAdmissionStream(spark,
+          in.toString, index.toString, root.resolve("out").toString,
+          root.resolve(ckpt).toString, 0.7, 6)
+      val b0 = Seq((0L, basis(4, 1.0)), (1L, basis(9, 1.0)))
+      // vec 10 near-dups vec 0 (same direction, same bucket by the
+      // collision construction); vec 11 is a fresh direction
+      val b1 = Seq((10L, basis(4, 0.9)), (11L, basis(13, 1.0)))
+      StreamingSessions.appendReplayFile(b0.toDF("vec_id", "embedding"), in, 0)
+      run("ckpt")
+      // simulate batch 1 crashing after its emb append, before buckets
+      val b1df = b1.toDF("vec_id", "embedding")
+      b1df.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .write.mode("append").parquet(index.resolve("emb").toString)
+      StreamingSessions.appendReplayFile(b1df, in, 1)
+      run("ckpt") // continues from the checkpoint; batch 1 reprocesses
+      val got = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((0L, 0L, true), (1L, 1L, true),
+        (10L, 0L, false), (11L, 11L, true)))
+      // artifacts healed: buckets carry each vector once; emb tolerates
+      // the duplicate rows (at most twice) without propagating them
+      val bkCnt = spark.read.parquet(index.resolve("buckets").toString)
+        .groupBy(col("vec_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bkCnt == Map(0L -> 1L, 1L -> 1L, 10L -> 1L, 11L -> 1L))
+      val embCnt = spark.read.parquet(index.resolve("emb").toString)
+        .groupBy(col("vec_id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(embCnt == Map(0L -> 1L, 1L -> 1L, 10L -> 2L, 11L -> 2L))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("semantic admission detects a torn bucket append on replay") {
+    // the frontier lives in the bucket artifact's max(vec_id); a torn
+    // append that lost a NON-max vector's bucket row would silently
+    // never probe that vector again — the artifact-membership layer
+    // must fail loudly on the vector's replay
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sem-torn")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val index = root.resolve("index")
+      def basis(d: Int, x: Double) = Seq.tabulate(16)(i => if (i == d) x else 0.0)
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.semanticAdmissionStream(spark,
+          in.toString, index.toString, root.resolve("out").toString,
+          root.resolve(ckpt).toString, 0.7, 6)
+      StreamingSessions.appendReplayFile(
+        Seq((10L, basis(4, 1.0)), (11L, basis(9, 1.0)))
+          .toDF("vec_id", "embedding"), in, 0)
+      run("ckpt")
+      // simulate the tear: vec 10's bucket row vanishes; max stays 11
+      val bk = index.resolve("buckets").toString
+      val kept = spark.read.parquet(bk).filter(col("vec_id") =!= 10L)
+        .localCheckpoint().collect()
+      val schema = spark.read.parquet(bk).schema
+      StreamingSessions.deleteRecursively(java.nio.file.Paths.get(bk))
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+        .write.parquet(bk)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("torn bucket append")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("near-dup admission survives the sigs-appended/shingles-missing crash window") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-crashwin")
