@@ -601,6 +601,9 @@ object SparkEntry {
     // perceptual hash over real decoded pixels; banded Hamming near-dup
     "multimodal_phash" -> ((s, dir) => Multimodal.imageHashes(Tables.documents(s, dir))),
     "multimodal_image_dups" -> ((s, dir) => Multimodal.imageNearDups(Tables.documents(s, dir))),
+    // real RIFF/WAVE PCM decode + integer signal statistics / frame energy
+    "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(Tables.documents(s, dir))),
+    "multimodal_audio_frames" -> ((s, dir) => Multimodal.audioFrames(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1441,6 +1444,39 @@ object SparkEntry {
          |       GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b, hamming FROM hm
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // audio statistics recomputed from the closed-form sample recipe
+    // (Multimodal.wavSamples) — Spark must reproduce them through a real
+    // RIFF chunk walk + little-endian PCM decode, so any header-parse,
+    // byte-order, or chunk-skip defect breaks the hash
+    "multimodal_audio" ->
+      """WITH an AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+        |sm AS (SELECT doc_id, n, i,
+        |         ((doc_id * 31 + i * 57) % 4001) - 2000 AS s
+        |       FROM an CROSS JOIN unnest(range(256)) AS t(i) WHERE i < n),
+        |zc AS (SELECT doc_id, n, i, s,
+        |         lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        |       FROM sm)
+        |SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(max(n) AS BIGINT) AS n_samples,
+        |  CAST(max(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(sum(s * s) // max(n) AS BIGINT) AS mean_square,
+        |  CAST(sum(CASE WHEN ps IS NOT NULL AND (ps >= 0) <> (s >= 0)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM zc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-frame energy over the same recipe: fixed 64-sample analysis
+    // frames, ragged tail, integer division
+    "multimodal_audio_frames" ->
+      """WITH an AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+        |sm AS (SELECT doc_id, i, i // 64 AS frame_idx,
+        |         ((doc_id * 31 + i * 57) % 4001) - 2000 AS s
+        |       FROM an CROSS JOIN unnest(range(256)) AS t(i) WHERE i < n)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(count(*) AS BIGINT) AS frame_samples,
+        |  CAST(sum(s * s) // count(*) AS BIGINT) AS energy
+        |FROM sm GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,

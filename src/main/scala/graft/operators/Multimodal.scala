@@ -20,6 +20,15 @@ case class PpmResizeRow(doc_id: Long, new_width: Long, new_height: Long,
 case class ImageHashRow(doc_id: Long, width: Long, height: Long,
                         phash: String)
 
+/** Real sample statistics decoded from one PCM WAV clip. */
+case class WavFeatureRow(doc_id: Long, sample_rate: Long, n_samples: Long,
+                         duration_ms: Long, peak: Long, mean_square: Long,
+                         zero_crossings: Long)
+
+/** Integer energy of one fixed-length analysis frame of a decoded clip. */
+case class WavFrameRow(doc_id: Long, frame_idx: Long, frame_samples: Long,
+                       energy: Long)
+
 /** Multimodal-column operators (north-star extension): image/audio/video
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction / frame-sampling are engine operators over those
@@ -32,9 +41,14 @@ case class ImageHashRow(doc_id: Long, width: Long, height: Long,
   * synthesized from a closed-form integer pixel recipe, which is what
   * lets the DuckDB oracle pin the decode: it recomputes the expected
   * statistics from the recipe, independently of the binary path, so any
-  * header-parse or byte-indexing defect breaks the hash match. Audio and
-  * video stay metadata-plus-byte-window operators ([[sampleFrames]]) —
-  * this container ships no codecs for them.
+  * header-parse or byte-indexing defect breaks the hash match. The audio
+  * decode is equally real: [[Multimodal.decodeWav]] walks RIFF/WAVE
+  * chunks (unknown chunks skipped with the odd-size pad byte, per the
+  * RIFF spec) and extracts 16-bit little-endian PCM, and the feature
+  * operators ([[audioFeatures]], [[audioFrames]]) do genuine
+  * signal math over the decoded samples, again pinned by a
+  * recipe-recomputing oracle. Video stays a metadata-plus-byte-window
+  * modality ([[sampleFrames]]) — this container ships no video codec.
   *
   * Scale: media tables at 100 TB are dominated by blob bytes — the rules
   * encoded here are (1) never shuffle the blob: derive features/frames in
@@ -374,5 +388,169 @@ object Multimodal {
           sb * 1000 / n, sl * 1000 / n, maxL, minL)
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ WAV codec
+
+  /** Audio fixture recipe, shared by the Spark-side generator and the
+    * DuckDB oracle's independent recomputation: doc d is a mono 16-bit
+    * PCM clip at [[WavRate]] Hz with `n = 64 + d mod 193` samples, sample
+    * i = `((d·31 + i·57) mod 4001) − 2000` (a deterministic integer
+    * pseudo-wave spanning both signs, so zero-crossing counts are
+    * non-trivial). Docs with d ≡ 0 (mod 4) additionally carry a LIST
+    * metadata chunk with an odd-length payload before `data`, so the
+    * decoder's chunk walk and pad-byte handling are exercised by the
+    * fixtures themselves, not just by a spec.
+    */
+  val WavRate = 8000L
+  val WavFrameSamples = 64
+
+  private[graft] def wavSamples(docId: Long): Array[Short] = {
+    val n = (64 + docId % 193).toInt
+    Array.tabulate(n)(i => (((docId * 31 + i.toLong * 57) % 4001) - 2000).toShort)
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Encode real RIFF/WAVE: `RIFF` size `WAVE`, a `fmt ` chunk (PCM,
+    * mono, 16-bit, [[WavRate]]), the optional odd-payload `LIST` chunk
+    * (see [[wavSamples]]), then `data` with little-endian samples.
+    */
+  private[graft] def makeWav(docId: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val s = wavSamples(docId)
+    val data = new Array[Byte](s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      data(2 * i) = (s(i) & 0xff).toByte
+      data(2 * i + 1) = ((s(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = "fmt ".getBytes(ascii) ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(WavRate) ++ le32(WavRate * 2) ++ le16(2) ++ le16(16)
+    val list =
+      if (docId % 4 == 0)
+        "LIST".getBytes(ascii) ++ le32(7) ++
+          "grft000".getBytes(ascii) ++ Array(0.toByte) // odd size → pad
+      else Array.emptyByteArray
+    val dataChunk = "data".getBytes(ascii) ++ le32(data.length) ++ data
+    val body = "WAVE".getBytes(ascii) ++ fmt ++ list ++ dataChunk
+    "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
+  }
+
+  private def rdLe32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  private def rdLe16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+
+  /** Decode RIFF/WAVE PCM: verify the RIFF magic and declared size, walk
+    * chunks (unknown chunk ids are skipped over `size + size mod 2`
+    * bytes — the RIFF odd-size pad rule), require a PCM/mono/16-bit
+    * `fmt ` chunk, and return (sampleRate, decoded samples) from `data`.
+    * Pure JVM — no codec libraries.
+    */
+  def decodeWav(bytes: Array[Byte]): (Long, Array[Short]) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def tag(p: Int): String = new String(bytes, p, 4, ascii)
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "not a RIFF/WAVE file")
+    require(rdLe32(bytes, 4) == bytes.length - 8,
+      s"RIFF size ${rdLe32(bytes, 4)} != payload ${bytes.length - 8}")
+    var p = 12
+    var rate = -1L
+    var samples: Array[Short] = null
+    while (p + 8 <= bytes.length) {
+      val id = tag(p); val size = rdLe32(bytes, p + 4).toInt
+      require(p + 8 + size <= bytes.length,
+        s"chunk '$id' overruns the file ($size bytes at offset $p)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short ($size)")
+          require(rdLe16(bytes, p + 8) == 1, "not PCM (fmt audioFormat != 1)")
+          require(rdLe16(bytes, p + 10) == 1, "not mono")
+          require(rdLe16(bytes, p + 22) == 16, "not 16-bit")
+          rate = rdLe32(bytes, p + 12)
+        case "data" =>
+          require(size % 2 == 0, s"odd PCM data size $size")
+          samples = Array.tabulate(size / 2)(i =>
+            rdLe16(bytes, p + 8 + 2 * i).toShort)
+        case _ => // unknown chunk: skip
+      }
+      p += 8 + size + (size & 1)
+    }
+    require(rate > 0, "missing fmt chunk")
+    require(samples != null, "missing data chunk")
+    (rate, samples)
+  }
+
+  /** One deterministic WAV fixture clip per document (see [[wavSamples]]).
+    * Map-only typed projection, same contract as [[ppmMediaTable]].
+    */
+  def wavMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, makeWav(id)))
+  }
+
+  /** REAL audio feature extraction: decode each WAV and compute exact
+    * integer statistics over the PCM samples — peak = max |s|,
+    * mean_square = Σs²/n (integer energy; RMS without the oracle-hostile
+    * sqrt), zero_crossings = #{i : sign(s_{i−1}) ≠ sign(s_i)} with
+    * sign(x) = (x ≥ 0), duration in integer ms. Decode and pooling run in
+    * one map-only partition iterator; the blob never shuffles (the same
+    * scale contract as [[extractFeatures]]).
+    */
+  def audioFeatures(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wavMediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (rate, s) = decodeWav(r.media)
+        val n = s.length.toLong
+        var peak = 0L; var sq = 0L; var zc = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sq += v * v
+          if (i > 0 && (s(i - 1) >= 0) != (v >= 0)) zc += 1
+          i += 1
+        }
+        WavFeatureRow(r.doc_id, rate, n, n * 1000 / rate, peak, sq / n, zc)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Frame-level audio analysis: cut each decoded clip into fixed
+    * [[WavFrameSamples]]-sample analysis frames (last frame ragged) and
+    * report each frame's integer energy Σs²/len — the audio analogue of
+    * [[sampleFrames]], except over REAL decoded samples rather than raw
+    * byte windows. Still map-only: frames are emitted by the decoding
+    * iterator itself, so the expansion never materializes the blob twice.
+    */
+  def audioFrames(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wavMediaTable(documents).mapPartitions { it =>
+      it.flatMap { r =>
+        val (_, s) = decodeWav(r.media)
+        (0 until (s.length + WavFrameSamples - 1) / WavFrameSamples).map { f =>
+          val lo = f * WavFrameSamples
+          val hi = math.min(lo + WavFrameSamples, s.length)
+          var sq = 0L
+          var i = lo
+          while (i < hi) { sq += s(i).toLong * s(i); i += 1 }
+          WavFrameRow(r.doc_id, f.toLong, (hi - lo).toLong, sq / (hi - lo))
+        }
+      }
+    }.toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
 }

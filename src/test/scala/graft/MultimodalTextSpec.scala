@@ -75,6 +75,56 @@ class MultimodalTextSpec extends SparkSpec {
     assert(r.getAs[Long]("thumb_sum") == 410L)
   }
 
+  test("decodeWav round-trips makeWav, walks the odd-pad LIST chunk") {
+    // doc 0 carries the LIST chunk (0 % 4 == 0) with its odd-size pad
+    // byte; doc 1 is the plain fmt+data layout — both must decode to the
+    // recipe samples at the recipe rate
+    Seq(0L, 1L).foreach { d =>
+      val (rate, s) = Multimodal.decodeWav(Multimodal.makeWav(d))
+      assert(rate == Multimodal.WavRate)
+      assert(s.toSeq == Multimodal.wavSamples(d).toSeq)
+    }
+    // corruption fails loudly rather than decoding garbage
+    val wav = Multimodal.makeWav(1L)
+    intercept[IllegalArgumentException] { // truncated: RIFF size mismatch
+      Multimodal.decodeWav(wav.dropRight(2))
+    }
+    intercept[IllegalArgumentException] { // stereo fmt is rejected
+      val bad = wav.clone(); bad(22) = 2 // fmt channels field
+      Multimodal.decodeWav(bad)
+    }
+  }
+
+  test("audio features decode real PCM: doc 0 statistics by hand") {
+    // doc 0: n=64, s_i = 57i - 2000 (57*63 = 3591 < 4001, no wrap);
+    // peak 2000 (i=0), one sign change at i=36 (s_35 = -5, s_36 = 52),
+    // sum s^2 = 73,634,656 -> mean_square 1,150,541; 64 samples at
+    // 8 kHz -> 8 ms
+    val row = Multimodal.audioFeatures(docs).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(row.getAs[Long]("sample_rate") == 8000L)
+    assert(row.getAs[Long]("n_samples") == 64L)
+    assert(row.getAs[Long]("duration_ms") == 8L)
+    assert(row.getAs[Long]("peak") == 2000L)
+    assert(row.getAs[Long]("mean_square") == 1150541L)
+    assert(row.getAs[Long]("zero_crossings") == 1L)
+  }
+
+  test("audio frames: ragged tail frame carries its own exact energy") {
+    // doc 1: n = 65 -> frames of 64 + 1; the tail sample is
+    // s_64 = (31 + 64*57) % 4001 - 2000 = 1679 -> energy 1679^2
+    val f = Multimodal.audioFrames(docs).collect()
+      .filter(_.getLong(0) == 1L)
+    assert(f.map(r => (r.getAs[Long]("frame_idx"),
+      r.getAs[Long]("frame_samples"))).toSeq == Seq((0L, 64L), (1L, 1L)))
+    assert(f.last.getAs[Long]("energy") == 1679L * 1679L)
+    // frame 0 of doc 0 covers the whole 64-sample clip -> equals the
+    // clip-level mean_square
+    val f0 = Multimodal.audioFrames(docs).collect()
+      .find(r => r.getLong(0) == 0L && r.getLong(1) == 0L).get
+    assert(f0.getAs[Long]("energy") == 1150541L)
+  }
+
   // Driver-side reference aHash straight from the fixture recipe —
   // independent of the operator's decode/sampling/hex code paths.
   private def refPhash(d: Long): (Long, Long, String) = {
