@@ -604,6 +604,12 @@ object SparkEntry {
     // real RIFF/WAVE PCM decode + integer signal statistics / frame energy
     "multimodal_audio" -> ((s, dir) => Multimodal.audioFeatures(Tables.documents(s, dir))),
     "multimodal_audio_frames" -> ((s, dir) => Multimodal.audioFrames(Tables.documents(s, dir))),
+    // energy-contour acoustic fingerprint; banded Hamming near-dup
+    "multimodal_audio_fp" -> ((s, dir) => Multimodal.audioFingerprints(Tables.documents(s, dir))),
+    "multimodal_audio_dups" -> ((s, dir) => Multimodal.audioNearDups(Tables.documents(s, dir))),
+    // real YUV4MPEG2 decode + pixel-domain scene-cut detection
+    "multimodal_video_frames" -> ((s, dir) => Multimodal.videoFrameStats(Tables.documents(s, dir))),
+    "multimodal_video_scenes" -> ((s, dir) => Multimodal.videoScenes(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1477,6 +1483,56 @@ object SparkEntry {
         |  CAST(sum(s * s) // count(*) AS BIGINT) AS energy
         |FROM sm GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // acoustic fingerprint recomputed from the fixture recipe — Spark
+    // must reproduce it through real WAV decode + framing + contour bits
+    "multimodal_audio_fp" ->
+      s"""WITH $audioFpCtes
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, afp
+         |FROM afp ORDER BY doc_id""".stripMargin,
+    // banded Hamming search replicated in SQL: same 4×8-bit bands, same
+    // radius — the oracle's candidate set IS the operator's candidate set
+    "multimodal_audio_dups" ->
+      s"""WITH $audioFpCtes,
+         |abands AS (SELECT doc_id, afp, bi,
+         |            substring(afp, CAST(bi * 2 + 1 AS INT), 2) AS bv
+         |          FROM afp CROSS JOIN unnest(range(4)) AS t(bi)),
+         |acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.afp AS fa, y.afp AS fb
+         |         FROM abands x JOIN abands y
+         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |ahm AS (SELECT doc_a, doc_b,
+         |         CAST(sum(bit_count(xor(
+         |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
+         |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
+         |           AS BIGINT) AS hamming
+         |       FROM acand CROSS JOIN unnest(range(8)) AS t(i)
+         |       GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ahm
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // per-frame video statistics recomputed from the fixture recipe —
+    // Spark must reproduce them through a real Y4M parse + frame decode,
+    // so a header-tag, FRAME-marker, or plane-indexing defect breaks the
+    // hash; is_cut re-runs the detection inequality in SQL
+    "multimodal_video_frames" ->
+      s"""WITH $videoCtes
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, mean_luma_milli,
+         |  sad AS sum_abs_diff,
+         |  (npy > 0 AND sad > 10 * n) AS is_cut
+         |FROM vs ORDER BY doc_id, frame_idx""".stripMargin,
+    // scene decomposition: cut count + keyframe list (frame 0 plus every
+    // detected cut), joined to the recipe dimensions
+    "multimodal_video_scenes" ->
+      s"""WITH $videoCtes
+         |SELECT v.doc_id, CAST(max(d.w) AS BIGINT) AS width,
+         |  CAST(max(d.h) AS BIGINT) AS height,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN npy > 0 AND sad > 10 * n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_cuts,
+         |  string_agg(CASE WHEN f = 0 OR (npy > 0 AND sad > 10 * n)
+         |               THEN CAST(f AS VARCHAR) END, ',' ORDER BY f)
+         |    AS keyframes
+         |FROM vs v JOIN vd d ON v.doc_id = d.doc_id
+         |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin,
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
@@ -2188,6 +2244,66 @@ object SparkEntry {
       |ph AS (SELECT doc_id, max(w) AS w, max(h) AS h,
       |        string_agg(lower(lpad(hex(byte), 2, '0')), '' ORDER BY gy) AS phash
       |      FROM pb GROUP BY doc_id)""".stripMargin
+
+  /** Shared acoustic-fingerprint CTE chain → `afp(doc_id, nf, afp)`: the
+    * 32-bit energy-contour fingerprint recomputed from the fingerprint
+    * fixture recipe (`Multimodal.fpSamples` — planted gain-scaled twins
+    * at doc_id ≡ 7 mod 10), independently of the WAV binary path. Used
+    * by `multimodal_audio_fp` and `multimodal_audio_dups`.
+    */
+  private val audioFpCtes: String =
+    """ad AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 10 = 7 THEN doc_id - 7 ELSE doc_id END AS e,
+      |        CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS planted
+      |      FROM documents),
+      |an AS (SELECT doc_id, e, planted, 544 + e % 225 AS n FROM ad),
+      |asm AS (SELECT doc_id, i // 16 AS f,
+      |        CASE WHEN planted = 1
+      |             THEN ((((e * 31 + 7) * (i + 1) * (i + 2) % 4001) - 2000) * 31) // 32
+      |             ELSE ((e * 31 + 7) * (i + 1) * (i + 2) % 4001) - 2000 END AS s
+      |      FROM an CROSS JOIN unnest(range(768)) AS t(i)
+      |      WHERE i < (n // 16) * 16),
+      |fe AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS en
+      |       FROM asm GROUP BY doc_id, f),
+      |fn AS (SELECT doc_id, count(*) AS nf FROM fe GROUP BY doc_id),
+      |fd AS (SELECT doc_id, f, en,
+      |        lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen FROM fe),
+      |av AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN f < 32 AND nen IS NOT NULL AND nen > en
+      |                 THEN CAST(1 AS BIGINT) << CAST(31 - f AS INT)
+      |                 ELSE 0 END) AS BIGINT) AS v
+      |      FROM fd GROUP BY doc_id),
+      |afp AS (SELECT av.doc_id, nf, lower(lpad(hex(v), 8, '0')) AS afp
+      |        FROM av JOIN fn ON av.doc_id = fn.doc_id)""".stripMargin
+
+  /** Shared video CTE chain → `vs(doc_id, f, n, mean_luma_milli, sad,
+    * npy)`: per-frame statistics recomputed from the video fixture
+    * recipe (`Multimodal.videoDims`/`videoLuma` — scene cut at
+    * `nf div 2` for doc_id ≢ 0 mod 3), independently of the Y4M binary
+    * path. Used by `multimodal_video_frames` and
+    * `multimodal_video_scenes`.
+    */
+  private val videoCtes: String =
+    """vd AS (SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+      |        4 + doc_id % 5 AS nf,
+      |        CASE WHEN doc_id % 3 = 0 THEN -1
+      |             ELSE (4 + doc_id % 5) // 2 END AS sc
+      |      FROM documents),
+      |vf AS (SELECT doc_id, w, h, nf, sc, f
+      |      FROM vd CROSS JOIN unnest(range(8)) AS t(f) WHERE f < nf),
+      |vp AS (SELECT doc_id, w, h, f, i,
+      |        CASE WHEN sc >= 0 AND f >= sc
+      |             THEN (doc_id * 17 + i * 11) % 200 + 2 * (f - sc)
+      |             ELSE (doc_id * 13 + i * 7) % 200 + 2 * f END AS y
+      |      FROM vf CROSS JOIN unnest(range(192)) AS t(i) WHERE i < w * h),
+      |vq AS (SELECT doc_id, f, i, y, w * h AS n,
+      |        lag(y) OVER (PARTITION BY doc_id, i ORDER BY f) AS py
+      |      FROM vp),
+      |vs AS (SELECT doc_id, f, max(n) AS n,
+      |        CAST(sum(y) * 1000 // max(n) AS BIGINT) AS mean_luma_milli,
+      |        CAST(coalesce(sum(abs(y - py)), 0) AS BIGINT) AS sad,
+      |        count(py) AS npy
+      |      FROM vq GROUP BY doc_id, f)""".stripMargin
 
   /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
     * Used by `text_langid` and `sample_stratified`.

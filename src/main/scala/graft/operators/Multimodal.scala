@@ -29,6 +29,18 @@ case class WavFeatureRow(doc_id: Long, sample_rate: Long, n_samples: Long,
 case class WavFrameRow(doc_id: Long, frame_idx: Long, frame_samples: Long,
                        energy: Long)
 
+/** Energy-contour fingerprint of one decoded clip, as 8 hex chars. */
+case class AudioFpRow(doc_id: Long, n_frames: Long, afp: String)
+
+/** Real per-frame statistics decoded from one Y4M video clip. */
+case class VideoFrameRow(doc_id: Long, frame_idx: Long,
+                         mean_luma_milli: Long, sum_abs_diff: Long,
+                         is_cut: Boolean)
+
+/** Scene decomposition of one decoded clip (keyframes = scene starts). */
+case class VideoSceneRow(doc_id: Long, width: Long, height: Long,
+                         n_frames: Long, n_cuts: Long, keyframes: String)
+
 /** Multimodal-column operators (north-star extension): image/audio/video
   * travel as opaque `binary` columns with a typed metadata struct; decode /
   * feature-extraction / frame-sampling are engine operators over those
@@ -47,8 +59,12 @@ case class WavFrameRow(doc_id: Long, frame_idx: Long, frame_samples: Long,
   * RIFF spec) and extracts 16-bit little-endian PCM, and the feature
   * operators ([[audioFeatures]], [[audioFrames]]) do genuine
   * signal math over the decoded samples, again pinned by a
-  * recipe-recomputing oracle. Video stays a metadata-plus-byte-window
-  * modality ([[sampleFrames]]) — this container ships no video codec.
+  * recipe-recomputing oracle. Video is real too: [[Multimodal.decodeY4m]]
+  * parses YUV4MPEG2 (tagged stream header, per-frame `FRAME` markers,
+  * raw luma planes) and the scene operators ([[videoFrameStats]],
+  * [[videoScenes]]) run genuine pixel-domain temporal math — scene-cut
+  * detection by mean-abs-diff — over the decoded frames. Only generic
+  * byte-window sampling ([[sampleFrames]]) remains codec-free.
   *
   * Scale: media tables at 100 TB are dominated by blob bytes — the rules
   * encoded here are (1) never shuffle the blob: derive features/frames in
@@ -418,12 +434,12 @@ object Multimodal {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
   /** Encode real RIFF/WAVE: `RIFF` size `WAVE`, a `fmt ` chunk (PCM,
-    * mono, 16-bit, [[WavRate]]), the optional odd-payload `LIST` chunk
-    * (see [[wavSamples]]), then `data` with little-endian samples.
+    * mono, 16-bit, [[WavRate]]), an optional odd-payload `LIST` chunk,
+    * then `data` with little-endian samples.
     */
-  private[graft] def makeWav(docId: Long): Array[Byte] = {
+  private[graft] def encodeWav(s: Array[Short],
+                               withList: Boolean): Array[Byte] = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val s = wavSamples(docId)
     val data = new Array[Byte](s.length * 2)
     var i = 0
     while (i < s.length) {
@@ -434,7 +450,7 @@ object Multimodal {
     val fmt = "fmt ".getBytes(ascii) ++ le32(16) ++ le16(1) ++ le16(1) ++
       le32(WavRate) ++ le32(WavRate * 2) ++ le16(2) ++ le16(16)
     val list =
-      if (docId % 4 == 0)
+      if (withList)
         "LIST".getBytes(ascii) ++ le32(7) ++
           "grft000".getBytes(ascii) ++ Array(0.toByte) // odd size → pad
       else Array.emptyByteArray
@@ -442,6 +458,9 @@ object Multimodal {
     val body = "WAVE".getBytes(ascii) ++ fmt ++ list ++ dataChunk
     "RIFF".getBytes(ascii) ++ le32(body.length) ++ body
   }
+
+  private[graft] def makeWav(docId: Long): Array[Byte] =
+    encodeWav(wavSamples(docId), withList = docId % 4 == 0)
 
   private def rdLe32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
@@ -552,5 +571,279 @@ object Multimodal {
         }
       }
     }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // ------------------------------------------- audio fingerprint / near-dup
+
+  /** Fingerprint fixture recipe — separate from [[wavSamples]] (whose
+    * short clips leave too few analysis frames for a 32-bit contour) and
+    * carrying PLANTED acoustic twins: doc d ≡ 7 (mod 10) replays doc
+    * d−7's clip through a uniform −3% gain (`s·31/32` with JVM
+    * truncate-toward-zero division — measured to be exactly DuckDB's
+    * `//` semantics on negatives, so the oracle replays the gain
+    * bit-for-bit). Clip length `n = 544 + e mod 225` (34–48 analysis frames
+    * of [[FpFrameSamples]] samples). A uniform gain rescales every frame
+    * energy by the same factor, so the energy CONTOUR (which frame is
+    * louder than the last) is preserved up to integer-truncation ties —
+    * the twins land within small Hamming distance of their source.
+    */
+  val FpFrameSamples = 16
+
+  private[graft] def fpSamples(docId: Long): Array[Short] = {
+    val planted = docId % 10 == 7
+    val e = if (planted) docId - 7 else docId
+    val n = (544 + e % 225).toInt
+    Array.tabulate(n) { i =>
+      // quadratic in i with a doc-dependent coefficient: the linear
+      // feature-fixture ramp (wavSamples) produces near-identical energy
+      // contours across docs (measured: 14k of 125k pairs within radius
+      // 3); this recipe decorrelates them (48 incidental pairs, every
+      // planted twin within Hamming 1)
+      val b = ((e * 31 + 7) * (i + 1L) * (i + 2L) % 4001) - 2000
+      (if (planted) b * 31 / 32 else b).toShort
+    }
+  }
+
+  /** One fingerprint-fixture clip per document (see [[fpSamples]]). */
+  def fpMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, encodeWav(fpSamples(id), withList = false)))
+  }
+
+  /** Acoustic fingerprint (energy contour): decode each WAV, cut the
+    * first `⌊n/16⌋` complete 16-sample frames, and set bit f (MSB first)
+    * iff frame f+1 is strictly louder (Σs² energy) than frame f, over
+    * the first 32 deltas — the Haitsma–Kalker-style sign-of-band-energy-
+    * difference hash reduced to one time-domain band. Gain-invariant by
+    * construction (uniform gain preserves energy ordering), integer-only,
+    * and 8 hex chars per clip. Map-only off the scan; the blob never
+    * shuffles, and downstream dedup joins touch only the 32-bit hash.
+    */
+  def audioFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    fpMediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (_, s) = decodeWav(r.media)
+        val nf = s.length / FpFrameSamples
+        val en = new Array[Long](nf)
+        var f = 0
+        while (f < nf) {
+          var sq = 0L
+          var i = f * FpFrameSamples
+          val hi = i + FpFrameSamples
+          while (i < hi) { sq += s(i).toLong * s(i); i += 1 }
+          en(f) = sq
+          f += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 32 && b + 1 < nf) {
+          if (en(b + 1) > en(b)) fp |= 1L << (31 - b)
+          b += 1
+        }
+        AudioFpRow(r.doc_id, nf.toLong, f"$fp%08x")
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate audio pairs by banded Hamming search over
+    * [[audioFingerprints]] — the same multi-index shape as
+    * [[imageNearDups]]: the 32-bit fingerprint splits into 4 bands of
+    * 8 bits; any pair within Hamming distance ≤ 3 agrees exactly on at
+    * least one band (pigeonhole), so candidates come from 4 equi-joins
+    * on (band index, band value) and only candidates pay the Hamming
+    * check. Never all-pairs; one 8-bit-key shuffle per band. Radius > 3
+    * would need more bands than a 32-bit hash can spare — rejected, the
+    * scale path is a longer contour hash.
+    */
+  def audioNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4 bands of a 32-bit fingerprint " +
+        s"(pigeonhole needs bands > radius), got $maxHamming")
+    val h = audioFingerprints(documents).select(col("doc_id"), col("afp"))
+    val bands = h.select(col("doc_id"), col("afp"),
+        explode(sequence(lit(0), lit(3))).as("bi"))
+      .withColumn("bv", expr("substring(afp, bi * 2 + 1, 2)"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.afp").as("fa"), col("y.afp").as("fb"))
+      .distinct()
+    val ham = (0 until 4).map(b =>
+      bit_count(expr(s"cast(conv(substring(fa, ${b * 2 + 1}, 2), 16, 10) as long)")
+        .bitwiseXOR(expr(s"cast(conv(substring(fb, ${b * 2 + 1}, 2), 16, 10) as long)"))))
+      .reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------ Y4M codec
+
+  /** Video fixture recipe, shared with the DuckDB oracle: doc d is a
+    * YUV4MPEG2 (`Cmono` — luma plane only) clip, `w = 8 + d mod 9`,
+    * `h = 6 + d mod 7`, `nf = 4 + d mod 5` frames. Docs with
+    * d ≢ 0 (mod 3) contain a hard SCENE CUT at frame `sc = nf div 2`:
+    * frames before the cut render luma `(13d + 7i) mod 200 + 2f` (a
+    * slow +2/frame drift), frames at/after it switch to the unrelated
+    * pattern `(17d + 11i) mod 200 + 2(f − sc)`. Docs with d ≡ 0 (mod 3)
+    * are single-scene. Within a scene the per-pixel frame delta is
+    * exactly 2 (mean-abs-diff 2n ≪ the [[VideoCutThreshold]]·n cut
+    * bar); across the cut the two mod-200 patterns differ by ~50n —
+    * detection has a wide deterministic margin on every doc. Docs with
+    * d ≡ 0 (mod 5) carry a private `Xgrft` header tag, which the
+    * decoder must ignore per the Y4M spec.
+    */
+  val VideoCutThreshold = 10L
+
+  private[graft] def videoDims(docId: Long): (Int, Int, Int, Int) = {
+    val nf = (4 + docId % 5).toInt
+    ((8 + docId % 9).toInt, (6 + docId % 7).toInt, nf,
+      if (docId % 3 == 0) -1 else nf / 2)
+  }
+
+  private[graft] def videoLuma(docId: Long, sc: Int, f: Int, i: Int): Int =
+    (if (sc >= 0 && f >= sc) (docId * 17 + i * 11) % 200 + 2L * (f - sc)
+     else (docId * 13 + i * 7) % 200 + 2L * f).toInt
+
+  private[graft] def makeY4m(docId: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val (w, h, nf, sc) = videoDims(docId)
+    val xtag = if (docId % 5 == 0) " Xgrft" else ""
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono$xtag\n".getBytes(ascii))
+    var f = 0
+    while (f < nf) {
+      out.write("FRAME\n".getBytes(ascii))
+      var i = 0
+      while (i < w * h) {
+        out.write(videoLuma(docId, sc, f, i))
+        i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode YUV4MPEG2: the tagged stream header (`W`/`H` parsed, `C`
+    * required mono, other and private `X` tags skipped per spec), then
+    * repeated `FRAME` markers — each with optional frame-level params up
+    * to the newline — followed by `w·h` raw luma bytes. Returns
+    * (width, height, frames). Pure JVM — no codec libraries.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    var nl = 0
+    while (nl < bytes.length && bytes(nl) != '\n') nl += 1
+    require(nl < bytes.length, "no stream-header newline")
+    val header = new String(bytes, 0, nl, ascii).split(" ")
+    require(header.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var mono = false
+    header.tail.foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toInt
+      else if (t.startsWith("H")) h = t.drop(1).toInt
+      else if (t.startsWith("C")) mono = t.drop(1).startsWith("mono")
+      // F/I/A and private X tags: ignored
+    }
+    require(w > 0 && h > 0, s"missing or bad W/H in header ($w x $h)")
+    require(mono, "only Cmono (luma-plane) streams supported")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = nl + 1
+    while (p < bytes.length) {
+      require(p + 5 <= bytes.length &&
+        new String(bytes, p, 5, ascii) == "FRAME", s"bad FRAME marker at $p")
+      p += 5
+      while (p < bytes.length && bytes(p) != '\n') p += 1 // frame params
+      require(p < bytes.length, "no frame-header newline")
+      p += 1
+      require(p + w * h <= bytes.length,
+        s"truncated frame: ${bytes.length - p} of ${w * h} luma bytes")
+      frames += java.util.Arrays.copyOfRange(bytes, p, p + w * h)
+      p += w * h
+    }
+    (w, h, frames.toArray)
+  }
+
+  /** One deterministic Y4M fixture clip per document. */
+  def y4mMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, makeY4m(id)))
+  }
+
+  /** REAL per-frame video statistics: decode each Y4M clip and emit, per
+    * frame, the integer mean luma (milli-units) and the sum of absolute
+    * per-pixel differences to the previous frame — the standard
+    * pixel-domain scene-cut detector: a frame is a cut iff its
+    * mean-abs-diff exceeds [[VideoCutThreshold]] (integer form:
+    * `sad > threshold · n`). Decode + temporal diff run inside one
+    * map-only partition iterator — the clip's frames never leave the
+    * task, so there is NO shuffle of pixel data (contrast with a naive
+    * frame-explode + self-join on frame_idx−1, which would shuffle every
+    * frame twice).
+    */
+  def videoFrameStats(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    videoFrameRows(documents).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private def videoFrameRows(documents: DataFrame): Dataset[VideoFrameRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    y4mMediaTable(documents).mapPartitions { it =>
+      it.flatMap { r =>
+        val (w, h, frames) = decodeY4m(r.media)
+        val n = (w * h).toLong
+        frames.iterator.zipWithIndex.map { case (fr, f) =>
+          var sum = 0L; var sad = 0L
+          var i = 0
+          while (i < fr.length) {
+            sum += fr(i) & 0xff
+            if (f > 0) sad += math.abs((fr(i) & 0xff) -
+              (frames(f - 1)(i) & 0xff))
+            i += 1
+          }
+          VideoFrameRow(r.doc_id, f.toLong, sum * 1000 / n, sad,
+            f > 0 && sad > VideoCutThreshold * n)
+        }
+      }
+    }
+  }
+
+  /** Scene decomposition per clip: count detected cuts and emit the
+    * keyframe list (frame 0 plus every cut frame, comma-joined) — the
+    * scene-aware frame-sampling primitive a multimodal training pipeline
+    * uses to pick one representative frame per scene instead of a fixed
+    * stride. Derived from the same single decode pass as
+    * [[videoFrameStats]]; output is one fixed-width row per clip.
+    */
+  def videoScenes(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    y4mMediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (w, h, frames) = decodeY4m(r.media)
+        val n = (w * h).toLong
+        val cuts = (1 until frames.length).filter { f =>
+          var sad = 0L
+          var i = 0
+          while (i < n) {
+            sad += math.abs((frames(f)(i) & 0xff) - (frames(f - 1)(i) & 0xff))
+            i += 1
+          }
+          sad > VideoCutThreshold * n
+        }
+        VideoSceneRow(r.doc_id, w.toLong, h.toLong, frames.length.toLong,
+          cuts.length.toLong, (0 +: cuts).mkString(","))
+      }
+    }.toDF().orderBy(col("doc_id"))
   }
 }

@@ -185,6 +185,113 @@ class MultimodalTextSpec extends SparkSpec {
     }
   }
 
+  // Driver-side reference fingerprint straight from the fixture recipe —
+  // independent of the operator's WAV decode / framing / bit-packing.
+  private def refAudioFp(d: Long): (Long, String) = {
+    val planted = d % 10 == 7
+    val e = if (planted) d - 7 else d
+    val n = (544 + e % 225).toInt
+    val s = (0 until n).map { i =>
+      val b = ((e * 31 + 7) * (i + 1L) * (i + 2L) % 4001) - 2000
+      if (planted) b * 31 / 32 else b
+    }
+    val nf = n / 16
+    val en = (0 until nf).map(f =>
+      (f * 16 until f * 16 + 16).map(i => s(i) * s(i)).sum)
+    val v = (0 until math.min(32, nf - 1))
+      .filter(b => en(b + 1) > en(b)).map(b => 1L << (31 - b)).sum
+    (nf.toLong, f"$v%08x")
+  }
+
+  test("audio fingerprints match a recipe-level reference") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.audioFingerprints(real).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+    assert(got.length == 500)
+    got.foreach { case (d, t) => assert(t == refAudioFp(d), s"doc $d") }
+  }
+
+  test("banded audio near-dup equals brute-force Hamming at radius 3") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Multimodal.audioNearDups(real).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fps = (0L until 500L).map(d => d -> refAudioFp(d)._2).toMap
+    def ham(a: String, b: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    // every planted gain-twin is found: a uniform gain preserves the
+    // energy contour up to truncation ties (measured: Hamming ≤ 1 over
+    // the shipped corpora)
+    (7L until 500L by 10L).foreach { d =>
+      val h = pairs.get((d - 7, d))
+      assert(h.contains(ham(fps(d - 7), fps(d))) && h.get <= 1L,
+        s"planted gain-twin ($d - 7, $d) missing or mis-distanced")
+    }
+    // pigeonhole completeness at radius ≤ 3
+    val brute = (for {
+      a <- 0L until 500L; b <- (a + 1) until 500L
+      h = ham(fps(a), fps(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(pairs == brute)
+    intercept[IllegalArgumentException] {
+      Multimodal.audioNearDups(real, maxHamming = 4)
+    }
+  }
+
+  test("decodeY4m parses header tags and FRAME markers; rejects corruption") {
+    // doc 0: single-scene (0 % 3 == 0) AND carries the private Xgrft
+    // header tag (0 % 5 == 0) the decoder must skip; doc 1: scene cut
+    Seq(0L, 1L).foreach { d =>
+      val (w, h, nf, sc) = Multimodal.videoDims(d)
+      val (gw, gh, frames) = Multimodal.decodeY4m(Multimodal.makeY4m(d))
+      assert((gw, gh, frames.length) == (w, h, nf), s"doc $d dims")
+      for (f <- 0 until nf; i <- 0 until w * h)
+        assert((frames(f)(i) & 0xff) == Multimodal.videoLuma(d, sc, f, i),
+          s"doc $d frame $f pixel $i")
+    }
+    val y4m = Multimodal.makeY4m(1L)
+    intercept[IllegalArgumentException] { // truncated last frame
+      Multimodal.decodeY4m(y4m.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // non-mono chroma is rejected
+      val s = new String(y4m, "ISO-8859-1").replace("Cmono", "C420j")
+      Multimodal.decodeY4m(s.getBytes("ISO-8859-1"))
+    }
+  }
+
+  test("video frame stats match a recipe-level reference on sf0.001") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.videoFrameStats(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    (0L until 500L).foreach { d =>
+      val (w, h, nf, sc) = Multimodal.videoDims(d)
+      val n = w * h
+      (0 until nf).foreach { f =>
+        val ys = (0 until n).map(i => Multimodal.videoLuma(d, sc, f, i))
+        val sad = if (f == 0) 0L else (0 until n).map(i =>
+          math.abs(ys(i) - Multimodal.videoLuma(d, sc, f - 1, i)).toLong).sum
+        val exp = (ys.map(_.toLong).sum * 1000 / n, sad,
+          f > 0 && sad > Multimodal.VideoCutThreshold * n)
+        assert(got((d, f.toLong)) == exp, s"doc $d frame $f")
+      }
+    }
+    // detection result across the corpus: exactly one cut at nf/2 for
+    // d % 3 != 0 (the margin is deterministic: 2n drift vs ~50n cut)
+    val cuts = got.collect { case ((d, f), (_, _, true)) => (d, f) }.toSet
+    assert(cuts == (0L until 500L).filter(_ % 3 != 0)
+      .map(d => (d, (Multimodal.videoDims(d)._3 / 2).toLong)).toSet)
+  }
+
+  test("video scenes: cut count and keyframe list per clip") {
+    val s = Multimodal.videoScenes(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        r.getAs[String]("keyframes"))).toMap
+    assert(s(0L) == ((4L, 0L, "0")))      // d=0: nf=4, single scene
+    assert(s(1L) == ((5L, 1L, "0,2")))    // d=1: nf=5, cut at 5/2=2
+  }
+
   test("langId: argmax with fixed tie-break order") {
     val d = Seq(
       (0L, "the a the"),          // en markers dominate
