@@ -419,6 +419,33 @@ object DevScale {
       graft.operators.Curation.packShards(
         ex.join(nonCanonical, Seq("doc_id"), "left_anti"), 65536L).count()
     }
+
+    // round-8 multimodal codecs at 500k media docs ------
+    // all decode paths are map-only off the scan (pixels/samples never
+    // shuffle); the near-dup/admission joins touch only fixed-width
+    // fingerprints. The doc_id frame is all these operators read.
+    val mm = graft.operators.Multimodal
+    timeDocs("phash_500k")(mm.imageHashes(dc).count())
+    timeDocs("image_dups_500k")(mm.imageNearDups(dc).count())
+    // incremental perceptual admission at the daily-run split: the 400k
+    // index side is the persisted FINGERPRINT artifact (computed once
+    // here, read back as parquet) — batch cost is fingerprint 100k new
+    // images + 4 banded joins against the artifact
+    mm.imageHashes(dc.filter(col("doc_id") < 400000L))
+      .write.mode("overwrite").parquet("/tmp/scale_phash")
+    timeDocs("image_admission_500k")(mm.fingerprintAdmission(
+      spark.read.parquet("/tmp/scale_phash"),
+      mm.imageHashes(dc.filter(col("doc_id") >= 400000L)),
+      "phash", 16).filter(col("kept")).count())
+    // audio fingerprint extraction scales (decode ~650 samples/clip,
+    // map-only); the 32-bit contour's 8-bit bands cap the SEARCH corpus
+    // at ~10^4 docs before band-candidate blowup (256 buckets go
+    // quadratic) — the scale path is a longer contour hash with 16-bit
+    // bands, which the fixture clip length cannot produce, so the
+    // banded audio search is NOT run at 500k (measured honestly at
+    // bench scale instead; see audioNearDups scaladoc)
+    timeDocs("audio_fp_500k")(mm.audioFingerprints(dc).count())
+    timeDocs("video_scenes_500k")(mm.videoScenes(dc).count())
     spark.stop()
   }
 }

@@ -610,6 +610,26 @@ object SparkEntry {
     // real YUV4MPEG2 decode + pixel-domain scene-cut detection
     "multimodal_video_frames" -> ((s, dir) => Multimodal.videoFrameStats(Tables.documents(s, dir))),
     "multimodal_video_scenes" -> ((s, dir) => Multimodal.videoScenes(Tables.documents(s, dir))),
+    // incremental perceptual admission: batch fingerprints vs the
+    // persisted fingerprint artifact (80/20 split), media never re-read
+    "multimodal_image_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Multimodal.fingerprintAdmission(
+        Multimodal.imageHashes(docs.filter(col("doc_id") < cut)),
+        Multimodal.imageHashes(docs.filter(col("doc_id") >= cut)),
+        "phash", 16)
+    }),
+    "multimodal_audio_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Multimodal.fingerprintAdmission(
+        Multimodal.audioFingerprints(docs.filter(col("doc_id") < cut)),
+        Multimodal.audioFingerprints(docs.filter(col("doc_id") >= cut)),
+        "afp", 8)
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1509,6 +1529,55 @@ object SparkEntry {
          |       GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b, hamming FROM ahm
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental perceptual admission ≡ the whole-corpus smaller-id-
+    // neighbor rule restricted to the batch (monotone ids make the index
+    // exactly the smaller-id side) — recomputed from the fixture recipes
+    "multimodal_image_admission" ->
+      s"""WITH $phashCtes,
+         |ibands AS (SELECT doc_id, phash, bi,
+         |            substring(phash, CAST(bi * 4 + 1 AS INT), 4) AS bv
+         |          FROM ph CROSS JOIN unnest(range(4)) AS t(bi)),
+         |icand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.phash AS ha, y.phash AS hb
+         |         FROM ibands x JOIN ibands y
+         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |ihm AS (SELECT doc_a, doc_b,
+         |         CAST(sum(bit_count(xor(
+         |           strpos('0123456789abcdef', substring(ha, CAST(i + 1 AS INT), 1)) - 1,
+         |           strpos('0123456789abcdef', substring(hb, CAST(i + 1 AS INT), 1)) - 1)))
+         |           AS BIGINT) AS hamming
+         |       FROM icand CROSS JOIN unnest(range(16)) AS t(i)
+         |       GROUP BY doc_a, doc_b),
+         |im AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
+         |       FROM ihm WHERE hamming <= 3 GROUP BY doc_b)
+         |SELECT d.doc_id, coalesce(im.canon, d.doc_id) AS canonical_id,
+         |  im.canon IS NULL AS kept
+         |FROM documents d LEFT JOIN im ON d.doc_id = im.doc_id
+         |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+         |ORDER BY d.doc_id""".stripMargin,
+    "multimodal_audio_admission" ->
+      s"""WITH $audioFpCtes,
+         |abands AS (SELECT doc_id, afp, bi,
+         |            substring(afp, CAST(bi * 2 + 1 AS INT), 2) AS bv
+         |          FROM afp CROSS JOIN unnest(range(4)) AS t(bi)),
+         |acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.afp AS fa, y.afp AS fb
+         |         FROM abands x JOIN abands y
+         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |ahm AS (SELECT doc_a, doc_b,
+         |         CAST(sum(bit_count(xor(
+         |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
+         |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
+         |           AS BIGINT) AS hamming
+         |       FROM acand CROSS JOIN unnest(range(8)) AS t(i)
+         |       GROUP BY doc_a, doc_b),
+         |am AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
+         |       FROM ahm WHERE hamming <= 3 GROUP BY doc_b)
+         |SELECT d.doc_id, coalesce(am.canon, d.doc_id) AS canonical_id,
+         |  am.canon IS NULL AS kept
+         |FROM documents d LEFT JOIN am ON d.doc_id = am.doc_id
+         |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+         |ORDER BY d.doc_id""".stripMargin,
     // per-frame video statistics recomputed from the fixture recipe —
     // Spark must reproduce them through a real Y4M parse + frame decode,
     // so a header-tag, FRAME-marker, or plane-indexing defect breaks the

@@ -658,6 +658,14 @@ object Multimodal {
     * check. Never all-pairs; one 8-bit-key shuffle per band. Radius > 3
     * would need more bands than a 32-bit hash can spare — rejected, the
     * scale path is a longer contour hash.
+    *
+    * Corpus-size note: 8-bit band keys give 256 buckets, so band
+    * candidates grow as n²/256 — fine at the 10³–10⁴ clips the shipped
+    * fixtures model, quadratic-dominated around 10⁵. Production-scale
+    * audio dedup wants a 64-bit contour (≥ 66 frames per clip) with
+    * 16-bit bands, i.e. the image path's constants; the fixture clips
+    * (34–48 frames) cannot produce one, so this operator ships the
+    * 32-bit form and `DevScale` measures only the extraction at 500k.
     */
   def audioNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -681,6 +689,53 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental perceptual admission — the daily-run form of the banded
+    * near-dup searches, generic over the fingerprint modality: works for
+    * any `(doc_id, <fpCol> hex)` table (the 16-hex image aHash, the
+    * 8-hex audio contour). A batch doc is REFUSED iff some fingerprint
+    * within Hamming `maxHamming` exists on a smaller doc_id (the index
+    * side is a persisted artifact table from a previous run — raw media
+    * is never re-read or re-decoded; with monotone ingest ids the index
+    * is exactly the smaller-id side, so admission equals the whole-corpus
+    * smaller-id-neighbor rule restricted to the batch — the invariant the
+    * oracle checks). The rule is DIRECT-neighbor (not component-closure)
+    * on purpose: it makes admission independent of other batch verdicts,
+    * so the operator is order-free, idempotent on replay, and O(batch)
+    * — candidates come from the same 4-band equi-joins as the full
+    * search, with only the batch side exploding per band against the
+    * fingerprint artifact.
+    */
+  def fingerprintAdmission(indexFps: DataFrame, batchFps: DataFrame,
+                           fpCol: String, hexLen: Int,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4 bands (pigeonhole), got $maxHamming")
+    require(hexLen % 4 == 0 && hexLen > 0, s"hexLen must be 4|8|12|16, got $hexLen")
+    val bw = hexLen / 4 // hex chars per band
+    val bat = batchFps.select(col("doc_id"), col(fpCol).as("fp"))
+    val all = indexFps.select(col("doc_id").as("o_id"), col(fpCol).as("o_fp"))
+      .unionByName(bat.select(col("doc_id").as("o_id"), col("fp").as("o_fp")))
+    def bandsOf(df: DataFrame, f: String) = df
+      .withColumn("bi", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr(s"substring($f, bi * $bw + 1, $bw)"))
+    val cand = bandsOf(all, "o_fp")
+      .join(bandsOf(bat, "fp"), Seq("bi", "bv"))
+      .filter(col("o_id") < col("doc_id"))
+      .select(col("doc_id"), col("fp"), col("o_id"), col("o_fp"))
+      .distinct()
+    val ham = (0 until 4).map(b =>
+      bit_count(expr(s"cast(conv(substring(fp, ${b * bw + 1}, $bw), 16, 10) as long)")
+        .bitwiseXOR(expr(s"cast(conv(substring(o_fp, ${b * bw + 1}, $bw), 16, 10) as long)"))))
+      .reduce(_ + _)
+    val matches = cand.filter(ham <= maxHamming)
+      .groupBy(col("doc_id")).agg(min(col("o_id")).as("canon"))
+    bat.join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon"), col("doc_id")).as("canonical_id"),
+        col("canon").isNull.as("kept"))
+      .orderBy(col("doc_id"))
   }
 
   // ------------------------------------------------------------ Y4M codec

@@ -239,6 +239,29 @@ class MultimodalTextSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint admission equals the smaller-id-neighbor rule") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = 499L * 4 / 5 // the 80/20 split the queries use
+    val got = Multimodal.fingerprintAdmission(
+      Multimodal.audioFingerprints(real.filter(col("doc_id") < cut)),
+      Multimodal.audioFingerprints(real.filter(col("doc_id") >= cut)),
+      "afp", 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    def ham(a: String, b: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    val fps = (0L until 500L).map(d => d -> refAudioFp(d)._2).toMap
+    val exp = (cut until 500L).map { d =>
+      val canon = (0L until d).find(a => ham(fps(a), fps(d)) <= 3)
+      d -> (canon.getOrElse(d), canon.isEmpty)
+    }.toMap
+    assert(got == exp)
+    // the planted gain-twins in the batch are refused against their
+    // index-side source without the index media ever being re-decoded
+    assert((cut until 500L).filter(_ % 10 == 7).forall(d => !got(d)._2))
+  }
+
   test("decodeY4m parses header tags and FRAME markers; rejects corruption") {
     // doc 0: single-scene (0 % 3 == 0) AND carries the private Xgrft
     // header tag (0 % 5 == 0) the decoder must skip; doc 1: scene cut
