@@ -426,17 +426,30 @@ object DevScale {
     // fingerprints. The doc_id frame is all these operators read.
     val mm = graft.operators.Multimodal
     timeDocs("phash_500k")(mm.imageHashes(dc).count())
+    // NOTE this corpus is adversarially duplicate-heavy at 500k: the
+    // mod-256 pixel recipe renders identical images for doc ids equal
+    // mod lcm(256, 221) = 56576, i.e. ~9-member identical classes →
+    // ~4M TRUE pairs. The banded search clears it regardless (the join
+    // stays band-bucketed; output size, not candidate blowup, is the
+    // cost) — the image analogue of the 20%-duplicate text corpora
     timeDocs("image_dups_500k")(mm.imageNearDups(dc).count())
     // incremental perceptual admission at the daily-run split: the 400k
     // index side is the persisted FINGERPRINT artifact (computed once
     // here, read back as parquet) — batch cost is fingerprint 100k new
-    // images + 4 banded joins against the artifact
+    // images + 4 banded joins against the artifact. On THIS corpus every
+    // batch doc has an identical smaller-id twin (see above), so all
+    // 100k are refused — printed to keep the measurement honest
     mm.imageHashes(dc.filter(col("doc_id") < 400000L))
       .write.mode("overwrite").parquet("/tmp/scale_phash")
-    timeDocs("image_admission_500k")(mm.fingerprintAdmission(
-      spark.read.parquet("/tmp/scale_phash"),
-      mm.imageHashes(dc.filter(col("doc_id") >= 400000L)),
-      "phash", 16).filter(col("kept")).count())
+    timeDocs("image_admission_500k") {
+      val adm = mm.fingerprintAdmission(
+        spark.read.parquet("/tmp/scale_phash"),
+        mm.imageHashes(dc.filter(col("doc_id") >= 400000L)),
+        "phash", 16)
+      val refused = adm.filter(!col("kept")).count()
+      println(f"  (refused $refused of 100000 — identical-class corpus)")
+      adm.count()
+    }
     // audio fingerprint extraction scales (decode ~650 samples/clip,
     // map-only); the 32-bit contour's 8-bit bands cap the SEARCH corpus
     // at ~10^4 docs before band-candidate blowup (256 buckets go

@@ -171,6 +171,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Relational.retentionCohorts(emptyEvents).count() == 0)
   }
 
+  test("multimodal codec operators on empty / cold-start corpora") {
+    import graft.operators.Multimodal
+    // empty corpus: every decode operator is an empty frame, not a crash
+    assert(Multimodal.audioFeatures(emptyDocs).count() == 0)
+    assert(Multimodal.audioFrames(emptyDocs).count() == 0)
+    assert(Multimodal.audioFingerprints(emptyDocs).count() == 0)
+    assert(Multimodal.audioNearDups(emptyDocs).count() == 0)
+    assert(Multimodal.videoFrameStats(emptyDocs).count() == 0)
+    assert(Multimodal.videoScenes(emptyDocs).count() == 0)
+    // admission cold start (empty artifact): the whole batch is admitted
+    // unless it collides with itself; empty batch yields an empty frame
+    val two = Seq((0L, "a"), (7L, "b")).toDF("doc_id", "text") // 7 twins 0
+    val emptyFp = Multimodal.audioFingerprints(emptyDocs)
+    val cold = Multimodal.fingerprintAdmission(
+      emptyFp, Multimodal.audioFingerprints(two), "afp", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(cold == Seq((0L, 0L, true), (7L, 0L, false)))
+    assert(Multimodal.fingerprintAdmission(
+      Multimodal.audioFingerprints(two), emptyFp, "afp", 8).count() == 0)
+  }
+
   test("corpusDiff classifies null-text docs by presence, not key nullability") {
     import graft.operators.Curation
     val old = Seq((1L, null: String), (2L, "x"), (3L, null: String))
