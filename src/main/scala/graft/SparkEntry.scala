@@ -630,6 +630,10 @@ object SparkEntry {
         Multimodal.audioFingerprints(docs.filter(col("doc_id") >= cut)),
         "afp", 8)
     }),
+    // cross-modal curation gate: per-doc duplicate flags across text /
+    // image / audio and the conjunction a packer would consume
+    "pipeline_multimodal" -> ((s, dir) =>
+      Multimodal.cleanMultimodalCorpus(Tables.documents(s, dir))),
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -1534,22 +1538,7 @@ object SparkEntry {
     // exactly the smaller-id side) — recomputed from the fixture recipes
     "multimodal_image_admission" ->
       s"""WITH $phashCtes,
-         |ibands AS (SELECT doc_id, phash, bi,
-         |            substring(phash, CAST(bi * 4 + 1 AS INT), 4) AS bv
-         |          FROM ph CROSS JOIN unnest(range(4)) AS t(bi)),
-         |icand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |                x.phash AS ha, y.phash AS hb
-         |         FROM ibands x JOIN ibands y
-         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |ihm AS (SELECT doc_a, doc_b,
-         |         CAST(sum(bit_count(xor(
-         |           strpos('0123456789abcdef', substring(ha, CAST(i + 1 AS INT), 1)) - 1,
-         |           strpos('0123456789abcdef', substring(hb, CAST(i + 1 AS INT), 1)) - 1)))
-         |           AS BIGINT) AS hamming
-         |       FROM icand CROSS JOIN unnest(range(16)) AS t(i)
-         |       GROUP BY doc_a, doc_b),
-         |im AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
-         |       FROM ihm WHERE hamming <= 3 GROUP BY doc_b)
+         |$imageNeighborCtes
          |SELECT d.doc_id, coalesce(im.canon, d.doc_id) AS canonical_id,
          |  im.canon IS NULL AS kept
          |FROM documents d LEFT JOIN im ON d.doc_id = im.doc_id
@@ -1557,27 +1546,32 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin,
     "multimodal_audio_admission" ->
       s"""WITH $audioFpCtes,
-         |abands AS (SELECT doc_id, afp, bi,
-         |            substring(afp, CAST(bi * 2 + 1 AS INT), 2) AS bv
-         |          FROM afp CROSS JOIN unnest(range(4)) AS t(bi)),
-         |acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |                x.afp AS fa, y.afp AS fb
-         |         FROM abands x JOIN abands y
-         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |ahm AS (SELECT doc_a, doc_b,
-         |         CAST(sum(bit_count(xor(
-         |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
-         |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
-         |           AS BIGINT) AS hamming
-         |       FROM acand CROSS JOIN unnest(range(8)) AS t(i)
-         |       GROUP BY doc_a, doc_b),
-         |am AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
-         |       FROM ahm WHERE hamming <= 3 GROUP BY doc_b)
+         |$audioNeighborCtes
          |SELECT d.doc_id, coalesce(am.canon, d.doc_id) AS canonical_id,
          |  am.canon IS NULL AS kept
          |FROM documents d LEFT JOIN am ON d.doc_id = am.doc_id
          |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
          |ORDER BY d.doc_id""".stripMargin,
+    // cross-modal curation gate: one row per doc with per-modality
+    // duplicate flags (exact text md5 keep-first; image / audio
+    // smaller-id fingerprint neighbor at radius 3) and the conjunction
+    "pipeline_multimodal" ->
+      s"""WITH $phashCtes,
+         |$audioFpCtes,
+         |$imageNeighborCtes,
+         |$audioNeighborCtes,
+         |tx AS (SELECT doc_id,
+         |        row_number() OVER (PARTITION BY md5(text)
+         |                           ORDER BY doc_id) > 1 AS text_dup
+         |      FROM documents)
+         |SELECT t.doc_id, t.text_dup,
+         |  im.canon IS NOT NULL AS image_dup,
+         |  am.canon IS NOT NULL AS audio_dup,
+         |  NOT (t.text_dup OR im.canon IS NOT NULL
+         |       OR am.canon IS NOT NULL) AS kept
+         |FROM tx t LEFT JOIN im ON t.doc_id = im.doc_id
+         |          LEFT JOIN am ON t.doc_id = am.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // per-frame video statistics recomputed from the fixture recipe —
     // Spark must reproduce them through a real Y4M parse + frame decode,
     // so a header-tag, FRAME-marker, or plane-indexing defect breaks the
@@ -2373,6 +2367,47 @@ object SparkEntry {
       |        CAST(coalesce(sum(abs(y - py)), 0) AS BIGINT) AS sad,
       |        count(py) AS npy
       |      FROM vq GROUP BY doc_id, f)""".stripMargin
+
+  /** Shared smaller-id fingerprint-neighbor CTE chains (require
+    * `phashCtes` / `audioFpCtes` earlier in the WITH): banded candidates
+    * → Hamming ≤ 3 → `im`/`am` (doc_id, canon = min smaller neighbor).
+    * Used by the two admission oracles and `pipeline_multimodal`.
+    */
+  private val imageNeighborCtes: String =
+    """ibands AS (SELECT doc_id, phash, bi,
+      |            substring(phash, CAST(bi * 4 + 1 AS INT), 4) AS bv
+      |          FROM ph CROSS JOIN unnest(range(4)) AS t(bi)),
+      |icand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |                x.phash AS ha, y.phash AS hb
+      |         FROM ibands x JOIN ibands y
+      |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |ihm AS (SELECT doc_a, doc_b,
+      |         CAST(sum(bit_count(xor(
+      |           strpos('0123456789abcdef', substring(ha, CAST(i + 1 AS INT), 1)) - 1,
+      |           strpos('0123456789abcdef', substring(hb, CAST(i + 1 AS INT), 1)) - 1)))
+      |           AS BIGINT) AS hamming
+      |       FROM icand CROSS JOIN unnest(range(16)) AS t(i)
+      |       GROUP BY doc_a, doc_b),
+      |im AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
+      |       FROM ihm WHERE hamming <= 3 GROUP BY doc_b)""".stripMargin
+
+  private val audioNeighborCtes: String =
+    """abands AS (SELECT doc_id, afp, bi,
+      |            substring(afp, CAST(bi * 2 + 1 AS INT), 2) AS bv
+      |          FROM afp CROSS JOIN unnest(range(4)) AS t(bi)),
+      |acand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |                x.afp AS fa, y.afp AS fb
+      |         FROM abands x JOIN abands y
+      |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |ahm AS (SELECT doc_a, doc_b,
+      |         CAST(sum(bit_count(xor(
+      |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
+      |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
+      |           AS BIGINT) AS hamming
+      |       FROM acand CROSS JOIN unnest(range(8)) AS t(i)
+      |       GROUP BY doc_a, doc_b),
+      |am AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
+      |       FROM ahm WHERE hamming <= 3 GROUP BY doc_b)""".stripMargin
 
   /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
     * Used by `text_langid` and `sample_stratified`.

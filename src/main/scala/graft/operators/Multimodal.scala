@@ -738,6 +738,38 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-modal curation gate — the composed form a multimodal training
+    * corpus runs before packing: one row per document with a duplicate
+    * flag per modality (exact text via md5 keep-first; image and audio
+    * via the whole-corpus smaller-id fingerprint-neighbor rule —
+    * [[fingerprintAdmission]] with an empty index IS that rule) and the
+    * conjunction `kept`. Each flag derives from fixed-width keys
+    * (16 bytes md5 / 8–16 hex fingerprint); the media itself is decoded
+    * once per modality, map-only, and never joins. The three flag frames
+    * meet on `doc_id` equi-joins — at 100 TB those are the only
+    * shuffles, all on one long key per doc.
+    */
+  def cleanMultimodalCorpus(documents: DataFrame): DataFrame = {
+    val empty = documents.limit(0)
+    val textDup = documents.select(col("doc_id"),
+      (org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))) > 1)
+        .as("text_dup"))
+    val imageDup = fingerprintAdmission(imageHashes(empty),
+        imageHashes(documents), "phash", 16)
+      .select(col("doc_id"), (!col("kept")).as("image_dup"))
+    val audioDup = fingerprintAdmission(audioFingerprints(empty),
+        audioFingerprints(documents), "afp", 8)
+      .select(col("doc_id"), (!col("kept")).as("audio_dup"))
+    textDup.join(imageDup, "doc_id").join(audioDup, "doc_id")
+      .select(col("doc_id"), col("text_dup"), col("image_dup"),
+        col("audio_dup"),
+        (!(col("text_dup") || col("image_dup") || col("audio_dup")))
+          .as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ Y4M codec
 
   /** Video fixture recipe, shared with the DuckDB oracle: doc d is a

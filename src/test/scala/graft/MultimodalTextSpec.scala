@@ -262,6 +262,28 @@ class MultimodalTextSpec extends SparkSpec {
     assert((cut until 500L).filter(_ % 10 == 7).forall(d => !got(d)._2))
   }
 
+  test("cross-modal gate composes per-modality duplicate flags") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.cleanMultimodalCorpus(real).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got.size == 500)
+    def ham(a: String, b: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    val texts = real.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ph = (0L until 500L).map(d => d -> refPhash(d)._3).toMap
+    val af = (0L until 500L).map(d => d -> refAudioFp(d)._2).toMap
+    (0L until 500L).foreach { d =>
+      val t = (0L until d).exists(a => texts(a) == texts(d))
+      val i = (0L until d).exists(a => ham(ph(a), ph(d)) <= 3)
+      val u = (0L until d).exists(a => ham(af(a), af(d)) <= 3)
+      assert(got(d) == ((t, i, u, !(t || i || u))), s"doc $d")
+    }
+  }
+
   test("decodeY4m parses header tags and FRAME markers; rejects corruption") {
     // doc 0: single-scene (0 % 3 == 0) AND carries the private Xgrft
     // header tag (0 % 5 == 0) the decoder must skip; doc 1: scene cut
