@@ -397,6 +397,110 @@ object StreamingDedup {
     * both are pinned in a one-row `indexDir/params` artifact on first
     * run and `require`d to match on every later one.
     */
+  /** Streaming PERCEPTUAL admission — the continuous form of
+    * [[graft.operators.Multimodal.fingerprintAdmission]], closing the
+    * streaming admission family (exact / near-dup / semantic /
+    * perceptual): media documents arrive as micro-batches, each batch is
+    * fingerprinted ONCE (the only decode pass), admitted against the
+    * persisted fingerprint artifact via the 4-band Hamming search, and
+    * the artifact is extended. `fingerprint` maps a batch of documents to
+    * `(doc_id, <fpCol>)` — pass `Multimodal.imageHashes` /
+    * `audioFingerprints` for the shipped modalities; media bytes never
+    * reach the artifact, the join, or the output.
+    *
+    * Crash safety is the single-artifact special case of the
+    * [[nearDupAdmissionStream]] contract: the fingerprint table is the
+    * frontier-bearing artifact and the ONLY artifact, written after the
+    * batch-id-keyed output commit — a crash between them replays the
+    * batch in full and [[writeOutputBatch]] keeps the committed rows; a
+    * torn fingerprint append (max row landed, others lost) is detected
+    * per replayed doc and fails loudly, because a silently absent
+    * fingerprint would never refuse that doc's future twins. The
+    * direct-neighbor admission rule needs no label store — admission is
+    * order-free within a batch — so there is no snapshot machinery here.
+    * Parameter drift (`hexLen`, `maxHamming`) is pinned in
+    * `indexDir/params` exactly as in the semantic loop: bands probed at
+    * a different geometry or radius are a different dedup relation.
+    */
+  def perceptualAdmissionStream(spark: SparkSession, inDir: String,
+                                indexDir: String, outDir: String,
+                                ckptDir: String,
+                                fingerprint: DataFrame => DataFrame,
+                                fpCol: String, hexLen: Int,
+                                maxHamming: Int = 3): Unit = {
+    val inSchema = spark.read.parquet(inDir).schema
+    require(inSchema.fieldNames.contains("doc_id"),
+      s"perceptualAdmissionStream: input $inDir must carry doc_id")
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField(fpCol, StringType)))
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val bfp = fingerprint(batch)
+        .select(col("doc_id").cast("long").as("doc_id"), col(fpCol))
+        .persist()
+      try {
+        val sess = bfp.sparkSession
+        val conf = sess.sparkContext.hadoopConfiguration
+        val fpsPath = new org.apache.hadoop.fs.Path(indexDir, "fps")
+        val fs = fpsPath.getFileSystem(conf)
+        // dedupe-on-read: a crashed-then-replayed append may have written
+        // a fingerprint twice; duplicates are bit-identical
+        val idxFps = (if (fs.exists(fpsPath))
+            sess.read.schema(fpSchema).parquet(fpsPath.toString)
+          else sess.createDataFrame(
+            sess.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema))
+          .dropDuplicates("doc_id")
+        val paramsPath = new org.apache.hadoop.fs.Path(indexDir, "params")
+        if (fs.exists(paramsPath)) {
+          val p = sess.read.parquet(paramsPath.toString).head()
+          require(p.getInt(0) == hexLen && p.getInt(1) == maxHamming,
+            s"perceptualAdmissionStream: index at $indexDir was built " +
+              s"with hexLen=${p.getInt(0)}, maxHamming=${p.getInt(1)} — " +
+              s"this run passed ($hexLen, $maxHamming); parameter drift " +
+              "silently changes the dedup relation, rebuild the index to " +
+              "change parameters")
+        }
+        // replay frontier from the fingerprint artifact — the last (and
+        // only) artifact write, so a frontier-covered doc's batch landed
+        val frontier = idxFps.agg(max(col("doc_id"))).head()
+        val eff = (if (frontier.isNullAt(0)) bfp
+                   else bfp.filter(col("doc_id") > frontier.getLong(0)))
+          .persist()
+        try {
+          if (!frontier.isNullAt(0)) {
+            val dropped = bfp.filter(col("doc_id") <= frontier.getLong(0))
+            requireDroppedAreReplays(dropped, frontier.getLong(0), outDir,
+              "perceptualAdmissionStream")
+            val torn = dropped.select(col("doc_id"))
+              .join(idxFps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+              .count()
+            require(torn == 0,
+              s"perceptualAdmissionStream: $torn replayed docs are absent " +
+                "from the fingerprint artifact — torn fingerprint append " +
+                "(crash mid-commit); rebuild the index by re-running the " +
+                "batch fingerprint extraction over the corpus")
+          }
+          val admissions = graft.operators.Multimodal.fingerprintAdmission(
+            idxFps, eff, fpCol, hexLen, maxHamming)
+          writeOutputBatch(admissions, outDir, batchId)
+          if (!fs.exists(paramsPath))
+            sess.range(1).select(lit(hexLen).as("hex_len"),
+              lit(maxHamming).as("max_hamming"))
+              .write.mode("overwrite").parquet(paramsPath.toString)
+          // frontier-bearing artifact append LAST (contract above)
+          if (!eff.isEmpty)
+            eff.write.mode("append").parquet(fpsPath.toString)
+        } finally eff.unpersist()
+      } finally bfp.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
   def semanticAdmissionStream(spark: SparkSession, inDir: String,
                               indexDir: String, outDir: String,
                               ckptDir: String, threshold: Double,

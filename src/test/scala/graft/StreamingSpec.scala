@@ -808,6 +808,92 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streaming perceptual admission: parity, replay no-op, param pin") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-perc")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      // batches carry only doc_id — the audio fingerprint fixtures derive
+      // entirely from the id. 7 is the planted gain-twin of 0, 17 of 10.
+      val batches = Seq(Seq(0L, 1L), Seq(7L, 10L), Seq(17L, 21L))
+      batches.zipWithIndex.foreach { case (ids, i) =>
+        StreamingSessions.appendReplayFile(ids.toDF("doc_id"), in, i)
+      }
+      val index = root.resolve("index")
+      def run(ckpt: String, r: Int = 3): Unit =
+        graft.streaming.StreamingDedup.perceptualAdmissionStream(spark,
+          in.toString, index.toString, root.resolve("out").toString,
+          root.resolve(ckpt).toString,
+          graft.operators.Multimodal.audioFingerprints, "afp", 8, r)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingDedup
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      // both planted twins refused against their earlier-batch source
+      assert(got.find(_._1 == 7L).get == ((7L, 0L, false)))
+      assert(got.find(_._1 == 17L).get == ((17L, 10L, false)))
+      // per-batch parity with the BATCH operator on the same prefix split
+      val mm = graft.operators.Multimodal
+      val folded = batches.indices.flatMap { i =>
+        mm.fingerprintAdmission(
+          mm.audioFingerprints(batches.take(i).flatten.toDF("doc_id")),
+          mm.audioFingerprints(batches(i).toDF("doc_id")), "afp", 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }.sortBy(_._1).toSeq
+      assert(got == folded)
+      // full replay with a fresh checkpoint: every doc falls below the
+      // fingerprint-artifact frontier -> empty effective batches, output
+      // unchanged, duplicate artifact appends absorbed by dedupe-on-read
+      run("ckpt2")
+      assert(readOut() == got)
+      val fpCnt = spark.read.parquet(index.resolve("fps").toString)
+        .groupBy(col("doc_id")).count().collect()
+        .map(r => r.getLong(1)).distinct.sorted
+      assert(fpCnt.forall(_ <= 2)) // at most the original + one replay
+      // parameter drift (different radius) is refused loudly
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      val drift = intercept[Exception] { run("ckpt3", r = 2) }
+      assert(causes(drift).exists(m => m != null && m.contains("parameter drift")))
+      // genuinely out-of-order input fails loudly, not silently dropped
+      StreamingSessions.appendReplayFile(Seq(2L).toDF("doc_id"), in, 3)
+      val ex = intercept[Exception] { run("ckpt4") }
+      assert(causes(ex).exists(m => m != null && m.contains("out-of-order")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
+  test("perceptual admission detects a torn fingerprint append on replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-perc-torn")
+    try {
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val index = root.resolve("index")
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingDedup.perceptualAdmissionStream(spark,
+          in.toString, index.toString, root.resolve("out").toString,
+          root.resolve(ckpt).toString,
+          graft.operators.Multimodal.audioFingerprints, "afp", 8)
+      StreamingSessions.appendReplayFile(Seq(10L, 11L).toDF("doc_id"), in, 0)
+      run("ckpt")
+      // simulate the tear: doc 10's fingerprint row vanishes, max (11)
+      // stays — its future twins would silently admit; replay must fail
+      val fps = index.resolve("fps").toString
+      val kept = spark.read.parquet(fps).filter(col("doc_id") =!= 10L)
+        .localCheckpoint().collect()
+      val schema = spark.read.parquet(fps).schema
+      StreamingSessions.deleteRecursively(java.nio.file.Paths.get(fps))
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+        .write.parquet(fps)
+      val ex = intercept[Exception] { run("ckpt2") }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m =>
+        m != null && m.contains("torn fingerprint append")))
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("semantic admission survives the emb-appended/buckets-missing crash window") {
     // a crash between the vector-store append and the bucket (frontier)
     // append leaves the batch's vectors in emb but not in buckets: the
