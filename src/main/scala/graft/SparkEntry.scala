@@ -610,6 +610,9 @@ object SparkEntry {
     // real YUV4MPEG2 decode + pixel-domain scene-cut detection
     "multimodal_video_frames" -> ((s, dir) => Multimodal.videoFrameStats(Tables.documents(s, dir))),
     "multimodal_video_scenes" -> ((s, dir) => Multimodal.videoScenes(Tables.documents(s, dir))),
+    // temporal luma-contour video fingerprint; banded Hamming near-dup
+    "multimodal_video_fp" -> ((s, dir) => Multimodal.videoFingerprints(Tables.documents(s, dir))),
+    "multimodal_video_dups" -> ((s, dir) => Multimodal.videoNearDups(Tables.documents(s, dir))),
     // incremental perceptual admission: batch fingerprints vs the
     // persisted fingerprint artifact (80/20 split), media never re-read
     "multimodal_image_admission" -> ((s, dir) => {
@@ -630,8 +633,17 @@ object SparkEntry {
         Multimodal.audioFingerprints(docs.filter(col("doc_id") >= cut)),
         "afp", 8)
     }),
+    "multimodal_video_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Multimodal.fingerprintAdmission(
+        Multimodal.videoFingerprints(docs.filter(col("doc_id") < cut)),
+        Multimodal.videoFingerprints(docs.filter(col("doc_id") >= cut)),
+        "vfp", 8)
+    }),
     // cross-modal curation gate: per-doc duplicate flags across text /
-    // image / audio and the conjunction a packer would consume
+    // image / audio / video and the conjunction a packer would consume
     "pipeline_multimodal" -> ((s, dir) =>
       Multimodal.cleanMultimodalCorpus(Tables.documents(s, dir))),
   )
@@ -1552,14 +1564,38 @@ object SparkEntry {
          |FROM documents d LEFT JOIN am ON d.doc_id = am.doc_id
          |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
          |ORDER BY d.doc_id""".stripMargin,
+    "multimodal_video_admission" ->
+      s"""WITH $videoFpCtes,
+         |$videoNeighborCtes
+         |SELECT d.doc_id, coalesce(vm.canon, d.doc_id) AS canonical_id,
+         |  vm.canon IS NULL AS kept
+         |FROM documents d LEFT JOIN vm ON d.doc_id = vm.doc_id
+         |WHERE d.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+         |ORDER BY d.doc_id""".stripMargin,
+    // temporal luma-contour fingerprint recomputed from the fixture
+    // recipe — Spark must reproduce it through real Y4M decode + per-
+    // frame luma sums + contour bits
+    "multimodal_video_fp" ->
+      s"""WITH $videoFpCtes
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, vfp
+         |FROM vfp ORDER BY doc_id""".stripMargin,
+    // banded Hamming search replicated in SQL: same 4×8-bit bands, same
+    // radius — the oracle's candidate set IS the operator's candidate set
+    "multimodal_video_dups" ->
+      s"""WITH $videoFpCtes,
+         |$videoNeighborCtes
+         |SELECT doc_a, doc_b, hamming FROM vhm
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // cross-modal curation gate: one row per doc with per-modality
-    // duplicate flags (exact text md5 keep-first; image / audio
+    // duplicate flags (exact text md5 keep-first; image / audio / video
     // smaller-id fingerprint neighbor at radius 3) and the conjunction
     "pipeline_multimodal" ->
       s"""WITH $phashCtes,
          |$audioFpCtes,
+         |$videoFpCtes,
          |$imageNeighborCtes,
          |$audioNeighborCtes,
+         |$videoNeighborCtes,
          |tx AS (SELECT doc_id,
          |        row_number() OVER (PARTITION BY md5(text)
          |                           ORDER BY doc_id) > 1 AS text_dup
@@ -1567,10 +1603,12 @@ object SparkEntry {
          |SELECT t.doc_id, t.text_dup,
          |  im.canon IS NOT NULL AS image_dup,
          |  am.canon IS NOT NULL AS audio_dup,
+         |  vm.canon IS NOT NULL AS video_dup,
          |  NOT (t.text_dup OR im.canon IS NOT NULL
-         |       OR am.canon IS NOT NULL) AS kept
+         |       OR am.canon IS NOT NULL OR vm.canon IS NOT NULL) AS kept
          |FROM tx t LEFT JOIN im ON t.doc_id = im.doc_id
          |          LEFT JOIN am ON t.doc_id = am.doc_id
+         |          LEFT JOIN vm ON t.doc_id = vm.doc_id
          |ORDER BY t.doc_id""".stripMargin,
     // per-frame video statistics recomputed from the fixture recipe —
     // Spark must reproduce them through a real Y4M parse + frame decode,
@@ -2368,10 +2406,42 @@ object SparkEntry {
       |        count(py) AS npy
       |      FROM vq GROUP BY doc_id, f)""".stripMargin
 
+  /** Shared video-fingerprint CTE chain → `vfp(doc_id, nf, vfp)`: the
+    * 32-bit temporal luma-contour fingerprint recomputed from the
+    * fingerprint fixture recipe (`Multimodal.vfpDims`/`vfpLuma` —
+    * planted brightness-shifted twins at doc_id ≡ 8 mod 10),
+    * independently of the Y4M binary path. Used by
+    * `multimodal_video_fp` and `multimodal_video_dups`.
+    */
+  private val videoFpCtes: String =
+    """vfd AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 10 = 8 THEN doc_id - 8 ELSE doc_id END AS e,
+      |        CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END AS planted
+      |      FROM documents),
+      |vfn AS (SELECT doc_id, e, planted, 6 + e % 5 AS w, 4 + e % 5 AS h,
+      |        34 + e % 15 AS nf FROM vfd),
+      |vfs AS (SELECT doc_id, nf, f,
+      |        CAST(sum(((e*31 + 7) * (f+1) * (f+2) + 13*i) % 200
+      |          + planted * 5) AS BIGINT) AS s
+      |      FROM vfn CROSS JOIN unnest(range(48)) AS tf(f)
+      |      CROSS JOIN unnest(range(80)) AS ti(i)
+      |      WHERE f < nf AND i < w * h
+      |      GROUP BY doc_id, nf, f),
+      |vfe AS (SELECT doc_id, nf, f, s,
+      |        lead(s) OVER (PARTITION BY doc_id ORDER BY f) AS ns FROM vfs),
+      |vfv AS (SELECT doc_id, max(nf) AS nf,
+      |        CAST(sum(CASE WHEN f < 32 AND ns IS NOT NULL AND ns > s
+      |                 THEN CAST(1 AS BIGINT) << CAST(31 - f AS INT)
+      |                 ELSE 0 END) AS BIGINT) AS v
+      |      FROM vfe GROUP BY doc_id),
+      |vfp AS (SELECT doc_id, nf, lower(lpad(hex(v), 8, '0')) AS vfp
+      |        FROM vfv)""".stripMargin
+
   /** Shared smaller-id fingerprint-neighbor CTE chains (require
-    * `phashCtes` / `audioFpCtes` earlier in the WITH): banded candidates
-    * → Hamming ≤ 3 → `im`/`am` (doc_id, canon = min smaller neighbor).
-    * Used by the two admission oracles and `pipeline_multimodal`.
+    * `phashCtes` / `audioFpCtes` / `videoFpCtes` earlier in the WITH):
+    * banded candidates → Hamming ≤ 3 → `im`/`am`/`vm` (doc_id, canon =
+    * min smaller neighbor). Used by the admission oracles and
+    * `pipeline_multimodal`.
     */
   private val imageNeighborCtes: String =
     """ibands AS (SELECT doc_id, phash, bi,
@@ -2408,6 +2478,24 @@ object SparkEntry {
       |       GROUP BY doc_a, doc_b),
       |am AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
       |       FROM ahm WHERE hamming <= 3 GROUP BY doc_b)""".stripMargin
+
+  private val videoNeighborCtes: String =
+    """vbands AS (SELECT doc_id, vfp, bi,
+      |            substring(vfp, CAST(bi * 2 + 1 AS INT), 2) AS bv
+      |          FROM vfp CROSS JOIN unnest(range(4)) AS t(bi)),
+      |vcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |                x.vfp AS fa, y.vfp AS fb
+      |         FROM vbands x JOIN vbands y
+      |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      |vhm AS (SELECT doc_a, doc_b,
+      |         CAST(sum(bit_count(xor(
+      |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
+      |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
+      |           AS BIGINT) AS hamming
+      |       FROM vcand CROSS JOIN unnest(range(8)) AS t(i)
+      |       GROUP BY doc_a, doc_b),
+      |vm AS (SELECT doc_b AS doc_id, min(doc_a) AS canon
+      |       FROM vhm WHERE hamming <= 3 GROUP BY doc_b)""".stripMargin
 
   /** Shared language-ID CTE chain → `lang(doc_id, pred_lang, c_*)`.
     * Used by `text_langid` and `sample_stratified`.

@@ -37,6 +37,9 @@ case class VideoFrameRow(doc_id: Long, frame_idx: Long,
                          mean_luma_milli: Long, sum_abs_diff: Long,
                          is_cut: Boolean)
 
+/** Temporal luma-contour fingerprint of one decoded clip, as 8 hex chars. */
+case class VideoFpRow(doc_id: Long, n_frames: Long, vfp: String)
+
 /** Scene decomposition of one decoded clip (keyframes = scene starts). */
 case class VideoSceneRow(doc_id: Long, width: Long, height: Long,
                          n_frames: Long, n_cuts: Long, keyframes: String)
@@ -352,19 +355,33 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4 bands of a 64-bit hash " +
         s"(pigeonhole needs bands > radius), got $maxHamming")
-    val h = imageHashes(documents).select(col("doc_id"), col("phash"))
-    val bands = h.select(col("doc_id"), col("phash"),
+    bandedHammingPairs(imageHashes(documents), "phash", 16, maxHamming)
+  }
+
+  /** Multi-index banded Hamming pair search shared by the three modality
+    * near-dup operators: the `hexLen`-hex fingerprint splits into 4 equal
+    * bands; any pair within Hamming ≤ `maxHamming` ≤ 3 agrees exactly on
+    * at least one band (pigeonhole), so candidates come from 4 equi-joins
+    * on (band index, band value) and only candidates pay the Hamming
+    * check (builtin `conv`/`^`/`bit_count`, codegen'd). Never all-pairs;
+    * one band-key shuffle per band.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, fpCol: String,
+                                 hexLen: Int, maxHamming: Int): DataFrame = {
+    val bw = hexLen / 4 // hex chars per band
+    val h = hashes.select(col("doc_id"), col(fpCol).as("fp"))
+    val bands = h.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("bi"))
-      .withColumn("bv", expr("substring(phash, bi * 4 + 1, 4)"))
+      .withColumn("bv", expr(s"substring(fp, bi * $bw + 1, $bw)"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.phash").as("ha"), col("y.phash").as("hb"))
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
       .distinct()
     val ham = (0 until 4).map(b =>
-      bit_count(expr(s"cast(conv(substring(ha, ${b * 4 + 1}, 4), 16, 10) as long)")
-        .bitwiseXOR(expr(s"cast(conv(substring(hb, ${b * 4 + 1}, 4), 16, 10) as long)"))))
+      bit_count(expr(s"cast(conv(substring(fa, ${b * bw + 1}, $bw), 16, 10) as long)")
+        .bitwiseXOR(expr(s"cast(conv(substring(fb, ${b * bw + 1}, $bw), 16, 10) as long)"))))
       .reduce(_ + _)
     cand.withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -671,24 +688,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] for 4 bands of a 32-bit fingerprint " +
         s"(pigeonhole needs bands > radius), got $maxHamming")
-    val h = audioFingerprints(documents).select(col("doc_id"), col("afp"))
-    val bands = h.select(col("doc_id"), col("afp"),
-        explode(sequence(lit(0), lit(3))).as("bi"))
-      .withColumn("bv", expr("substring(afp, bi * 2 + 1, 2)"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.afp").as("fa"), col("y.afp").as("fb"))
-      .distinct()
-    val ham = (0 until 4).map(b =>
-      bit_count(expr(s"cast(conv(substring(fa, ${b * 2 + 1}, 2), 16, 10) as long)")
-        .bitwiseXOR(expr(s"cast(conv(substring(fb, ${b * 2 + 1}, 2), 16, 10) as long)"))))
-      .reduce(_ + _)
-    cand.withColumn("hamming", ham.cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    bandedHammingPairs(audioFingerprints(documents), "afp", 8, maxHamming)
   }
 
   /** Incremental perceptual admission — the daily-run form of the banded
@@ -740,12 +740,12 @@ object Multimodal {
 
   /** Cross-modal curation gate — the composed form a multimodal training
     * corpus runs before packing: one row per document with a duplicate
-    * flag per modality (exact text via md5 keep-first; image and audio
-    * via the whole-corpus smaller-id fingerprint-neighbor rule —
+    * flag per modality (exact text via md5 keep-first; image, audio, and
+    * video via the whole-corpus smaller-id fingerprint-neighbor rule —
     * [[fingerprintAdmission]] with an empty index IS that rule) and the
     * conjunction `kept`. Each flag derives from fixed-width keys
     * (16 bytes md5 / 8–16 hex fingerprint); the media itself is decoded
-    * once per modality, map-only, and never joins. The three flag frames
+    * once per modality, map-only, and never joins. The four flag frames
     * meet on `doc_id` equi-joins — at 100 TB those are the only
     * shuffles, all on one long key per doc.
     */
@@ -762,11 +762,15 @@ object Multimodal {
     val audioDup = fingerprintAdmission(audioFingerprints(empty),
         audioFingerprints(documents), "afp", 8)
       .select(col("doc_id"), (!col("kept")).as("audio_dup"))
+    val videoDup = fingerprintAdmission(videoFingerprints(empty),
+        videoFingerprints(documents), "vfp", 8)
+      .select(col("doc_id"), (!col("kept")).as("video_dup"))
     textDup.join(imageDup, "doc_id").join(audioDup, "doc_id")
+      .join(videoDup, "doc_id")
       .select(col("doc_id"), col("text_dup"), col("image_dup"),
-        col("audio_dup"),
-        (!(col("text_dup") || col("image_dup") || col("audio_dup")))
-          .as("kept"))
+        col("audio_dup"), col("video_dup"),
+        (!(col("text_dup") || col("image_dup") || col("audio_dup") ||
+           col("video_dup"))).as("kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -932,5 +936,106 @@ object Multimodal {
           cuts.length.toLong, (0 +: cuts).mkString(","))
       }
     }.toDF().orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------- video fingerprint / near-dup
+
+  /** Video-fingerprint fixture recipe — separate from [[videoDims]] (whose
+    * 4–8-frame scene clips are too short for a 32-bit temporal contour)
+    * and carrying PLANTED perceptual twins: doc d ≡ 8 (mod 10) replays
+    * doc d−8's clip through a uniform +5 luma brightness shift — a
+    * different binary (every pixel byte differs, md5 differs) with the
+    * identical per-frame brightness ORDERING, which is exactly what the
+    * contour hash is invariant to. Clip length `nf = 34 + e mod 15`
+    * frames (≥ 34, so the 32-delta contour is always complete), luma of
+    * pixel i in frame f = `((e·31+7)(f+1)(f+2) + 13i) mod 200` (+5 when
+    * planted; ≤ 204, no byte clamp) — the same doc-decorrelating
+    * quadratic the audio fingerprint fixtures use.
+    */
+  private[graft] def vfpDims(docId: Long): (Int, Int, Int) = {
+    val e = if (docId % 10 == 8) docId - 8 else docId
+    ((6 + e % 5).toInt, (4 + e % 5).toInt, (34 + e % 15).toInt)
+  }
+
+  private[graft] def vfpLuma(docId: Long, f: Int, i: Int): Int = {
+    val planted = docId % 10 == 8
+    val e = if (planted) docId - 8 else docId
+    (((e * 31 + 7) * (f + 1L) * (f + 2L) + 13L * i) % 200 +
+      (if (planted) 5 else 0)).toInt
+  }
+
+  private[graft] def makeVfpY4m(docId: Long): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val (w, h, nf) = vfpDims(docId)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes(ascii))
+    var f = 0
+    while (f < nf) {
+      out.write("FRAME\n".getBytes(ascii))
+      var i = 0
+      while (i < w * h) {
+        out.write(vfpLuma(docId, f, i))
+        i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** One fingerprint-fixture clip per document (see [[vfpDims]]). */
+  def vfpMediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, makeVfpY4m(id)))
+  }
+
+  /** Temporal video fingerprint (luma contour): decode each Y4M clip,
+    * sum the luma plane per frame, and set bit f (MSB first) iff frame
+    * f+1 is strictly brighter (Σ luma) than frame f, over the first 32
+    * deltas — the video analogue of the [[audioFingerprints]] energy
+    * contour, and the temporal member of the TIRI/ordinal-signature
+    * family of video hashes. Brightness-shift-invariant by construction
+    * (a uniform luma offset adds the same constant to every frame sum,
+    * preserving strict ordering); integer-only; 8 hex chars per clip.
+    * Map-only off the scan — frames never leave the decoding task, and
+    * downstream dedup joins touch only the 32-bit hash.
+    */
+  def videoFingerprints(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    vfpMediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (_, _, frames) = decodeY4m(r.media)
+        val s = frames.map { fr =>
+          var sum = 0L
+          var i = 0
+          while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+          sum
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 32 && b + 1 < s.length) {
+          if (s(b + 1) > s(b)) fp |= 1L << (31 - b)
+          b += 1
+        }
+        VideoFpRow(r.doc_id, frames.length.toLong, f"$fp%08x")
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Near-duplicate video pairs by banded Hamming search over
+    * [[videoFingerprints]] — the same multi-index shape as the image and
+    * audio paths: 4 bands of 8 bits, pigeonhole-complete at radius ≤ 3,
+    * candidates from band equi-joins only. Same corpus-size note as
+    * [[audioNearDups]]: 8-bit band keys are the 10³–10⁴-clip form; the
+    * production scale path is a longer contour (≥ 66 frames → 64 bits,
+    * 16-bit bands).
+    */
+  def videoNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4 bands of a 32-bit fingerprint " +
+        s"(pigeonhole needs bands > radius), got $maxHamming")
+    bandedHammingPairs(videoFingerprints(documents), "vfp", 8, maxHamming)
   }
 }

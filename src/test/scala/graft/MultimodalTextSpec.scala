@@ -262,11 +262,26 @@ class MultimodalTextSpec extends SparkSpec {
     assert((cut until 500L).filter(_ % 10 == 7).forall(d => !got(d)._2))
   }
 
+  /** Reference video fingerprint straight from the fixture recipe —
+    * frame luma sums via [[Multimodal.vfpLuma]], contour bit f (MSB
+    * first) iff frame f+1 is strictly brighter — independent of the
+    * Y4M binary decode path under test.
+    */
+  private def refVideoFp(d: Long): String = {
+    val (w, h, nf) = Multimodal.vfpDims(d)
+    val sums = (0 until nf).map(f =>
+      (0 until w * h).map(i => Multimodal.vfpLuma(d, f, i).toLong).sum)
+    var fp = 0L
+    for (b <- 0 until 32 if b + 1 < nf)
+      if (sums(b + 1) > sums(b)) fp |= 1L << (31 - b)
+    f"$fp%08x"
+  }
+
   test("cross-modal gate composes per-modality duplicate flags") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = Multimodal.cleanMultimodalCorpus(real).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(3), r.getBoolean(4))).toMap
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
     assert(got.size == 500)
     def ham(a: String, b: String): Long =
       java.lang.Long.bitCount(
@@ -276,12 +291,17 @@ class MultimodalTextSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val ph = (0L until 500L).map(d => d -> refPhash(d)._3).toMap
     val af = (0L until 500L).map(d => d -> refAudioFp(d)._2).toMap
+    val vf = (0L until 500L).map(d => d -> refVideoFp(d)).toMap
     (0L until 500L).foreach { d =>
       val t = (0L until d).exists(a => texts(a) == texts(d))
       val i = (0L until d).exists(a => ham(ph(a), ph(d)) <= 3)
       val u = (0L until d).exists(a => ham(af(a), af(d)) <= 3)
-      assert(got(d) == ((t, i, u, !(t || i || u))), s"doc $d")
+      val v = (0L until d).exists(a => ham(vf(a), vf(d)) <= 3)
+      assert(got(d) == ((t, i, u, v, !(t || i || u || v))), s"doc $d")
     }
+    // the planted brightness-shifted twins (doc ≡ 8 mod 10 replays
+    // doc−8's clip at +5 luma) must be flagged as video duplicates
+    assert((8L until 500L by 10L).forall(d => got(d)._4))
   }
 
   test("decodeY4m parses header tags and FRAME markers; rejects corruption") {
