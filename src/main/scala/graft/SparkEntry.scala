@@ -166,6 +166,18 @@ object SparkEntry {
       Relational.saltedUserTotals(Tables.events(s, dir))),
     "sketch_accuracy" -> ((s, dir) =>
       graft.operators.Sketches.sketchAccuracy(Tables.events(s, dir))),
+    // shuffle-key skew diagnostic: the measurement that decides whether
+    // q_salted_user_totals' salting is warranted on a given key
+    "skew_profile" -> ((s, dir) =>
+      graft.operators.Sketches.skewProfile(Tables.events(s, dir))),
+    // single-pass Deequ-style constraint suite over the corpus
+    "corpus_constraints" -> ((s, dir) =>
+      Curation.validateConstraints(Tables.documents(s, dir))),
+    // A3 on Spark 4's transformWithState API (RocksDB-backed named state):
+    // same alert-set contract as t2_alert_outoforder
+    "t2_alert_tws" -> ((s, dir) =>
+      StreamingSessions.replayAlertTws(Tables.events(s, dir),
+        lit("2 hours"), 300.0)),
     // the same session pipeline through the pure SQL-text surface
     // (registered temp views + SQL session_window) — API parity is
     // oracle-gated, not just claimed
@@ -898,6 +910,44 @@ object SparkEntry {
         |  true AS hll_within_3pct, true AS p50_within_1
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-key count distribution reduced to partitioning decisions;
+    // quantile parity as in q_value_percentiles, ratio rounded to 4 dp
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_key_rows,
+        |  round(quantile_cont(n, 0.5) * 100, 0) / 100.0 AS p50_key_rows,
+        |  round(quantile_cont(n, 0.99) * 100, 0) / 100.0 AS p99_key_rows,
+        |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n) * 10000, 0)
+        |    / 10000.0 AS skew_ratio,
+        |  CAST(max(n) AS DOUBLE) * count(*) > sum(n) * 4.0 AS needs_salting
+        |FROM c""".stripMargin,
+    // exact violation counts per declared constraint; null semantics are
+    // explicit per check (see Curation.validateConstraints)
+    "corpus_constraints" ->
+      """WITH m AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key_null,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_key_dup,
+        |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_text_empty,
+        |  CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','es','zh','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_domain,
+        |  CAST(sum(CASE WHEN source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_source_format,
+        |  CAST(sum(CASE WHEN text IS NOT NULL AND n_chars IS NOT NULL AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_len_consistent,
+        |  CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_len_nonneg
+        |FROM documents)
+        |SELECT check_name, violations, n_rows, violations = 0 AS passed
+        |FROM (
+        |  SELECT 'doc_id_complete' AS check_name, v_key_null AS violations, n_rows FROM m
+        |  UNION ALL SELECT 'doc_id_unique', v_key_dup, n_rows FROM m
+        |  UNION ALL SELECT 'text_nonempty', v_text_empty, n_rows FROM m
+        |  UNION ALL SELECT 'lang_in_domain', v_lang_domain, n_rows FROM m
+        |  UNION ALL SELECT 'source_format', v_source_format, n_rows FROM m
+        |  UNION ALL SELECT 'n_chars_consistent', v_len_consistent, n_rows FROM m
+        |  UNION ALL SELECT 'n_chars_nonnegative', v_len_nonneg, n_rows FROM m)
+        |ORDER BY check_name""".stripMargin,
+    "t2_alert_tws" -> alertSetOracle("7200", "300.0"),
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->

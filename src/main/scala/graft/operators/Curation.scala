@@ -730,4 +730,59 @@ object Curation {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
   }
+
+  /** Declarative data-quality constraint suite (the Deequ pattern): every
+    * check the corpus contract makes — completeness, key uniqueness,
+    * value-domain membership, format, cross-column consistency — compiled
+    * into ONE partial-aggregated pass over the table, emitted as one row
+    * per check with its exact violation count. At 100 TB this is the
+    * admission gate in front of every training run: a single scan (no
+    * per-check jobs, no driver-side row inspection), integer-exact
+    * outputs (violation COUNTS, not float ratios — nothing to drift
+    * between engines), and `passed` booleans a scheduler can alert on.
+    *
+    * Null semantics are explicit per check, not inherited from SQL
+    * three-valued logic: a NULL lang/source VIOLATES the domain/format
+    * checks (an unknown domain is not a pass), while the length-consistency
+    * check only judges rows where both sides are present (missing text is
+    * `text_nonempty`'s finding, and counting it twice would double-bill
+    * one defect). The uniqueness check is `count(*) − count(DISTINCT
+    * doc_id)` — the planner's Expand doubles scanned rows when a distinct
+    * aggregate mixes with plain ones, the same trade [[corpusStats]]'
+    * sibling documents; acceptable here because the whole suite is still
+    * one scan of a projected 6-column slice.
+    */
+  def validateConstraints(documents: DataFrame): DataFrame = {
+    def violations(pred: Column) = sum(when(pred, 1L).otherwise(0L))
+    val langs = Seq("en", "es", "zh", "de", "fr")
+    val m = documents.agg(
+      count(lit(1)).as("n_rows"),
+      violations(col("doc_id").isNull).as("v_key_null"),
+      (count(lit(1)) - count_distinct(col("doc_id"))).as("v_key_dup"),
+      violations(col("text").isNull || length(col("text")) === 0)
+        .as("v_text_empty"),
+      violations(col("lang").isNull || !col("lang").isin(langs.map(lit): _*))
+        .as("v_lang_domain"),
+      violations(col("source").isNull || !col("source").rlike("^src[0-9]+$"))
+        .as("v_source_format"),
+      violations(col("text").isNotNull && col("n_chars").isNotNull &&
+        col("n_chars") =!= length(col("text"))).as("v_len_consistent"),
+      violations(col("n_chars").isNull || col("n_chars") < 0)
+        .as("v_len_nonneg"))
+    // one row per check: stack the single aggregate row (no extra scan)
+    m.selectExpr(
+      """stack(7,
+        |  'doc_id_complete',   v_key_null,
+        |  'doc_id_unique',     v_key_dup,
+        |  'text_nonempty',     v_text_empty,
+        |  'lang_in_domain',    v_lang_domain,
+        |  'source_format',     v_source_format,
+        |  'n_chars_consistent', v_len_consistent,
+        |  'n_chars_nonnegative', v_len_nonneg
+        |) AS (check_name, violations)""".stripMargin,
+      "n_rows")
+      .select(col("check_name"), col("violations"), col("n_rows"),
+        (col("violations") === 0L).as("passed"))
+      .orderBy(col("check_name"))
+  }
 }

@@ -40,4 +40,41 @@ object Sketches {
         (abs(col("p50a") - col("p50e")) <= 1.0).as("p50_within_1"))
       .orderBy(col("event_type"))
   }
+
+  /** Key-skew diagnostic for a shuffle key: the distribution of per-key
+    * row counts, reduced to the numbers that decide a partitioning
+    * strategy — key cardinality, the heaviest key's share, and the
+    * max/mean ratio ("skew ratio": 1.0 = perfectly uniform; the salting
+    * threshold [[graft.operators.Relational.saltedUserTotals]] exists
+    * for). This is the measurement step of the skew playbook: run the
+    * profile, and only reach for salting / AQE skew hints when
+    * `needs_salting` fires — salting uniform keys just doubles the
+    * shuffle for nothing.
+    *
+    * Two aggregations by construction (per-key counts, then one global
+    * rollup over O(distinct keys) rows — the second input is vastly
+    * smaller), both partial-aggregated. Quantiles over per-key counts use
+    * exact interpolated `percentile` (DuckDB `quantile_cont` parity,
+    * proven by `q_value_percentiles`); at 100 TB the same query swaps in
+    * `approx_percentile` with the [[sketchAccuracy]]-style bound gate.
+    * Integer inputs to every float division keep the oracle exact.
+    */
+  def skewProfile(events: DataFrame, saltAbove: Double = 4.0): DataFrame = {
+    val counts = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_key_rows"),
+      (round(expr("percentile(n, 0.5)") * 100, 0) / 100.0).as("p50_key_rows"),
+      (round(expr("percentile(n, 0.99)") * 100, 0) / 100.0).as("p99_key_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("p50_key_rows"), col("p99_key_rows"),
+        // cast before multiplying: bigint max_key_rows × n_keys overflows
+        // 64 bits at real key cardinalities; the ratio itself is small
+        (round(col("max_key_rows").cast("double") * col("n_keys")
+          / col("n_rows") * 10000, 0) / 10000.0).as("skew_ratio"),
+        (col("max_key_rows").cast("double") * col("n_keys")
+          > col("n_rows") * saltAbove).as("needs_salting"))
+  }
 }

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters.IteratorHasAsScala
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, TTLConfig, TimeMode, Trigger}
 
 /** Input row for the stateful alert operator. */
 case class AlertInput(user_id: Long, session_sum: Double)
@@ -450,5 +450,120 @@ object StreamingSessions {
       .select(col("user_id").cast("long")).as[Long]
       .groupByKey(identity)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** [[alertOnceStateful]] on the `transformWithState` API (Spark 4's
+    * successor to `flatMapGroupsWithState`): identical "alert once per
+    * user, count suppressed repeats" semantics, expressed as a
+    * [[AlertOnceProcessor]] with a named, schema-evolvable `ValueState`.
+    * What the new API buys at production scale over the closure form:
+    * per-state TTL (`TTLConfig`) for bounded retention without hand-rolled
+    * timeout plumbing, multiple independent state variables per key, and
+    * timers — none of which the alert itself needs, which is exactly why
+    * it makes a good parity pin between the two APIs (`StatefulAlertSpec`
+    * asserts emission-for-emission equality against
+    * [[alertOnceStateful]]).
+    *
+    * Requires the RocksDB state store provider (a `transformWithState`
+    * engine requirement, and the provider a large-state deployment runs
+    * anyway); callers that own the session set
+    * `spark.sql.streaming.stateStore.providerClass` — the replay harness
+    * [[replayAlertTws]] does so with snapshot/restore.
+    */
+  def alertOnceTws(sessions: Dataset[AlertInput], threshold: Double): Dataset[Alert] = {
+    import sessions.sparkSession.implicits._
+    sessions.groupByKey(_.user_id)
+      .transformWithState(new AlertOnceProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Oracle-checkable replay for [[alertOnceTws]]: batch-sessionize the
+    * fixture (the stage under test is the ALERT state machine, not the
+    * session window — [[replayAlertOutOfOrder]] already covers the
+    * chained form), write the per-session rows as two mtime-ordered
+    * parquet files, and stream them file-per-micro-batch through the
+    * `transformWithState` alert so every user's sessions can straddle a
+    * batch boundary. Output is the alert SET (one `user_id` per alerted
+    * user, sorted): which qualifying session arrives first is a batch
+    * artifact, but whether a user alerts at all is not — the same
+    * set-shaped contract as `t2_alert_outoforder`, so the same DuckDB
+    * oracle applies.
+    */
+  def replayAlertTws(events: DataFrame, gap: Column, threshold: Double): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sessions = graft.operators.Sessions.sessionAgg(events, gap)
+      .select(col("user_id"), col("session_sum")).as[AlertInput]
+    val root = java.nio.file.Files.createTempDirectory("graft_tws_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    // deterministic two-way split so ~half of each user's sessions land
+    // in the second micro-batch (exercises the suppress path cross-batch)
+    appendReplayFile(sessions.filter(pmod(xxhash64(col("user_id"),
+      col("session_sum")), lit(2)) === 0).toDF(), inDir, 1)
+    appendReplayFile(sessions.filter(pmod(xxhash64(col("user_id"),
+      col("session_sum")), lit(2)) === 1).toDF(), inDir, 2)
+    val mutated = Seq("spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.shuffle.partitions")
+    val snapshot = mutated.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val sinkName = "graft_tws_sink"
+    spark.catalog.dropTempView(sinkName)
+    try {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[AlertInput].schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+        .as[AlertInput]
+      val q = alertOnceTws(src, threshold).writeStream
+        .format("memory").queryName(sinkName).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).select(col("user_id")).localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally {
+      snapshot.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      deleteRecursively(root)
+    }
+  }
+}
+
+/** Per-user alert state for [[StreamingSessions.alertOnceTws]]. */
+case class AlertState(first_qualifying_sum: Double, n_suppressed: Long)
+
+/** The "alert once per user" state machine as a Spark 4
+  * `StatefulProcessor` (the reference's global `printed_users` set,
+  * `flink_stream_task2.py:72,85-90`, as partitioned fault-tolerant engine
+  * state). One named `ValueState[AlertState]` per user — O(distinct
+  * alerted users), fixed width; `TTLConfig.NONE` because the contract is
+  * "once EVER", matching the reference (a retention-bounded deployment
+  * would pass a TTL here and accept re-alerts after expiry).
+  */
+class AlertOnceProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AlertInput, Alert] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[AlertState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AlertState]("alert_once",
+      org.apache.spark.sql.Encoders.product[AlertState], TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[AlertInput],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[Alert] = {
+    val qualifying = rows.filter(_.session_sum >= threshold).toSeq
+    if (qualifying.isEmpty) Iterator.empty
+    else if (st.exists()) {
+      val s = st.get()
+      st.update(AlertState(s.first_qualifying_sum, s.n_suppressed + qualifying.size))
+      Iterator.empty // already alerted — suppress, keep counting
+    } else {
+      st.update(AlertState(qualifying.head.session_sum, qualifying.size - 1L))
+      Iterator.single(Alert(userId, qualifying.head.session_sum, qualifying.size - 1L))
+    }
   }
 }

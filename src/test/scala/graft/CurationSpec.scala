@@ -588,4 +588,47 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1))
     }
   }
+
+  test("constraint suite: exact violation counts on a planted-defect fixture") {
+    import spark.implicits._
+    // 6 rows, one planted violation per check (row 5 violates two checks)
+    val bad = Seq(
+      (Option(1L), Option("abc"), Option("en"), Option("src1"), Option(3L)),   // clean
+      (Option(2L), Option("xy"), Option("xx"), Option("src2"), Option(2L)),    // bad lang
+      (None, Option("ok"), Option("en"), Option("src3"), Option(2L)),          // null key
+      (Option(4L), None, Option("en"), Option("web"), Option(2L)),             // null text + bad source
+      (Option(4L), Option(""), Option("en"), Option("src4"), Option(0L)),      // dup key + empty text
+      (Option(6L), Option("abcd"), None, None, Option(9L)))                    // null lang/source + wrong len
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.validateConstraints(bad).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet == Set("doc_id_complete", "doc_id_unique", "text_nonempty",
+      "lang_in_domain", "source_format", "n_chars_consistent", "n_chars_nonnegative"))
+    assert(got("doc_id_complete") == ((1L, 6L, false)))
+    // 5 non-null keys, 4 distinct -> count(*)−distinct counts the null too:
+    // 6 − 5 distinct (incl. no NULL group in count distinct) = 6 − 4 ... pin
+    // the actual contract: violations = n_rows − count(DISTINCT doc_id)
+    assert(got("doc_id_unique") == ((2L, 6L, false)),
+      "6 rows − 4 distinct non-null ids = 2 (the null key shows up here too; " +
+        "doc_id_complete names it separately)")
+    assert(got("text_nonempty") == ((2L, 6L, false)), "null text + empty text")
+    assert(got("lang_in_domain") == ((2L, 6L, false)), "xx + null lang")
+    assert(got("source_format") == ((2L, 6L, false)), "web + null source")
+    assert(got("n_chars_consistent") == ((1L, 6L, false)), "len('abcd')=4 != 9")
+    assert(got("n_chars_nonnegative") == ((0L, 6L, true)))
+  }
+
+  test("constraint suite: the shipped corpus passes every check in one scan") {
+    val rows = Curation.validateConstraints(docs).collect()
+    assert(rows.length == 7)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"fixture violates ${r.getString(0)}: ${r.getLong(1)} rows"))
+    // single scan modulo the distinct-aggregate Expand: exactly one
+    // parquet scan of documents in the plan (string-match through the
+    // AQE wrapper, same technique as PlanAuditSpec)
+    val plan = Curation.validateConstraints(docs).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"constraint suite must be one pass, saw $scans scans")
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Sketch aggregates + the key-skew diagnostic. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("skew profile: hand-derived stats on a planted distribution") {
+    // per-key counts [1, 1, 2, 8] plus one null-key row (excluded)
+    val rows = Seq.fill(1)(10L) ++ Seq.fill(1)(20L) ++
+      Seq.fill(2)(30L) ++ Seq.fill(8)(40L)
+    val df = rows.map(Option(_)).appended(None).toDF("user_id")
+    val r = Sketches.skewProfile(df).head()
+    assert(r.getLong(0) == 4L, "n_keys")
+    assert(r.getLong(1) == 12L, "n_rows excludes the null key")
+    assert(r.getLong(2) == 8L, "max_key_rows")
+    // sorted counts [1,1,2,8]: p50 at pos 1.5 -> 1.5; p99 at pos 2.97 ->
+    // 2 + 0.97*(8-2) = 7.82 (interpolated, DuckDB quantile_cont parity)
+    assert(r.getDouble(3) == 1.5, "p50_key_rows")
+    assert(r.getDouble(4) == 7.82, "p99_key_rows")
+    assert(r.getDouble(5) == 2.6667, "skew_ratio = 8*4/12 to 4 dp")
+    assert(!r.getBoolean(6), "8*4 = 32 < 12*4.0 = 48: no salting at 4x")
+    assert(Sketches.skewProfile(df, saltAbove = 2.0).head().getBoolean(6),
+      "32 > 24: fires at a 2x threshold")
+  }
+
+  test("skew profile on the fixture: internally consistent, salting not needed") {
+    val r = Sketches.skewProfile(events).head()
+    val ratio = r.getLong(2).toDouble * r.getLong(0) / r.getLong(1)
+    assert(math.abs(r.getDouble(5) - math.round(ratio * 10000) / 10000.0) < 1e-9)
+    assert(r.getDouble(4) >= r.getDouble(3), "p99 >= p50")
+    assert(r.getLong(2) >= 1L && r.getLong(1) >= r.getLong(0))
+  }
+
+  test("sketch accuracy gate: every bound check holds on the fixture") {
+    val rows = Sketches.sketchAccuracy(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: HLL outside 3%")
+      assert(r.getBoolean(3), s"${r.getString(0)}: approx p50 off by > 1.0")
+    }
+  }
+}

@@ -280,6 +280,55 @@ class StatefulAlertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alertOnceTws: transformWithState emission-parity with flatMapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AlertInput]
+    val q = StreamingSessions.alertOnceTws(mem.toDS(), 300.0)
+      .writeStream.format("memory").queryName("tws_alerts")
+      .outputMode("append").start()
+    try {
+      // the SAME batches the flatMapGroupsWithState test feeds — the two
+      // APIs must be emission-for-emission identical
+      mem.addData(AlertInput(1L, 400.0), AlertInput(2L, 10.0))
+      q.processAllAvailable()
+      mem.addData(AlertInput(1L, 999.0), AlertInput(2L, 350.0))
+      q.processAllAvailable()
+      // a third batch re-qualifying both users must emit nothing at all
+      mem.addData(AlertInput(1L, 500.0), AlertInput(2L, 500.0))
+      q.processAllAvailable()
+      val got = spark.table("tws_alerts").orderBy("user_id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        "one alert per user, ever — across three micro-batches")
+      assert(got.head.getAs[Double]("first_qualifying_sum") == 400.0)
+      assert(got.head.getAs[Long]("n_suppressed") == 0L,
+        "user 1's first batch had exactly one qualifying session")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("replayAlertTws: streamed transformWithState alert set equals the batch rule") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val streamed = StreamingSessions
+      .replayAlertTws(ev, lit("2 hours"), 300.0)
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Sessions.sessionAgg(ev, lit("2 hours"))
+      .filter(col("session_sum") >= 300.0)
+      .select(col("user_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"alert sets must coincide (${streamed.size} vs ${batch.size})")
+    assert(batch.nonEmpty, "fixture must actually produce alerts")
+  }
+
   test("heavy hitters: one crossing per key across batches, equals batch HAVING") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
