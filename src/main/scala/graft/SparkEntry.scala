@@ -173,6 +173,10 @@ object SparkEntry {
     // single-pass Deequ-style constraint suite over the corpus
     "corpus_constraints" -> ((s, dir) =>
       Curation.validateConstraints(Tables.documents(s, dir))),
+    // mergeable per-source HLL vocabulary sketches, gated against exact
+    // distinct counts (incl. the artifact-merge TOTAL path)
+    "vocab_cardinality_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.vocabCardinalitySketch(Tables.documents(s, dir))),
     // A3 on Spark 4's transformWithState API (RocksDB-backed named state):
     // same alert-set contract as t2_alert_outoforder
     "t2_alert_tws" -> ((s, dir) =>
@@ -948,6 +952,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_chars_nonnegative', v_len_nonneg, n_rows FROM m)
         |ORDER BY check_name""".stripMargin,
     "t2_alert_tws" -> alertSetOracle("7200", "300.0"),
+    // sketch-vs-exact vocabulary cardinality: exact values + bound
+    // booleans, sketchAccuracy-style; ROLLUP's null group = grand total
+    // ('TOTAL' < 'srcN' in binary collation on both engines, so the
+    // global row sorts first deterministically)
+    "vocab_cardinality_sketch" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+        |SELECT coalesce(source, 'TOTAL') AS source,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
+        |  true AS within_bound
+        |FROM toks GROUP BY ROLLUP(source)
+        |ORDER BY source""".stripMargin,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->

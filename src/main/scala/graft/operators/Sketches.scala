@@ -77,4 +77,67 @@ object Sketches {
         (col("max_key_rows").cast("double") * col("n_keys")
           > col("n_rows") * saltAbove).as("needs_salting"))
   }
+
+  private def sourceTokens(documents: DataFrame): DataFrame =
+    documents.filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+
+  /** Per-source vocabulary sketch ARTIFACTS: one DataSketches-HLL binary
+    * per source over its distinct tokens (`hll_sketch_agg`). This is the
+    * persistable half of the incremental-cardinality pattern: at 100 TB
+    * you sketch each arriving shard once, store the ~KB binaries, and
+    * answer "how many distinct tokens, globally or per source?" forever
+    * after by MERGING artifacts ([[vocabSketchUpdate]]) — never by
+    * rescanning the corpus. HLL union at equal lgK is register-wise max,
+    * so merge order and batching cannot change the estimate
+    * (`SketchesSpec` pins update(state(A), B) ≡ state(A ∪ B) exactly).
+    */
+  def vocabSketchState(documents: DataFrame): DataFrame =
+    sourceTokens(documents).groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok")).as("sketch"))
+
+  /** Fold a new document batch into a stored sketch-artifact table:
+    * sketch ONLY the batch, then `hll_union_agg` per source. O(batch) scan
+    * + O(sources) merge — the corpus the state summarizes is never read.
+    */
+  def vocabSketchUpdate(state: DataFrame, newDocs: DataFrame): DataFrame =
+    state.unionByName(vocabSketchState(newDocs))
+      .groupBy(col("source")).agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Readout of a sketch-artifact table: estimated distinct tokens per
+    * source plus a `TOTAL` row from the union of ALL per-source sketches —
+    * the global answer computed purely from artifacts.
+    */
+  def vocabSketchEstimates(state: DataFrame): DataFrame =
+    state.select(col("source"),
+      hll_sketch_estimate(col("sketch")).as("est_tokens"))
+      .unionByName(state.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_tokens"))
+        .select(lit("TOTAL").as("source"), col("est_tokens")))
+      .orderBy(col("source"))
+
+  /** Oracle-checkable gate over the sketch pipeline (same shape as
+    * [[sketchAccuracy]]): exact distinct-token counts per source and
+    * globally, alongside booleans asserting every sketch estimate lands
+    * within `boundPct`% of exact. Default lgK=12 measures ≲2% rsd; gated
+    * at 5% for margin. One `rollup` aggregation produces the per-source
+    * rows AND the grand-total row — no join, and the total's sketch is
+    * assembled by merging partial per-partition sketches, the same union
+    * machinery [[vocabSketchUpdate]] runs across batches (whose
+    * batch-vs-whole equivalence `SketchesSpec` pins exactly). The exact
+    * side is the expensive distinct re-shuffle the sketches exist to
+    * avoid; it appears here only because a correctness gate needs ground
+    * truth. `sourceTokens` pre-filters null sources, so the rollup's
+    * null grouping row is unambiguously the grand total.
+    */
+  def vocabCardinalitySketch(documents: DataFrame, boundPct: Int = 5): DataFrame =
+    sourceTokens(documents)
+      .rollup(col("source"))
+      .agg(count_distinct(col("tok")).as("n_tokens_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("est"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_tokens_exact"),
+        (abs(col("est") - col("n_tokens_exact")) * 100
+          <= col("n_tokens_exact") * boundPct).as("within_bound"))
+      .orderBy(col("source"))
 }

@@ -37,6 +37,42 @@ class SketchesSpec extends SparkSpec {
     assert(r.getLong(2) >= 1L && r.getLong(1) >= r.getLong(0))
   }
 
+  test("vocab sketches are mergeable: incremental update ≡ whole-corpus state") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    def estimates(state: org.apache.spark.sql.DataFrame) =
+      Sketches.vocabSketchEstimates(state).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val incremental = estimates(Sketches.vocabSketchUpdate(
+      Sketches.vocabSketchState(a), b))
+    val whole = estimates(Sketches.vocabSketchState(docs))
+    assert(incremental == whole,
+      "HLL union is register-wise max: batching must not change any estimate")
+    assert(whole.contains("TOTAL") && whole.size > 1)
+    // the merge phase reads artifacts, not documents: updating with an
+    // empty batch must not scan the corpus parquet
+    val emptyBatch = docs.filter(lit(false))
+    val plan = Sketches.vocabSketchUpdate(Sketches.vocabSketchState(docs)
+      .localCheckpoint(), emptyBatch)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") ||
+      "Scan parquet".r.findAllIn(plan).size <= 1,
+      "stored-state path must not rescan the summarized corpus")
+  }
+
+  test("vocab cardinality gate: every estimate within bound on the fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Sketches.vocabCardinalitySketch(docs).collect()
+    assert(rows.length > 1 && rows.head.getString(0) == "TOTAL")
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)}: sketch estimate outside 5% of ${r.getLong(1)}"))
+    val total = rows.head.getLong(1)
+    val perSource = rows.tail.map(_.getLong(1))
+    assert(total <= perSource.sum && total >= perSource.max,
+      "global distinct bounded by per-source distincts")
+  }
+
   test("sketch accuracy gate: every bound check holds on the fixture") {
     val rows = Sketches.sketchAccuracy(events).collect()
     assert(rows.nonEmpty)
