@@ -61,6 +61,11 @@ object SparkEntry {
     // (the gap-and-islands oracle is order-insensitive)
     "t1_sessions_outoforder" -> ((s, dir) =>
       StreamingSessions.replayOutOfOrder(Tables.events(s, dir), lit("30 seconds"))),
+    // the same replay contract over the from-scratch timer-built session
+    // operator (transformWithState event-time timers; W1 re-derived
+    // without session_window) — same oracle as the builtin twin
+    "t1_sessions_timer" -> ((s, dir) =>
+      graft.streaming.TimerSessions.replayTimerSessions(Tables.events(s, dir), 30L)),
     // W2 through the same replay harness: dynamic per-row gaps must also
     // survive bounded disorder (streaming ≡ batch, oracle-checked)
     "t3_dynamic_outoforder" -> ((s, dir) =>
@@ -751,6 +756,7 @@ object SparkEntry {
     "t1_sessions_ingest" -> sessionOracle("30",
       tsSql = "make_timestamp(event_id * 10000)"),
     "t1_sessions_outoforder" -> sessionOracle("30"),
+    "t1_sessions_timer" -> sessionOracle("30"),
     "t3_dynamic_outoforder" -> sessionOracle(refGapSql),
     "t2_alert_outoforder" -> alertSetOracle("7200", "300.0"),
     "t1_sessions_sql" -> sessionOracle("30"),

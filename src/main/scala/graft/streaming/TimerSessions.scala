@@ -1,0 +1,162 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+/** One event inside the timer-session state machine: microsecond event
+  * time plus the per-event integer-cents convention shared with
+  * [[graft.operators.Sessions.sessionAgg]] (`vals` = 0 marks a NULL
+  * `value`, which must COUNT toward the session but contribute no sum —
+  * and an all-null session must surface a null sum, exactly like the
+  * batch `sum`).
+  */
+case class SessEvent(user_id: Long, ts_us: Long, cents: Long, vals: Long)
+
+/** An open (not yet watermark-closed) session in keyed state. */
+case class OpenSession(start_us: Long, last_us: Long,
+                       sum_cents: Long, n_vals: Long, n: Long)
+
+/** A closed session as emitted by the processor (micros; the public
+  * wrapper derives timestamps/sum/avg in the engine's shared convention).
+  */
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+                      event_count: Long, sum_cents: Long, n_vals: Long)
+
+/** The session window rebuilt from first principles on Spark 4's
+  * `transformWithState` EVENT-TIME TIMERS — the state pattern the rest of
+  * the streaming ladder doesn't exercise (builtin `session_window` state,
+  * `dropDuplicates`, `flatMapGroupsWithState`, and the timer-free
+  * `StatefulProcessor` alert all react to INPUT; this operator must also
+  * act on the ABSENCE of input, which is precisely what a gap-timeout
+  * session is). Mechanics per key:
+  *
+  *  - `handleInputRows` folds the batch's events into a `ListState` of
+  *    open sessions as singletons, then merges: sorted by start, two
+  *    sessions coalesce when `next.start − cur.last ≤ gap` — the same
+  *    strictly-greater-starts-new-session rule as the gap-and-islands
+  *    oracle and the builtin `session_window`, in integer micros so no
+  *    float edge exists. Out-of-order and session-bridging late events
+  *    (the case that makes incremental sessionization hard) fall out of
+  *    the merge for free.
+  *  - One timer per key at the EARLIEST open expiry,
+  *    `ceil_ms(last + gap)` (ceiling so a fired timer's watermark
+  *    genuinely covers the micros-precision expiry; the watermark API is
+  *    milliseconds). Re-registered on every input batch — timers, unlike
+  *    `GroupStateTimeout`, survive arbitrarily many quiet batches.
+  *  - `handleExpiredTimer` closes every session the watermark has passed
+  *    (`last + gap ≤ wm`), emits it, keeps the rest, and re-arms the
+  *    timer for the new earliest expiry. Sessions the final watermark
+  *    never passes stay open and unemitted — append-mode semantics,
+  *    identical to the builtin.
+  *
+  * State per key is O(open sessions), which bounded disorder keeps at
+  * O(1) in practice (a session older than the watermark delay can no
+  * longer grow and is closed by its timer). `StreamingSpec` pins the
+  * replayed result row-for-row against the batch gap-and-islands oracle
+  * through the same out-of-order harness the builtin twin runs
+  * (`t1_sessions_timer`).
+  */
+class TimerSessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, SessEvent, SessionOut] {
+  require(gapUs > 0, "gap must be positive")
+  @transient private var open: ListState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getListState[OpenSession]("open_sessions",
+      Encoders.product[OpenSession], TTLConfig.NONE)
+
+  private def expiryMs(s: OpenSession): Long =
+    (s.last_us + gapUs + 999L) / 1000L // ceil: wm(ms) ≥ this ⟹ wm covers micros expiry
+
+  private def rearm(sessions: Seq[OpenSession]): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    if (sessions.nonEmpty) getHandle.registerTimer(sessions.map(expiryMs).min)
+  }
+
+  private def merged(sessions: ArrayBuffer[OpenSession]): ArrayBuffer[OpenSession] = {
+    val sorted = sessions.sortBy(s => (s.start_us, s.last_us))
+    val out = ArrayBuffer.empty[OpenSession]
+    for (s <- sorted) {
+      if (out.nonEmpty && s.start_us - out.last.last_us <= gapUs) {
+        val c = out.last
+        out(out.length - 1) = OpenSession(c.start_us,
+          math.max(c.last_us, s.last_us), c.sum_cents + s.sum_cents,
+          c.n_vals + s.n_vals, c.n + s.n)
+      } else out += s
+    }
+    out
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[SessEvent],
+                               timerValues: TimerValues): Iterator[SessionOut] = {
+    val sessions = ArrayBuffer.empty[OpenSession]
+    if (open.exists()) sessions ++= open.get()
+    for (e <- rows)
+      sessions += OpenSession(e.ts_us, e.ts_us, e.cents, e.vals, 1L)
+    val next = merged(sessions)
+    open.put(next.toArray)
+    rearm(next.toSeq)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val sessions = if (open.exists()) open.get().toSeq else Seq.empty
+    val (ripe, rest) = sessions.partition(s => s.last_us + gapUs <= wmUs)
+    if (rest.isEmpty) open.clear() else open.put(rest.toArray)
+    rearm(rest)
+    ripe.sortBy(_.start_us).iterator.map(s =>
+      SessionOut(userId, s.start_us, s.last_us + gapUs, s.n, s.sum_cents, s.n_vals))
+  }
+}
+
+/** Public wrapper around [[TimerSessionProcessor]]: watermarked event
+  * stream in, closed sessions out, with the engine-wide output contract
+  * (micros timestamps, integer-cents sum, half-up cent avg, null sum for
+  * all-null-value sessions) — byte-identical schema to
+  * [[StreamingSessions.sessionAggStream]], so every session oracle
+  * applies unchanged.
+  */
+object TimerSessions {
+
+  def timerSessionStream(events: DataFrame, gapSec: Long,
+                         delay: String = "0 seconds"): DataFrame = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        coalesce(expr("cast(round(value * 100, 0) as bigint)"), lit(0L)).as("cents"),
+        when(col("value").isNotNull, 1L).otherwise(0L).as("vals"))
+      .as[SessEvent]
+    typed.groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapSec * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("event_count"),
+        // all-null-value session: batch sum() is null, so ours must be
+        (when(col("n_vals") > 0, col("sum_cents") / 100.0)).as("session_sum"),
+        (when(col("n_vals") > 0,
+          floor(col("sum_cents") / col("event_count") + 0.5) / 100.0))
+          .as("session_avg"))
+  }
+
+  /** [[StreamingSessions.replayOutOfOrder]]'s contract over the
+    * timer-built session operator: bounded-disorder replay of the fixture
+    * must reproduce the batch gap-and-islands result exactly. RocksDB
+    * stays on — `transformWithState` requires it.
+    */
+  def replayTimerSessions(events: DataFrame, gapSec: Long,
+                          delay: String = "10 minutes"): DataFrame =
+    StreamingSessions.replayStageOutOfOrder(events,
+      src => timerSessionStream(src, gapSec, delay))
+}

@@ -329,6 +329,22 @@ class StatefulAlertSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must actually produce alerts")
   }
 
+  test("timer sessions: replayed transformWithState timers reproduce batch sessionization") {
+    import graft.streaming.TimerSessions
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = TimerSessions.replayTimerSessions(ev, 30L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.get(4), r.get(5))).toSet
+    val want = graft.operators.Sessions.sessionAgg(ev, lit("30 seconds"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.get(4), r.get(5))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"timer-built sessions must equal gap-and-islands batch " +
+        s"(${got.size} vs ${want.size}; missing=${(want -- got).take(3)}; " +
+        s"extra=${(got -- want).take(3)})")
+  }
+
   test("heavy hitters: one crossing per key across batches, equals batch HAVING") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
