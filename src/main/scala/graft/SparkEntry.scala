@@ -66,6 +66,9 @@ object SparkEntry {
     // without session_window) — same oracle as the builtin twin
     "t1_sessions_timer" -> ((s, dir) =>
       graft.streaming.TimerSessions.replayTimerSessions(Tables.events(s, dir), 30L)),
+    // W2 (dynamic per-user gap bands) through the same timer state machine
+    "t3_dynamic_timer" -> ((s, dir) =>
+      graft.streaming.TimerSessions.replayTimerSessionsDynamic(Tables.events(s, dir))),
     // W2 through the same replay harness: dynamic per-row gaps must also
     // survive bounded disorder (streaming ≡ batch, oracle-checked)
     "t3_dynamic_outoforder" -> ((s, dir) =>
@@ -757,6 +760,7 @@ object SparkEntry {
       tsSql = "make_timestamp(event_id * 10000)"),
     "t1_sessions_outoforder" -> sessionOracle("30"),
     "t1_sessions_timer" -> sessionOracle("30"),
+    "t3_dynamic_timer" -> sessionOracle(refGapSql),
     "t3_dynamic_outoforder" -> sessionOracle(refGapSql),
     "t2_alert_outoforder" -> alertSetOracle("7200", "300.0"),
     "t1_sessions_sql" -> sessionOracle("30"),

@@ -2,22 +2,28 @@ package graft.streaming
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode,
   StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** One event inside the timer-session state machine: microsecond event
-  * time plus the per-event integer-cents convention shared with
+  * time, this event's OWN session gap (dynamic-gap support, the
+  * reference's W2 — each event proposes the window `[ts, ts+gap)`), plus
+  * the per-event integer-cents convention shared with
   * [[graft.operators.Sessions.sessionAgg]] (`vals` = 0 marks a NULL
   * `value`, which must COUNT toward the session but contribute no sum —
   * and an all-null session must surface a null sum, exactly like the
   * batch `sum`).
   */
-case class SessEvent(user_id: Long, ts_us: Long, cents: Long, vals: Long)
+case class SessEvent(user_id: Long, ts_us: Long, gap_us: Long,
+                     cents: Long, vals: Long)
 
-/** An open (not yet watermark-closed) session in keyed state. */
-case class OpenSession(start_us: Long, last_us: Long,
+/** An open (not yet watermark-closed) session in keyed state;
+  * `end_us = max(ts + gap)` over merged events, the builtin
+  * `session_window` merge frontier.
+  */
+case class OpenSession(start_us: Long, end_us: Long,
                        sum_cents: Long, n_vals: Long, n: Long)
 
 /** A closed session as emitted by the processor (micros; the public
@@ -35,34 +41,35 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
   * session is). Mechanics per key:
   *
   *  - `handleInputRows` folds the batch's events into a `ListState` of
-  *    open sessions as singletons, then merges: sorted by start, two
-  *    sessions coalesce when `next.start − cur.last ≤ gap` — the same
-  *    strictly-greater-starts-new-session rule as the gap-and-islands
-  *    oracle and the builtin `session_window`, in integer micros so no
-  *    float edge exists. Out-of-order and session-bridging late events
-  *    (the case that makes incremental sessionization hard) fall out of
-  *    the merge for free.
-  *  - One timer per key at the EARLIEST open expiry,
-  *    `ceil_ms(last + gap)` (ceiling so a fired timer's watermark
-  *    genuinely covers the micros-precision expiry; the watermark API is
-  *    milliseconds). Re-registered on every input batch — timers, unlike
+  *    open sessions as singleton windows `[ts, ts + gap)`, then merges:
+  *    sorted by start, two sessions coalesce when `next.start ≤ cur.end`
+  *    (inclusive — an event exactly at the frontier extends the session,
+  *    matching both the builtin and the strictly-greater
+  *    gap-and-islands oracle rule), in integer micros so no float edge
+  *    exists. Out-of-order and session-bridging late events (the case
+  *    that makes incremental sessionization hard) fall out of the merge
+  *    for free; per-event gaps make the SAME fold the dynamic-gap
+  *    operator (W2) — nothing in the state machine is band-specific.
+  *  - One timer per key at the EARLIEST open `end`, `ceil_ms(end)`
+  *    (ceiling so a fired timer's watermark genuinely covers the
+  *    micros-precision expiry; the watermark API is milliseconds).
+  *    Re-registered on every input batch — timers, unlike
   *    `GroupStateTimeout`, survive arbitrarily many quiet batches.
   *  - `handleExpiredTimer` closes every session the watermark has passed
-  *    (`last + gap ≤ wm`), emits it, keeps the rest, and re-arms the
-  *    timer for the new earliest expiry. Sessions the final watermark
-  *    never passes stay open and unemitted — append-mode semantics,
-  *    identical to the builtin.
+  *    (`end ≤ wm`), emits it, keeps the rest, and re-arms the timer for
+  *    the new earliest expiry. Sessions the final watermark never passes
+  *    stay open and unemitted — append-mode semantics, identical to the
+  *    builtin.
   *
   * State per key is O(open sessions), which bounded disorder keeps at
   * O(1) in practice (a session older than the watermark delay can no
   * longer grow and is closed by its timer). `StreamingSpec` pins the
   * replayed result row-for-row against the batch gap-and-islands oracle
   * through the same out-of-order harness the builtin twin runs
-  * (`t1_sessions_timer`).
+  * (`t1_sessions_timer` static, `t3_dynamic_timer` banded gaps).
   */
-class TimerSessionProcessor(gapUs: Long)
+class TimerSessionProcessor
     extends StatefulProcessor[Long, SessEvent, SessionOut] {
-  require(gapUs > 0, "gap must be positive")
   @transient private var open: ListState[OpenSession] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -70,7 +77,7 @@ class TimerSessionProcessor(gapUs: Long)
       Encoders.product[OpenSession], TTLConfig.NONE)
 
   private def expiryMs(s: OpenSession): Long =
-    (s.last_us + gapUs + 999L) / 1000L // ceil: wm(ms) ≥ this ⟹ wm covers micros expiry
+    (s.end_us + 999L) / 1000L // ceil: wm(ms) ≥ this ⟹ wm covers micros expiry
 
   private def rearm(sessions: Seq[OpenSession]): Unit = {
     getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
@@ -78,13 +85,13 @@ class TimerSessionProcessor(gapUs: Long)
   }
 
   private def merged(sessions: ArrayBuffer[OpenSession]): ArrayBuffer[OpenSession] = {
-    val sorted = sessions.sortBy(s => (s.start_us, s.last_us))
+    val sorted = sessions.sortBy(s => (s.start_us, s.end_us))
     val out = ArrayBuffer.empty[OpenSession]
     for (s <- sorted) {
-      if (out.nonEmpty && s.start_us - out.last.last_us <= gapUs) {
+      if (out.nonEmpty && s.start_us <= out.last.end_us) {
         val c = out.last
         out(out.length - 1) = OpenSession(c.start_us,
-          math.max(c.last_us, s.last_us), c.sum_cents + s.sum_cents,
+          math.max(c.end_us, s.end_us), c.sum_cents + s.sum_cents,
           c.n_vals + s.n_vals, c.n + s.n)
       } else out += s
     }
@@ -96,7 +103,7 @@ class TimerSessionProcessor(gapUs: Long)
     val sessions = ArrayBuffer.empty[OpenSession]
     if (open.exists()) sessions ++= open.get()
     for (e <- rows)
-      sessions += OpenSession(e.ts_us, e.ts_us, e.cents, e.vals, 1L)
+      sessions += OpenSession(e.ts_us, e.ts_us + e.gap_us, e.cents, e.vals, 1L)
     val next = merged(sessions)
     open.put(next.toArray)
     rearm(next.toSeq)
@@ -107,11 +114,11 @@ class TimerSessionProcessor(gapUs: Long)
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
     val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
     val sessions = if (open.exists()) open.get().toSeq else Seq.empty
-    val (ripe, rest) = sessions.partition(s => s.last_us + gapUs <= wmUs)
+    val (ripe, rest) = sessions.partition(_.end_us <= wmUs)
     if (rest.isEmpty) open.clear() else open.put(rest.toArray)
     rearm(rest)
     ripe.sortBy(_.start_us).iterator.map(s =>
-      SessionOut(userId, s.start_us, s.last_us + gapUs, s.n, s.sum_cents, s.n_vals))
+      SessionOut(userId, s.start_us, s.end_us, s.n, s.sum_cents, s.n_vals))
   }
 }
 
@@ -124,7 +131,19 @@ class TimerSessionProcessor(gapUs: Long)
   */
 object TimerSessions {
 
-  def timerSessionStream(events: DataFrame, gapSec: Long,
+  /** The reference's W2 gap bands (`flink_stream_task3.py:54-62`) as a
+    * SECONDS column — the numeric twin of
+    * [[graft.operators.Sessions.referenceDynamicGap]]'s duration strings,
+    * which the timer processor's integer micros need.
+    */
+  val referenceDynamicGapSec: Column =
+    when(col("user_id") === 9999, 300L)
+      .when(col("user_id").between(2, 9), 120L)
+      .when(col("user_id").between(100, 200), 60L)
+      .otherwise(30L)
+
+  /** Timer-built sessions with a per-event gap column (seconds). */
+  def timerSessionStream(events: DataFrame, gapSecCol: Column,
                          delay: String = "0 seconds"): DataFrame = {
     import events.sparkSession.implicits._
     val typed = events
@@ -132,11 +151,12 @@ object TimerSessions {
       .withWatermark("ts", delay)
       .select(col("user_id").cast("long").as("user_id"),
         unix_micros(col("ts")).as("ts_us"),
+        (gapSecCol.cast("long") * 1000000L).as("gap_us"),
         coalesce(expr("cast(round(value * 100, 0) as bigint)"), lit(0L)).as("cents"),
         when(col("value").isNotNull, 1L).otherwise(0L).as("vals"))
       .as[SessEvent]
     typed.groupByKey(_.user_id)
-      .transformWithState(new TimerSessionProcessor(gapSec * 1000000L),
+      .transformWithState(new TimerSessionProcessor,
         TimeMode.EventTime(), OutputMode.Append())
       .toDF()
       .select(col("user_id"),
@@ -150,6 +170,11 @@ object TimerSessions {
           .as("session_avg"))
   }
 
+  /** Static-gap convenience (W1). */
+  def timerSessionStream(events: DataFrame, gapSec: Long,
+                         delay: String): DataFrame =
+    timerSessionStream(events, lit(gapSec), delay)
+
   /** [[StreamingSessions.replayOutOfOrder]]'s contract over the
     * timer-built session operator: bounded-disorder replay of the fixture
     * must reproduce the batch gap-and-islands result exactly. RocksDB
@@ -159,4 +184,10 @@ object TimerSessions {
                           delay: String = "10 minutes"): DataFrame =
     StreamingSessions.replayStageOutOfOrder(events,
       src => timerSessionStream(src, gapSec, delay))
+
+  /** The dynamic-gap (W2) replay: reference bands, same contract. */
+  def replayTimerSessionsDynamic(events: DataFrame,
+                                 delay: String = "10 minutes"): DataFrame =
+    StreamingSessions.replayStageOutOfOrder(events,
+      src => timerSessionStream(src, referenceDynamicGapSec, delay))
 }

@@ -345,6 +345,23 @@ class StatefulAlertSpec extends SparkSpec {
         s"extra=${(got -- want).take(3)})")
   }
 
+  test("timer sessions: dynamic per-user gap bands reproduce the batch W2 result") {
+    import graft.streaming.TimerSessions
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = TimerSessions.replayTimerSessionsDynamic(ev)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.get(4), r.get(5))).toSet
+    val want = graft.operators.Sessions.sessionAgg(ev,
+        graft.operators.Sessions.referenceDynamicGap)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.get(4), r.get(5))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"dynamic timer sessions must equal builtin dynamic session_window " +
+        s"(${got.size} vs ${want.size}; missing=${(want -- got).take(3)}; " +
+        s"extra=${(got -- want).take(3)})")
+  }
+
   test("heavy hitters: one crossing per key across batches, equals batch HAVING") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Ev]
