@@ -459,6 +459,51 @@ object DevScale {
     // bench scale instead; see audioNearDups scaladoc)
     timeDocs("audio_fp_500k")(mm.audioFingerprints(dc).count())
     timeDocs("video_scenes_500k")(mm.videoScenes(dc).count())
+
+    // round-8 wave 2: diagnostics + sketch artifacts + timer sessions ------
+
+    // Deequ-style constraint suite at 500k docs: one partial-aggregated
+    // scan (+ the distinct-agg Expand) over a 5-column projection
+    val fullDocs = srcDocs
+      .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    timeDocs("constraints_500k")(
+      graft.operators.Curation.validateConstraints(fullDocs).count())
+
+    // skew diagnostic on both 10M-event shapes: the uniform corpus must
+    // NOT trigger salting, the 90%-one-key corpus must — printed so the
+    // decision the profile exists for is visible in the log
+    Seq("uniform" -> ev, "skew90" -> sk).foreach { case (label, frame) =>
+      time(s"skew_profile_$label") {
+        val r = graft.operators.Sketches.skewProfile(frame).head()
+        println(f"  (ratio=${r.getDouble(5)}%.1f needs_salting=${r.getBoolean(6)})")
+        1L
+      }
+    }
+
+    // HLL vocabulary sketches at 500k docs / 1000 sources: artifact build
+    // is the 27.5M-token aggregation; the incremental update then costs
+    // O(100k-doc batch) + a 1000-row merge — the readout touches ONLY the
+    // ~KB binaries. Estimates are gated vs exact in the bench suite; here
+    // the measurement is the build/update/readout cost split.
+    val sk8 = graft.operators.Sketches
+    sk8.vocabSketchState(srcDocs.filter(col("doc_id") < 400000L))
+      .write.mode("overwrite").parquet("/tmp/scale_vocab_sketch")
+    timeDocs("vocab_sketch_build_500k")(sk8.vocabSketchState(srcDocs).count())
+    timeDocs("vocab_sketch_update_100k")(
+      sk8.vocabSketchUpdate(spark.read.parquet("/tmp/scale_vocab_sketch"),
+        srcDocs.filter(col("doc_id") >= 400000L)).count())
+    timeDocs("vocab_sketch_readout")(
+      sk8.vocabSketchEstimates(spark.read.parquet("/tmp/scale_vocab_sketch"))
+        .count())
+
+    // timer-built sessions (transformWithState event-time timers) through
+    // the bounded-disorder replay at 1M events / 50k users, 30 min gap —
+    // the from-scratch session state machine at 10× bench volume; state
+    // is O(open sessions per user), timers one per key
+    val ev1m = ev6.filter(col("event_id") % 10 === 0)
+    time("timer_sessions_1m")(graft.streaming.TimerSessions
+      .replayTimerSessions(ev1m, 1800L).count())
     spark.stop()
   }
 }

@@ -8,6 +8,9 @@ import graft.streaming.StreamingSessions
 
 case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
+/** [[Ev]] with a nullable value — the null-sum session contract. */
+case class EvOpt(ts: java.sql.Timestamp, user_id: Long, value: Option[Double])
+
 /** Streaming ≡ batch for the session engine (SURVEY.md §5.2 property). */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -343,6 +346,48 @@ class StatefulAlertSpec extends SparkSpec {
       s"timer-built sessions must equal gap-and-islands batch " +
         s"(${got.size} vs ${want.size}; missing=${(want -- got).take(3)}; " +
         s"extra=${(got -- want).take(3)})")
+  }
+
+  test("timer sessions: all-null-value session surfaces a null sum, like batch sum()") {
+    import graft.streaming.TimerSessions
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EvOpt]
+    val q = TimerSessions.timerSessionStream(mem.toDF(), 30L, "0 seconds")
+      .writeStream.format("memory").queryName("timer_null_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two null values (the fixture has none — this is the case
+      // where a naive 0-cents fold would diverge from batch sum() = null);
+      // user 2: one real + one null value (null still counts, adds nothing)
+      mem.addData(
+        EvOpt(ts("2024-01-01 00:00:00"), 1L, None),
+        EvOpt(ts("2024-01-01 00:00:10"), 1L, None),
+        EvOpt(ts("2024-01-01 00:00:00"), 2L, Some(1.0)),
+        EvOpt(ts("2024-01-01 00:00:10"), 2L, None))
+      q.processAllAvailable()
+      // far-future row pushes the watermark past both session ends
+      mem.addData(EvOpt(ts("2024-01-02 00:00:00"), 9L, Some(0.0)))
+      q.processAllAvailable()
+      val got = spark.table("timer_null_sessions")
+        .filter(col("user_id") < 9).orderBy("user_id").collect()
+      assert(got.length == 2, s"both sessions must close; got ${got.length}")
+      assert(got(0).getLong(0) == 1L && got(0).isNullAt(4) && got(0).isNullAt(5),
+        "all-null session: sum and avg must be NULL")
+      assert(got(0).getLong(3) == 2L, "null-value events still count")
+      assert(got(1).getLong(0) == 2L && got(1).getDouble(4) == 1.0
+        && got(1).getDouble(5) == 0.5,
+        "mixed session: sum 1.0 over 2 events, half-up avg 0.50")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("timer sessions: dynamic per-user gap bands reproduce the batch W2 result") {
