@@ -753,7 +753,10 @@ object Curation {
     * one scan of a projected 6-column slice.
     */
   def validateConstraints(documents: DataFrame): DataFrame = {
-    def violations(pred: Column) = sum(when(pred, 1L).otherwise(0L))
+    // coalesce: sum over an EMPTY table is null, and an empty corpus must
+    // read as "0 violations, passed" — vacuous truth, not null poison
+    def violations(pred: Column) =
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
     val langs = Seq("en", "es", "zh", "de", "fr")
     val m = documents.agg(
       count(lit(1)).as("n_rows"),

@@ -64,16 +64,21 @@ object Sketches {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     counts.agg(
       count(lit(1)).as("n_keys"),
-      sum(col("n")).as("n_rows"),
-      max(col("n")).as("max_key_rows"),
+      // empty-stream contract: zeros and a quiet trigger, not null poison
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      coalesce(max(col("n")), lit(0L)).as("max_key_rows"),
       (round(expr("percentile(n, 0.5)") * 100, 0) / 100.0).as("p50_key_rows"),
       (round(expr("percentile(n, 0.99)") * 100, 0) / 100.0).as("p99_key_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("p50_key_rows"), col("p99_key_rows"),
         // cast before multiplying: bigint max_key_rows × n_keys overflows
         // 64 bits at real key cardinalities; the ratio itself is small
-        (round(col("max_key_rows").cast("double") * col("n_keys")
-          / col("n_rows") * 10000, 0) / 10000.0).as("skew_ratio"),
+        // when-guard, not coalesce: under ANSI mode a literal 0 divisor
+        // throws rather than yielding null
+        when(col("n_rows") > 0,
+          round(col("max_key_rows").cast("double") * col("n_keys")
+            / col("n_rows") * 10000, 0) / 10000.0)
+          .otherwise(0.0).as("skew_ratio"),
         (col("max_key_rows").cast("double") * col("n_keys")
           > col("n_rows") * saltAbove).as("needs_salting"))
   }
@@ -114,6 +119,12 @@ object Sketches {
       .unionByName(state.agg(
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_tokens"))
         .select(lit("TOTAL").as("source"), col("est_tokens")))
+      // the global agg emits one row even over an EMPTY artifact table
+      // (empty union → estimate 0) — an empty state reads as an empty
+      // readout, not a phantom zero TOTAL. A real per-source sketch always
+      // estimates ≥ 1 (every doc contributes at least the "" token), so
+      // the filter can only ever drop the empty-state artifact row.
+      .filter(col("est_tokens") > 0)
       .orderBy(col("source"))
 
   /** Oracle-checkable gate over the sketch pipeline (same shape as
@@ -139,5 +150,8 @@ object Sketches {
         col("n_tokens_exact"),
         (abs(col("est") - col("n_tokens_exact")) * 100
           <= col("n_tokens_exact") * boundPct).as("within_bound"))
+      // empty corpus: no tokens, no checks (guards against a phantom
+      // grand-total row should the rollup emit one over empty input)
+      .filter(col("n_tokens_exact") > 0)
       .orderBy(col("source"))
 }

@@ -619,6 +619,15 @@ class CurationSpec extends SparkSpec {
     assert(got("n_chars_nonnegative") == ((0L, 6L, true)))
   }
 
+  test("constraint suite: empty corpus passes vacuously (0 rows, 0 violations)") {
+    val rows = Curation.validateConstraints(docs.limit(0)).collect()
+    assert(rows.length == 7, "all 7 checks still report")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3),
+        s"${r.getString(0)}: empty input must be 0 violations / 0 rows / passed")
+    }
+  }
+
   test("constraint suite: the shipped corpus passes every check in one scan") {
     val rows = Curation.validateConstraints(docs).collect()
     assert(rows.length == 7)

@@ -73,6 +73,22 @@ class SketchesSpec extends SparkSpec {
       "global distinct bounded by per-source distincts")
   }
 
+  test("degenerate inputs: empty corpus contracts are explicit, not null-poisoned") {
+    val emptyEv = Tables.events(spark, "/root/testdata/sf0.001").limit(0)
+    val r = Sketches.skewProfile(emptyEv).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L,
+      "empty stream: zero keys/rows/max, not nulls")
+    assert(r.getDouble(5) == 0.0 && !r.getBoolean(6),
+      "empty stream: ratio 0, salting never triggered")
+    val emptyDocs = Tables.documents(spark, "/root/testdata/sf0.001").limit(0)
+    assert(Sketches.vocabSketchState(emptyDocs).count() == 0L)
+    assert(Sketches.vocabSketchEstimates(
+      Sketches.vocabSketchState(emptyDocs)).count() == 0L,
+      "empty artifact table: no per-source rows and no phantom TOTAL")
+    assert(Sketches.vocabCardinalitySketch(emptyDocs).count() == 0L,
+      "no tokens: no checks to report")
+  }
+
   test("sketch accuracy gate: every bound check holds on the fixture") {
     val rows = Sketches.sketchAccuracy(events).collect()
     assert(rows.nonEmpty)
