@@ -452,6 +452,25 @@ object StreamingSessions {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Event-time-bounded streaming dedup — the state-evictable middle
+    * ground the unbounded forms ([[bigCustomerAlertStream]]'s
+    * `dropDuplicates`, the alert processors' "once ever") deliberately
+    * don't take. `dropDuplicatesWithinWatermark` keeps a key only until
+    * the watermark passes its event time: duplicates arriving within the
+    * disorder bound (the at-least-once-delivery case — Kafka redelivery,
+    * replayed files — where duplicates cluster near the original) are
+    * dropped, and state is EVICTED afterward, so total state is
+    * O(keys per watermark window), not O(keys ever). The trade is
+    * explicit: a duplicate arriving after eviction is re-admitted —
+    * `StatefulAlertSpec` pins both directions (in-window drop, a
+    * post-eviction re-admission) rather than hiding the second one.
+    */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .filter(col("event_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** [[alertOnceStateful]] on the `transformWithState` API (Spark 4's
     * successor to `flatMapGroupsWithState`): identical "alert once per
     * user, count suppressed repeats" semantics, expressed as a
@@ -535,6 +554,63 @@ object StreamingSessions {
 
 /** Per-user alert state for [[StreamingSessions.alertOnceTws]]. */
 case class AlertState(first_qualifying_sum: Double, n_suppressed: Long)
+
+/** One admission from [[RetentionDedupProcessor]]: the key plus how many
+  * rows of it the admitting micro-batch carried.
+  */
+case class Admission(key: Long, n_in_batch: Long)
+
+/** Keyed admit-once-per-retention-window dedup: the WALL-CLOCK-bounded
+  * third point on the dedup retention spectrum ("once ever" /
+  * event-time-window / processing-time TTL). The state is one
+  * `ValueState` per key under a real `TTLConfig`: the store expires it
+  * `retention` after the ADMITTING write, and the processor deliberately
+  * does NOT touch the state on suppressed repeats — touching it would
+  * reset the TTL and turn "re-admit every retention period" into "never
+  * re-admit while traffic continues", the classic cache-refresh bug,
+  * here pinned by the spec instead of shipped. TTL requires
+  * `TimeMode.ProcessingTime` (wall clock is what retention policies like
+  * "a user may trigger this path at most once a day" are written
+  * against); the event-time twin is [[StreamingSessions.dedupWithinWatermark]].
+  *
+  * Operational note (measured, not assumed): in ProcessingTime mode the
+  * engine schedules micro-batches CONTINUOUSLY — `processAllAvailable`
+  * never quiesces and even `Trigger.AvailableNow` does not terminate.
+  * Drive this operator with a long-lived query, or with bounded
+  * `Trigger.Once` runs against a shared checkpoint (the TTL clock and
+  * state survive restarts; a memory sink cannot recover a checkpoint —
+  * use `foreachBatch`/file sinks). The spec exercises exactly that
+  * restart shape.
+  */
+class RetentionDedupProcessor(retention: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, Admission] {
+  @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig(retention))
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[Admission] = {
+    if (seen.exists()) Iterator.empty // suppressed; no write, TTL keeps aging
+    else {
+      seen.update(1L)
+      Iterator.single(Admission(key, rows.size.toLong))
+    }
+  }
+}
+
+/** Companion wrapper for [[RetentionDedupProcessor]]. */
+object RetentionDedup {
+  def admitOncePer(keys: org.apache.spark.sql.Dataset[Long],
+                   retention: java.time.Duration): org.apache.spark.sql.Dataset[Admission] = {
+    import keys.sparkSession.implicits._
+    keys.groupByKey(identity)
+      .transformWithState(new RetentionDedupProcessor(retention),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+}
 
 /** The "alert once per user" state machine as a Spark 4
   * `StatefulProcessor` (the reference's global `printed_users` set,

@@ -11,6 +11,9 @@ case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 /** [[Ev]] with a nullable value — the null-sum session contract. */
 case class EvOpt(ts: java.sql.Timestamp, user_id: Long, value: Option[Double])
 
+/** Event keyed by id — the dedup operators' wire shape. */
+case class Ev2(event_id: Long, ts: java.sql.Timestamp, value: Double)
+
 /** Streaming ≡ batch for the session engine (SURVEY.md §5.2 property). */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -330,6 +333,91 @@ class StatefulAlertSpec extends SparkSpec {
     assert(streamed == batch,
       s"alert sets must coincide (${streamed.size} vs ${batch.size})")
     assert(batch.nonEmpty, "fixture must actually produce alerts")
+  }
+
+  test("watermark-bounded dedup: in-window duplicates drop, evicted keys re-admit") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev2]
+    val q = StreamingSessions.dedupWithinWatermark(mem.toDF(), "10 seconds")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev2(1L, ts("2024-01-01 00:00:00"), 1.0))
+      q.processAllAvailable()
+      // same event_id redelivered within the watermark window: dropped
+      mem.addData(Ev2(1L, ts("2024-01-01 00:00:02"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").count() == 1,
+        "in-window duplicate must be dropped")
+      // push the watermark far past event 1's eviction point...
+      mem.addData(Ev2(2L, ts("2024-01-01 01:00:00"), 1.0))
+      q.processAllAvailable()
+      // ...then redeliver id 1 with a fresh in-window timestamp: state was
+      // evicted, so it re-admits — the documented retention trade
+      mem.addData(Ev2(1L, ts("2024-01-01 01:00:01"), 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 1L, 2L),
+        s"post-eviction redelivery re-admits (got $ids)")
+    } finally q.stop()
+  }
+
+  test("TTL retention dedup: admit once per window, expiry re-admits across restart") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import graft.streaming.RetentionDedup
+    // ProcessingTime mode schedules batches continuously, so
+    // processAllAvailable never quiesces — each step is one bounded
+    // Trigger.Once run against a shared checkpoint (which also proves the
+    // TTL clock and state survive a restart); the memory sink can't
+    // recover a checkpoint, so admissions append to parquet via
+    // foreachBatch
+    def run(mem: MemoryStream[Long], retention: java.time.Duration,
+            out: java.nio.file.Path, ckpt: java.nio.file.Path): Long = {
+      val q = RetentionDedup.admitOncePer(mem.toDS(), retention)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[graft.streaming.Admission],
+                       id: Long) =>
+          df.write.mode("append").parquet(out.toString))
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      spark.read.parquet(out.toString).count()
+    }
+    try {
+      // long retention: once-ever across batches and a restart
+      val memA = MemoryStream[Long]
+      val ckA = java.nio.file.Files.createTempDirectory("graft_ttl_a")
+      val outA = java.nio.file.Files.createTempDirectory("graft_ttl_a_out")
+      memA.addData(7L, 7L, 8L)
+      assert(run(memA, java.time.Duration.ofHours(1), outA, ckA) == 2L)
+      val first = spark.read.parquet(outA.toString).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(first == Map(7L -> 2L, 8L -> 1L),
+        s"one admission per key, batch counts exact (got $first)")
+      memA.addData(7L, 8L)
+      assert(run(memA, java.time.Duration.ofHours(1), outA, ckA) == 2L,
+        "unexpired keys stay suppressed across the restart (no new rows)")
+      // tiny retention: the key re-admits once the state store expired it
+      val memB = MemoryStream[Long]
+      val ckB = java.nio.file.Files.createTempDirectory("graft_ttl_b")
+      val outB = java.nio.file.Files.createTempDirectory("graft_ttl_b_out")
+      memB.addData(7L)
+      assert(run(memB, java.time.Duration.ofMillis(1), outB, ckB) == 1L)
+      Thread.sleep(300) // safely past the 1 ms TTL
+      memB.addData(7L)
+      assert(run(memB, java.time.Duration.ofMillis(1), outB, ckB) == 2L,
+        "expired key must re-admit in the next retention window")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("timer sessions: replayed transformWithState timers reproduce batch sessionization") {
