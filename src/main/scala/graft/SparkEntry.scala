@@ -190,6 +190,11 @@ object SparkEntry {
     "t2_alert_tws" -> ((s, dir) =>
       StreamingSessions.replayAlertTws(Tables.events(s, dir),
         lit("2 hours"), 300.0)),
+    // streaming funnel coverage on MapState (set contract: users whose
+    // observed step set first covers view->click->purchase)
+    "q_funnel_coverage_stream" -> ((s, dir) =>
+      graft.streaming.FunnelCoverage.replayCoverage(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))),
     // the same session pipeline through the pure SQL-text surface
     // (registered temp views + SQL session_window) — API parity is
     // oracle-gated, not just claimed
@@ -962,6 +967,14 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_chars_nonnegative', v_len_nonneg, n_rows FROM m)
         |ORDER BY check_name""".stripMargin,
     "t2_alert_tws" -> alertSetOracle("7200", "300.0"),
+    // unordered coverage rule — the batch twin of the MapState stream
+    // (the ORDERED variant is q_window_funnel)
+    "q_funnel_coverage_stream" ->
+      """SELECT user_id FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND event_type IN ('view', 'click', 'purchase')
+        |GROUP BY 1 HAVING count(DISTINCT event_type) = 3
+        |ORDER BY user_id""".stripMargin,
     // sketch-vs-exact vocabulary cardinality: exact values + bound
     // booleans, sketchAccuracy-style; ROLLUP's null group = grand total
     // ('TOTAL' < 'srcN' in binary collation on both engines, so the

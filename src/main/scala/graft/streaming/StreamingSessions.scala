@@ -601,6 +601,109 @@ class RetentionDedupProcessor(retention: java.time.Duration)
   }
 }
 
+/** One funnel step observed for a user. */
+case class StepEvent(user_id: Long, step: String)
+
+/** A user whose observed step set first covered the whole funnel. */
+case class FunnelDone(user_id: Long)
+
+/** Streaming funnel COVERAGE on `transformWithState` `MapState` — the
+  * per-key keyed sub-map the other state types can't express without
+  * serializing a whole map through one value: `MapState[step → count]`
+  * updates only the entries a batch touches (point writes against the
+  * state store, not read-modify-write of a blob), which is the difference
+  * between O(touched steps) and O(all steps) I/O per batch when the step
+  * alphabet is wide. A user emits exactly once: on the batch where their
+  * observed step set first covers all of `steps`. Which EVENT completed
+  * the funnel is a batch artifact, so (like the alert operators) the
+  * deterministic contract is the completion SET — the batch twin is the
+  * unordered `GROUP BY user HAVING every step present` rule, which the
+  * replay pins (the ORDERED variant is the batch `windowFunnel`).
+  */
+class FunnelCoverageProcessor(steps: Seq[String])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StepEvent, FunnelDone] {
+  require(steps.nonEmpty, "funnel needs at least one step")
+  @transient private var seen: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getMapState[String, Long]("steps_seen",
+      org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[StepEvent],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[FunnelDone] = {
+    val wasComplete = steps.forall(seen.containsKey)
+    for (e <- rows if steps.contains(e.step)) {
+      val n = if (seen.containsKey(e.step)) seen.getValue(e.step) else 0L
+      seen.updateValue(e.step, n + 1L)
+    }
+    if (!wasComplete && steps.forall(seen.containsKey))
+      Iterator.single(FunnelDone(userId))
+    else Iterator.empty
+  }
+}
+
+/** Companion wrapper for [[FunnelCoverageProcessor]]. */
+object FunnelCoverage {
+
+  /** Streaming coverage over an event frame (needs `user_id`,
+    * `event_type`); RocksDB provider required (transformWithState).
+    */
+  def coverageStream(events: DataFrame, steps: Seq[String]): Dataset[FunnelDone] = {
+    import events.sparkSession.implicits._
+    events.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").as("step"))
+      .as[StepEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelCoverageProcessor(steps),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Oracle-checkable replay: stream the fixture file-per-micro-batch
+    * (deterministic hash split, so a user's steps straddle the batch
+    * boundary) and return the completion set, sorted — equal by contract
+    * to the batch unordered-coverage rule.
+    */
+  def replayCoverage(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_funnel_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val slim = events.select(col("user_id"), col("event_type"), col("event_id"))
+    StreamingSessions.appendReplayFile(
+      slim.filter(pmod(xxhash64(col("event_id")), lit(2)) === 0), inDir, 1)
+    StreamingSessions.appendReplayFile(
+      slim.filter(pmod(xxhash64(col("event_id")), lit(2)) === 1), inDir, 2)
+    val mutated = Seq("spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.shuffle.partitions")
+    val snapshot = mutated.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val sinkName = "graft_funnel_sink"
+    spark.catalog.dropTempView(sinkName)
+    try {
+      val src = spark.readStream.schema(slim.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = coverageStream(src, steps).writeStream
+        .format("memory").queryName(sinkName).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(sinkName).select(col("user_id")).localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally {
+      snapshot.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      StreamingSessions.deleteRecursively(root)
+    }
+  }
+}
+
 /** Companion wrapper for [[RetentionDedupProcessor]]. */
 object RetentionDedup {
   def admitOncePer(keys: org.apache.spark.sql.Dataset[Long],

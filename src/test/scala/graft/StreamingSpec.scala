@@ -420,6 +420,56 @@ class StatefulAlertSpec extends SparkSpec {
     }
   }
 
+  test("funnel coverage (MapState): completes once across batches, equals batch rule") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{FunnelCoverage, StepEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[StepEvent]
+    val q = FunnelCoverage.coverageStream(mem.toDF()
+        .withColumnRenamed("step", "event_type"), Seq("view", "cart", "buy"))
+      .writeStream.format("memory").queryName("funnel_done")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 does view+cart; user 2 only view; user 3 does all
+      // three plus an off-funnel step that must not count
+      mem.addData(StepEvent(1L, "view"), StepEvent(1L, "cart"),
+        StepEvent(2L, "view"), StepEvent(3L, "view"), StepEvent(3L, "cart"),
+        StepEvent(3L, "buy"), StepEvent(3L, "refund"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_done").collect().map(_.getLong(0)).toSeq == Seq(3L),
+        "only user 3 has covered the funnel after batch 1")
+      // batch 2: user 1 completes (cross-batch state); user 3 repeats a
+      // full pass — no re-emission
+      mem.addData(StepEvent(1L, "buy"), StepEvent(3L, "view"),
+        StepEvent(3L, "cart"), StepEvent(3L, "buy"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_done").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 3L), s"one completion per user ever (got $got)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // replay on the real fixture == the batch unordered-coverage rule
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val steps = Seq("view", "click", "purchase")
+    val streamed = FunnelCoverage.replayCoverage(ev, steps)
+      .collect().map(_.getLong(0)).toSet
+    val batch = ev.filter(col("user_id").isNotNull &&
+        col("event_type").isin(steps.map(lit): _*))
+      .groupBy(col("user_id"))
+      .agg(count_distinct(col("event_type")).as("n"))
+      .filter(col("n") === steps.size)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"completion set must equal batch coverage (${streamed.size} vs ${batch.size})")
+  }
+
   test("timer sessions: replayed transformWithState timers reproduce batch sessionization") {
     import graft.streaming.TimerSessions
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
