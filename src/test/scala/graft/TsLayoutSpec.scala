@@ -94,4 +94,30 @@ class TsLayoutSpec extends SparkSpec {
       assert(got == Seq(microsA, microsB), s"layout $layout streamed")
     } finally StreamingSessions.deleteRecursively(root)
   }
+
+  test("fixture drift tripwire: every driver table keeps its canonical field types") {
+    // the OTHER half of the r7 lesson: a regenerated documents/embeddings
+    // fixture must fail ONE readable test here, not 15 scattered analysis
+    // errors a round later. Checked across sf dirs because regeneration
+    // rewrites all of them.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      assert(Tables.events(spark, dir).schema == graft.sources.EventSource.schema,
+        s"$sf/events drifted: ${Tables.events(spark, dir).schema.simpleString}")
+      val doc = Tables.documents(spark, dir).schema
+      assert(doc.map(f => f.name -> f.dataType) == Seq(
+        "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+        "source" -> StringType, "n_chars" -> LongType),
+        s"$sf/documents drifted: ${doc.simpleString}")
+      val em = Tables.embeddings(spark, dir).schema
+      assert(em.fieldNames.toSeq == Seq("vec_id", "embedding", "label") &&
+        em("vec_id").dataType == LongType &&
+        em("label").dataType == IntegerType,
+        s"$sf/embeddings drifted: ${em.simpleString}")
+      em("embedding").dataType match {
+        case ArrayType(FloatType, _) => // list<float>, the operators' contract
+        case other => fail(s"$sf/embeddings.embedding drifted: $other")
+      }
+    }
+  }
 }
