@@ -195,6 +195,12 @@ object SparkEntry {
     "q_funnel_coverage_stream" -> ((s, dir) =>
       graft.streaming.FunnelCoverage.replayCoverage(Tables.events(s, dir),
         Seq("view", "click", "purchase"))),
+    // the ORDERED funnel as a stream: watermark-proved finality over
+    // buffered per-user chains (event-time timers) — same histogram
+    // oracle as the batch q_window_funnel
+    "q_funnel_ordered_stream" -> ((s, dir) =>
+      graft.streaming.TimerFunnel.replayOrderedFunnel(Tables.events(s, dir),
+        stepWithinSec = 172800)),
     // the same session pipeline through the pure SQL-text surface
     // (registered temp views + SQL session_window) — API parity is
     // oracle-gated, not just claimed
@@ -888,6 +894,9 @@ object SparkEntry {
     // event, so the whole funnel is a join chain (no sequence scan)
     "q_window_funnel" -> windowFunnelSql,
     "q_window_funnel_sql" -> windowFunnelSql,
+    // 48 h step window so the fixture actually exercises depths 2 and 3
+    // (median per-user gap ~7.4 h; the 30 min default leaves depth 1 only)
+    "q_funnel_ordered_stream" -> windowFunnelSqlAt(172800),
     "q_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
         |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
@@ -2148,18 +2157,18 @@ object SparkEntry {
     * `q_window_funnel_sql` SQL-text twin) and DuckDB (the oracle for both
     * funnel queries) — one string, three roles, so the twin can't drift.
     */
-  private[graft] val windowFunnelSql: String =
-    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+  private[graft] def windowFunnelSqlAt(windowSec: Long): String =
+    s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
       |            WHERE event_type = 'view' GROUP BY user_id),
       |s2 AS (SELECT e.user_id, min(e.ts) AS t2
       |       FROM events e JOIN s1 USING (user_id)
       |       WHERE e.event_type = 'click' AND e.ts > s1.t1
-      |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND
+      |         AND e.ts <= s1.t1 + INTERVAL $windowSec SECOND
       |       GROUP BY e.user_id),
       |s3 AS (SELECT e.user_id, min(e.ts) AS t3
       |       FROM events e JOIN s2 USING (user_id)
       |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
-      |         AND e.ts <= s2.t2 + INTERVAL 1800 SECOND
+      |         AND e.ts <= s2.t2 + INTERVAL $windowSec SECOND
       |       GROUP BY e.user_id)
       |SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
       |                 WHEN t2 IS NOT NULL THEN 2
@@ -2167,6 +2176,8 @@ object SparkEntry {
       |  count(*) AS n_users
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private[graft] val windowFunnelSql: String = windowFunnelSqlAt(1800)
 
   private val lshBucketCtes: String = {
     val bucketExpr = graft.operators.Similarity.planes.zipWithIndex.map {

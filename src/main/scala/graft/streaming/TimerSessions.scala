@@ -191,3 +191,163 @@ object TimerSessions {
     StreamingSessions.replayStageOutOfOrder(events,
       src => timerSessionStream(src, referenceDynamicGapSec, delay))
 }
+
+/** One buffered funnel-step observation. */
+case class StepAt(idx: Int, ts_us: Long)
+
+/** A user's FINAL funnel depth (batch `windowFunnel` semantics). */
+case class FunnelFinal(user_id: Long, funnel_step: Long)
+
+/** The ORDERED window funnel as a streaming operator — the strict
+  * variant [[FunnelCoverageProcessor]]'s unordered coverage deliberately
+  * isn't: each next step must land in `(t_prev, t_prev + W]`, chained
+  * greedily from the user's EARLIEST first-step event, exactly
+  * [[graft.operators.Relational.windowFunnel]]. Late data makes this
+  * genuinely hard: a late earlier first-step event REWRITES the whole
+  * chain (t1 drops, every t_i can move), so nothing can be emitted
+  * eagerly. The processor buffers the user's funnel-step events in
+  * `ListState` and proves finality from the watermark instead:
+  *
+  *  - every chain time satisfies `t_j < wm` once seen, and a future
+  *    event has `ts ≥ wm`, so stage j is settled once
+  *    `wm > t_(j−1) + W` (no admissible event can still arrive in its
+  *    selection interval);
+  *  - `wm > t_reached + W` therefore settles EVERY stage at once (the
+  *    deadlines are increasing), and is also exactly the moment the
+  *    chain can no longer extend — one event-time timer at
+  *    `t_reached + W`, re-armed as the chain advances, yields one final
+  *    `(user, depth)` emission per user, provably equal to the batch
+  *    result on the sealed stream.
+  *
+  * State is the user's funnel-step events until finality — bounded by
+  * the watermark delay + W horizon in steady state (a user's buffer
+  * seals one window after their chain stalls); the spec and the
+  * `q_funnel_ordered_stream` oracle pin replay ≡ batch on the fixture.
+  */
+class TimerFunnelProcessor(nSteps: Int, windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StepAt, FunnelFinal] {
+  require(nSteps > 0 && windowUs > 0, "funnel needs steps and a window")
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[StepAt] = _
+  @transient private var done: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[StepAt]("funnel_events",
+      org.apache.spark.sql.Encoders.product[StepAt], TTLConfig.NONE)
+    done = getHandle.getValueState[Boolean]("funnel_done",
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  /** Greedy chain over the buffer: (stages reached, time of last reached
+    * stage); (0, _) when no first-step event exists yet.
+    */
+  private def chain(evts: Seq[StepAt]): (Int, Long) = {
+    val byStep = evts.groupBy(_.idx)
+    byStep.get(0).map(_.iterator.map(_.ts_us).min) match {
+      case None => (0, 0L)
+      case Some(t1) =>
+        var t = t1; var reached = 1; var stalled = false
+        while (!stalled && reached < nSteps) {
+          val candidates = byStep.getOrElse(reached, Nil).iterator
+            .map(_.ts_us).filter(x => x > t && x <= t + windowUs)
+          if (candidates.isEmpty) stalled = true
+          else { t = candidates.min; reached += 1 }
+        }
+        (reached, t)
+    }
+  }
+
+  private def rearm(deadlineUs: Long): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer((deadlineUs + 999L) / 1000L)
+  }
+
+  override def handleInputRows(userId: Long, rows: Iterator[StepAt],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[FunnelFinal] = {
+    if (done.exists()) return Iterator.empty // final answer already out
+    rows.foreach(buf.appendValue)
+    val (reached, tReached) = chain(buf.get().toSeq)
+    if (reached > 0) rearm(tReached + windowUs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(userId: Long,
+                                  timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                  expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[FunnelFinal] = {
+    if (done.exists()) return Iterator.empty
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val (reached, tReached) = chain(buf.get().toSeq)
+    if (reached > 0 && tReached + windowUs <= wmUs) {
+      done.update(true); buf.clear()
+      Iterator.single(FunnelFinal(userId, reached.toLong))
+    } else {
+      if (reached > 0) rearm(tReached + windowUs) // chain advanced since arming
+      Iterator.empty
+    }
+  }
+}
+
+/** Companion wrapper for [[TimerFunnelProcessor]]. */
+object TimerFunnel {
+
+  /** Per-user final funnel depths over a watermarked event stream. */
+  def orderedFunnelStream(events: DataFrame, steps: Seq[String],
+                          stepWithinSec: Long, delay: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val stepIdx = idx.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("event_type") === s, lit(i)).otherwise(acc)
+    }
+    // NO post-watermark filter on idx: a ts-free predicate is pushed
+    // below the EventTimeWatermark node and would drop the replay
+    // harness's flush sentinel BEFORE watermark tracking (the stall trap
+    // replayStageOutOfOrder documents). Off-funnel rows ride through and
+    // are ignored inside the processor instead.
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .withColumn("idx", stepIdx)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("idx"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new KeyedFunnelAdapter(steps.size, stepWithinSec * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Bounded-disorder replay → the batch funnel HISTOGRAM (the
+    * `windowFunnel` output shape, so the existing SQL oracle applies).
+    */
+  def replayOrderedFunnel(events: DataFrame,
+                          steps: Seq[String] = Seq("view", "click", "purchase"),
+                          stepWithinSec: Long = 1800,
+                          delay: String = "10 minutes"): DataFrame =
+    StreamingSessions.replayStageOutOfOrder(events,
+      src => orderedFunnelStream(src, steps, stepWithinSec, delay))
+      .groupBy(col("funnel_step")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_step"))
+}
+
+/** Tuple-input adapter so the stream stays a plain 3-column projection
+  * (no per-row case-class allocation upstream of the state machine).
+  */
+class KeyedFunnelAdapter(nSteps: Int, windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Int, Long), FunnelFinal] {
+  private val inner = new TimerFunnelProcessor(nSteps, windowUs)
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    inner.setHandle(getHandle); inner.init(outputMode, timeMode)
+  }
+  override def handleInputRows(userId: Long, rows: Iterator[(Long, Int, Long)],
+                               timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[FunnelFinal] =
+    inner.handleInputRows(userId,
+      rows.filter(_._2 >= 0).map(r => StepAt(r._2, r._3)), timerValues)
+  override def handleExpiredTimer(userId: Long,
+                                  timerValues: org.apache.spark.sql.streaming.TimerValues,
+                                  expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[FunnelFinal] =
+    inner.handleExpiredTimer(userId, timerValues, expiredTimerInfo)
+}

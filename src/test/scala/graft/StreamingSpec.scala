@@ -470,6 +470,24 @@ class StatefulAlertSpec extends SparkSpec {
       s"completion set must equal batch coverage (${streamed.size} vs ${batch.size})")
   }
 
+  test("ordered funnel (timers): replayed chain depths equal the batch windowFunnel") {
+    import graft.streaming.TimerFunnel
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // 48 h step window: the fixture's median per-user gap is ~7.4 h, so
+    // the default 30 min would leave every user at depth 1 and never
+    // exercise the chaining (or the late-event chain-rewrite) logic
+    val wSec = 172800L
+    val got = TimerFunnel.replayOrderedFunnel(ev, stepWithinSec = wSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Relational.windowFunnel(ev, stepWithinSec = wSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty && want.keySet.size > 1,
+      "fixture must exercise more than one funnel depth")
+    assert(got == want,
+      s"streamed funnel histogram must equal batch greedy chaining " +
+        s"(got $got, want $want)")
+  }
+
   test("timer sessions: replayed transformWithState timers reproduce batch sessionization") {
     import graft.streaming.TimerSessions
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
