@@ -14,6 +14,9 @@ case class EvOpt(ts: java.sql.Timestamp, user_id: Long, value: Option[Double])
 /** Event keyed by id — the dedup operators' wire shape. */
 case class Ev2(event_id: Long, ts: java.sql.Timestamp, value: Double)
 
+/** Typed event for funnel streams. */
+case class EvT(ts: java.sql.Timestamp, user_id: Long, event_type: String)
+
 /** Streaming ≡ batch for the session engine (SURVEY.md §5.2 property). */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -468,6 +471,55 @@ class StatefulAlertSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(batch.nonEmpty && streamed == batch,
       s"completion set must equal batch coverage (${streamed.size} vs ${batch.size})")
+  }
+
+  test("ordered funnel: a late earlier first-step event rewrites the chain") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.TimerFunnel
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EvT]
+    val q = TimerFunnel.orderedFunnelStream(mem.toDF(),
+        Seq("view", "click", "purchase"), 1800L, "1 hour")
+      .writeStream.format("memory").queryName("funnel_rewrite")
+      .outputMode("append").start()
+    try {
+      // user 1 arrives steps-first: click+purchase land BEFORE any view —
+      // nothing to chain from yet. user 2 looks like depth 2 (view 10:00,
+      // click 10:05 within the 30 min window).
+      mem.addData(
+        EvT(ts("2024-01-01 10:00:00"), 1L, "click"),
+        EvT(ts("2024-01-01 10:10:00"), 1L, "purchase"),
+        EvT(ts("2024-01-01 10:00:00"), 2L, "view"),
+        EvT(ts("2024-01-01 10:05:00"), 2L, "click"))
+      q.processAllAvailable()
+      // late batch, still inside the 1 h watermark delay: user 1's view
+      // at 09:50 CREATES a depth-3 chain; user 2's EARLIER view at 09:00
+      // becomes the greedy t1 and BREAKS the chain (10:05 is outside
+      // (09:00, 09:30]) — depth drops from the apparent 2 to 1
+      mem.addData(
+        EvT(ts("2024-01-01 09:50:00"), 1L, "view"),
+        EvT(ts("2024-01-01 09:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_rewrite").count() == 0,
+        "nothing is final while the watermark can still admit rewrites")
+      // watermark push: 13:00 − 1 h = 12:00, past both deadlines
+      mem.addData(EvT(ts("2024-01-01 13:00:00"), 9L, "signup"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_rewrite")
+        .filter(col("user_id") < 9).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 1L),
+        s"late views must rewrite both chains (got $got)")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("ordered funnel (timers): replayed chain depths equal the batch windowFunnel") {
