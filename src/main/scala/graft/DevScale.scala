@@ -504,6 +504,68 @@ object DevScale {
     val ev1m = ev6.filter(col("event_id") % 10 === 0)
     time("timer_sessions_1m")(graft.streaming.TimerSessions
       .replayTimerSessions(ev1m, 1800L).count())
+
+    // round-8 wave 3: ordered funnel + the analytics batch ------
+
+    // typed event stream for the sequence analytics (deterministic 5-way
+    // type split; ev6's constant type would collapse every transition)
+    val evTyped = ev.select(col("event_id"), col("ts"), col("user_id"),
+      element_at(typedlit(Seq("view", "click", "purchase", "error", "scroll")),
+        (pmod(xxhash64(col("event_id") + 29), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      col("value"), lit("{}").as("props"))
+
+    // ordered streaming funnel at 1M events / 50k users through the
+    // bounded-disorder replay: state is O(buffered chain per user), and
+    // finality comes from event-time timers at watermark + window
+    time("ordered_funnel_1m")(graft.streaming.TimerFunnel
+      .replayOrderedFunnel(evTyped.filter(col("event_id") % 10 === 0),
+        stepWithinSec = 86400L).count())
+
+    // batch sequence analytics at 10M events: each is ONE user_id hash
+    // shuffle (window sort) + a dimension-sized final agg
+    time("markov_transitions_10m")(
+      graft.operators.Relational.eventTransitions(evTyped).count())
+    time("inter_event_gaps_10m")(
+      graft.operators.Relational.interEventGaps(evTyped).count())
+    time("funnel_time_10m")(
+      graft.operators.Relational.funnelConversionTime(evTyped).count())
+    // two corpus scans + two 5-row median/MAD aggs broadcast back; the
+    // exact percentile's value-count map stays at |distinct cents| = 20k
+    time("mad_outliers_10m")(
+      graft.operators.Relational.madOutliers(evTyped).count())
+    time("gapfill_10m")(
+      graft.operators.Relational.gapFillDaily(evTyped).count())
+
+    // word entropy at 500k docs: the 27.5M-token (doc, tok) agg + per-doc
+    // combine — same shuffle spread as tokenDocFrequency
+    timeDocs("word_entropy_500k")(
+      graft.functions.TextAnalysis.wordEntropy(dc).count())
+
+    // containment at 500k docs over a LONG-TAIL shingle corpus (~5M
+    // distinct tokens): real prose has power-law shingle df, so the
+    // posting-list join is doc-linear. The 31-word-vocab corpus above
+    // would make EVERY shingle hot (df ≈ 880 ⇒ ~10^10 candidate pairs) —
+    // that corpus is what the df-cap twin (jaccardNearDupsExact's
+    // maxDocFreq) exists for, and exact containment on it would be a
+    // dishonest benchmark of an inverted-index operator. 1% planted
+    // doc-in-doc pairs: id%100==1 docs embed doc id-1's full text.
+    def ctok(idx: org.apache.spark.sql.Column) =
+      concat(lit("t"), pmod(xxhash64(idx), lit(5000000L)))
+    val base55 = (0 until 55).map(k => ctok(col("id") * 55 + k))
+    val host = (0 until 55).map(k => ctok((col("id") - 1) * 55 + k)) ++
+      (0 until 30).map(k => ctok(col("id") * 1000 + k + 7))
+    val cdocs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(pmod(col("id"), lit(100)) === 1, concat_ws(" ", host: _*))
+        .otherwise(concat_ws(" ", base55: _*)).as("text"))
+    cdocs.write.mode("overwrite").parquet("/tmp/scale_docs_longtail")
+    val cd = spark.read.parquet("/tmp/scale_docs_longtail")
+    timeDocs("containment_500k") {
+      val out = graft.operators.NearDup.containmentNearDups(cd)
+      val full = out.filter(col("cont_bp") === 10000L).count()
+      println(f"  ($full fully-contained pairs — ~5000 planted)")
+      out.count()
+    }
     spark.stop()
   }
 }

@@ -172,6 +172,21 @@ object SparkEntry {
       Relational.userRunningTotals(Tables.events(s, dir))),
     "q_salted_user_totals" -> ((s, dir) =>
       Relational.saltedUserTotals(Tables.events(s, dir))),
+    // time-series densification: zero rows for day × type holes
+    "q_timeseries_gapfill" -> ((s, dir) =>
+      Relational.gapFillDaily(Tables.events(s, dir))),
+    // first-order Markov transition matrix over user event sequences
+    "q_markov_transitions" -> ((s, dir) =>
+      Relational.eventTransitions(Tables.events(s, dir))),
+    // per-user inter-event cadence (min/max/mean/exact-median gap)
+    "q_inter_event_gaps" -> ((s, dir) =>
+      Relational.interEventGaps(Tables.events(s, dir))),
+    // funnel latency: first view -> first subsequent purchase, per user
+    "q_funnel_time" -> ((s, dir) =>
+      Relational.funnelConversionTime(Tables.events(s, dir))),
+    // median/MAD robust outliers, integer-exact decision rule
+    "q_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(Tables.events(s, dir))),
     "sketch_accuracy" -> ((s, dir) =>
       graft.operators.Sketches.sketchAccuracy(Tables.events(s, dir))),
     // shuffle-key skew diagnostic: the measurement that decides whether
@@ -302,6 +317,8 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(Tables.documents(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    // word-entropy quality signal (repetition/gibberish detector)
+    "text_entropy" -> ((s, dir) => TextAnalysis.wordEntropy(Tables.documents(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
@@ -489,6 +506,8 @@ object SparkEntry {
         |ORDER BY doc_i, doc_j""".stripMargin)
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
+    // doc-in-doc: asymmetric containment over the same posting lists
+    "dedup_containment" -> ((s, dir) => NearDup.containmentNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
     // quality-aware canonicalization: per near-dup cluster keep the member
@@ -931,6 +950,77 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // complete day × type grid via generate_series, zero-filled holes
+    "q_timeseries_gapfill" ->
+      """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, value
+        |           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM b GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+        |types AS (SELECT DISTINCT event_type FROM b)
+        |SELECT t.event_type, dy.day,
+        |  coalesce(d.n_events, 0) AS n_events,
+        |  coalesce(d.cents, 0) / 100.0 AS sum_value
+        |FROM types t CROSS JOIN days dy
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day
+        |ORDER BY 1, 2""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |        event_type AS next_type FROM e),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST((n * 20000 + sum(n) OVER (PARTITION BY prev_type))
+        |    // (2 * sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS prob_bp
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_inter_event_gaps" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |        date_diff('microsecond',
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+        |      FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST((sum(gap_us) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS mean_gap_us,
+        |  CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT) AS p50_gap_us_x2
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT user_id, ts, event_type,
+        |        min(CASE WHEN event_type = 'view' THEN ts END)
+        |          OVER (PARTITION BY user_id) AS first_touch
+        |      FROM e)
+        |SELECT user_id, first_touch, min(ts) AS converted_at,
+        |  CAST(date_diff('microsecond', first_touch, min(ts)) // 1000000 AS BIGINT)
+        |    AS secs_to_convert
+        |FROM f WHERE event_type = 'purchase' AND first_touch IS NOT NULL AND ts >= first_touch
+        |GROUP BY user_id, first_touch ORDER BY user_id""".stripMargin,
+    // the ×2/×4 carries keep interpolated medians integer-exact, so the
+    // flagged row set is deterministic across engines (see Relational)
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events
+        |           WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+        |med AS (SELECT event_type, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med_x2
+        |        FROM b GROUP BY 1),
+        |dev AS (SELECT b.*, med.med_x2, abs(b.cents * 2 - med.med_x2) AS dev_x2
+        |        FROM b JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.user_id, dev.event_type, dev.cents / 100.0 AS value,
+        |  dev.med_x2, dev.dev_x2, mad.mad_x4
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.dev_x2 * 2 > mad.mad_x4 * 3
+        |ORDER BY event_id""".stripMargin,
     // sketch gate: exact values + deterministic bound checks (HLL ≤3%,
     // approx-median ≤1.0 — wide margin over measured ≤0.67% / ≤0.25)
     "sketch_accuracy" ->
@@ -1108,6 +1198,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 10000, 0) / 10000.0
+        |    AS entropy_bits
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid_ngram" ->
       """WITH s AS (SELECT doc_id,
         |  (length(text) - length(replace(text, 'th', ''))) / 2
@@ -1736,6 +1834,26 @@ object SparkEntry {
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
+    // asymmetric containment twin of bruteJaccardOracle (doc-in-doc)
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        len(list_intersect(a.s, b.s)) AS inter,
+        |        len(a.s) AS n_i, len(b.s) AS n_j
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |q AS (SELECT CASE WHEN n_j < n_i THEN doc_j ELSE doc_i END AS doc_inner,
+        |        CASE WHEN n_j < n_i THEN doc_i ELSE doc_j END AS doc_outer,
+        |        inter, least(n_i, n_j) AS n_inner
+        |      FROM p)
+        |SELECT doc_inner, doc_outer, CAST(inter AS BIGINT) AS inter,
+        |  CAST(n_inner AS BIGINT) AS n_inner,
+        |  (inter * 20000 + n_inner) // (2 * n_inner) AS cont_bp
+        |FROM q WHERE inter * 10000 >= n_inner * 8000
+        |ORDER BY doc_inner, doc_outer""".stripMargin,
     "dedup_exact_sql" ->
       """SELECT md5(text) AS text_key, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies

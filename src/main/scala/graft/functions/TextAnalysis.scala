@@ -822,4 +822,32 @@ object TextAnalysis {
           s => s.getField("id").cast("string"))).as("ids_str"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document word-entropy quality signal: Shannon entropy (bits) of
+    * the token distribution, via the single-pass identity
+    * `H = log2(N) − (Σ c·log2 c) / N` over per-(doc, token) counts — no
+    * probabilities materialized, so everything before the final division
+    * is a plain partial-aggregable sum. Low entropy flags boilerplate /
+    * keyword-stuffed / repetitive docs that length or stopword ratios
+    * miss; near-`log2(n_distinct)` entropy with tiny `n_distinct` flags
+    * gibberish. Rounded to 4 dp for the cross-engine hash (the sum order
+    * differs across engines at ~1 ulp).
+    *
+    * Scale shape: one shuffle on (doc_id, token) — doc_id in the key
+    * spreads hot tokens like [[tokenDocFrequency]] — then a per-doc
+    * combine; output is one row per doc.
+    */
+  def wordEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round((log2(col("n_tokens")) - col("clog") / col("n_tokens"))
+          * 10000, 0) / 10000.0).as("entropy_bits"))
+      .orderBy(col("doc_id"))
 }

@@ -673,4 +673,41 @@ object NearDup {
       .select(col("doc_i"), col("doc_j"), col("hamming"))
       .orderBy(col("doc_i"), col("doc_j"))
   }
+
+  /** Containment near-dups: pairs where the smaller doc's shingle set is
+    * mostly inside the larger's — `|S_a ∩ S_b| / |S_a| ≥ threshold` with
+    * `a` the smaller set (ties → lower doc_id). This is the doc-IN-doc
+    * detector (quoted articles, boilerplate wrappers, page-in-site):
+    * Jaccard misses these pairs precisely when the size ratio is large,
+    * because the big doc inflates the union.
+    *
+    * Same scalable shape as [[jaccardNearDupsExact]]: one posting-list
+    * equi-join on the 64-bit shingle hash, one aggregate — but NO
+    * size-ratio prune, since containment is exactly the metric that must
+    * survive mismatched sizes. `thresholdBp` is basis points (8000 =
+    * 0.80); the decision `inter · 10000 ≥ t · n_inner` and the reported
+    * `cont_bp` (half-up) are integer-exact for the oracle.
+    */
+  def containmentNearDups(documents: DataFrame,
+                          thresholdBp: Long = 8000L): DataFrame = {
+    val posting = shingled(documents)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n"),
+        explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("sh"))
+    posting.as("x").join(posting.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_i"), col("y.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.n")).as("n_i"), max(col("y.n")).as("n_j"))
+      .select(
+        when(col("n_j") < col("n_i"), col("doc_j")).otherwise(col("doc_i"))
+          .as("doc_inner"),
+        when(col("n_j") < col("n_i"), col("doc_i")).otherwise(col("doc_j"))
+          .as("doc_outer"),
+        col("inter"), least(col("n_i"), col("n_j")).as("n_inner"))
+      .filter(col("inter") * 10000 >= col("n_inner") * thresholdBp)
+      .select(col("doc_inner"), col("doc_outer"), col("inter"), col("n_inner"),
+        expr("(inter * 20000 + n_inner) div (2 * n_inner)").as("cont_bp"))
+      .orderBy(col("doc_inner"), col("doc_outer"))
+  }
 }

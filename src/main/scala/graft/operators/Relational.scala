@@ -512,4 +512,146 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy(col("cohort_day"), col("offset_days"))
   }
+
+  /** Time-series densification (gap fill): the per-type daily rollup
+    * joined onto the COMPLETE day × type grid, so days with no events
+    * appear as explicit zero rows — the shape every charting/forecast
+    * consumer wants and plain `groupBy` can't produce.
+    *
+    * Scale shape: the fact side collapses to (type × day) rows before any
+    * join, and the generated grid is dimension-sized (|types| · |days|),
+    * so the outer join is a broadcast of the rollup under AQE — the only
+    * full-corpus work is the one aggregating shuffle.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val base = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("value"))
+    val daily = base.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+    val days = base
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val types = base.select(col("event_type")).distinct()
+    types.crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: count and empirical probability (basis points, half-up —
+    * integer-exact for the oracle) of `prev_type → next_type` steps.
+    * One hash shuffle on `user_id` for the lag, then a dimension-sized
+    * (|types|²) aggregation; (ts, event_id) ordering pins ties.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        col("event_type").as("next_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 20000 + row_total) div (2 * row_total)").as("prob_bp"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Per-user inter-event cadence profile: count, min/max/mean/median of
+    * the microsecond gaps between consecutive events. Mean is half-up
+    * integer division; the exact interpolated median is carried doubled
+    * (`p50_gap_us_x2`) so the only possible fraction (.5 at even counts)
+    * stays integer-exact for the oracle hash. Same single `user_id`
+    * shuffle + in-partition sort as [[userRunningTotals]].
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        expr("(sum(gap_us) * 2 + count(1)) div (2 * count(1))")
+          .as("mean_gap_us"),
+        expr("cast(percentile(gap_us, 0.5d) * 2 as bigint)")
+          .as("p50_gap_us_x2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Funnel time-to-convert: for every user whose first `firstStep` is
+    * eventually followed by a `lastStep`, the timestamps of both and the
+    * whole-second conversion latency (floor — integer-exact). The first
+    * touch is attached per-user with an unbounded window aggregate (no
+    * self-join), then the conversion is a plain min over the filtered
+    * later events — one `user_id` shuffle end-to-end.
+    */
+  def funnelConversionTime(events: DataFrame,
+                           firstStep: String = "view",
+                           lastStep: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("first_touch",
+        min(when(col("event_type") === firstStep, col("ts"))).over(w))
+      .filter(col("event_type") === lastStep &&
+        col("first_touch").isNotNull && col("ts") >= col("first_touch"))
+      .groupBy(col("user_id"), col("first_touch"))
+      .agg(min(col("ts")).as("converted_at"))
+      .select(col("user_id"), col("first_touch"), col("converted_at"),
+        expr("(unix_micros(converted_at) - unix_micros(first_touch)) div 1000000")
+          .as("secs_to_convert"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Robust outlier detection: events whose value deviates from the
+    * per-type median by more than `k` × MAD (median absolute deviation).
+    * The entire decision is integer-exact — values as cents, medians
+    * carried ×2 and deviations ×4 so the interpolated .5 midpoints never
+    * touch floating point — making the flagged set deterministic across
+    * engines (a z-score twin would flip rows on 1-ulp noise at the
+    * threshold).
+    *
+    * Scale shape: the medians are per-TYPE (dimension-sized), computed by
+    * two tiny aggregations that AQE broadcasts back; the fact side is
+    * scanned twice but never buffered per group. The exact `percentile`
+    * is the correctness anchor — the at-scale twin swaps in
+    * `approx_percentile` (see [[graft.operators.Sketches]]) without
+    * changing the join shape.
+    */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val base = events
+      .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+        col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val med = base.groupBy(col("event_type"))
+      .agg(expr("cast(percentile(cents, 0.5d) * 2 as bigint)").as("med_x2"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("dev_x2", abs(col("cents") * 2 - col("med_x2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("cast(percentile(dev_x2, 0.5d) * 2 as bigint)").as("mad_x4"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev_x2") * 2 > col("mad_x4") * k)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("cents") / 100.0).as("value"), col("med_x2"), col("dev_x2"),
+        col("mad_x4"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.functions.TextAnalysis
+import graft.operators.{NearDup, Relational}
+
+/** Micro-fixture pins for the round-8 analytics batch: gap fill, Markov
+  * transitions, cadence gaps, funnel latency, MAD outliers, containment
+  * dedup, word entropy. Every expectation below is hand-derived in the
+  * comment next to it — these are the boundary cases the uniform testdata
+  * never exercises (the sf0.01 oracle covers the bulk behavior).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap fill: missing day × type cells appear as explicit zero rows") {
+    // type a on day 1 and day 3, type b on day 2 only -> 2 types × 3 days
+    // grid = 6 rows, of which 3 are synthesized zeros
+    val events = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "a", 2.0),
+      (2L, ts("2024-03-03 10:00:00"), 1L, "a", 3.5),
+      (3L, ts("2024-03-02 10:00:00"), 1L, "b", 1.25))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.gapFillDaily(events).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 6)
+    assert(out(("a", "2024-03-01")) == (1L, 2.0))
+    assert(out(("a", "2024-03-02")) == (0L, 0.0), "hole -> explicit zero")
+    assert(out(("a", "2024-03-03")) == (1L, 3.5))
+    assert(out(("b", "2024-03-01")) == (0L, 0.0))
+    assert(out(("b", "2024-03-02")) == (1L, 1.25))
+    assert(out(("b", "2024-03-03")) == (0L, 0.0))
+  }
+
+  test("markov transitions: per-prev probabilities, lag ignores other users") {
+    // user 1: a -> b -> a  (pairs: a->b, b->a)
+    // user 2: a -> a       (pair: a->a); no cross-user a->... leakage
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 00:00:02"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 00:00:03"), 1L, "a", 0.0),
+      (4L, ts("2024-01-01 00:00:01"), 2L, "a", 0.0),
+      (5L, ts("2024-01-01 00:00:02"), 2L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.eventTransitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // prev=a total 2: a->b once (5000 bp), a->a once (5000 bp); b->a 10000 bp
+    assert(out == Map(
+      ("a", "b") -> (1L, 5000L),
+      ("a", "a") -> (1L, 5000L),
+      ("b", "a") -> (1L, 10000L)))
+  }
+
+  test("inter-event gaps: mean half-up, doubled median exact at even counts") {
+    // user 1 events at 0s, 1s, 4s -> gaps 1_000_000 and 3_000_000 µs:
+    // mean = 2_000_000 exactly, p50 interpolated = 2_000_000 -> ×2 = 4_000_000
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "a", 0.0),
+      (3L, ts("2024-01-01 00:00:04"), 1L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Relational.interEventGaps(events).collect()
+    assert(r.length == 1)
+    assert(r(0) == Row(1L, 2L, 1000000L, 3000000L, 2000000L, 4000000L))
+  }
+
+  test("inter-event gaps: half-up mean rounding on an odd sum") {
+    // gaps 1 µs and 2 µs -> mean 1.5 rounds half-UP to 2
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00.000000"), 1L, "a", 0.0),
+      (2L, ts("2024-01-01 00:00:00.000001"), 1L, "a", 0.0),
+      (3L, ts("2024-01-01 00:00:00.000003"), 1L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Relational.interEventGaps(events).collect()(0)
+    assert(r.getLong(4) == 2L, "mean 1.5 µs -> half-up 2")
+    assert(r.getLong(5) == 3L, "median 1.5 µs doubled -> exact 3")
+  }
+
+  test("funnel time: purchase strictly before first view does not convert") {
+    val events = Seq(
+      // user 1: purchase BEFORE any view, then view, then purchase after
+      (1L, ts("2024-01-01 00:00:00"), 1L, "purchase", 0.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-01 01:00:10"), 1L, "purchase", 0.0),
+      // user 2: view only -> no row
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view", 0.0),
+      // user 3: purchase only (no view) -> no row
+      (5L, ts("2024-01-01 00:00:00"), 3L, "purchase", 0.0),
+      // user 4: purchase exactly AT the first view instant -> converts at 0 s
+      (6L, ts("2024-01-01 00:00:00"), 4L, "view", 0.0),
+      (7L, ts("2024-01-01 00:00:00"), 4L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.funnelConversionTime(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 10L, 4L -> 0L),
+      "user 1 converts 10 s after its first view (the earlier purchase is ignored)")
+  }
+
+  test("MAD outliers: integer-exact decision, boundary dev == k·MAD excluded") {
+    // one type, cents {10, 20, 30, 40, 1000}: median = 30 -> med_x2 = 60.
+    // dev_x2 = |2c - 60| = {40, 20, 0, 20, 1940}; median(dev_x2) = 20
+    // -> mad_x4 = 40. Outlier iff dev_x2·2 > mad_x4·3 = 120, i.e.
+    // dev_x2 > 60: only the 1940 row (value 10.00 has dev_x2 40 — kept in).
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.10),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "a", 0.20),
+      (3L, ts("2024-01-01 00:00:02"), 1L, "a", 0.30),
+      (4L, ts("2024-01-01 00:00:03"), 1L, "a", 0.40),
+      (5L, ts("2024-01-01 00:00:04"), 1L, "a", 10.00))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.madOutliers(events).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(5L))
+    val r = out(0)
+    assert(r.getAs[Long]("med_x2") == 60L)
+    assert(r.getAs[Long]("dev_x2") == 1940L)
+    assert(r.getAs[Long]("mad_x4") == 40L)
+  }
+
+  test("MAD outliers: interpolated even-count median stays integer-exact") {
+    // cents {10, 20}: quantile_cont median = 15 -> med_x2 = 30 (odd — the
+    // case the ×2 carry exists for); dev_x2 = {10, 10}, mad_x4 = 20;
+    // threshold dev_x2 > 30 -> no outliers at all
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", 0.10),
+      (2L, ts("2024-01-01 00:00:01"), 1L, "a", 0.20))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Relational.madOutliers(events).count() == 0)
+  }
+
+  test("containment: small doc inside big doc fires where jaccard cannot") {
+    // doc 1 = 5-word run inside doc 2's 40-word text: containment of doc 1
+    // is 3/3 shingles = 10000 bp; jaccard = 3/38 — far below any threshold
+    val inner = "w1 w2 w3 w4 w5"
+    val outerText = (1 to 5).map(i => s"w$i").mkString(" ") + " " +
+      (6 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, inner), (2L, outerText)).toDF("doc_id", "text")
+    val out = NearDup.containmentNearDups(docs).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L), "inner is the smaller set")
+    assert(r.getAs[Long]("cont_bp") == 10000L)
+    // sanity: the jaccard operator does NOT pair them (union 38, inter 3)
+    assert(NearDup.jaccardNearDupsExact(docs).count() == 0)
+  }
+
+  test("containment: equal-size tie keeps the lower doc_id as inner") {
+    val a = "a b c d e f"
+    val docs = Seq((7L, a), (3L, a)).toDF("doc_id", "text")
+    val out = NearDup.containmentNearDups(docs).collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == (3L, 7L))
+  }
+
+  test("word entropy: uniform two-word doc = 1 bit, constant doc = 0 bits") {
+    val docs = Seq(
+      (1L, "a b a b"),          // p = {1/2, 1/2} -> H = 1.0
+      (2L, "a a a a"),          // single type -> H = 0.0
+      (3L, "a b c d"))          // uniform over 4 -> H = 2.0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.wordEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == (4L, 2L, 1.0))
+    assert(out(2L) == (4L, 1L, 0.0))
+    assert(out(3L) == (4L, 4L, 2.0))
+  }
+}

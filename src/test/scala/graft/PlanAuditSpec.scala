@@ -15,8 +15,12 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Brute-force ANN scores every (query, corpus) pair by design; the
     * nested-loop side is the 20-row broadcast query set, not the corpus.
+    * The gap-fill grid is |event types| × |days| — a deliberate
+    * dimension × dimension cross product (both sides are post-aggregate
+    * scalars of the corpus, never corpus-proportional).
     */
-  private val nestedLoopAllowed = Set("ann_topk_brute", "ann_recall_floor")
+  private val nestedLoopAllowed =
+    Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill")
 
   /** The one query allowed to lack a DuckDB oracle: its xxhash64 kernel
     * is engine-specific; the algorithm is oracle-checked through the
