@@ -131,6 +131,11 @@ object SparkEntry {
       StreamingSessions.replayTumblingByTypeOutOfOrder(Tables.events(s, dir))),
     "q_range_join_errors" -> ((s, dir) =>
       Relational.purchaseErrorPairs(Tables.events(s, dir))),
+    // the same interval join as a watermarked STREAM-STREAM join through
+    // the bounded-disorder replay (W3/W4 for the join family) — state is
+    // bounded by delay + the ±2 h interval, pairs emit eagerly
+    "q_range_join_stream" -> ((s, dir) =>
+      StreamingSessions.replayIntervalJoinOutOfOrder(Tables.events(s, dir))),
     "q_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
     // SQL-text twin: the same dialect-portable SQL the oracle runs
@@ -901,14 +906,9 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(sum(value) * 100, 0) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q_range_join_errors" ->
-      """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
-        |  b.event_id AS error_id, b.ts AS error_ts
-        |FROM events a JOIN events b
-        |  ON a.user_id = b.user_id
-        | AND a.event_type = 'purchase' AND b.event_type = 'error'
-        | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
-        |ORDER BY purchase_id, error_id""".stripMargin,
+    "q_range_join_errors" -> rangeJoinOracle,
+    // the streaming replay must land on the identical pair set
+    "q_range_join_stream" -> rangeJoinOracle,
     // greedy chained funnel: each stage anchors on the earliest qualifying
     // event, so the whole funnel is a join chain (no sequence scan)
     "q_window_funnel" -> windowFunnelSql,
@@ -2777,6 +2777,15 @@ object SparkEntry {
     * at 32×4 has miss probability ≈1.5e-15 for this data's ≥0.9 planted
     * pairs, so the approximate and exact pipelines coincide).
     */
+  private val rangeJoinOracle: String =
+    """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
+      |  b.event_id AS error_id, b.ts AS error_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'purchase' AND b.event_type = 'error'
+      | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   private val bruteJaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,

@@ -373,6 +373,22 @@ object StreamingSessions {
         col("error_id"), col("error_ts"))
   }
 
+  /** W3/W4 contract for the stream-stream interval join: bounded-disorder
+    * replay (jitter < watermark delay) must reproduce the batch
+    * [[graft.operators.Relational.purchaseErrorPairs]] result exactly.
+    * Inner-join pairs emit eagerly as both sides arrive — the watermarks
+    * exist to BOUND state, and the delay ≥ jitter margin guarantees no
+    * qualifying row is evicted before its partner shows up. The flush
+    * sentinel rides through both type filters ('flush' matches neither
+    * side) — no sentinel special-casing needed, unlike the aggregation
+    * stages.
+    */
+  def replayIntervalJoinOutOfOrder(events: DataFrame,
+                                   delay: String = "10 minutes"): DataFrame =
+    replayStageOutOfOrder(events,
+      src => purchaseErrorPairsStream(src, delay))
+      .orderBy(col("purchase_id"), col("error_id"))
+
   /** A3 streaming twin (task 2's "alert once per user",
     * `flink_stream_task2.py:72,85-90`): threshold filter then streaming
     * `dropDuplicates` on user_id. State note (SURVEY.md §7.5.7): without a

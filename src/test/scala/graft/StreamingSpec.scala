@@ -243,6 +243,19 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "stream-stream interval join must equal batch")
   }
 
+  test("stream-stream interval join under bounded disorder equals batch") {
+    // the full W3/W4 replay harness (jittered arrival < watermark delay):
+    // join state eviction must never race a delayed partner row
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = StreamingSessions.replayIntervalJoinOutOfOrder(events)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Relational.purchaseErrorPairs(events)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want,
+      "disordered replay must reproduce the ordered batch pair list")
+  }
+
   test("streaming big-customer alert fires once per user (keep-first)") {
     // the dedup operator is driven by a stream of closed sessions (in the
     // full pipeline the upstream session agg emits those on window close)
