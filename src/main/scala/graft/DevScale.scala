@@ -497,6 +497,17 @@ object DevScale {
       sk8.vocabSketchEstimates(spark.read.parquet("/tmp/scale_vocab_sketch"))
         .count())
 
+    // Misra–Gries heavy-hitter artifacts at 500k docs / 1000 sources:
+    // build is the 27.5M-token scan with ≤k-entry maps as the ONLY
+    // shuffled state per (task, source); update folds a 100k batch into
+    // stored artifacts via the O(sources · k) DataFrame merge
+    sk8.heavyHitterState(srcDocs.filter(col("doc_id") < 400000L))
+      .write.mode("overwrite").parquet("/tmp/scale_hh_sketch")
+    timeDocs("heavy_hitters_build_500k")(sk8.heavyHitterState(srcDocs).count())
+    timeDocs("heavy_hitters_update_100k")(
+      sk8.heavyHitterUpdate(spark.read.parquet("/tmp/scale_hh_sketch"),
+        srcDocs.filter(col("doc_id") >= 400000L)).count())
+
     // timer-built sessions (transformWithState event-time timers) through
     // the bounded-disorder replay at 1M events / 50k users, 30 min gap —
     // the from-scratch session state machine at 10× bench volume; state

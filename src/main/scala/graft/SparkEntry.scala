@@ -205,6 +205,11 @@ object SparkEntry {
     // distinct counts (incl. the artifact-merge TOTAL path)
     "vocab_cardinality_sketch" -> ((s, dir) =>
       graft.operators.Sketches.vocabCardinalitySketch(Tables.documents(s, dir))),
+    // Misra–Gries frequent-items artifacts, gated on the MG theorems
+    // (counter values legitimately vary with partitioning; the checked
+    // lower-bound / error-bound / coverage booleans cannot)
+    "vocab_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHitterGate(Tables.documents(s, dir))),
     // A3 on Spark 4's transformWithState API (RocksDB-backed named state):
     // same alert-set contract as t2_alert_outoforder
     "t2_alert_tws" -> ((s, dir) =>
@@ -1086,6 +1091,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
         |  true AS within_bound
         |FROM toks GROUP BY ROLLUP(source)
+        |ORDER BY source""".stripMargin,
+    // exact totals + literal-true MG theorems (size / lower-bound /
+    // N/(k+1) error / heavy-coverage are guarantees, not measurements)
+    "vocab_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  true AS size_ok,
+        |  true AS underestimates_only,
+        |  true AS err_within_bound,
+        |  true AS heavy_covered
+        |FROM toks GROUP BY source
         |ORDER BY source""".stripMargin,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)

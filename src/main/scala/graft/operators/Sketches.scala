@@ -154,4 +154,82 @@ object Sketches {
       // grand-total row should the rollup emit one over empty input)
       .filter(col("n_tokens_exact") > 0)
       .orderBy(col("source"))
+
+  /** Per-source heavy-hitter ARTIFACTS: one ≤`k`-entry Misra–Gries
+    * token-frequency summary per source ([[graft.functions.MisraGries]]).
+    * The frequent-items sibling of [[vocabSketchState]]: build once per
+    * arriving shard, store the tiny maps, answer "which tokens dominate
+    * this source?" from artifacts via [[heavyHitterUpdate]] merges —
+    * never by re-counting the corpus. Partial aggregation ships one
+    * ≤`k`-entry map per map task per source; the token universe never
+    * shuffles.
+    */
+  def heavyHitterState(documents: DataFrame, k: Int = 64): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    sourceTokens(documents).groupBy(col("source"))
+      .agg(mg(col("tok")).as("s"))
+      .select(col("source"), col("s.m").as("summary"))
+  }
+
+  /** Fold a new batch into stored heavy-hitter artifacts: sketch ONLY the
+    * batch, union counters per (source, token), then apply the mergeable-
+    * summaries prune in DataFrame form — subtract the (k+1)-th largest
+    * counter from every counter of an oversized source and drop ≤ 0
+    * (value-based, so tie order cannot change the result; the exact rule
+    * [[graft.functions.MisraGries.merge]] applies internally). O(batch)
+    * scan + O(sources · k) merge rows.
+    */
+  def heavyHitterUpdate(state: DataFrame, newDocs: DataFrame,
+                        k: Int = 64): DataFrame = {
+    val expand = (df: DataFrame) => df.select(col("source"),
+      explode(col("summary")).as(Seq("tok", "cnt")))
+    val merged = expand(state).unionByName(expand(heavyHitterState(newDocs, k)))
+      .groupBy(col("source"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("cnt").desc, col("tok"))
+    merged.withColumn("rk", row_number().over(w))
+      .withColumn("threshold",
+        coalesce(max(when(col("rk") === k + 1, col("cnt")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))), lit(0L)))
+      .withColumn("kept", col("cnt") - col("threshold"))
+      .filter(col("kept") > 0)
+      .groupBy(col("source"))
+      .agg(map_from_entries(
+        collect_list(struct(col("tok"), col("kept").as("cnt"))))
+        .as("summary"))
+  }
+
+  /** Oracle-checkable gate over the heavy-hitter pipeline (the
+    * [[sketchAccuracy]] pattern): exact per-source totals alongside
+    * booleans asserting the Misra–Gries THEOREMS — summary ≤ k entries,
+    * every counter a lower bound of the true count, every token's
+    * undercount (absent ⇒ counter 0) within N/(k+1), and every token
+    * whose true count exceeds N/(k+1) present in the summary. The
+    * booleans are deterministic even though the counter VALUES vary with
+    * partitioning — which is exactly why the gate checks guarantees, not
+    * counters. Small `k` on the bench vocabulary keeps the prune path
+    * genuinely exercised (31 distinct tokens vs k=8 ⇒ constant shedding).
+    */
+  def heavyHitterGate(documents: DataFrame, k: Int = 8): DataFrame = {
+    val exact = sourceTokens(documents)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val summ = heavyHitterState(documents, k).select(col("source"),
+      explode(col("summary")).as(Seq("tok", "est")))
+    exact.join(summ, Seq("source", "tok"), "left")
+      .withColumn("nr", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(max(col("nr")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (count(col("est")) <= k).as("size_ok"),
+        bool_and(col("est").isNull || col("est") <= col("n"))
+          .as("underestimates_only"),
+        bool_and((col("n") - coalesce(col("est"), lit(0L))) * (k + 1)
+          <= col("nr")).as("err_within_bound"),
+        bool_and(!(col("n") * (k + 1) > col("nr")) || col("est").isNotNull)
+          .as("heavy_covered"))
+      .orderBy(col("source"))
+  }
 }

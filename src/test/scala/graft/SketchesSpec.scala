@@ -97,4 +97,51 @@ class SketchesSpec extends SparkSpec {
       assert(r.getBoolean(3), s"${r.getString(0)}: approx p50 off by > 1.0")
     }
   }
+
+  test("misra-gries: heavy token survives constant pruning with bounded undercount") {
+    import spark.implicits._
+    // one source, N = 100 tokens: 'hot' ×50 + 50 singleton fillers; k = 4
+    // forces a decrement on nearly every filler. MG bounds: est(hot) in
+    // [50 - 100/5, 50] = [30, 50] and hot MUST be present (50 > N/(k+1))
+    val text = ((1 to 50).map(_ => "hot") ++ (1 to 50).map(i => s"f$i"))
+      .mkString(" ")
+    val docs = Seq((1L, text, "s1")).toDF("doc_id", "text", "source")
+    val summary = Sketches.heavyHitterState(docs, k = 4).collect()
+    assert(summary.length == 1)
+    val m = summary(0).getMap[String, Long](1)
+    assert(m.size <= 4, s"summary exceeded k: $m")
+    val hot = m.get("hot")
+    assert(hot.isDefined, s"heavy token pruned from $m")
+    assert(hot.get >= 30L && hot.get <= 50L, s"est outside MG bounds: $m")
+    val gate = Sketches.heavyHitterGate(docs, k = 4).collect()(0)
+    assert(gate.getLong(1) == 100L && gate.getLong(2) == 51L)
+    (3 to 6).foreach(i => assert(gate.getBoolean(i),
+      s"gate boolean $i failed on the skewed fixture"))
+  }
+
+  test("misra-gries artifacts: DataFrame merge preserves the MG bounds") {
+    import spark.implicits._
+    // batch A: 'hot' ×30 + 20 fillers; batch B: 'hot' ×20 + 30 OTHER
+    // fillers. Whole-stream N = 100, true(hot) = 50. After
+    // state(A) ⊕ summary(B) the mergeable-summaries theorem still owes
+    // est(hot) ≥ 50 − 100/(k+1) = 30 with k = 4 — even though the two
+    // batches were pruned independently.
+    val a = Seq((1L, ((1 to 30).map(_ => "hot") ++ (1 to 20).map(i => s"a$i"))
+      .mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val b = Seq((2L, ((1 to 20).map(_ => "hot") ++ (1 to 30).map(i => s"b$i"))
+      .mkString(" "), "s1")).toDF("doc_id", "text", "source")
+    val merged = Sketches.heavyHitterUpdate(
+      Sketches.heavyHitterState(a, k = 4), b, k = 4).collect()
+    assert(merged.length == 1)
+    val m = merged(0).getMap[String, Long](1)
+    assert(m.size <= 4, s"merged summary exceeded k: $m")
+    assert(m.get("hot").exists(c => c >= 30L && c <= 50L),
+      s"merge broke the MG bound for the heavy token: $m")
+    // empty-state contract: folding a batch into nothing = the batch sketch
+    val empty = Sketches.heavyHitterState(a.limit(0), k = 4)
+    val fromEmpty = Sketches.heavyHitterUpdate(empty, b, k = 4).collect()(0)
+      .getMap[String, Long](1)
+    assert(fromEmpty.get("hot").exists(_ >= 10L),
+      "update over an empty artifact table must equal the batch summary")
+  }
 }
