@@ -577,6 +577,14 @@ object DevScale {
       println(f"  ($full fully-contained pairs — ~5000 planted)")
       out.count()
     }
+
+    // edit-distance near-dups at 500k: the anchor join fans out exactly
+    // 2 postings/doc (vs ~53 shingle postings), so candidate volume is
+    // anchor-collision-bounded; the O(len²) Levenshtein kernel runs only
+    // on candidates. The 1%-planted one-token-edit dups share their head
+    // anchor by construction.
+    timeDocs("edit_distance_500k")(
+      graft.operators.NearDup.editDistanceNearDups(dc).count())
     spark.stop()
   }
 }

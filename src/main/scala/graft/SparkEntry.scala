@@ -518,6 +518,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => NearDup.jaccardNearDupsExact(Tables.documents(s, dir))),
     // doc-in-doc: asymmetric containment over the same posting lists
     "dedup_containment" -> ((s, dir) => NearDup.containmentNearDups(Tables.documents(s, dir))),
+    // character-level verifier: head/tail-anchored candidates + exact
+    // relative Levenshtein (the OCR/boilerplate-variant detector)
+    "dedup_edit_distance" -> ((s, dir) => NearDup.editDistanceNearDups(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
     // quality-aware canonicalization: per near-dup cluster keep the member
@@ -1854,6 +1857,23 @@ object SparkEntry {
     "dedup_minhash_lsh" -> bruteJaccardOracle,
     "dedup_minhash_lsh_sql" -> bruteJaccardOracle,
     "dedup_ngram_jaccard" -> bruteJaccardOracle,
+    // head/tail-anchored candidates + exact relative Levenshtein
+    "dedup_edit_distance" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE text IS NOT NULL),
+        |keys AS (
+        |  SELECT doc_id, 'h' || substr(text, 1, 24) AS k FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 't' || substr(text, greatest(1, n - 23), 24) AS k FROM d),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        |         FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id)
+        |SELECT c.doc_i, c.doc_j,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+        |FROM cand c JOIN d x ON x.doc_id = c.doc_i JOIN d y ON y.doc_id = c.doc_j
+        |WHERE levenshtein(x.text, y.text) * 100
+        |      <= greatest(length(x.text), length(y.text)) * 10
+        |ORDER BY doc_i, doc_j""".stripMargin,
     // asymmetric containment twin of bruteJaccardOracle (doc-in-doc)
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -688,6 +688,47 @@ object NearDup {
     * 0.80); the decision `inter · 10000 ≥ t · n_inner` and the reported
     * `cont_bp` (half-up) are integer-exact for the oracle.
     */
+  /** Edit-distance near-dups: candidate pairs sharing a 24-char head OR
+    * tail anchor, verified with exact Levenshtein at a RELATIVE
+    * threshold (`edit_dist · 100 ≤ maxRelPct · max_len`). This is the
+    * character-level verifier the token-set metrics can't replace —
+    * transposed words, hyphenation, OCR-noise variants all move shingle
+    * sets far while staying a few edits apart.
+    *
+    * Scale shape: the anchor join is a plain equi-join on fixed-width
+    * keys (two postings per doc — constant fan-out, unlike shingle
+    * postings), so candidates are band-bounded and the O(len²)
+    * Levenshtein kernel (codegen'd builtin) runs per candidate, never
+    * per cross pair. Recall contract, stated honestly: a true near-dup
+    * whose edits touch BOTH the first and last 24 chars is invisible to
+    * the anchors — that regime belongs to [[jaccardNearDupsExact]] /
+    * [[minhashNearDups]]; this operator is the precise verifier for the
+    * head-or-tail-stable case (the overwhelmingly common one for
+    * boilerplate/OCR variants).
+    */
+  def editDistanceNearDups(documents: DataFrame,
+                           maxRelPct: Int = 10): DataFrame = {
+    val d = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    val keys = d.select(col("doc_id"),
+        concat(lit("h"), substring(col("text"), 1, 24)).as("k"))
+      .unionByName(d.select(col("doc_id"),
+        concat(lit("t"), expr("substr(text, greatest(1, n - 23), 24)")).as("k")))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_i"), col("text").as("t_i")), "doc_i")
+      .join(d.select(col("doc_id").as("doc_j"), col("text").as("t_j")), "doc_j")
+      .select(col("doc_i"), col("doc_j"),
+        levenshtein(col("t_i"), col("t_j")).cast("long").as("edit_dist"),
+        greatest(length(col("t_i")), length(col("t_j"))).cast("long")
+          .as("max_len"))
+      .filter(col("edit_dist") * 100 <= col("max_len") * maxRelPct)
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
   def containmentNearDups(documents: DataFrame,
                           thresholdBp: Long = 8000L): DataFrame = {
     val posting = shingled(documents)

@@ -153,6 +153,47 @@ class AnalyticsSpec extends SparkSpec {
     assert((out(0).getLong(0), out(0).getLong(1)) == (3L, 7L))
   }
 
+  test("edit distance: head and tail anchors each recall their variant class") {
+    val base = "x" * 30 + "middle middle middle" + "y" * 30
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("middle middle middle", "middle edited middle")),
+      // head differs (first 24 chars rewritten), tail intact -> tail
+      // anchor must still pair it with doc 1
+      (3L, "z" * 30 + "middle middle middle" + "y" * 30),
+      // edits at BOTH ends: outside the anchor contract, no candidate
+      (4L, "z" * 30 + "middle middle middle" + "w" * 30))
+      .toDF("doc_id", "text")
+    val out = NearDup.editDistanceNearDups(docs, maxRelPct = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)), "mid-doc edit: shared head anchor")
+    assert(out((1L, 2L)) == 5L,
+      "levenshtein('middle','edited') = 5 (alignment beats naive substitution)")
+    assert(out.contains((1L, 3L)), "head rewritten: shared tail anchor")
+    assert(out((1L, 3L)) == 30L)
+    assert(!out.contains((1L, 4L)),
+      "edits at both ends break both anchors: doc 4 never pairs with doc 1")
+  }
+
+  test("edit distance: relative threshold is inclusive at exactly 10%") {
+    // 100-char docs, default 10% -> edit_dist <= 10. All middles share the
+    // 30-char head/tail anchors, so every pair is a candidate; the filter
+    // decides. (Docs shorter than the 24-char anchor can never candidate —
+    // any edit rewrites the whole anchor.)
+    def doc(mid: String) = "h" * 30 + mid + "t" * 30
+    val docs = Seq(
+      (1L, doc("m" * 40)),
+      (2L, doc("x" + "m" * 39)),          // dist 1  -> kept
+      (3L, doc("x" * 10 + "m" * 30)),     // dist 10 -> boundary, kept
+      (4L, doc("x" * 11 + "m" * 29)))     // dist 11 -> dropped
+      .toDF("doc_id", "text")
+    val out = NearDup.editDistanceNearDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) == 1L)
+    assert(out((1L, 3L)) == 10L, "exactly 10% of 100 chars is kept")
+    assert(!out.contains((1L, 4L)), "11% is dropped")
+  }
+
   test("word entropy: uniform two-word doc = 1 bit, constant doc = 0 bits") {
     val docs = Seq(
       (1L, "a b a b"),          // p = {1/2, 1/2} -> H = 1.0
