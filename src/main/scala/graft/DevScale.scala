@@ -578,6 +578,16 @@ object DevScale {
       out.count()
     }
 
+    // leakage-guarded split at 500k on the long-tail corpus (the exact-
+    // jaccard edge generation needs power-law shingles, as above); the
+    // guard itself is two edge-table equi-joins over the ~1% dup pairs
+    timeDocs("split_leakage_500k") {
+      val out = graft.operators.Curation.splitWithLeakageGuard(cd)
+      val q = out.filter(col("split") === "quarantine").count()
+      println(f"  ($q train docs quarantined)")
+      out.count()
+    }
+
     // edit-distance near-dups at 500k: the anchor join fans out exactly
     // 2 postings/doc (vs ~53 shingle postings), so candidate volume is
     // anchor-collision-bounded; the O(len²) Levenshtein kernel runs only

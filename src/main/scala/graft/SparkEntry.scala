@@ -201,6 +201,10 @@ object SparkEntry {
     // single-pass Deequ-style constraint suite over the corpus
     "corpus_constraints" -> ((s, dir) =>
       Curation.validateConstraints(Tables.documents(s, dir))),
+    // train/test split whose train side quarantines near-dups of ANY
+    // test doc — the leak exact-match decontamination can't see
+    "split_leakage_guard" -> ((s, dir) =>
+      Curation.splitWithLeakageGuard(Tables.documents(s, dir))),
     // mergeable per-source HLL vocabulary sketches, gated against exact
     // distinct counts (incl. the artifact-merge TOTAL path)
     "vocab_cardinality_sketch" -> ((s, dir) =>
@@ -1095,6 +1099,34 @@ object SparkEntry {
         |  true AS within_bound
         |FROM toks GROUP BY ROLLUP(source)
         |ORDER BY source""".stripMargin,
+    // md5-bucket split + brute-jaccard leakage edges (same shingle CTE as
+    // bruteJaccardOracle; only the train side of a cross-split edge is
+    // quarantined)
+    "split_leakage_guard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        len(list_intersect(a.s, b.s)) AS inter,
+        |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_i, doc_j FROM p WHERE inter * 2 >= u),
+        |ids AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 1000 AS is_test
+        |  FROM documents),
+        |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+        |          UNION ALL SELECT doc_j, doc_i FROM pairs),
+        |leaky AS (SELECT DISTINCT e.a AS doc_id
+        |          FROM edges e JOIN ids i ON e.b = i.doc_id AND i.is_test)
+        |SELECT i.doc_id,
+        |  CASE WHEN i.is_test THEN 'test'
+        |       WHEN l.doc_id IS NOT NULL THEN 'quarantine'
+        |       ELSE 'train' END AS split
+        |FROM ids i LEFT JOIN leaky l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
     "vocab_heavy_hitters" ->

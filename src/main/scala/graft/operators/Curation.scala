@@ -788,4 +788,44 @@ object Curation {
         (col("violations") === 0L).as("passed"))
       .orderBy(col("check_name"))
   }
+
+  /** Train/test split with a NEAR-DUP leakage guard: a deterministic
+    * md5-bucket split (engine-portable, [[sampleBucket]]) whose train
+    * side then quarantines every doc that is a near-duplicate of ANY test
+    * doc — the leak an exact-match decontaminator
+    * ([[graft.functions.TextAnalysis]] decontaminate) structurally
+    * misses: a one-token-edited copy of a held-out doc in the train set
+    * inflates eval exactly like the verbatim copy would. Test-side
+    * near-dups of other test docs stay in `test` (intra-split duplicates
+    * bias nothing across the boundary); only the train side is culled.
+    *
+    * Output: every doc labeled `test` / `train` / `quarantine`.
+    *
+    * Scale shape: the pair generation is the whole cost and reuses the
+    * dedup machinery — here [[graft.operators.NearDup.jaccardNearDupsExact]]
+    * (threshold jac ≥ 1/2) for bit-exact oracle parity; the production
+    * swap-in is the banded [[graft.operators.NearDup.minhashNearDups]],
+    * whose pair-set equivalence at these parameters is itself
+    * oracle-gated (`dedup_minhash_lsh`). The guard itself is two
+    * edge-table equi-joins — duplicate-rate-proportional, never
+    * broadcast-hinted.
+    */
+  def splitWithLeakageGuard(documents: DataFrame,
+                            testBps: Int = 1000): DataFrame = {
+    val ids = documents.select(col("doc_id"),
+      (sampleBucket(col("doc_id")) < testBps).as("is_test"))
+    val pairs = graft.operators.NearDup.jaccardNearDupsExact(documents)
+    val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
+      .unionByName(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
+    val leakyTrain = edges
+      .join(ids.filter(col("is_test")).select(col("doc_id").as("b")), "b")
+      .select(col("a").as("doc_id")).distinct()
+      .withColumn("leaky", lit(true))
+    ids.join(leakyTrain, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_test"), lit("test"))
+          .when(col("leaky").isNotNull, lit("quarantine"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -640,4 +640,35 @@ class CurationSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"constraint suite must be one pass, saw $scans scans")
   }
+
+  test("leakage guard: cross-split near-dup quarantined, intra-split kept") {
+    import spark.implicits._
+    // the split is a pure function of doc_id (md5 bucket), so first find
+    // one test id and three train ids at testBps = 5000, then plant texts
+    val buckets = (1L to 40L).map { id =>
+      id -> Curation.sampleBucket(lit(id))
+    }
+    val bucketVals = spark.range(1)
+      .select(buckets.map { case (id, c) => c.as(s"b$id") }: _*).head()
+    val isTest = (1L to 40L).map(id =>
+      id -> (bucketVals.getAs[Long](s"b$id") < 5000L)).toMap
+    val testId = (1L to 40L).find(isTest(_)).get
+    val trains = (1L to 40L).filterNot(isTest(_)).take(3)
+    val Seq(leakyId, pairAId, pairBId) = trains
+    val held = "alpha beta gamma delta epsilon zeta"
+    val other = "omega psi chi phi upsilon tau"
+    val docs = Seq(
+      (testId, held),                 // test doc
+      (leakyId, held + " eta"),       // train near-dup of the TEST doc
+      (pairAId, other),               // train-train near-dup pair:
+      (pairBId, other + " sigma"))    //   both must STAY train
+      .toDF("doc_id", "text")
+    val out = Curation.splitWithLeakageGuard(docs, testBps = 5000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(testId) == "test")
+    assert(out(leakyId) == "quarantine",
+      "train-side near-dup of a held-out doc must be culled")
+    assert(out(pairAId) == "train" && out(pairBId) == "train",
+      "train-train duplicates do not cross the split boundary")
+  }
 }
