@@ -333,6 +333,8 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     // word-entropy quality signal (repetition/gibberish detector)
     "text_entropy" -> ((s, dir) => TextAnalysis.wordEntropy(Tables.documents(s, dir))),
+    // Heaps'-law vocabulary growth curve (per 100-doc bucket)
+    "vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(Tables.documents(s, dir))),
     "text_langid_ngram" -> ((s, dir) => TextAnalysis.langIdNgram(Tables.documents(s, dir))),
     "text_token_docfreq" -> ((s, dir) => TextAnalysis.tokenDocFrequency(Tables.documents(s, dir))),
@@ -1253,6 +1255,24 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // cumulative types = count of tokens whose first occurrence lands at
+    // or before the bucket — the same two-aggregate formulation as Spark
+    "vocab_growth" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pb AS (SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |       FROM w GROUP BY 1),
+        |nt AS (SELECT doc_id // 100 AS bucket,
+        |         CAST(count(*) AS BIGINT) AS n_new_types
+        |       FROM (SELECT tok, min(doc_id) AS doc_id FROM w GROUP BY 1)
+        |       GROUP BY 1)
+        |SELECT pb.bucket, pb.n_tokens,
+        |  coalesce(nt.n_new_types, 0) AS n_new_types,
+        |  CAST(sum(pb.n_tokens) OVER (ORDER BY pb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM pb LEFT JOIN nt USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "text_entropy" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2)

@@ -837,6 +837,43 @@ object TextAnalysis {
     * spreads hot tokens like [[tokenDocFrequency]] — then a per-doc
     * combine; output is one row per doc.
     */
+  /** Vocabulary-growth (Heaps'-law) curve: cumulative token count vs
+    * cumulative distinct-type count in doc_id order, reported per
+    * `bucketSize`-doc bucket. The sub-linear type curve is the corpus
+    * health diagnostic — a growth kink flags a source switch or a
+    * boilerplate flood, and the fitted exponent predicts vocab size at
+    * 100× corpus growth (what a tokenizer budget is sized against).
+    *
+    * Scalable formulation of an inherently sequential quantity: "distinct
+    * types so far" = count of tokens whose FIRST occurrence (min doc_id —
+    * a plain aggregate) lands at or before the bucket, so the whole curve
+    * is two shuffles (token first-occurrence, per-bucket rollup) plus a
+    * running sum over BUCKETS. The unpartitioned window ranges over the
+    * bucket dimension only (~|docs|/bucketSize rows — the
+    * [[graft.operators.Curation.packShards]] super-bucket argument), never
+    * over docs or tokens.
+    */
+  def vocabGrowth(documents: DataFrame, bucketSize: Long = 100L): DataFrame = {
+    val tokRows = documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val perBucket = tokRows
+      .groupBy(expr(s"doc_id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newTypes = tokRows.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr(s"first_doc div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .orderBy(col("bucket"))
+  }
+
   def wordEntropy(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), explode(toks).as("tok"))

@@ -194,6 +194,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out.contains((1L, 4L)), "11% is dropped")
   }
 
+  test("vocab growth: new types counted once, at their first bucket") {
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"),   // bucket 0: 4 tokens, new types {a,b,c}
+      (2L, "a d"),                // bucket 1: 2 tokens, new {d}
+      (4L, "a b"))                // bucket 2: 2 tokens, nothing new
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, bucketSize = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 3L, 4L, 3L),
+      (1L, 2L, 1L, 6L, 4L),
+      (2L, 2L, 0L, 8L, 4L)),
+      "cumulative type curve must flatten once the vocab is exhausted")
+  }
+
   test("word entropy: uniform two-word doc = 1 bit, constant doc = 0 bits") {
     val docs = Seq(
       (1L, "a b a b"),          // p = {1/2, 1/2} -> H = 1.0
