@@ -352,6 +352,16 @@ object SparkEntry {
     // (threshold computed on the gated subset) -> exact dedup (keep min
     // id) -> near-dup canonicalization against FULL-corpus clusters ->
     // token-budget shard packing of the survivors
+    // eval-safe packing: leakage-guarded split -> pack ONLY the train
+    // side — the composition that makes the guard consequential (the
+    // packed artifact provably contains no near-dup of a held-out doc)
+    "pipeline_eval_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val train = docs.join(
+        Curation.splitWithLeakageGuard(docs)
+          .filter(col("split") === "train").select(col("doc_id")), "doc_id")
+      Curation.packShards(train, 2048L)
+    }),
     "pipeline_training_data" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
@@ -2103,6 +2113,37 @@ object SparkEntry {
     // the full pipeline: every stage is an already-oracle-checked
     // fragment; this entry re-verifies their COMPOSITION (threshold
     // computed on the domain-gated subset, clusters on the full corpus)
+    // split CTEs (as split_leakage_guard) -> train-only prefix shards
+    "pipeline_eval_safe" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                        for i in range(1, len(w) - 1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |        len(list_intersect(a.s, b.s)) AS inter,
+        |        len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (SELECT doc_i, doc_j FROM p WHERE inter * 2 >= u),
+        |ids AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 1000 AS is_test
+        |  FROM documents),
+        |edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs
+        |          UNION ALL SELECT doc_j, doc_i FROM pairs),
+        |leaky AS (SELECT DISTINCT e.a AS doc_id
+        |          FROM edges e JOIN ids i ON e.b = i.doc_id AND i.is_test),
+        |train AS (SELECT i.doc_id,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM ids i JOIN documents d USING (doc_id)
+        |  WHERE NOT i.is_test AND i.doc_id NOT IN (SELECT doc_id FROM leaky))
+        |SELECT doc_id, n_tokens,
+        |  CAST(prefix // 2048 AS BIGINT) AS shard_id FROM (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |  FROM train)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_training_data" ->
       s"""WITH RECURSIVE
          |$clusterCtes,
