@@ -136,6 +136,11 @@ object SparkEntry {
     // bounded by delay + the ±2 h interval, pairs emit eagerly
     "q_range_join_stream" -> ((s, dir) =>
       StreamingSessions.replayIntervalJoinOutOfOrder(Tables.events(s, dir))),
+    // stream-STATIC broadcast enrichment + watermarked daily rollup
+    // through the same replay contract (the third join mode)
+    "q_enrich_segment_stream" -> ((s, dir) =>
+      StreamingSessions.replayEnrichedSegmentsOutOfOrder(
+        Tables.events(s, dir), Tables.customer(s, dir))),
     "q_window_funnel" -> ((s, dir) =>
       Relational.windowFunnel(Tables.events(s, dir))),
     // SQL-text twin: the same dialect-portable SQL the oracle runs
@@ -933,6 +938,17 @@ object SparkEntry {
     "q_range_join_errors" -> rangeJoinOracle,
     // the streaming replay must land on the identical pair set
     "q_range_join_stream" -> rangeJoinOracle,
+    // batch twin of the stream-static enrichment rollup (inner join
+    // drops dimension-less users; epoch-aligned 1-day windows ≡
+    // date_trunc under UTC)
+    "q_enrich_segment_stream" ->
+      """SELECT date_trunc('day', e.ts) AS day, c.c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // greedy chained funnel: each stage anchors on the earliest qualifying
     // event, so the whole funnel is a join chain (no sequence scan)
     "q_window_funnel" -> windowFunnelSql,

@@ -389,6 +389,40 @@ object StreamingSessions {
       src => purchaseErrorPairsStream(src, delay))
       .orderBy(col("purchase_id"), col("error_id"))
 
+  /** Stream-STATIC enrichment: the event stream broadcast-joined to a
+    * batch dimension (customer segments) and rolled up per (day,
+    * segment) under a watermark — the remaining Structured Streaming
+    * join mode after stream-stream ([[purchaseErrorPairsStream]]). The
+    * static side re-plans per micro-batch but never shuffles the stream
+    * (broadcast hash join below the windowed aggregation); the watermark
+    * sits UPSTREAM of the join so the flush sentinel (whose synthetic
+    * user matches no dimension row and is dropped by the inner join)
+    * still advances event time before it disappears.
+    */
+  def enrichedSegmentStream(events: DataFrame, customer: DataFrame,
+                            delay: String = "10 minutes"): DataFrame = {
+    val dim = broadcast(customer
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")))
+    events
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .join(dim, "user_id")
+      .groupBy(window(col("ts"), "1 day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      .select(col("window.start").as("day"), col("segment"),
+        col("n_events"), (col("cents") / 100.0).as("sum_value"))
+  }
+
+  /** W3/W4 replay for the stream-static join: bounded-disorder arrival
+    * must reproduce the batch join + daily rollup exactly.
+    */
+  def replayEnrichedSegmentsOutOfOrder(events: DataFrame,
+                                       customer: DataFrame): DataFrame =
+    replayStageOutOfOrder(events,
+      src => enrichedSegmentStream(src, customer))
+      .orderBy(col("day"), col("segment"))
+
   /** A3 streaming twin (task 2's "alert once per user",
     * `flink_stream_task2.py:72,85-90`): threshold filter then streaming
     * `dropDuplicates` on user_id. State note (SURVEY.md §7.5.7): without a

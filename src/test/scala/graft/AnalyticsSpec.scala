@@ -145,6 +145,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(NearDup.jaccardNearDupsExact(docs).count() == 0)
   }
 
+  test("containment dominates jaccard: every jac-half pair is a cont-half pair") {
+    // cont = inter/n_inner ≥ inter/union = jac, so at EQUAL thresholds the
+    // jaccard pair set must embed in the containment pair set (unordered)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val jac = graft.operators.NearDup.jaccardNearDupsExact(docs).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val cont = graft.operators.NearDup
+      .containmentNearDups(docs, thresholdBp = 5000L).collect()
+      .map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty, "fixture must exercise the dominance check")
+    assert(jac.subsetOf(cont),
+      s"jaccard pairs missing from containment: ${jac -- cont}")
+  }
+
   test("containment: equal-size tie keeps the lower doc_id as inner") {
     val a = "a b c d e f"
     val docs = Seq((7L, a), (3L, a)).toDF("doc_id", "text")

@@ -129,6 +129,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Curation.decontaminateBloom(emptyDocs).count() == 0)
   }
 
+  test("wave-3 operators on empty / degenerate inputs") {
+    import graft.functions.TextAnalysis
+    import graft.operators.{Relational, Sketches}
+    // event analytics: empty stream → empty frames (the gap-fill span agg
+    // yields a null lo/hi row whose sequence must not throw)
+    assert(Relational.gapFillDaily(emptyEvents).count() == 0)
+    assert(Relational.eventTransitions(emptyEvents).count() == 0)
+    assert(Relational.interEventGaps(emptyEvents).count() == 0)
+    assert(Relational.funnelConversionTime(emptyEvents).count() == 0)
+    assert(Relational.madOutliers(emptyEvents).count() == 0)
+    // single-event user: no gaps, no transitions, but not a crash
+    val one = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Relational.interEventGaps(one).count() == 0)
+    assert(Relational.eventTransitions(one).count() == 0)
+    // corpus diagnostics and dedup variants
+    assert(TextAnalysis.wordEntropy(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabGrowth(emptyDocs).count() == 0)
+    assert(NearDup.containmentNearDups(emptyDocs).count() == 0)
+    assert(NearDup.editDistanceNearDups(emptyDocs).count() == 0)
+    val emptySourced = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Sketches.heavyHitterState(emptySourced).count() == 0)
+    assert(Sketches.heavyHitterGate(emptySourced).count() == 0)
+    assert(Curation.splitWithLeakageGuard(emptyDocs).count() == 0)
+    // split on a 1-doc corpus: a complete labeled partition, no edges
+    val single = Seq((5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val lab = Curation.splitWithLeakageGuard(single).collect()
+    assert(lab.length == 1 && Set("test", "train").contains(lab(0).getString(1)))
+  }
+
   test("continuation r5 operators on empty / degenerate inputs") {
     import graft.functions.TextAnalysis
     import graft.operators.Relational

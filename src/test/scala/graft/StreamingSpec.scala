@@ -243,6 +243,26 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "stream-stream interval join must equal batch")
   }
 
+  test("stream-static enrichment replay under disorder equals the batch rollup") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val got = StreamingSessions
+      .replayEnrichedSegmentsOutOfOrder(events, customer)
+      .collect().map(_.toSeq).toSeq
+    val want = events.filter(col("ts").isNotNull)
+      .join(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")), "user_id")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0)
+          .as("sum_value"))
+      .select(col("day"), col("segment"), col("n_events"), col("sum_value"))
+      .orderBy(col("day"), col("segment"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got == want, "stream-static join replay must equal the batch join")
+  }
+
   test("stream-stream interval join under bounded disorder equals batch") {
     // the full W3/W4 replay harness (jittered arrival < watermark delay):
     // join state eviction must never race a delayed partner row
