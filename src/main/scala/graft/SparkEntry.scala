@@ -182,6 +182,9 @@ object SparkEntry {
       Relational.userRunningTotals(Tables.events(s, dir))),
     "q_salted_user_totals" -> ((s, dir) =>
       Relational.saltedUserTotals(Tables.events(s, dir))),
+    // explicit salted shuffle join (replicated dim), == the plain join
+    "q_salted_enrich_join" -> ((s, dir) =>
+      Relational.saltedEnrichJoin(Tables.events(s, dir), Tables.customer(s, dir))),
     // time-series densification: zero rows for day × type holes
     "q_timeseries_gapfill" -> ((s, dir) =>
       Relational.gapFillDaily(Tables.events(s, dir))),
@@ -990,6 +993,15 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    // the PLAIN join formulation — salting must not change results
+    "q_salted_enrich_join" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // complete day × type grid via generate_series, zero-filled holes
     "q_timeseries_gapfill" ->
       """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, value

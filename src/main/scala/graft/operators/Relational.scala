@@ -513,6 +513,39 @@ object Relational {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Explicit salted JOIN — the third leg of the skew playbook after the
+    * profile ([[graft.operators.Sketches.skewProfile]]) and the salted
+    * AGGREGATION ([[saltedUserTotals]]): when a shuffle join's stream
+    * side has a mega-key and the build side is too large to broadcast,
+    * salt the stream side (spreading the hot key over `salts` reducers)
+    * and REPLICATE the build side once per salt, joining on (key, salt).
+    * Results are identical to the plain join — the oracle asserts the
+    * plain formulation — and worst-case reducer input drops from
+    * |hottest key| to |hottest key| / salts. The build side is pinned to
+    * a shuffle-hash join: letting AQE broadcast the test-scale dimension
+    * would silently turn the template into a no-op (broadcast joins
+    * don't shuffle and cannot skew). AQE's own skew-join handles the
+    * sort-merge cases; this explicit form is the fallback it can't
+    * reach (e.g. a skewed stream side under a join followed by a
+    * same-key aggregation, where AQE declines to split).
+    */
+  def saltedEnrichJoin(events: DataFrame, customer: DataFrame,
+                       salts: Int = 8): DataFrame = {
+    val fact = events
+      .filter(col("user_id").isNotNull)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+    val dim = customer
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      .hint("shuffle_hash")
+    fact.join(dim, Seq("user_id", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0)
+          .as("sum_value"))
+      .orderBy(col("segment"))
+  }
+
   /** Time-series densification (gap fill): the per-type daily rollup
     * joined onto the COMPLETE day × type grid, so days with no events
     * appear as explicit zero rows — the shape every charting/forecast

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.operators.{NearDup, Relational}
@@ -206,6 +207,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1L)
     assert(out((1L, 3L)) == 10L, "exactly 10% of 100 chars is kept")
     assert(!out.contains((1L, 4L)), "11% is dropped")
+  }
+
+  test("salted join: shuffle-hash on (key, salt), equal to the plain join") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val customer = Tables.customer(spark, "/root/testdata/sf0.001")
+    val salted = graft.operators.Relational.saltedEnrichJoin(events, customer)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "the hint must pin a shuffle join — a broadcast would make salting a no-op")
+    assert(!plan.contains("BroadcastHashJoin [user_id"),
+      "the dimension must not ride a broadcast on the join key")
+    val plain = events.filter(col("user_id").isNotNull)
+      .join(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")), "user_id")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0)
+          .as("sum_value"))
+      .orderBy(col("segment"))
+    assert(salted.collect().map(_.toSeq).toSeq ==
+      plain.collect().map(_.toSeq).toSeq,
+      "salting must be invisible in the result")
   }
 
   test("vocab growth: new types counted once, at their first bucket") {
