@@ -185,6 +185,12 @@ object SparkEntry {
     // explicit salted shuffle join (replicated dim), == the plain join
     "q_salted_enrich_join" -> ((s, dir) =>
       Relational.saltedEnrichJoin(Tables.events(s, dir), Tables.customer(s, dir))),
+    // weekday × hour load heatmap (ISO day numbering, engine-portable)
+    "q_weekday_hour_profile" -> ((s, dir) =>
+      Relational.weekdayHourProfile(Tables.events(s, dir))),
+    // month-over-month totals with floor-bp growth (negative-safe)
+    "q_monthly_growth" -> ((s, dir) =>
+      Relational.monthlyOrderGrowth(Tables.orders(s, dir))),
     // time-series densification: zero rows for day × type holes
     "q_timeseries_gapfill" -> ((s, dir) =>
       Relational.gapFillDaily(Tables.events(s, dir))),
@@ -993,6 +999,26 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q_weekday_hour_profile" ->
+      """SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+        |  CAST(hour(ts) AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB // floors, matching the Spark-side pmod floor division
+    "q_monthly_growth" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+        |SELECT month, n_orders, cents / 100.0 AS total_price,
+        |  CASE WHEN lag(cents) OVER (ORDER BY month) > 0
+        |    THEN CAST(((cents - lag(cents) OVER (ORDER BY month)) * 10000)
+        |         // lag(cents) OVER (ORDER BY month) AS BIGINT)
+        |  END AS growth_bp
+        |FROM m ORDER BY month""".stripMargin,
     // the PLAIN join formulation — salting must not change results
     "q_salted_enrich_join" ->
       """SELECT c.c_mktsegment AS segment,

@@ -653,6 +653,45 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Weekday × hour seasonality profile: the load heatmap capacity
+    * planning reads. One partial-aggregated scan to a 7×24-bounded
+    * output; ISO weekday (1 = Monday) keeps the day numbering
+    * engine-portable (Spark's `dayofweek` counts from Sunday, DuckDB's
+    * `dayofweek` from 0 — `weekday + 1 ≡ isodow` sidesteps both).
+    */
+  def weekdayHourProfile(events: DataFrame): DataFrame =
+    events.filter(col("ts").isNotNull)
+      .groupBy((weekday(col("ts")) + 1).cast("long").as("iso_dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0)
+          .as("sum_value"))
+      .orderBy(col("iso_dow"), col("hour"))
+
+  /** Month-over-month order growth: monthly totals with the
+    * previous-month delta in basis points — the lag-over-aggregate BI
+    * pattern. Growth goes negative, so the integral division semantics
+    * matter: Spark's `div` and DuckDB's `//` BOTH truncate toward zero
+    * on integers (verified, not assumed — `-7 // 2 = -3` in DuckDB), so
+    * the plain operator is engine-portable as-is. The month rollup is
+    * one shuffle; the lag window ranges over the month dimension only.
+    */
+  def monthlyOrderGrowth(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    orders
+      .filter(col("o_orderdate").isNotNull)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)")).as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .select(col("month"), col("n_orders"),
+        (col("cents") / 100.0).as("total_price"),
+        when(col("prev_cents").isNotNull && col("prev_cents") > 0,
+          expr("((cents - prev_cents) * 10000) div prev_cents"))
+          .as("growth_bp"))
+      .orderBy(col("month"))
+  }
+
   /** Robust outlier detection: events whose value deviates from the
     * per-type median by more than `k` × MAD (median absolute deviation).
     * The entire decision is integer-exact — values as cents, medians

@@ -231,6 +231,30 @@ class AnalyticsSpec extends SparkSpec {
       "salting must be invisible in the result")
   }
 
+  test("weekday profile: ISO numbering (2024-01-01 is Monday = 1)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 13:00:00"), 1L, "a", 1.0),  // Monday 13h
+      (2L, ts("2024-01-07 05:30:00"), 1L, "a", 2.0))  // Sunday 5h
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Relational.weekdayHourProfile(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 13L) -> 1L, (7L, 5L) -> 1L))
+  }
+
+  test("monthly growth: truncating basis points, engine-matched on negatives") {
+    val orders = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 3.00),
+      (2L, ts("2024-02-10 00:00:00"), 1.00),   // -200/300 -> trunc -6666
+      (3L, ts("2024-03-10 00:00:00"), 1.50))   // +50/100  -> 5000 exact
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = Relational.monthlyOrderGrowth(orders).collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(out(0).isEmpty, "first month has no previous")
+    assert(out(1).contains(-6666L),
+      "-6666.67 truncates toward zero in BOTH Spark div and DuckDB //")
+    assert(out(2).contains(5000L))
+  }
+
   test("vocab growth: new types counted once, at their first bucket") {
     val docs = Seq(
       (0L, "a b"), (1L, "a c"),   // bucket 0: 4 tokens, new types {a,b,c}
