@@ -533,6 +533,22 @@ object DevScale {
       .replayOrderedFunnel(evTyped.filter(col("event_id") % 10 === 0),
         stepWithinSec = 86400L).count())
 
+    // HDR-histogram quantile artifacts at 10M events: build is one
+    // partial-aggregated scan to O(types · bins) rows; update folds a 1M
+    // batch by vector add; readout walks only the artifact
+    graft.operators.Sketches
+      .valueHistState(evTyped.filter(col("event_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet("/tmp/scale_vhist")
+    time("value_hist_build_10m")(
+      graft.operators.Sketches.valueHistState(evTyped).count())
+    time("value_hist_update_1m")(
+      graft.operators.Sketches.valueHistUpdate(
+        spark.read.parquet("/tmp/scale_vhist"),
+        evTyped.filter(col("event_id") % 10 === 0)).count())
+    time("value_hist_readout")(
+      graft.operators.Sketches.valueHistQuantiles(
+        spark.read.parquet("/tmp/scale_vhist")).count())
+
     // batch sequence analytics at 10M events: each is ONE user_id hash
     // shuffle (window sort) + a dimension-sized final agg
     time("markov_transitions_10m")(

@@ -223,6 +223,10 @@ object SparkEntry {
     // distinct counts (incl. the artifact-merge TOTAL path)
     "vocab_cardinality_sketch" -> ((s, dir) =>
       graft.operators.Sketches.vocabCardinalitySketch(Tables.documents(s, dir))),
+    // HDR-histogram quantile artifacts: deterministic log-spaced bins,
+    // exact-replayed readout + in-bin containment of the true quantile
+    "value_quantile_hist" -> ((s, dir) =>
+      graft.operators.Sketches.valueHistGate(Tables.events(s, dir))),
     // Misra–Gries frequent-items artifacts, gated on the MG theorems
     // (counter values legitimately vary with partitioning; the checked
     // lower-bound / error-bound / coverage booleans cannot)
@@ -1193,6 +1197,51 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM ids i LEFT JOIN leaky l USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the FULL histogram walk replayed in SQL: same bin function
+    // (length(bin())-1 integer log2), same rank, same lower-bound values
+    "value_quantile_hist" ->
+      """WITH b AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |bb AS (SELECT event_type, cents,
+        |    CASE WHEN cents <= 0 THEN 0
+        |      ELSE (length(bin(cents)) - 1) * 128
+        |         + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)))
+        |            >> greatest(length(bin(cents)) - 1 - 7, 0)) + 1 END AS bin_id
+        |  FROM b),
+        |h AS (SELECT event_type, bin_id, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM bb GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin_id,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM h),
+        |qq AS (SELECT unnest([CAST(50 AS BIGINT), 90, 99]) AS q),
+        |sel AS (SELECT c.event_type, qq.q, max(c.n) AS n, min(c.bin_id) AS bin_id
+        |        FROM c CROSS JOIN qq
+        |        WHERE c.cum >= (qq.q * c.n + 99) // 100
+        |        GROUP BY 1, 2),
+        |v AS (SELECT event_type, q, n, bin_id,
+        |    CAST((bin_id - 1) // 128 AS BIGINT) AS be
+        |  FROM sel),
+        |est AS (SELECT event_type, q, n, bin_id,
+        |    CASE WHEN bin_id = 0 THEN 0
+        |      ELSE (CAST(1 AS BIGINT) << CAST(be AS INT))
+        |         + ((bin_id - 1) % 128)
+        |           * (CAST(1 AS BIGINT) << CAST(greatest(be - 7, 0) AS INT)) END AS est_cents,
+        |    CASE WHEN bin_id = 0 THEN 1
+        |      ELSE CAST(1 AS BIGINT) << CAST(greatest(be - 7, 0) AS INT) END AS width_cents
+        |  FROM v),
+        |sorted AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+        |  FROM b),
+        |ex AS (SELECT e.event_type, e.q, s.cents AS exact_cents
+        |       FROM est e JOIN sorted s ON s.event_type = e.event_type
+        |        AND s.rn = (e.q * e.n + 99) // 100)
+        |SELECT est.event_type, est.q, est.n, est.est_cents, est.width_cents,
+        |  ex.exact_cents >= est.est_cents
+        |    AND ex.exact_cents < est.est_cents + est.width_cents AS in_bin
+        |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
+        |ORDER BY est.event_type, est.q""".stripMargin,
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
     "vocab_heavy_hitters" ->

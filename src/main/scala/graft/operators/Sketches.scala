@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch aggregates (north-star extension): the mergeable, constant-size
@@ -199,6 +199,116 @@ object Sketches {
       .agg(map_from_entries(
         collect_list(struct(col("tok"), col("kept").as("cnt"))))
         .as("summary"))
+  }
+
+  /** HDR-style histogram bin for non-negative integer cents: bin 0 holds
+    * `cents ≤ 0`; otherwise `e·128 + mantissa7 + 1` where `e = ⌊log2 c⌋`
+    * and `mantissa7` is the 7 bits below the leading bit — i.e. 128
+    * log-spaced sub-buckets per octave, relative width ≤ 2⁻⁷ < 1%.
+    * `⌊log2⌋` is computed as `length(bin(c)) − 1` — pure integer/string
+    * ops that Spark and DuckDB define identically, with none of the
+    * boundary risk of a floating `log2` at exact powers of two.
+    */
+  private def hdrBin(cents: Column): Column = {
+    val e = (length(bin(cents)) - 1).cast("long")
+    when(cents <= 0, lit(0L)).otherwise(
+      e * 128 +
+        expr("""shiftright(cents - shiftleft(cast(1 as bigint), cast(e as int)),
+                cast(greatest(e - 7, 0L) as int))""") + 1)
+  }
+
+  /** Per-type value-distribution histogram ARTIFACTS: (event_type,
+    * bin_id, count) rows under the [[hdrBin]] log-spaced binning — the
+    * QUANTILE member of the mergeable-artifact family beside HLL
+    * (cardinality) and Misra–Gries (frequency). Unlike those two this
+    * summary is fully DETERMINISTIC (counts are exact, bins are fixed),
+    * so artifacts, merges, and quantile readouts are all bit-exact
+    * across engines and partitionings; the approximation is confined to
+    * the known ≤ 2⁻⁷ relative bin width. Merge = vector add
+    * ([[valueHistUpdate]]), readout touches only O(types · bins) rows.
+    */
+  def valueHistState(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .withColumn("e", (length(bin(col("cents"))) - 1).cast("long"))
+      .withColumn("bin_id", hdrBin(col("cents")))
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a new event batch into stored histogram artifacts: histogram
+    * ONLY the batch, then per-(type, bin) sum — O(batch) scan +
+    * O(types · bins) merge, the corpus the state summarizes never
+    * rescans. Exactly associative (integer vector add), so any merge
+    * tree lands on the same artifact.
+    */
+  def valueHistUpdate(state: DataFrame, newEvents: DataFrame): DataFrame =
+    state.unionByName(valueHistState(newEvents))
+      .groupBy(col("event_type"), col("bin_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile readout from a histogram artifact table: for each
+    * percentile `q` the LOWER BOUND of the first bin whose cumulative
+    * count reaches rank `⌈q·n/100⌉` — the discrete quantile's bin, so
+    * the true q-th value lies in `[est_cents, est_cents + width_cents)`
+    * by construction. All-integer rank walk over O(types · bins) rows.
+    */
+  def valueHistQuantiles(state: DataFrame,
+                         qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(byType.orderBy(col("bin_id"))))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("q", explode(typedlit(qs.map(_.toLong))))
+      .withColumn("rank", expr("(q * n + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(max(col("n")).as("n"), min(col("bin_id")).as("bin_id"))
+    cum
+      .withColumn("be", expr("(bin_id - 1) div 128"))
+      .withColumn("bw",
+        expr("shiftleft(cast(1 as bigint), cast(greatest(be - 7, 0L) as int))"))
+      .select(col("event_type"), col("q"), col("n"),
+        when(col("bin_id") === 0, lit(0L)).otherwise(
+          expr("shiftleft(cast(1 as bigint), cast(be as int))") +
+            expr("((bin_id - 1) % 128)") * col("bw")).as("est_cents"),
+        when(col("bin_id") === 0, lit(1L)).otherwise(col("bw"))
+          .as("width_cents"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  /** Oracle-checkable gate over the histogram-quantile pipeline: the
+    * full build → readout on the raw corpus, PLUS an `in_bin` boolean
+    * asserting the exact discrete quantile (same `⌈q·n/100⌉` rank,
+    * computed by sorting the raw values) lands inside the estimated
+    * bin — the containment the binning guarantees by construction. The
+    * oracle replays the ENTIRE walk in SQL and matches every column
+    * exactly, booleans included.
+    */
+  def valueHistGate(events: DataFrame,
+                    qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val est = valueHistQuantiles(valueHistState(events), qs)
+    val base = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+    val sorted = base.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cents"))))
+    val exact = est.select(col("event_type"), col("q"),
+        expr("(q * n + 99) div 100").as("rank"))
+      .join(sorted, Seq("event_type"))
+      .filter(col("rn") === col("rank"))
+      .select(col("event_type"), col("q"), col("cents").as("exact_cents"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"),
+        col("est_cents"), col("width_cents"),
+        (col("exact_cents") >= col("est_cents") &&
+          col("exact_cents") < col("est_cents") + col("width_cents"))
+          .as("in_bin"))
+      .orderBy(col("event_type"), col("q"))
   }
 
   /** Oracle-checkable gate over the heavy-hitter pipeline (the

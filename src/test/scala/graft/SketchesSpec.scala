@@ -98,6 +98,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hdr histogram: bin edges, exact mergeability, quantile containment") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, Double)]) = rows.map { case (id, v) =>
+      (id, ts("2024-01-01 00:00:00"), 1L, "a", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // bin edges: 0 -> bin 0; cents 1 (e=0,m=0) -> bin 1; cents 255
+    // (e=7, mantissa 127) -> 7*128+127+1 = 1024; cents 256 (e=8, m=0)
+    // -> 8*128+1 = 1025 (the octave boundary)
+    val edges = Sketches.valueHistState(
+      ev(Seq((1L, 0.00), (2L, 0.01), (3L, 2.55), (4L, 2.56))))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(edges == Map(0L -> 1L, 1L -> 1L, 1024L -> 1L, 1025L -> 1L))
+    // mergeability is EXACT for this artifact (integer vector add):
+    // update(state(A), B) == state(A ++ B), bit-for-bit
+    val a = ev((1L to 40L).map(i => (i, i * 0.07)))
+    val b = ev((41L to 90L).map(i => (i, i * 0.13)))
+    val whole = Sketches.valueHistState(a.unionByName(b))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val folded = Sketches.valueHistUpdate(Sketches.valueHistState(a), b)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded == whole, "histogram merge must be exactly associative")
+    // readout: every exact quantile inside its estimated bin, width < 1%
+    val gate = Sketches.valueHistGate(a.unionByName(b)).collect()
+    assert(gate.length == 3)
+    gate.foreach { r =>
+      assert(r.getBoolean(5), s"exact quantile escaped its bin: $r")
+      assert(r.getLong(4) <= math.max(1L, r.getLong(3) / 128),
+        s"relative width beyond 2^-7: $r")
+    }
+  }
+
   test("misra-gries: heavy token survives constant pruning with bounded undercount") {
     import spark.implicits._
     // one source, N = 100 tokens: 'hot' ×50 + 50 singleton fillers; k = 4
