@@ -227,6 +227,11 @@ object SparkEntry {
     // exact-replayed readout + in-bin containment of the true quantile
     "value_quantile_hist" -> ((s, dir) =>
       graft.operators.Sketches.valueHistGate(Tables.events(s, dir))),
+    // day-over-day total-variation drift on the histogram bins
+    // (integer cross-multiplied — the input-shift alarm between
+    // corpus snapshots)
+    "value_drift_daily" -> ((s, dir) =>
+      graft.operators.Sketches.valueDriftDaily(Tables.events(s, dir))),
     // Misra–Gries frequent-items artifacts, gated on the MG theorems
     // (counter values legitimately vary with partitioning; the checked
     // lower-bound / error-bound / coverage booleans cannot)
@@ -1242,6 +1247,37 @@ object SparkEntry {
         |    AND ex.exact_cents < est.est_cents + est.width_cents AS in_bin
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
         |ORDER BY est.event_type, est.q""".stripMargin,
+    // consecutive-day TV distance over the same hdr bins, integer
+    // cross-multiplied (drift_bp = Σ|c1·n2 − c2·n1|·10⁴ ÷ 2n1n2)
+    "value_drift_daily" ->
+      """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+        |bb AS (SELECT event_type, day,
+        |    CASE WHEN cents <= 0 THEN 0
+        |      ELSE (length(bin(cents)) - 1) * 128
+        |         + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)))
+        |            >> greatest(length(bin(cents)) - 1 - 7, 0)) + 1 END AS bin_id
+        |  FROM b),
+        |h AS (SELECT event_type, day, bin_id, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM bb GROUP BY 1, 2, 3),
+        |n AS (SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1, 2),
+        |p AS (SELECT coalesce(a.event_type, c.event_type) AS event_type,
+        |        coalesce(a.day, c.day - INTERVAL 1 DAY) AS day,
+        |        coalesce(a.cnt, 0) AS c1, coalesce(c.cnt, 0) AS c2
+        |      FROM h a FULL OUTER JOIN h c
+        |        ON a.event_type = c.event_type AND a.day = c.day - INTERVAL 1 DAY
+        |       AND a.bin_id = c.bin_id),
+        |w AS (SELECT p.event_type, p.day, p.c1, p.c2, n1.n AS n_from, n2.n AS n_to
+        |      FROM p JOIN n n1 ON n1.event_type = p.event_type AND n1.day = p.day
+        |             JOIN n n2 ON n2.event_type = p.event_type
+        |                      AND n2.day = p.day + INTERVAL 1 DAY)
+        |SELECT event_type, day AS day_from, day + INTERVAL 1 DAY AS day_to,
+        |  CAST(max(n_from) AS BIGINT) AS n_from, CAST(max(n_to) AS BIGINT) AS n_to,
+        |  CAST((sum(abs(c1 * n_to - c2 * n_from)) * 10000)
+        |    // (2 * max(n_from) * max(n_to)) AS BIGINT) AS drift_bp
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
     "vocab_heavy_hitters" ->

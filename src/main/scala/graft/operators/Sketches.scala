@@ -279,6 +279,56 @@ object Sketches {
       .orderBy(col("event_type"), col("q"))
   }
 
+  /** Day-over-day distribution DRIFT monitor on the histogram bins: for
+    * every consecutive-day pair within an event type, the total-
+    * variation distance between the two days' value distributions in
+    * basis points — `Σ_bins |c₁·n₂ − c₂·n₁| · 10000 ÷ (2·n₁·n₂)`, the
+    * cross-multiplied form keeping everything integer-exact (no
+    * normalized-fraction floats to drift across engines). This is the
+    * input-shift alarm a training pipeline runs between corpus
+    * snapshots: TV = 0 means identical histograms, 10000 means disjoint
+    * support. The full-outer bin join scores absent bins as zero mass
+    * on the missing side; day pairs exist only where BOTH days have
+    * rows. O(types · days · bins) work end-to-end — artifact-sized,
+    * never corpus-sized after the one binning scan.
+    */
+  def valueDriftDaily(events: DataFrame): DataFrame = {
+    val h = events
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .withColumn("e", (length(bin(col("cents"))) - 1).cast("long"))
+      .withColumn("bin_id", hdrBin(col("cents")))
+      .groupBy(col("event_type"), col("day"), col("bin_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val n = h.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("n"))
+    // align day d with day d+1 under one join key: the "cur" side is
+    // shifted back a day, so `day` below always names the FROM day
+    val prev = h.select(col("event_type"), col("day"), col("bin_id"),
+      col("cnt").as("c1"))
+    val cur = h.select(col("event_type"),
+      (col("day") - expr("interval 1 day")).as("day"), col("bin_id"),
+      col("cnt").as("c2"))
+    val paired = prev.join(cur, Seq("event_type", "day", "bin_id"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    paired
+      .join(n.select(col("event_type"), col("day"), col("n").as("n1")),
+        Seq("event_type", "day"))
+      .join(n.select(col("event_type"),
+        (col("day") - expr("interval 1 day")).as("day"), col("n").as("n2")),
+        Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"),
+        max(col("n1")).as("n_from"), max(col("n2")).as("n_to"))
+      .select(col("event_type"), col("day").as("day_from"),
+        (col("day") + expr("interval 1 day")).as("day_to"),
+        col("n_from"), col("n_to"),
+        expr("(num * 10000) div (2 * n_from * n_to)").as("drift_bp"))
+      .orderBy(col("event_type"), col("day_from"))
+  }
+
   /** Oracle-checkable gate over the histogram-quantile pipeline: the
     * full build → readout on the raw corpus, PLUS an `in_bin` boolean
     * asserting the exact discrete quantile (same `⌈q·n/100⌉` rank,

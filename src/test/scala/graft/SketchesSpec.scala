@@ -129,6 +129,35 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("value drift: TV endpoints and gaps on a hand-built calendar") {
+    import spark.implicits._
+    val rows = Seq(
+      // type a: identical histograms day1->day2 (drift 0); day3 missing;
+      // day4 exists but has no day3 partner -> no pair at all
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.01),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "a", 0.01),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "a", 0.01),
+      (4L, ts("2024-01-02 11:00:00"), 1L, "a", 0.01),
+      (5L, ts("2024-01-04 10:00:00"), 1L, "a", 0.01),
+      // type b: disjoint bins across the pair -> drift 10000
+      (6L, ts("2024-01-01 10:00:00"), 1L, "b", 0.01),
+      (7L, ts("2024-01-02 10:00:00"), 1L, "b", 2.56),
+      // type c: half the mass moves -> TV 0.5 -> 5000 bp
+      (8L, ts("2024-01-01 10:00:00"), 1L, "c", 0.01),
+      (9L, ts("2024-01-01 11:00:00"), 1L, "c", 2.56),
+      (10L, ts("2024-01-02 10:00:00"), 1L, "c", 0.01),
+      (11L, ts("2024-01-02 11:00:00"), 1L, "c", 0.01))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Sketches.valueDriftDaily(rows).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10)) ->
+        r.getLong(5)).toMap
+    assert(out == Map(
+      ("a", "2024-01-01") -> 0L,
+      ("b", "2024-01-01") -> 10000L,
+      ("c", "2024-01-01") -> 5000L),
+      "gap days must produce NO pair, not a phantom zero-drift row")
+  }
+
   test("misra-gries: heavy token survives constant pruning with bounded undercount") {
     import spark.implicits._
     // one source, N = 100 tokens: 'hot' ×50 + 50 singleton fillers; k = 4
