@@ -232,6 +232,16 @@ object SparkEntry {
     // corpus snapshots)
     "value_drift_daily" -> ((s, dir) =>
       graft.operators.Sketches.valueDriftDaily(Tables.events(s, dir))),
+    // per-source token-distribution drift between the same two corpus
+    // versions corpus_diff ledgers — content shift vs row churn
+    "corpus_token_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sketches.tokenDrift(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+    }),
     // Misra–Gries frequent-items artifacts, gated on the MG theorems
     // (counter values legitimately vary with partitioning; the checked
     // lower-bound / error-bound / coverage booleans cannot)
@@ -1278,6 +1288,29 @@ object SparkEntry {
         |  CAST((sum(abs(c1 * n_to - c2 * n_from)) * 10000)
         |    // (2 * max(n_from) * max(n_to)) AS BIGINT) AS drift_bp
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the corpus_diff v1/v2 recipe -> per-source TV over token unigrams
+    "corpus_token_drift" ->
+      """WITH o AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents
+        |           WHERE doc_id % 10 != 0 AND source IS NOT NULL AND text IS NOT NULL),
+        |v2 AS (SELECT source, unnest(string_split(
+        |           CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, ' ')) AS tok
+        |       FROM documents
+        |       WHERE doc_id % 7 != 0 AND source IS NOT NULL AND text IS NOT NULL),
+        |a AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c1 FROM o GROUP BY 1, 2),
+        |b AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c2 FROM v2 GROUP BY 1, 2),
+        |p AS (SELECT coalesce(a.source, b.source) AS source,
+        |        coalesce(a.tok, b.tok) AS tok,
+        |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+        |      FROM a FULL OUTER JOIN b ON a.source = b.source AND a.tok = b.tok),
+        |n AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n_old,
+        |        CAST(sum(c2) AS BIGINT) AS n_new FROM p GROUP BY 1)
+        |SELECT p.source, max(n.n_old) AS n_old, max(n.n_new) AS n_new,
+        |  CAST((sum(abs(c1 * n.n_new - c2 * n.n_old)) * 10000)
+        |    // (2 * max(n.n_old) * max(n.n_new)) AS BIGINT) AS drift_bp
+        |FROM p JOIN n ON n.source = p.source
+        |WHERE n.n_old > 0 AND n.n_new > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
     "vocab_heavy_hitters" ->

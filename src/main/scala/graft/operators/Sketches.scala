@@ -329,6 +329,40 @@ object Sketches {
       .orderBy(col("event_type"), col("day_from"))
   }
 
+  /** Corpus-version token drift: per-source total-variation distance
+    * between two snapshots' token unigram distributions, the same
+    * cross-multiplied integer form as [[valueDriftDaily]] — the
+    * "did this source's CONTENT shift?" alarm that complements
+    * `corpusDiff`'s row-level added/removed/changed ledger (a source can
+    * keep every doc_id yet drift its language wholesale, or churn ids
+    * with identical text and drift not at all).
+    *
+    * Integer-domain note: exactness holds while `2·n₁·n₂·10⁴` fits a
+    * long — n up to ~2·10⁷ tokens per source per side; beyond that swap
+    * the three products to `DecimalType(38,0)` (shape unchanged). Sources
+    * empty on either side have no defined distribution and emit no row.
+    */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as(as))
+    val paired = counts(oldDocs, "c1")
+      .join(counts(newDocs, "c2"), Seq("source", "tok"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val n = paired.groupBy(col("source"))
+      .agg(sum(col("c1")).as("n_old"), sum(col("c2")).as("n_new"))
+    paired.join(n, "source")
+      .filter(col("n_old") > 0 && col("n_new") > 0)
+      .groupBy(col("source"))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(abs(col("c1") * col("n_new") - col("c2") * col("n_old")))
+          .as("num"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        expr("(num * 10000) div (2 * n_old * n_new)").as("drift_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Oracle-checkable gate over the histogram-quantile pipeline: the
     * full build → readout on the raw corpus, PLUS an `in_bin` boolean
     * asserting the exact discrete quantile (same `⌈q·n/100⌉` rank,

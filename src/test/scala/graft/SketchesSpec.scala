@@ -158,6 +158,24 @@ class SketchesSpec extends SparkSpec {
       "gap days must produce NO pair, not a phantom zero-drift row")
   }
 
+  test("token drift: TV endpoints per source, one-sided sources emit no row") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a a b b", "s1"),      // same dist both sides -> 0
+      (2L, "x x", "s2"),          // disjoint vocab -> 10000
+      (3L, "p p q q", "s3"),      // half the mass moves -> 5000
+      (4L, "gone gone", "s4"))    // old-only source -> no row
+      .toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (11L, "b a b a", "s1"),
+      (12L, "y y", "s2"),
+      (13L, "p p p p", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Sketches.tokenDrift(old, neu).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("s1" -> 0L, "s2" -> 10000L, "s3" -> 5000L))
+  }
+
   test("misra-gries: heavy token survives constant pruning with bounded undercount") {
     import spark.implicits._
     // one source, N = 100 tokens: 'hot' ×50 + 50 singleton fillers; k = 4
