@@ -200,6 +200,43 @@ object SparkEntry {
     // per-user inter-event cadence (min/max/mean/exact-median gap)
     "q_inter_event_gaps" -> ((s, dir) =>
       Relational.interEventGaps(Tables.events(s, dir))),
+    // SQL-text twin of the Markov matrix (API parity for the wave-3
+    // analytics; same integer-bp arithmetic in Spark SQL dialect)
+    "q_markov_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_type,
+        |        event_type AS next_type FROM e),
+        |c AS (SELECT prev_type, next_type, count(1) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  (n * 20000 + sum(n) OVER (PARTITION BY prev_type))
+        |    div (2 * sum(n) OVER (PARTITION BY prev_type)) AS prob_bp
+        |FROM c ORDER BY 1, 2""".stripMargin)
+    }),
+    // SQL-text twin of the day × type gap fill (sequence() grid in SQL)
+    "q_gapfill_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, value
+        |           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, count(1) AS n_events,
+        |        sum(cast(round(value * 100, 0) AS bigint)) AS cents
+        |      FROM b GROUP BY 1, 2),
+        |days AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS day
+        |         FROM (SELECT min(day) AS lo, max(day) AS hi FROM b)),
+        |types AS (SELECT DISTINCT event_type FROM b)
+        |SELECT t.event_type, dy.day,
+        |  coalesce(d.n_events, 0L) AS n_events,
+        |  coalesce(d.cents, 0L) / 100e0 AS sum_value
+        |FROM types t CROSS JOIN days dy
+        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day
+        |ORDER BY 1, 2""".stripMargin)
+    }),
     // funnel latency: first view -> first subsequent purchase, per user
     "q_funnel_time" -> ((s, dir) =>
       Relational.funnelConversionTime(Tables.events(s, dir))),
@@ -1048,33 +1085,11 @@ object SparkEntry {
         |WHERE e.user_id IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // complete day × type grid via generate_series, zero-filled holes
-    "q_timeseries_gapfill" ->
-      """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, value
-        |           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
-        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
-        |        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-        |      FROM b GROUP BY 1, 2),
-        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
-        |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
-        |types AS (SELECT DISTINCT event_type FROM b)
-        |SELECT t.event_type, dy.day,
-        |  coalesce(d.n_events, 0) AS n_events,
-        |  coalesce(d.cents, 0) / 100.0 AS sum_value
-        |FROM types t CROSS JOIN days dy
-        |LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day
-        |ORDER BY 1, 2""".stripMargin,
-    "q_markov_transitions" ->
-      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
-        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |             AND event_id IS NOT NULL AND event_type IS NOT NULL),
-        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-        |        event_type AS next_type FROM e),
-        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
-        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT prev_type, next_type, n,
-        |  CAST((n * 20000 + sum(n) OVER (PARTITION BY prev_type))
-        |    // (2 * sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS prob_bp
-        |FROM c ORDER BY 1, 2""".stripMargin,
+    "q_timeseries_gapfill" -> gapfillOracle,
+    // the SQL-text twin lands on the identical grid
+    "q_gapfill_sql" -> gapfillOracle,
+    "q_markov_transitions" -> markovOracle,
+    "q_markov_sql" -> markovOracle,
     "q_inter_event_gaps" ->
       """WITH e AS (SELECT user_id, ts, event_id FROM events
         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
@@ -3082,6 +3097,35 @@ object SparkEntry {
     * at 32×4 has miss probability ≈1.5e-15 for this data's ≥0.9 planted
     * pairs, so the approximate and exact pipelines coincide).
     */
+  private val gapfillOracle: String =
+    """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day, value
+      |           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+      |        CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |      FROM b GROUP BY 1, 2),
+      |span AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+      |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+      |types AS (SELECT DISTINCT event_type FROM b)
+      |SELECT t.event_type, dy.day,
+      |  coalesce(d.n_events, 0) AS n_events,
+      |  coalesce(d.cents, 0) / 100.0 AS sum_value
+      |FROM types t CROSS JOIN days dy
+      |LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day
+      |ORDER BY 1, 2""".stripMargin
+
+  private val markovOracle: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |             AND event_id IS NOT NULL AND event_type IS NOT NULL),
+      |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |        event_type AS next_type FROM e),
+      |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST((n * 20000 + sum(n) OVER (PARTITION BY prev_type))
+      |    // (2 * sum(n) OVER (PARTITION BY prev_type)) AS BIGINT) AS prob_bp
+      |FROM c ORDER BY 1, 2""".stripMargin
+
   private val rangeJoinOracle: String =
     """SELECT a.event_id AS purchase_id, a.user_id, a.ts AS purchase_ts,
       |  b.event_id AS error_id, b.ts AS error_ts

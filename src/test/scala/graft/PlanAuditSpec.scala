@@ -20,7 +20,7 @@ class PlanAuditSpec extends SparkSpec {
     * scalars of the corpus, never corpus-proportional).
     */
   private val nestedLoopAllowed =
-    Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill")
+    Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill", "q_gapfill_sql")
 
   /** The one query allowed to lack a DuckDB oracle: its xxhash64 kernel
     * is engine-specific; the algorithm is oracle-checked through the

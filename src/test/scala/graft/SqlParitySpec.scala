@@ -20,7 +20,9 @@ class SqlParitySpec extends SparkSpec {
     ("dedup_minhash_lsh_sql", "dedup_minhash_lsh"),
     ("dedup_embedding_sql", "dedup_embedding"),
     ("text_decontaminate_sql", "text_decontaminate"),
-    ("q_window_funnel_sql", "q_window_funnel"))
+    ("q_window_funnel_sql", "q_window_funnel"),
+    ("q_markov_sql", "q_markov_transitions"),
+    ("q_gapfill_sql", "q_timeseries_gapfill"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
