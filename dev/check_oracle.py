@@ -33,8 +33,11 @@ def main(sf_dir, out_dir):
     err_path = f"{out_dir}/_errors.json"
     if os.path.exists(err_path):
         errs = json.load(open(err_path))
+    only = set(sys.argv[3:])
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if name in errs:

@@ -185,6 +185,10 @@ object SparkEntry {
     // explicit salted shuffle join (replicated dim), == the plain join
     "q_salted_enrich_join" -> ((s, dir) =>
       Relational.saltedEnrichJoin(Tables.events(s, dir), Tables.customer(s, dir))),
+    // measured chooser: skewProfile's needs_salting routes plain vs salted;
+    // both branches are result-identical, so one plain oracle covers both
+    "q_adaptive_user_totals" -> ((s, dir) =>
+      Relational.adaptiveUserTotals(Tables.events(s, dir))),
     // weekday × hour load heatmap (ISO day numbering, engine-portable)
     "q_weekday_hour_profile" -> ((s, dir) =>
       Relational.weekdayHourProfile(Tables.events(s, dir))),
@@ -607,7 +611,12 @@ object SparkEntry {
     // character-level verifier: head/tail-anchored candidates + exact
     // relative Levenshtein (the OCR/boilerplate-variant detector)
     "dedup_edit_distance" -> ((s, dir) => NearDup.editDistanceNearDups(Tables.documents(s, dir))),
-    "dedup_simhash" -> ((s, dir) => NearDup.simhashNearDups(Tables.documents(s, dir))),
+    // default SimHash query runs the engine-portable md5 kernel at a
+    // TIGHTER radius (hamming <= 2, still pigeonhole-exact with 4 chunks)
+    // so it is fully DuckDB-oracled; the xxhash64 kernel stays the
+    // spec-pinned perf twin (NearDupSpec pins its bit-level parity)
+    "dedup_simhash" -> ((s, dir) =>
+      NearDup.simhashNearDupsPortable(Tables.documents(s, dir), maxHamming = 2)),
     "dedup_clusters" -> ((s, dir) => NearDup.nearDupClusters(Tables.documents(s, dir))),
     // quality-aware canonicalization: per near-dup cluster keep the member
     // with the most tokens (ties → lowest id), not the arbitrary min id
@@ -897,12 +906,10 @@ object SparkEntry {
     "t2_big_customers_sql" -> sessionOracle("7200",
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     // salted == plain: the oracle IS the unsalted aggregation
-    "q_salted_user_totals" ->
-      """SELECT user_id,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
-        |  count(*) AS n_events
-        |FROM events WHERE user_id IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_salted_user_totals" -> userTotalsOracle,
+    // adaptive == plain on BOTH branches (salted is plain-identical and
+    // the plain branch is literally the plain plan)
+    "q_adaptive_user_totals" -> userTotalsOracle,
     // Roundtrip parity: parse(render(events)) == events (malformed dropped)
     "csv_roundtrip_events" ->
       """SELECT ts, user_id, event_id AS transaction_id, value AS payload_value
@@ -1148,8 +1155,8 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(n) AS BIGINT) AS n_rows,
         |  CAST(max(n) AS BIGINT) AS max_key_rows,
-        |  round(quantile_cont(n, 0.5) * 100, 0) / 100.0 AS p50_key_rows,
-        |  round(quantile_cont(n, 0.99) * 100, 0) / 100.0 AS p99_key_rows,
+        |  coalesce(round(quantile_cont(n, 0.5) * 100, 0) / 100.0, 0.0) AS p50_key_rows,
+        |  coalesce(round(quantile_cont(n, 0.99) * 100, 0) / 100.0, 0.0) AS p99_key_rows,
         |  round(CAST(max(n) AS DOUBLE) * count(*) / sum(n) * 10000, 0)
         |    / 10000.0 AS skew_ratio,
         |  CAST(max(n) AS DOUBLE) * count(*) > sum(n) * 4.0 AS needs_salting
@@ -1160,7 +1167,7 @@ object SparkEntry {
       """WITH m AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key_null,
-        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_key_dup,
+        |  CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT) AS v_key_dup,
         |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_text_empty,
         |  CAST(sum(CASE WHEN lang IS NULL OR lang NOT IN ('en','es','zh','de','fr') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang_domain,
         |  CAST(sum(CASE WHEN source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_source_format,
@@ -1201,7 +1208,9 @@ object SparkEntry {
         |ORDER BY source""".stripMargin,
     // md5-bucket split + brute-jaccard leakage edges (same shingle CTE as
     // bruteJaccardOracle; only the train side of a cross-split edge is
-    // quarantined)
+    // quarantined). The Spark side defaults to banded-MinHash edges; its
+    // pair-set equality with exact jac >= 1/2 is oracle-gated separately
+    // (dedup_minhash_lsh), so the exact-pair SQL remains this query's oracle
     "split_leakage_guard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -1816,31 +1825,10 @@ object SparkEntry {
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     // portable SimHash: 60-bit md5-derived signatures (bit b majority of
-    // token-hash bits), 4x15-bit pigeonhole candidates, hamming<=3 verify
-    "dedup_simhash_md5" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        |             FROM documents),
-        |h AS (SELECT doc_id,
-        |        CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
-        |      FROM tok),
-        |bits AS (SELECT doc_id, b.b,
-        |           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |         FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) b
-        |         GROUP BY doc_id, b.b),
-        |sig AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)
-        |               AS BIGINT) AS sig
-        |        FROM bits GROUP BY doc_id),
-        |ch AS (SELECT doc_id, sig, c.c AS chunk_idx,
-        |         (sig >> (15 * c.c)) & 32767 AS chunk_key
-        |       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) c),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j,
-        |           x.sig AS si, y.sig AS sj
-        |         FROM ch x JOIN ch y ON x.chunk_idx = y.chunk_idx
-        |           AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id)
-        |SELECT doc_i, doc_j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(si, sj)) <= 3
-        |ORDER BY doc_i, doc_j""".stripMargin,
+    // token-hash bits), 4x15-bit pigeonhole candidates; the default query
+    // verifies at hamming<=2, the _md5 twin at the classic <=3 radius
+    "dedup_simhash" -> simhashOracle(2),
+    "dedup_simhash_md5" -> simhashOracle(3),
     // sub-document span dedup: first (doc_id, pos) occurrence of each
     // 10-token chunk survives; docs rebuilt from surviving chunks
     "dedup_spans" -> spanDedupOracle(""),
@@ -2570,6 +2558,45 @@ object SparkEntry {
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.
     */
+  /** The plain per-user totals SQL — shared oracle for the plain, salted,
+    * and adaptive variants (all three are result-identical by contract).
+    */
+  private val userTotalsOracle: String =
+    """SELECT user_id,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+      |  count(*) AS n_events
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Engine-portable SimHash oracle (60-bit md5 signatures, 4x15-bit
+    * pigeonhole candidates) parameterized by the verify radius — the
+    * pigeonhole guarantee holds for any maxHamming <= 3 with 4 chunks.
+    */
+  private def simhashOracle(maxHamming: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+       |      FROM tok),
+       |bits AS (SELECT doc_id, b.b,
+       |           sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) b
+       |         GROUP BY doc_id, b.b),
+       |sig AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)
+       |               AS BIGINT) AS sig
+       |        FROM bits GROUP BY doc_id),
+       |ch AS (SELECT doc_id, sig, c.c AS chunk_idx,
+       |         (sig >> (15 * c.c)) & 32767 AS chunk_key
+       |       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) c),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_i, y.doc_id AS doc_j,
+       |           x.sig AS si, y.sig AS sj
+       |         FROM ch x JOIN ch y ON x.chunk_idx = y.chunk_idx
+       |           AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id)
+       |SELECT doc_i, doc_j, CAST(bit_count(xor(si, sj)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(si, sj)) <= $maxHamming
+       |ORDER BY doc_i, doc_j""".stripMargin
+
   private def spanDedupOracle(restrict: String): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
        |              FROM documents),

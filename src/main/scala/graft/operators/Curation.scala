@@ -746,8 +746,11 @@ object Curation {
     * checks (an unknown domain is not a pass), while the length-consistency
     * check only judges rows where both sides are present (missing text is
     * `text_nonempty`'s finding, and counting it twice would double-bill
-    * one defect). The uniqueness check is `count(*) − count(DISTINCT
-    * doc_id)` — the planner's Expand doubles scanned rows when a distinct
+    * one defect). The uniqueness check likewise judges only NON-NULL keys
+    * (`count(doc_id) − count(DISTINCT doc_id)`) — a null key is
+    * `doc_id_complete`'s finding, not also a duplicate. The distinct
+    * aggregate costs the planner's Expand, which doubles scanned rows
+    * when a distinct
     * aggregate mixes with plain ones, the same trade [[corpusStats]]'
     * sibling documents; acceptable here because the whole suite is still
     * one scan of a projected 6-column slice.
@@ -761,7 +764,7 @@ object Curation {
     val m = documents.agg(
       count(lit(1)).as("n_rows"),
       violations(col("doc_id").isNull).as("v_key_null"),
-      (count(lit(1)) - count_distinct(col("doc_id"))).as("v_key_dup"),
+      (count(col("doc_id")) - count_distinct(col("doc_id"))).as("v_key_dup"),
       violations(col("text").isNull || length(col("text")) === 0)
         .as("v_text_empty"),
       violations(col("lang").isNull || !col("lang").isin(langs.map(lit): _*))
@@ -802,19 +805,27 @@ object Curation {
     * Output: every doc labeled `test` / `train` / `quarantine`.
     *
     * Scale shape: the pair generation is the whole cost and reuses the
-    * dedup machinery — here [[graft.operators.NearDup.jaccardNearDupsExact]]
-    * (threshold jac ≥ 1/2) for bit-exact oracle parity; the production
-    * swap-in is the banded [[graft.operators.NearDup.minhashNearDups]],
-    * whose pair-set equivalence at these parameters is itself
-    * oracle-gated (`dedup_minhash_lsh`). The guard itself is two
-    * edge-table equi-joins — duplicate-rate-proportional, never
-    * broadcast-hinted.
+    * dedup machinery. The DEFAULT edge source is the banded
+    * [[graft.operators.NearDup.minhashNearDups]] — candidate counts are
+    * bounded by the LSH band-collision rate, so the guard survives
+    * hot-shingle corpora where an exact posting join
+    * ([[graft.operators.NearDup.jaccardNearDupsExact]]) fans out as
+    * Σ df(shingle)². The banded source's pair-set equality with exact
+    * jac ≥ 1/2 at these parameters is itself oracle-gated
+    * (`dedup_minhash_lsh` vs the brute-Jaccard oracle), which is what
+    * keeps THIS query oracle-checkable with the exact-pair SQL. Callers
+    * can inject any (documents → doc_i/doc_j pairs) frame via
+    * `edgeSource` — e.g. the exact join for small corpora. The guard
+    * itself is two edge-table equi-joins — duplicate-rate-proportional,
+    * never broadcast-hinted.
     */
   def splitWithLeakageGuard(documents: DataFrame,
-                            testBps: Int = 1000): DataFrame = {
+                            testBps: Int = 1000,
+                            edgeSource: DataFrame => DataFrame =
+                              graft.operators.NearDup.minhashNearDups): DataFrame = {
     val ids = documents.select(col("doc_id"),
       (sampleBucket(col("doc_id")) < testBps).as("is_test"))
-    val pairs = graft.operators.NearDup.jaccardNearDupsExact(documents)
+    val pairs = edgeSource(documents)
     val edges = pairs.select(col("doc_i").as("a"), col("doc_j").as("b"))
       .unionByName(pairs.select(col("doc_j").as("a"), col("doc_i").as("b")))
     val leakyTrain = edges

@@ -594,9 +594,10 @@ object NearDup {
     * pigeonhole chunking trick — hamming(a,b) ≤ 3 ⇒ at least one of 4
     * 16-bit chunks equal — then verified with `bit_count(a^b)`, so the
     * operator is EXACT for hamming ≤ 3 despite never comparing all pairs.
-    * (No DuckDB oracle for THIS variant: xxhash64 is Spark-specific;
-    * covered by ScalaTest — and the algorithm itself is oracle-checked
-    * through the md5-hashed [[simhashNearDupsPortable]] twin.)
+    * (xxhash64 is Spark-specific, so this kernel has no DuckDB replica;
+    * it is the spec-pinned PERF twin — NearDupSpec pins its bit-level
+    * behavior — while the declared `dedup_simhash` query runs the fully
+    * oracle-checked [[simhashNearDupsPortable]] kernel.)
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     // signature is a row-local map pass (codegen'd SimHash64, identical
@@ -625,12 +626,12 @@ object NearDup {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** Engine-portable SimHash (oracle-checked twin of [[simhashNearDups]]):
-    * 60-bit signatures from md5-derived token hashes — md5 is identical in
-    * every engine, so unlike the xxhash64 kernel this variant has a full
-    * DuckDB oracle (`dedup_simhash_md5`), closing the one algorithm the
-    * correctness gate otherwise covers only by ScalaTest. Same pigeonhole
-    * guarantee with 4×15-bit chunks: hamming ≤ 3 ⇒ some chunk equal.
+  /** Engine-portable SimHash (the DEFAULT declared kernel): 60-bit
+    * signatures from md5-derived token hashes — md5 is identical in every
+    * engine, so unlike the xxhash64 kernel this variant has a full DuckDB
+    * oracle at both declared radii (`dedup_simhash` at hamming ≤ 2,
+    * `dedup_simhash_md5` at ≤ 3). Same pigeonhole guarantee with 4×15-bit
+    * chunks: hamming ≤ 3 ⇒ some chunk equal (so any radius ≤ 3 is exact).
     *
     * Shape: the signature is ONE hash aggregation (60 conditional sums +
     * final bit-pack, map-side combined — not a 60× row explode); candidate

@@ -283,6 +283,42 @@ object Relational {
         sum(col("n")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Plain (unsalted) per-user totals — the single-shuffle aggregate
+    * [[saltedUserTotals]] is result-identical to; also the branch
+    * [[adaptiveUserTotals]] routes to when the key is uniform.
+    */
+  def userTotals(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum(expr("cast(round(value * 100, 0) as bigint)")) / 100.0)
+        .as("total_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** Adaptive skew playbook: MEASURE, then choose the plan. Runs
+    * [[graft.operators.Sketches.skewProfile]] (two partial-aggregated
+    * passes, a 1-row scalar back to the driver — the sanctioned bounded
+    * collect) and routes to [[saltedUserTotals]] only when its
+    * `needs_salting` trigger fires; uniform keys take the plain
+    * single-shuffle [[userTotals]], because salting a uniform key just
+    * doubles the shuffle for nothing. Both branches are result-identical
+    * by construction (integer-cents partials are order-independent), so
+    * ONE plain-SQL oracle covers whichever branch the data selects —
+    * `AdaptiveSkewSpec` forces each branch explicitly via `saltAbove`.
+    * This is the decision step the profile's Scaladoc prescribes,
+    * packaged: at 100 TB the profile is cheap (O(distinct keys) second
+    * pass) next to the aggregate it protects, and the choice is made
+    * from measurement, not guesswork.
+    */
+  def adaptiveUserTotals(events: DataFrame, saltAbove: Double = 4.0,
+                         salts: Int = 16): DataFrame = {
+    val trigger = graft.operators.Sketches.skewProfile(events, saltAbove)
+      .select(col("needs_salting")).head()
+    val salted = !trigger.isNullAt(0) && trigger.getBoolean(0)
+    if (salted) saltedUserTotals(events, salts) else userTotals(events)
+  }
+
   /** Interval (range) join: each purchase event paired with same-user
     * error events within ±2 hours — the "errors around a purchase"
     * correlation query.

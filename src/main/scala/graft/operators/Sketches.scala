@@ -67,8 +67,10 @@ object Sketches {
       // empty-stream contract: zeros and a quiet trigger, not null poison
       coalesce(sum(col("n")), lit(0L)).as("n_rows"),
       coalesce(max(col("n")), lit(0L)).as("max_key_rows"),
-      (round(expr("percentile(n, 0.5)") * 100, 0) / 100.0).as("p50_key_rows"),
-      (round(expr("percentile(n, 0.99)") * 100, 0) / 100.0).as("p99_key_rows"))
+      coalesce(round(expr("percentile(n, 0.5)") * 100, 0) / 100.0, lit(0.0))
+        .as("p50_key_rows"),
+      coalesce(round(expr("percentile(n, 0.99)") * 100, 0) / 100.0, lit(0.0))
+        .as("p99_key_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("p50_key_rows"), col("p99_key_rows"),
         // cast before multiplying: bigint max_key_rows × n_keys overflows
@@ -210,11 +212,14 @@ object Sketches {
     * boundary risk of a floating `log2` at exact powers of two.
     */
   private def hdrBin(cents: Column): Column = {
+    // built entirely from the parameter (call_function takes Column shift
+    // amounts where functions.shiftright only takes Int), so callers need
+    // no magic `cents`/`e` columns in scope
     val e = (length(bin(cents)) - 1).cast("long")
-    when(cents <= 0, lit(0L)).otherwise(
-      e * 128 +
-        expr("""shiftright(cents - shiftleft(cast(1 as bigint), cast(e as int)),
-                cast(greatest(e - 7, 0L) as int))""") + 1)
+    val lead = call_function("shiftleft", lit(1L), e.cast("int"))
+    val mantissa7 = call_function("shiftright", cents - lead,
+      greatest(e - 7, lit(0L)).cast("int"))
+    when(cents <= 0, lit(0L)).otherwise(e * 128 + mantissa7 + 1)
   }
 
   /** Per-type value-distribution histogram ARTIFACTS: (event_type,
@@ -232,7 +237,6 @@ object Sketches {
       .filter(col("event_type").isNotNull && col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-      .withColumn("e", (length(bin(col("cents"))) - 1).cast("long"))
       .withColumn("bin_id", hdrBin(col("cents")))
       .groupBy(col("event_type"), col("bin_id"))
       .agg(count(lit(1)).as("cnt"))
@@ -298,7 +302,6 @@ object Sketches {
         col("ts").isNotNull)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         expr("cast(round(value * 100, 0) as bigint)").as("cents"))
-      .withColumn("e", (length(bin(col("cents"))) - 1).cast("long"))
       .withColumn("bin_id", hdrBin(col("cents")))
       .groupBy(col("event_type"), col("day"), col("bin_id"))
       .agg(count(lit(1)).as("cnt"))

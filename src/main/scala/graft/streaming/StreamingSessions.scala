@@ -561,7 +561,12 @@ object StreamingSessions {
   def replayAlertTws(events: DataFrame, gap: Column, threshold: Double): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // sessionAgg emits NULL session_sum for all-null-value sessions; the
+    // batch twin's `session_sum >= threshold` silently excludes those, so
+    // drop them BEFORE deserializing into the non-nullable AlertInput —
+    // otherwise a fixture with such a session crashes the replay
     val sessions = graft.operators.Sessions.sessionAgg(events, gap)
+      .filter(col("session_sum").isNotNull)
       .select(col("user_id"), col("session_sum")).as[AlertInput]
     val root = java.nio.file.Files.createTempDirectory("graft_tws_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)

@@ -606,12 +606,10 @@ class CurationSpec extends SparkSpec {
     assert(got.keySet == Set("doc_id_complete", "doc_id_unique", "text_nonempty",
       "lang_in_domain", "source_format", "n_chars_consistent", "n_chars_nonnegative"))
     assert(got("doc_id_complete") == ((1L, 6L, false)))
-    // 5 non-null keys, 4 distinct -> count(*)−distinct counts the null too:
-    // 6 − 5 distinct (incl. no NULL group in count distinct) = 6 − 4 ... pin
-    // the actual contract: violations = n_rows − count(DISTINCT doc_id)
-    assert(got("doc_id_unique") == ((2L, 6L, false)),
-      "6 rows − 4 distinct non-null ids = 2 (the null key shows up here too; " +
-        "doc_id_complete names it separately)")
+    // duplicates judged among NON-NULL keys only: the null-key row is
+    // doc_id_complete's finding and must not double-bill here
+    assert(got("doc_id_unique") == ((1L, 6L, false)),
+      "5 non-null keys − 4 distinct = 1 duplicate (null key excluded)")
     assert(got("text_nonempty") == ((2L, 6L, false)), "null text + empty text")
     assert(got("lang_in_domain") == ((2L, 6L, false)), "xx + null lang")
     assert(got("source_format") == ((2L, 6L, false)), "web + null source")

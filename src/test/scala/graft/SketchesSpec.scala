@@ -78,6 +78,8 @@ class SketchesSpec extends SparkSpec {
     val r = Sketches.skewProfile(emptyEv).head()
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L,
       "empty stream: zero keys/rows/max, not nulls")
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0,
+      "empty stream: percentile columns coalesce to 0, not null")
     assert(r.getDouble(5) == 0.0 && !r.getBoolean(6),
       "empty stream: ratio 0, salting never triggered")
     val emptyDocs = Tables.documents(spark, "/root/testdata/sf0.001").limit(0)
