@@ -273,6 +273,10 @@ object SparkEntry {
     // corpus snapshots)
     "value_drift_daily" -> ((s, dir) =>
       graft.operators.Sketches.valueDriftDaily(Tables.events(s, dir))),
+    // streaming drift monitor: the same alarm with the artifact table
+    // maintained incrementally by foreachBatch over a 4-batch replay
+    "value_drift_stream" -> ((s, dir) =>
+      graft.streaming.StreamingSketches.replayDriftMonitor(Tables.events(s, dir))),
     // per-source token-distribution drift between the same two corpus
     // versions corpus_diff ledgers — content shift vs row churn
     "corpus_token_drift" -> ((s, dir) => {
@@ -1283,35 +1287,11 @@ object SparkEntry {
         |ORDER BY est.event_type, est.q""".stripMargin,
     // consecutive-day TV distance over the same hdr bins, integer
     // cross-multiplied (drift_bp = Σ|c1·n2 − c2·n1|·10⁴ ÷ 2n1n2)
-    "value_drift_daily" ->
-      """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
-        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |           FROM events
-        |           WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
-        |bb AS (SELECT event_type, day,
-        |    CASE WHEN cents <= 0 THEN 0
-        |      ELSE (length(bin(cents)) - 1) * 128
-        |         + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)))
-        |            >> greatest(length(bin(cents)) - 1 - 7, 0)) + 1 END AS bin_id
-        |  FROM b),
-        |h AS (SELECT event_type, day, bin_id, CAST(count(*) AS BIGINT) AS cnt
-        |      FROM bb GROUP BY 1, 2, 3),
-        |n AS (SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1, 2),
-        |p AS (SELECT coalesce(a.event_type, c.event_type) AS event_type,
-        |        coalesce(a.day, c.day - INTERVAL 1 DAY) AS day,
-        |        coalesce(a.cnt, 0) AS c1, coalesce(c.cnt, 0) AS c2
-        |      FROM h a FULL OUTER JOIN h c
-        |        ON a.event_type = c.event_type AND a.day = c.day - INTERVAL 1 DAY
-        |       AND a.bin_id = c.bin_id),
-        |w AS (SELECT p.event_type, p.day, p.c1, p.c2, n1.n AS n_from, n2.n AS n_to
-        |      FROM p JOIN n n1 ON n1.event_type = p.event_type AND n1.day = p.day
-        |             JOIN n n2 ON n2.event_type = p.event_type
-        |                      AND n2.day = p.day + INTERVAL 1 DAY)
-        |SELECT event_type, day AS day_from, day + INTERVAL 1 DAY AS day_to,
-        |  CAST(max(n_from) AS BIGINT) AS n_from, CAST(max(n_to) AS BIGINT) AS n_to,
-        |  CAST((sum(abs(c1 * n_to - c2 * n_from)) * 10000)
-        |    // (2 * max(n_from) * max(n_to)) AS BIGINT) AS drift_bp
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "value_drift_daily" -> valueDriftOracle,
+    // streaming twin: foreachBatch-maintained day-keyed artifacts, drift
+    // read from artifacts only — merge associativity makes it identical
+    // to the one-shot build, so the SAME oracle applies
+    "value_drift_stream" -> valueDriftOracle,
     // the corpus_diff v1/v2 recipe -> per-source TV over token unigrams
     "corpus_token_drift" ->
       """WITH o AS (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -2558,6 +2538,41 @@ object SparkEntry {
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.
     */
+  /** Consecutive-day TV drift over the hdr histogram bins — shared oracle
+    * for the one-shot build (`value_drift_daily`) and the foreachBatch
+    * streaming maintainer (`value_drift_stream`); merge associativity
+    * makes the two result-identical by construction.
+    */
+  private val valueDriftOracle: String =
+    """WITH b AS (SELECT event_type, date_trunc('day', ts) AS day,
+      |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+      |bb AS (SELECT event_type, day,
+      |    CASE WHEN cents <= 0 THEN 0
+      |      ELSE (length(bin(cents)) - 1) * 128
+      |         + ((cents - (CAST(1 AS BIGINT) << (length(bin(cents)) - 1)))
+      |            >> greatest(length(bin(cents)) - 1 - 7, 0)) + 1 END AS bin_id
+      |  FROM b),
+      |h AS (SELECT event_type, day, bin_id, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM bb GROUP BY 1, 2, 3),
+      |n AS (SELECT event_type, day, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1, 2),
+      |p AS (SELECT coalesce(a.event_type, c.event_type) AS event_type,
+      |        coalesce(a.day, c.day - INTERVAL 1 DAY) AS day,
+      |        coalesce(a.cnt, 0) AS c1, coalesce(c.cnt, 0) AS c2
+      |      FROM h a FULL OUTER JOIN h c
+      |        ON a.event_type = c.event_type AND a.day = c.day - INTERVAL 1 DAY
+      |       AND a.bin_id = c.bin_id),
+      |w AS (SELECT p.event_type, p.day, p.c1, p.c2, n1.n AS n_from, n2.n AS n_to
+      |      FROM p JOIN n n1 ON n1.event_type = p.event_type AND n1.day = p.day
+      |             JOIN n n2 ON n2.event_type = p.event_type
+      |                      AND n2.day = p.day + INTERVAL 1 DAY)
+      |SELECT event_type, day AS day_from, day + INTERVAL 1 DAY AS day_to,
+      |  CAST(max(n_from) AS BIGINT) AS n_from, CAST(max(n_to) AS BIGINT) AS n_to,
+      |  CAST((sum(abs(c1 * n_to - c2 * n_from)) * 10000)
+      |    // (2 * max(n_from) * max(n_to)) AS BIGINT) AS drift_bp
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The plain per-user totals SQL — shared oracle for the plain, salted,
     * and adaptive variants (all three are result-identical by contract).
     */

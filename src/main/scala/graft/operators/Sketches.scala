@@ -296,8 +296,18 @@ object Sketches {
     * rows. O(types · days · bins) work end-to-end — artifact-sized,
     * never corpus-sized after the one binning scan.
     */
-  def valueDriftDaily(events: DataFrame): DataFrame = {
-    val h = events
+  def valueDriftDaily(events: DataFrame): DataFrame =
+    valueDriftFromState(valueHistDailyState(events))
+
+  /** Day-keyed histogram ARTIFACTS: (event_type, day, bin_id, count) rows —
+    * the state table behind [[valueDriftDaily]], factored out so a
+    * streaming monitor can maintain it incrementally
+    * ([[graft.streaming.StreamingSketches]]) and read drift purely from
+    * artifacts. Merge is integer vector add ([[valueHistDailyUpdate]]),
+    * so any batching of the input lands on the same artifact.
+    */
+  def valueHistDailyState(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type").isNotNull && col("value").isNotNull &&
         col("ts").isNotNull)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
@@ -305,6 +315,22 @@ object Sketches {
       .withColumn("bin_id", hdrBin(col("cents")))
       .groupBy(col("event_type"), col("day"), col("bin_id"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Fold a new event batch into stored day-keyed histogram artifacts:
+    * O(batch) scan + O(types · days · bins) merge, exactly associative.
+    */
+  def valueHistDailyUpdate(state: DataFrame, newEvents: DataFrame): DataFrame =
+    state.unionByName(valueHistDailyState(newEvents))
+      .groupBy(col("event_type"), col("day"), col("bin_id"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Drift readout from a day-keyed histogram artifact table — the
+    * artifact-only half of [[valueDriftDaily]]: consecutive-day TV
+    * distance per event type, never touching the corpus the artifacts
+    * summarize.
+    */
+  def valueDriftFromState(state: DataFrame): DataFrame = {
+    val h = state
     val n = h.groupBy(col("event_type"), col("day"))
       .agg(sum(col("cnt")).as("n"))
     // align day d with day d+1 under one join key: the "cur" side is

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Sessions
-import graft.streaming.StreamingSessions
+import graft.streaming.{StreamingSessions, StreamingSketches}
 
 case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
@@ -44,6 +44,24 @@ class StreamingSpec extends SparkSpec {
       assert(got == want)
       assert(got.length == 4)
     } finally q.stop()
+  }
+
+  test("streaming drift monitor: artifact after N batches equals one-shot build") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val streamed = StreamingSketches.replayHistDaily(events, nBatches = 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Sketches.valueHistDailyState(events)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      "incrementally-maintained day-keyed histogram artifact must equal " +
+        "the whole-corpus build (integer vector add is associative)")
+    // and the drift readout from the streamed artifact == batch monitor
+    val gotDrift = graft.operators.Sketches
+      .valueDriftFromState(StreamingSketches.replayHistDaily(events, 4))
+      .collect().map(_.toSeq).toSeq
+    val wantDrift = graft.operators.Sketches.valueDriftDaily(events)
+      .collect().map(_.toSeq).toSeq
+    assert(gotDrift == wantDrift)
   }
 
   test("session windows support append + complete; update mode is rejected at analysis") {
