@@ -253,6 +253,14 @@ object SparkEntry {
     // q_salted_user_totals' salting is warranted on a given key
     "skew_profile" -> ((s, dir) =>
       graft.operators.Sketches.skewProfile(Tables.events(s, dir))),
+    // q-digest rank-theorem gate: deterministic 128-ary dyadic sketch
+    // over the unbounded cents universe, exact ranks + bound booleans
+    "quantile_qdigest" -> ((s, dir) =>
+      graft.operators.Sketches.qdigestGate(Tables.events(s, dir))),
+    // same gate over an 80/20 incrementally-merged artifact (doubled
+    // per-node slack — the merge invariant)
+    "quantile_qdigest_update" -> ((s, dir) =>
+      graft.operators.Sketches.qdigestGateIncremental(Tables.events(s, dir))),
     // single-pass Deequ-style constraint suite over the corpus
     "corpus_constraints" -> ((s, dir) =>
       Curation.validateConstraints(Tables.documents(s, dir))),
@@ -1285,6 +1293,10 @@ object SparkEntry {
         |    AND ex.exact_cents < est.est_cents + est.width_cents AS in_bin
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
         |ORDER BY est.event_type, est.q""".stripMargin,
+    // q-digest: full 8-level deterministic compression replayed in SQL,
+    // readout + rank-theorem booleans matched exactly
+    "quantile_qdigest" -> qdigestOracle,
+    "quantile_qdigest_update" -> qdigestUpdateOracle,
     // consecutive-day TV distance over the same hdr bins, integer
     // cross-multiplied (drift_bp = Σ|c1·n2 − c2·n1|·10⁴ ÷ 2n1n2)
     "value_drift_daily" -> valueDriftOracle,
@@ -2538,6 +2550,87 @@ object SparkEntry {
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.
     */
+  /** One q-digest compression round chain in DuckDB SQL (the bit-exact
+    * replica of `Sketches.qdCompress`): `g{l}` windows pending nodes over
+    * their parent, `k{l}` freezes groups reaching `t`, `p{l+1}` collects
+    * pushed mass plus — when merging a stored artifact `mat` — the stored
+    * nodes at that level. Suffix distinguishes the build-A / build-B /
+    * merge chains inside one statement.
+    */
+  private def qdChainSql(sfx: String, tt: String,
+                         mat: Option[String]): String = {
+    val rounds = (0 until 8).map { l =>
+      val matUnion = mat.map(m =>
+        s"\n        UNION ALL SELECT prefix, cnt FROM $m WHERE level = ${l + 1}")
+        .getOrElse("")
+      s"""g$l$sfx AS (SELECT prefix, cnt, prefix >> 7 AS parent,
+         |         sum(cnt) OVER (PARTITION BY prefix >> 7) AS s FROM p$l$sfx),
+         |k$l$sfx AS (SELECT CAST($l AS BIGINT) AS level, prefix, cnt
+         |        FROM g$l$sfx, $tt WHERE s >= t),
+         |p${l + 1}$sfx AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |        SELECT parent AS prefix, cnt FROM g$l$sfx, $tt WHERE s < t$matUnion
+         |     ) GROUP BY 1),""".stripMargin
+    }.mkString("\n")
+    rounds + s"""
+      |k8$sfx AS (SELECT CAST(8 AS BIGINT) AS level, prefix, cnt FROM p8$sfx),
+      |nodes$sfx AS (${(0 to 8).map(l => s"SELECT * FROM k$l$sfx")
+        .mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** The q-digest readout + rank-theorem gate in DuckDB SQL (the bit-exact
+    * replica of `Sketches.qdGateFrom`). */
+  private def qdGateSql(nodes: String, raw: String, tt: String,
+                        slack: Int): String =
+    s"""ups AS (SELECT (prefix << (7 * level)) - 4611686018427387904
+       |              + ((CAST(1 AS BIGINT) << (7 * level)) - 1) AS upper_c, cnt
+       |        FROM $nodes),
+       |bu AS (SELECT upper_c, CAST(sum(cnt) AS BIGINT) AS cnt FROM ups GROUP BY 1),
+       |cw AS (SELECT upper_c, sum(cnt) OVER (ORDER BY upper_c) AS cum FROM bu),
+       |qq AS (SELECT unnest([50, 90, 99]) AS q),
+       |es AS (SELECT q, min(upper_c) AS est_cents
+       |       FROM cw, qq, $tt WHERE cum >= (q * n + 99) // 100 GROUP BY q),
+       |rk AS (SELECT q, est_cents,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM $raw WHERE c <= est_cents) AS rank_le,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM $raw WHERE c < est_cents) AS rank_lt
+       |       FROM es)
+       |SELECT CAST(q AS BIGINT) AS q, n, t, est_cents, rank_le, rank_lt,
+       |  rank_le >= (q * n + 99) // 100 AS lo_ok,
+       |  rank_lt < (q * n + 99) // 100 + $slack * t AS hi_ok
+       |FROM rk, $tt ORDER BY q""".stripMargin
+
+  private val qdigestOracle: String =
+    s"""WITH raw AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+       |             FROM events WHERE value IS NOT NULL),
+       |lv AS (SELECT c + 4611686018427387904 AS u FROM raw),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |         greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM lv),
+       |p0 AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM lv GROUP BY 1),
+       |${qdChainSql("", "tt", None)},
+       |${qdGateSql("nodes", "raw", "tt", 16)}""".stripMargin
+
+  private val qdigestUpdateOracle: String =
+    s"""WITH rawe AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c, event_id
+       |              FROM events WHERE value IS NOT NULL),
+       |raw AS (SELECT c FROM rawe),
+       |cutc AS (SELECT (max(event_id) * 4) // 5 AS cutv FROM events),
+       |la AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE event_id < cutv),
+       |lb AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE event_id >= cutv),
+       |tta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |          greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM la),
+       |p0a AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM la GROUP BY 1),
+       |${qdChainSql("a", "tta", None)},
+       |ttb AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |          greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM lb),
+       |p0b AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM lb GROUP BY 1),
+       |${qdChainSql("b", "ttb", None)},
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |         greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM raw),
+       |sm AS (SELECT * FROM nodesa UNION ALL SELECT * FROM nodesb),
+       |p0m AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS cnt FROM sm
+       |        WHERE level = 0 GROUP BY 1),
+       |${qdChainSql("m", "tt", Some("sm"))},
+       |${qdGateSql("nodesm", "raw", "tt", 32)}""".stripMargin
+
   /** Consecutive-day TV drift over the hdr histogram bins — shared oracle
     * for the one-shot build (`value_drift_daily`) and the foreachBatch
     * streaming maintainer (`value_drift_stream`); merge associativity

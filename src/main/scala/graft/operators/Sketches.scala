@@ -435,6 +435,204 @@ object Sketches {
     * counters. Small `k` on the bench vocabulary keeps the prune path
     * genuinely exercised (31 distinct tokens vs k=8 ⇒ constant shedding).
     */
+  // ------------------------------------------------------------- q-digest
+
+  /** q-digest universe offset: `cents + 2⁶²` maps any value in
+    * [−2⁶², 2⁶²) into the unsigned 63-bit universe — unlike the
+    * fixed-positive-domain HDR histogram, NO domain scan or prior max is
+    * needed (the "unbounded universe" member of the sketch family).
+    */
+  private val QdOffset = 4611686018427387904L // 2^62
+  private val QdBits = 7 // branching 2^7 = 128 children per node
+  private val QdLevels = 8 // 8 push rounds cover the 63-bit universe
+
+  /** level/prefix → inclusive upper end of the node's interval, back in
+    * the cents domain. The subtraction happens BEFORE the width add so no
+    * intermediate ever needs `1 << 63` (which overflows signed 64 and
+    * THROWS in DuckDB rather than wrapping).
+    */
+  private def qdUpper(level: Column, prefix: Column): Column =
+    call_function("shiftleft", prefix, (level * QdBits).cast("int")) -
+      QdOffset +
+      call_function("shiftleft", lit(1L), (level * QdBits).cast("int")) - 1
+
+  /** q-digest quantile sketch ARTIFACTS: (level, prefix, cnt) rows over a
+    * 128-ary dyadic decomposition of the 63-bit cents universe — the
+    * RANK-error member of the mergeable-artifact family (HLL:
+    * cardinality, Misra–Gries: frequency, HDR histogram: value error).
+    * It complements the HDR histogram exactly where that one is weak: the
+    * histogram needs a known positive-value domain and bounds RELATIVE
+    * VALUE error; the q-digest accepts any long in ±2⁶² unseen and bounds
+    * ADDITIVE RANK error at `O(levels · n/σ)` with space independent of
+    * the data distribution.
+    *
+    * Deterministic bottom-up compression (no randomized compaction — the
+    * classic KLL alternative — precisely so the artifact is bit-exact
+    * across engines and the DuckDB oracle can replay it): at each of the
+    * 8 levels, sibling groups whose total count is `< t = ⌈n/σ⌉` push
+    * their mass to the parent; groups reaching `t` are frozen at their
+    * level. INVARIANTS the gate's theorem rests on: level-0 nodes are
+    * exact value counts (zero rank error regardless of size), and every
+    * frozen node at level > 0 holds `< t` mass from a one-shot build
+    * (`< 2t` after artifact merges, where a pushed group can coalesce
+    * with a stored node of the same prefix).
+    *
+    * Scale shape: one exact value-count aggregate (partial-combined),
+    * then 8 rounds of window-over-parent + re-aggregate on ARTIFACT-sized
+    * frames (≤ distinct cents, shrinking every round), each round
+    * `localCheckpoint`ed to keep the two-branch (freeze/push) plan from
+    * doubling per level. The `n` readback is a 1-row bounded scalar.
+    */
+  def qdigestState(events: DataFrame, sigma: Int = 256): DataFrame = {
+    val leaves = events.filter(col("value").isNotNull)
+      .select((expr("cast(round(value * 100, 0) as bigint)") + QdOffset)
+        .as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("cnt"))
+      .select(lit(0L).as("level"), col("prefix"), col("cnt"))
+    qdCompress(leaves, sigma)
+  }
+
+  /** Merge two q-digest artifact tables: union the nodes, re-run the same
+    * deterministic compression under the combined `t`. Stored internal
+    * nodes carry `< t_i ≤ t_merged` mass, so the merged invariant is
+    * `< 2t` per internal node — the gate's merged slack.
+    */
+  def qdigestMerge(a: DataFrame, b: DataFrame, sigma: Int = 256): DataFrame =
+    qdCompress(a.unionByName(b), sigma)
+
+  /** Fold a new event batch into a stored artifact: sketch ONLY the
+    * batch, then artifact-merge — O(batch) scan + O(artifact) merge; the
+    * corpus the state summarizes is never rescanned.
+    */
+  def qdigestUpdate(state: DataFrame, newEvents: DataFrame,
+                    sigma: Int = 256): DataFrame =
+    qdigestMerge(state, qdigestState(newEvents, sigma), sigma)
+
+  /** The deterministic bottom-up compression over (level, prefix, cnt)
+    * material (levels may be mixed when merging artifacts).
+    */
+  private def qdCompress(material: DataFrame, sigma: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val mat = material.localCheckpoint()
+    val n = mat.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+    if (n == 0L) return mat.select(col("level"), col("prefix"), col("cnt"))
+    val t = math.max(1L, (n + sigma - 1) / sigma)
+    var pending = mat.select(col("prefix"), col("cnt")).limit(0)
+    val kept = Seq.newBuilder[DataFrame]
+    for (l <- 0 until QdLevels) {
+      val cur = pending
+        .unionByName(mat.filter(col("level") === l.toLong)
+          .select(col("prefix"), col("cnt")))
+        .groupBy(col("prefix")).agg(sum(col("cnt")).as("cnt"))
+      val marked = cur
+        .withColumn("parent", shiftrightunsigned(col("prefix"), QdBits))
+        .withColumn("s", sum(col("cnt"))
+          .over(w.partitionBy(col("parent"))))
+        .localCheckpoint()
+      kept += marked.filter(col("s") >= t)
+        .select(lit(l.toLong).as("level"), col("prefix"), col("cnt"))
+      pending = marked.filter(col("s") < t)
+        .groupBy(col("parent")).agg(sum(col("cnt")).as("cnt"))
+        .select(col("parent").as("prefix"), col("cnt"))
+    }
+    val top = pending
+      .unionByName(mat.filter(col("level") === QdLevels.toLong)
+        .select(col("prefix"), col("cnt")))
+      .groupBy(col("prefix")).agg(sum(col("cnt")).as("cnt"))
+      .select(lit(QdLevels.toLong).as("level"), col("prefix"), col("cnt"))
+    kept.result().foldLeft(top)(_ unionByName _).localCheckpoint()
+  }
+
+  /** Quantile readout from a q-digest artifact: nodes collapse to their
+    * interval UPPER ends (tie groups summed — deterministic, order-free),
+    * one cumulative walk, and each percentile reports the first upper
+    * whose cumulative mass reaches rank `⌈q·n/100⌉`. O(artifact) rows.
+    */
+  def qdigestQuantiles(state: DataFrame,
+                       qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byUpper = state
+      .select(qdUpper(col("level"), col("prefix")).as("upper_c"), col("cnt"))
+      .groupBy(col("upper_c")).agg(sum(col("cnt")).as("cnt"))
+    byUpper
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("upper_c"))))
+      .withColumn("n", sum(col("cnt")).over(w.partitionBy()))
+      .withColumn("q", explode(typedlit(qs.map(_.toLong))))
+      .withColumn("rank", expr("(q * n + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q"))
+      .agg(max(col("n")).as("n"), min(col("upper_c")).as("est_cents"))
+      .select(col("q"), col("n"), col("est_cents"))
+      .orderBy(col("q"))
+  }
+
+  /** Oracle-checkable THEOREM gate over the q-digest (the
+    * [[heavyHitterGate]] pattern): alongside each percentile's estimate,
+    * exact ranks from the raw data and two deterministic booleans —
+    *  - `lo_ok`: `rank_le(est) ≥ ⌈q·n/100⌉`, EXACT by construction (all
+    *    mass cumulated at or below `est` lives in intervals whose values
+    *    are ≤ est);
+    *  - `hi_ok`: `rank_lt(est) < ⌈q·n/100⌉ + slack·t`, from the internal-
+    *    node mass invariant: values `< est` beyond the pre-est cumulative
+    *    can hide only in the ≤ 8 proper ancestors straddling `est` plus
+    *    the ≤ 8 same-upper internal ancestors, each holding `< t` mass
+    *    one-shot (`< 2t` merged) — hence slack 16 here, 32 in
+    *    [[qdigestGateIncremental]].
+    * Everything is integer arithmetic, so the DuckDB oracle replays the
+    * 8-level build verbatim and matches every column including booleans.
+    */
+  def qdigestGate(events: DataFrame, sigma: Int = 256,
+                  qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    qdGateFrom(qdigestState(events, sigma), events, sigma, qs, slack = 16)
+
+  /** The gate over an INCREMENTALLY-built artifact: first 80% of
+    * event_ids play the stored sketch, the rest arrive as the new batch;
+    * the merged artifact must still satisfy the rank theorem (with the
+    * doubled per-node slack merging allows) against exact ranks over the
+    * WHOLE corpus.
+    */
+  def qdigestGateIncremental(events: DataFrame, sigma: Int = 256,
+                             qs: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val cut = events.agg(expr("(max(event_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val merged = qdigestUpdate(
+      qdigestState(events.filter(col("event_id") < cut), sigma),
+      events.filter(col("event_id") >= cut), sigma)
+    qdGateFrom(merged, events, sigma, qs, slack = 32)
+  }
+
+  private def qdGateFrom(state: DataFrame, events: DataFrame, sigma: Int,
+                         qs: Seq[Int], slack: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // ≤ |qs| artifact-readout rows — a bounded collect, like every other
+    // artifact readback in this family
+    val est = qdigestQuantiles(state, qs).collect()
+    if (est.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean, Boolean)]
+        .toDF("q", "n", "t", "est_cents", "rank_le", "rank_lt", "lo_ok", "hi_ok")
+    val n = est.head.getLong(1)
+    val t = math.max(1L, (n + sigma - 1) / sigma)
+    val cents = events.filter(col("value").isNotNull)
+      .select(expr("cast(round(value * 100, 0) as bigint)").as("c"))
+    // exact ranks for ALL estimates in ONE aggregate pass (no non-equi
+    // join — est values are literals, keeping the plan nested-loop-free)
+    val aggs = est.toSeq.flatMap { r =>
+      val q = r.getLong(0); val e = r.getLong(2)
+      Seq(count(when(col("c") <= e, 1)).as(s"le_$q"),
+        count(when(col("c") < e, 1)).as(s"lt_$q"))
+    }
+    val ranks = cents.agg(aggs.head, aggs.tail: _*).head()
+    est.toSeq.map { r =>
+      val q = r.getLong(0); val e = r.getLong(2)
+      val rank = (q * n + 99) / 100
+      val le = ranks.getLong(ranks.fieldIndex(s"le_$q"))
+      val lt = ranks.getLong(ranks.fieldIndex(s"lt_$q"))
+      (q, n, t, e, le, lt, le >= rank, lt < rank + slack * t)
+    }.toDF("q", "n", "t", "est_cents", "rank_le", "rank_lt", "lo_ok", "hi_ok")
+      .orderBy(col("q"))
+  }
+
   def heavyHitterGate(documents: DataFrame, k: Int = 8): DataFrame = {
     val exact = sourceTokens(documents)
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))

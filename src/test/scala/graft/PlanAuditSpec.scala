@@ -22,11 +22,11 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopAllowed =
     Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill", "q_gapfill_sql")
 
-  /** The one query allowed to lack a DuckDB oracle: its xxhash64 kernel
-    * is engine-specific; the algorithm is oracle-checked through the
-    * md5-portable twin `dedup_simhash_md5`.
+  /** No exemptions left: since round 9 every declared query carries a
+    * DuckDB oracle (`dedup_simhash` now runs the md5-portable kernel; the
+    * xxhash64 kernel remains spec-pinned in NearDupSpec as the perf twin).
     */
-  private val oracleExempt = Set("dedup_simhash")
+  private val oracleExempt = Set.empty[String]
 
   test("every query has an oracle (or a documented exemption); no orphan oracles") {
     val q = SparkEntry.queries.keySet
