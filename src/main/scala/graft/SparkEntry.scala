@@ -241,6 +241,77 @@ object SparkEntry {
         |LEFT JOIN d ON d.event_type = t.event_type AND d.day = dy.day
         |ORDER BY 1, 2""".stripMargin)
     }),
+    // SQL-text twin of the weekday × hour load heatmap
+    "q_weekday_hour_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |SELECT CAST(weekday(ts) + 1 AS BIGINT) AS iso_dow,
+        |  CAST(hour(ts) AS BIGINT) AS hour,
+        |  count(1) AS n_events,
+        |  sum(cast(round(value * 100, 0) as bigint)) / 100e0 AS sum_value
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+    // SQL-text twin of the month-over-month growth rollup (same div
+    // truncation semantics, same null-on-first-month contract)
+    "q_monthly_growth_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    count(1) AS n_orders,
+        |    sum(cast(round(o_totalprice * 100, 0) as bigint)) AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+        |SELECT month, n_orders, cents / 100e0 AS total_price,
+        |  CASE WHEN lag(cents) OVER (ORDER BY month) > 0
+        |    THEN ((cents - lag(cents) OVER (ORDER BY month)) * 10000)
+        |         div lag(cents) OVER (ORDER BY month)
+        |  END AS growth_bp
+        |FROM m ORDER BY month""".stripMargin)
+    }),
+    // SQL-text twin of the robust MAD outlier rule (broadcast hints keep
+    // the two dimension-sized median tables off the shuffle path)
+    "q_mad_outliers_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH b AS (SELECT event_id, user_id, event_type,
+        |             cast(round(value * 100, 0) as bigint) AS cents
+        |           FROM events
+        |           WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |             AND value IS NOT NULL),
+        |med AS (SELECT event_type,
+        |          cast(percentile(cents, 0.5d) * 2 as bigint) AS med_x2
+        |        FROM b GROUP BY 1),
+        |dev AS (SELECT /*+ BROADCAST(med) */ b.*, med.med_x2,
+        |          abs(b.cents * 2 - med.med_x2) AS dev_x2
+        |        FROM b JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |          cast(percentile(dev_x2, 0.5d) * 2 as bigint) AS mad_x4
+        |        FROM dev GROUP BY 1)
+        |SELECT /*+ BROADCAST(mad) */ dev.event_id, dev.user_id,
+        |  dev.event_type, dev.cents / 100e0 AS value,
+        |  dev.med_x2, dev.dev_x2, mad.mad_x4
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev.dev_x2 * 2 > mad.mad_x4 * 3
+        |ORDER BY event_id""".stripMargin)
+    }),
+    // SQL-text twin of the per-user cadence profile (×2-carried median)
+    "q_inter_gaps_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH e AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_id IS NOT NULL),
+        |g AS (SELECT user_id,
+        |        unix_micros(ts) - unix_micros(lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |      FROM e)
+        |SELECT user_id, count(1) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  (sum(gap_us) * 2 + count(1)) div (2 * count(1)) AS mean_gap_us,
+        |  cast(percentile(gap_us, 0.5d) * 2 as bigint) AS p50_gap_us_x2
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)
+    }),
     // funnel latency: first view -> first subsequent purchase, per user
     "q_funnel_time" -> ((s, dir) =>
       Relational.funnelConversionTime(Tables.events(s, dir))),
@@ -1074,26 +1145,11 @@ object SparkEntry {
         |FROM events
         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
-    "q_weekday_hour_profile" ->
-      """SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
-        |  CAST(hour(ts) AS BIGINT) AS hour,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
-        |    / 100.0 AS sum_value
-        |FROM events WHERE ts IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // DuckDB // floors, matching the Spark-side pmod floor division
-    "q_monthly_growth" ->
-      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
-        |    CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
-        |SELECT month, n_orders, cents / 100.0 AS total_price,
-        |  CASE WHEN lag(cents) OVER (ORDER BY month) > 0
-        |    THEN CAST(((cents - lag(cents) OVER (ORDER BY month)) * 10000)
-        |         // lag(cents) OVER (ORDER BY month) AS BIGINT)
-        |  END AS growth_bp
-        |FROM m ORDER BY month""".stripMargin,
+    "q_weekday_hour_profile" -> weekdayHourOracle,
+    "q_weekday_hour_sql" -> weekdayHourOracle,
+    // DuckDB // truncates toward zero on integers, same as Spark div
+    "q_monthly_growth" -> monthlyGrowthOracle,
+    "q_monthly_growth_sql" -> monthlyGrowthOracle,
     // the PLAIN join formulation — salting must not change results
     "q_salted_enrich_join" ->
       """SELECT c.c_mktsegment AS segment,
@@ -1109,19 +1165,8 @@ object SparkEntry {
     "q_gapfill_sql" -> gapfillOracle,
     "q_markov_transitions" -> markovOracle,
     "q_markov_sql" -> markovOracle,
-    "q_inter_event_gaps" ->
-      """WITH e AS (SELECT user_id, ts, event_id FROM events
-        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
-        |g AS (SELECT user_id,
-        |        date_diff('microsecond',
-        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
-        |      FROM e)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
-        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
-        |  CAST((sum(gap_us) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS mean_gap_us,
-        |  CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT) AS p50_gap_us_x2
-        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_inter_event_gaps" -> interEventGapsOracle,
+    "q_inter_gaps_sql" -> interEventGapsOracle,
     "q_funnel_time" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events
         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
@@ -1136,22 +1181,8 @@ object SparkEntry {
         |GROUP BY user_id, first_touch ORDER BY user_id""".stripMargin,
     // the ×2/×4 carries keep interpolated medians integer-exact, so the
     // flagged row set is deterministic across engines (see Relational)
-    "q_mad_outliers" ->
-      """WITH b AS (SELECT event_id, user_id, event_type,
-        |             CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |           FROM events
-        |           WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
-        |med AS (SELECT event_type, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med_x2
-        |        FROM b GROUP BY 1),
-        |dev AS (SELECT b.*, med.med_x2, abs(b.cents * 2 - med.med_x2) AS dev_x2
-        |        FROM b JOIN med USING (event_type)),
-        |mad AS (SELECT event_type, CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
-        |        FROM dev GROUP BY 1)
-        |SELECT dev.event_id, dev.user_id, dev.event_type, dev.cents / 100.0 AS value,
-        |  dev.med_x2, dev.dev_x2, mad.mad_x4
-        |FROM dev JOIN mad USING (event_type)
-        |WHERE dev.dev_x2 * 2 > mad.mad_x4 * 3
-        |ORDER BY event_id""".stripMargin,
+    "q_mad_outliers" -> madOutliersOracle,
+    "q_mad_outliers_sql" -> madOutliersOracle,
     // sketch gate: exact values + deterministic bound checks (HLL ≤3%,
     // approx-median ≤1.0 — wide margin over measured ≤0.67% / ≤0.25)
     "sketch_accuracy" ->
@@ -2665,6 +2696,61 @@ object SparkEntry {
       |  CAST((sum(abs(c1 * n_to - c2 * n_from)) * 10000)
       |    // (2 * max(n_from) * max(n_to)) AS BIGINT) AS drift_bp
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // Shared oracles for the wave-3 analytics that exist on both the
+  // DataFrame and SQL-text surfaces (same dual-surface contract as
+  // q_markov / q_gapfill): one oracle per algorithm, two declared queries.
+  private val weekdayHourOracle: String =
+    """SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+      |  CAST(hour(ts) AS BIGINT) AS hour,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+      |    / 100.0 AS sum_value
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val monthlyGrowthOracle: String =
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+      |SELECT month, n_orders, cents / 100.0 AS total_price,
+      |  CASE WHEN lag(cents) OVER (ORDER BY month) > 0
+      |    THEN CAST(((cents - lag(cents) OVER (ORDER BY month)) * 10000)
+      |         // lag(cents) OVER (ORDER BY month) AS BIGINT)
+      |  END AS growth_bp
+      |FROM m ORDER BY month""".stripMargin
+
+  private val interEventGapsOracle: String =
+    """WITH e AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL),
+      |g AS (SELECT user_id,
+      |        date_diff('microsecond',
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+      |      FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST((sum(gap_us) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS mean_gap_us,
+      |  CAST(quantile_cont(gap_us, 0.5) * 2 AS BIGINT) AS p50_gap_us_x2
+      |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val madOutliersOracle: String =
+    """WITH b AS (SELECT event_id, user_id, event_type,
+      |             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |           FROM events
+      |           WHERE event_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+      |med AS (SELECT event_type, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med_x2
+      |        FROM b GROUP BY 1),
+      |dev AS (SELECT b.*, med.med_x2, abs(b.cents * 2 - med.med_x2) AS dev_x2
+      |        FROM b JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, CAST(quantile_cont(dev_x2, 0.5) * 2 AS BIGINT) AS mad_x4
+      |        FROM dev GROUP BY 1)
+      |SELECT dev.event_id, dev.user_id, dev.event_type, dev.cents / 100.0 AS value,
+      |  dev.med_x2, dev.dev_x2, mad.mad_x4
+      |FROM dev JOIN mad USING (event_type)
+      |WHERE dev.dev_x2 * 2 > mad.mad_x4 * 3
+      |ORDER BY event_id""".stripMargin
 
   /** The plain per-user totals SQL — shared oracle for the plain, salted,
     * and adaptive variants (all three are result-identical by contract).

@@ -22,7 +22,11 @@ class SqlParitySpec extends SparkSpec {
     ("text_decontaminate_sql", "text_decontaminate"),
     ("q_window_funnel_sql", "q_window_funnel"),
     ("q_markov_sql", "q_markov_transitions"),
-    ("q_gapfill_sql", "q_timeseries_gapfill"))
+    ("q_gapfill_sql", "q_timeseries_gapfill"),
+    ("q_weekday_hour_sql", "q_weekday_hour_profile"),
+    ("q_monthly_growth_sql", "q_monthly_growth"),
+    ("q_mad_outliers_sql", "q_mad_outliers"),
+    ("q_inter_gaps_sql", "q_inter_event_gaps"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
