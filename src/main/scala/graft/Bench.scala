@@ -53,7 +53,12 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // headline (total + failed + count) BEFORE the per-query map, so a
+    // head-truncated capture still carries the totals; the stderr echo
+    // after the JSON line survives tail-truncated captures too
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
+    System.err.println(
+      s"[bench] total=${math.round(total * 100) / 100.0}s failed=$failed n=${results.size} sf=$sfDir")
     spark.stop()
   }
 }

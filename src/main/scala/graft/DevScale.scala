@@ -594,13 +594,16 @@ object DevScale {
       out.count()
     }
 
-    // leakage-guarded split at 500k on the long-tail corpus (the exact-
-    // jaccard edge generation needs power-law shingles, as above); the
-    // guard itself is two edge-table equi-joins over the ~1% dup pairs
+    // leakage-guarded split at 500k with the DEFAULT banded-MinHash edge
+    // source (r9): candidate volume is band-collision-bounded, so unlike
+    // the exact posting join this shape also survives hot-shingle corpora;
+    // the guard itself is two edge-table equi-joins over the ~1% dup pairs.
+    // The candidate bound is printed alongside the quarantine count.
     timeDocs("split_leakage_500k") {
+      val edges = graft.operators.NearDup.minhashNearDups(cd).count()
       val out = graft.operators.Curation.splitWithLeakageGuard(cd)
       val q = out.filter(col("split") === "quarantine").count()
-      println(f"  ($q train docs quarantined)")
+      println(f"  ($edges banded near-dup edges; $q train docs quarantined)")
       out.count()
     }
 
@@ -611,6 +614,52 @@ object DevScale {
     // anchor by construction.
     timeDocs("edit_distance_500k")(
       graft.operators.NearDup.editDistanceNearDups(dc).count())
+
+    // round-9 additions --------------------------------------------
+
+    // salted enrich join at 10M events × 50k-customer dim (×8 salt
+    // replication): the pinned shuffle_hash join can't be broadcast away,
+    // so this measures the true two-sided salted shuffle at volume
+    val custDim = spark.range(users).select(col("id").as("c_custkey"),
+      element_at(typedlit(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+        "HOUSEHOLD", "MACHINERY")),
+        (pmod(xxhash64(col("id") + 41), lit(5)) + 1).cast("int"))
+        .as("c_mktsegment"))
+    time("salted_enrich_10m")(
+      graft.operators.Relational.saltedEnrichJoin(ev, custDim).count())
+
+    // the measured chooser on the 90%-hot-key corpus: profile (two
+    // partial-agg passes) + the salted branch it must route to
+    time("adaptive_totals_skew")(
+      graft.operators.Relational.adaptiveUserTotals(sk).count())
+
+    // timer-rebuilt sessions at the FULL 10M (the 1M row above isolates
+    // state-machine cost; this one adds the micro-batch scheduling cost
+    // at bench-table volume ×100)
+    time("timer_sessions_10m")(graft.streaming.TimerSessions
+      .replayTimerSessions(ev6, 1800L).count())
+
+    // q-digest artifacts at 10M events: build is one value-count agg +
+    // 8 artifact-sized rounds; update folds a 1M batch by artifact merge;
+    // readout walks only the artifact
+    graft.operators.Sketches
+      .qdigestState(evTyped.filter(col("event_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet("/tmp/scale_qdigest")
+    time("qdigest_build_10m")(
+      graft.operators.Sketches.qdigestState(evTyped).count())
+    time("qdigest_update_1m")(
+      graft.operators.Sketches.qdigestUpdate(
+        spark.read.parquet("/tmp/scale_qdigest"),
+        evTyped.filter(col("event_id") % 10 === 0)).count())
+    time("qdigest_readout")(
+      graft.operators.Sketches.qdigestQuantiles(
+        spark.read.parquet("/tmp/scale_qdigest")).count())
+
+    // streaming drift monitor replay at 10M / 4 micro-batches: per-batch
+    // cost is the batch scan + an artifact-sized vector add, drift read
+    // purely from the final artifact
+    time("drift_stream_10m")(
+      graft.streaming.StreamingSketches.replayDriftMonitor(evTyped).count())
     spark.stop()
   }
 }

@@ -324,6 +324,10 @@ object SparkEntry {
     // q_salted_user_totals' salting is warranted on a given key
     "skew_profile" -> ((s, dir) =>
       graft.operators.Sketches.skewProfile(Tables.events(s, dir))),
+    // Count-Min point-frequency gate: exact top-20 tokens + sketch
+    // estimates + the never-underestimates theorem boolean
+    "vocab_cmsketch" -> ((s, dir) =>
+      graft.operators.Sketches.cmsketchGate(Tables.documents(s, dir))),
     // q-digest rank-theorem gate: deterministic 128-ary dyadic sketch
     // over the unbounded cents universe, exact ranks + bound booleans
     "quantile_qdigest" -> ((s, dir) =>
@@ -1324,6 +1328,32 @@ object SparkEntry {
         |    AND ex.exact_cents < est.est_cents + est.width_cents AS in_bin
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.q = ex.q
         |ORDER BY est.event_type, est.q""".stripMargin,
+    // Count-Min: md5 row hashes replayed cell-for-cell; never_under is
+    // the CM theorem, the overcount is reported exactly (not gated —
+    // the classic eps*N bound is probabilistic over hash draws)
+    "vocab_cmsketch" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM tok GROUP BY 1),
+        |top AS (SELECT tok, n_true FROM (
+        |          SELECT tok, n_true,
+        |            row_number() OVER (ORDER BY n_true DESC, tok) AS rk FROM ex)
+        |        WHERE rk <= 20),
+        |cells AS (SELECT r.i AS rw,
+        |            CAST(('0x' || substring(md5('r' || r.i || ' ' || tok), 1, 15))
+        |              AS BIGINT) % 1024 AS col_id
+        |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+        |st AS (SELECT rw, col_id, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM cells GROUP BY 1, 2),
+        |keys AS (SELECT t.tok, r.i AS rw,
+        |           CAST(('0x' || substring(md5('r' || r.i || ' ' || t.tok), 1, 15))
+        |             AS BIGINT) % 1024 AS col_id
+        |         FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+        |es AS (SELECT k.tok, CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est
+        |       FROM keys k LEFT JOIN st USING (rw, col_id) GROUP BY 1)
+        |SELECT t.tok, t.n_true, e.est, e.est >= t.n_true AS never_under,
+        |  e.est - t.n_true AS overcount
+        |FROM top t JOIN es e USING (tok) ORDER BY tok""".stripMargin,
     // q-digest: full 8-level deterministic compression replayed in SQL,
     // readout + rank-theorem booleans matched exactly
     "quantile_qdigest" -> qdigestOracle,

@@ -435,6 +435,93 @@ object Sketches {
     * counters. Small `k` on the bench vocabulary keeps the prune path
     * genuinely exercised (31 distinct tokens vs k=8 ⇒ constant shedding).
     */
+  // ----------------------------------------------------------- count-min
+
+  /** Count-Min row hash `h_i(tok)`: md5-derived (engine-portable, like the
+    * portable SimHash kernel), 15 hex digits < 2⁶⁰ so the bigint is always
+    * positive and `% width` needs no sign fix.
+    */
+  private def cmHash(row: Int, tok: Column, width: Int): Column =
+    pmod(expr(s"cast(conv(substring(md5(concat('r$row ', tok)), 1, 15), 16, 10) as bigint)")
+      .cast("long"), lit(width.toLong))
+
+  /** Count-Min sketch ARTIFACTS over the corpus token stream: (row, col,
+    * cnt) cells, depth × width bounded — the POINT-FREQUENCY member of
+    * the mergeable-artifact family (HLL: cardinality, Misra–Gries: top-k,
+    * HDR: value quantiles, q-digest: rank quantiles). Distinct niche vs
+    * Misra–Gries: MG answers "who is heavy" with bounded UNDERcount on a
+    * k-bounded summary; CM answers "how often is THIS token" for ANY
+    * token with guaranteed-never-under, bounded-over estimates.
+    *
+    * Merge is integer vector add — exactly associative, so unlike the
+    * q-digest the incremental artifact is BIT-IDENTICAL to the one-shot
+    * build (`SketchesSpec` pins update(state(A), B) ≡ state(A ∪ B) the
+    * same way it does for HLL). One explode(depth) map pass + one
+    * partial-aggregated shuffle to O(depth · width) cells.
+    */
+  def cmsketchState(documents: DataFrame, depth: Int = 4,
+                    width: Int = 1024): DataFrame =
+    documents.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i.toLong).as("row"),
+          cmHash(i, col("tok"), width).as("col_id"))): _*)).as("cell"))
+      .select(col("cell.row").as("row"), col("cell.col_id").as("col_id"))
+      .groupBy(col("row"), col("col_id")).agg(count(lit(1)).as("cnt"))
+
+  /** Fold a new document batch into a stored CM artifact: sketch ONLY the
+    * batch, vector-add per cell. O(batch) scan + O(depth · width) merge.
+    */
+  def cmsketchUpdate(state: DataFrame, newDocs: DataFrame, depth: Int = 4,
+                     width: Int = 1024): DataFrame =
+    state.unionByName(cmsketchState(newDocs, depth, width))
+      .groupBy(col("row"), col("col_id")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency readout: est(tok) = min over rows of the token's
+    * cell — an equi-join of the (probe × depth) key table against the
+    * artifact, absent cells reading as zero. O(probes · depth) work.
+    */
+  def cmsketchEstimates(state: DataFrame, probes: DataFrame,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keys = probes.select(col("tok"),
+        explode(array((0 until depth).map(i =>
+          struct(lit(i.toLong).as("row"),
+            cmHash(i, col("tok"), width).as("col_id"))): _*)).as("cell"))
+      .select(col("tok"), col("cell.row").as("row"),
+        col("cell.col_id").as("col_id"))
+    keys.join(state, Seq("row", "col_id"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Oracle-checkable gate over the CM pipeline: the exact top-`k` tokens
+    * (deterministic tie-break on the token) alongside their sketch
+    * estimates and the Count-Min THEOREM boolean `never_under`
+    * (`est ≥ true count` — each of the token's cells contains its full
+    * count plus non-negative collision mass). The overestimate is
+    * REPORTED exactly rather than gated: the classic `ε·N` overcount
+    * bound is probabilistic over hash draws, and with fixed portable
+    * hashes an adversarial corpus could exceed it — reporting keeps the
+    * contract honest while the oracle still matches every cell.
+    */
+  def cmsketchGate(documents: DataFrame, k: Int = 20, depth: Int = 4,
+                   width: Int = 1024): DataFrame = {
+    val exact = documents.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+    val top = exact.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_true").desc, col("tok"))))
+      .filter(col("rk") <= k).drop("rk")
+    val est = cmsketchEstimates(cmsketchState(documents, depth, width),
+      top.select(col("tok")), depth, width)
+    top.join(est, "tok")
+      .select(col("tok"), col("n_true"), col("est"),
+        (col("est") >= col("n_true")).as("never_under"),
+        (col("est") - col("n_true")).as("overcount"))
+      .orderBy(col("tok"))
+  }
+
   // ------------------------------------------------------------- q-digest
 
   /** q-digest universe offset: `cents + 2⁶²` maps any value in

@@ -91,6 +91,31 @@ class SketchesSpec extends SparkSpec {
       "no tokens: no checks to report")
   }
 
+  test("count-min merge is bit-exact: update(state(A), B) ≡ state(A ∪ B)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") % 5 =!= 0)
+    val b = docs.filter(col("doc_id") % 5 === 0)
+    val inc = Sketches.cmsketchUpdate(Sketches.cmsketchState(a), b)
+      .collect().map(_.toSeq).toSet
+    val one = Sketches.cmsketchState(docs).collect().map(_.toSeq).toSet
+    assert(inc == one, "vector add must make ANY batching land on the " +
+      "same artifact, cell for cell")
+  }
+
+  test("count-min gate: theorem holds, probes of unseen tokens stay sane") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    Sketches.cmsketchGate(docs).collect().foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: CM underestimated")
+      assert(r.getLong(4) >= 0L)
+    }
+    // an unseen probe reads only collision mass — non-negative, and far
+    // below the corpus total
+    val ghost = Sketches.cmsketchEstimates(Sketches.cmsketchState(docs),
+      Seq("zzz_not_a_token").toDF("tok")).head()
+    assert(ghost.getLong(1) >= 0L)
+  }
+
   test("sketch accuracy gate: every bound check holds on the fixture") {
     val rows = Sketches.sketchAccuracy(events).collect()
     assert(rows.nonEmpty)
