@@ -328,6 +328,13 @@ object SparkEntry {
     // estimates + the never-underestimates theorem boolean
     "vocab_cmsketch" -> ((s, dir) =>
       graft.operators.Sketches.cmsketchGate(Tables.documents(s, dir))),
+    // the same gate over a foreachBatch-maintained artifact (3-batch
+    // replay): vector-add maintenance is bit-identical to one-shot
+    "vocab_cmsketch_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sketches.cmsketchGateFrom(
+        graft.streaming.StreamingSketches.replayCmSketch(docs), docs)
+    }),
     // q-digest rank-theorem gate: deterministic 128-ary dyadic sketch
     // over the unbounded cents universe, exact ranks + bound booleans
     "quantile_qdigest" -> ((s, dir) =>
@@ -1330,30 +1337,11 @@ object SparkEntry {
         |ORDER BY est.event_type, est.q""".stripMargin,
     // Count-Min: md5 row hashes replayed cell-for-cell; never_under is
     // the CM theorem, the overcount is reported exactly (not gated —
-    // the classic eps*N bound is probabilistic over hash draws)
-    "vocab_cmsketch" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
-        |             FROM documents WHERE text IS NOT NULL),
-        |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM tok GROUP BY 1),
-        |top AS (SELECT tok, n_true FROM (
-        |          SELECT tok, n_true,
-        |            row_number() OVER (ORDER BY n_true DESC, tok) AS rk FROM ex)
-        |        WHERE rk <= 20),
-        |cells AS (SELECT r.i AS rw,
-        |            CAST(('0x' || substring(md5('r' || r.i || ' ' || tok), 1, 15))
-        |              AS BIGINT) % 1024 AS col_id
-        |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS i) r),
-        |st AS (SELECT rw, col_id, CAST(count(*) AS BIGINT) AS cnt
-        |       FROM cells GROUP BY 1, 2),
-        |keys AS (SELECT t.tok, r.i AS rw,
-        |           CAST(('0x' || substring(md5('r' || r.i || ' ' || t.tok), 1, 15))
-        |             AS BIGINT) % 1024 AS col_id
-        |         FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i) r),
-        |es AS (SELECT k.tok, CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est
-        |       FROM keys k LEFT JOIN st USING (rw, col_id) GROUP BY 1)
-        |SELECT t.tok, t.n_true, e.est, e.est >= t.n_true AS never_under,
-        |  e.est - t.n_true AS overcount
-        |FROM top t JOIN es e USING (tok) ORDER BY tok""".stripMargin,
+    // the classic eps*N bound is probabilistic over hash draws). The
+    // streamed variant shares the oracle: vector-add maintenance makes
+    // its artifact bit-identical to the one-shot build
+    "vocab_cmsketch" -> cmsketchOracle,
+    "vocab_cmsketch_stream" -> cmsketchOracle,
     // q-digest: full 8-level deterministic compression replayed in SQL,
     // readout + rank-theorem booleans matched exactly
     "quantile_qdigest" -> qdigestOracle,
@@ -2611,6 +2599,34 @@ object SparkEntry {
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.
     */
+  /** Count-Min cells replayed cell-for-cell — shared by the one-shot and
+    * the stream-maintained gate (exact vector-add merge ⇒ identical
+    * artifacts ⇒ identical readouts).
+    */
+  private val cmsketchOracle: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |             FROM documents WHERE text IS NOT NULL),
+      |ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM tok GROUP BY 1),
+      |top AS (SELECT tok, n_true FROM (
+      |          SELECT tok, n_true,
+      |            row_number() OVER (ORDER BY n_true DESC, tok) AS rk FROM ex)
+      |        WHERE rk <= 20),
+      |cells AS (SELECT r.i AS rw,
+      |            CAST(('0x' || substring(md5('r' || r.i || ' ' || tok), 1, 15))
+      |              AS BIGINT) % 1024 AS col_id
+      |          FROM tok CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+      |st AS (SELECT rw, col_id, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM cells GROUP BY 1, 2),
+      |keys AS (SELECT t.tok, r.i AS rw,
+      |           CAST(('0x' || substring(md5('r' || r.i || ' ' || t.tok), 1, 15))
+      |             AS BIGINT) % 1024 AS col_id
+      |         FROM top t CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+      |es AS (SELECT k.tok, CAST(min(coalesce(st.cnt, 0)) AS BIGINT) AS est
+      |       FROM keys k LEFT JOIN st USING (rw, col_id) GROUP BY 1)
+      |SELECT t.tok, t.n_true, e.est, e.est >= t.n_true AS never_under,
+      |  e.est - t.n_true AS overcount
+      |FROM top t JOIN es e USING (tok) ORDER BY tok""".stripMargin
+
   /** One q-digest compression round chain in DuckDB SQL (the bit-exact
     * replica of `Sketches.qdCompress`): `g{l}` windows pending nodes over
     * their parent, `k{l}` freezes groups reaching `t`, `p{l+1}` collects

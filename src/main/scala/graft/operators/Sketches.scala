@@ -505,7 +505,17 @@ object Sketches {
     * contract honest while the oracle still matches every cell.
     */
   def cmsketchGate(documents: DataFrame, k: Int = 20, depth: Int = 4,
-                   width: Int = 1024): DataFrame = {
+                   width: Int = 1024): DataFrame =
+    cmsketchGateFrom(cmsketchState(documents, depth, width), documents,
+      k, depth, width)
+
+  /** The gate evaluated against a CALLER-SUPPLIED artifact (e.g. one
+    * maintained incrementally by the streaming loop): since CM merge is
+    * exact vector add, any correctly-maintained artifact is bit-identical
+    * to the one-shot build and shares its oracle.
+    */
+  def cmsketchGateFrom(state: DataFrame, documents: DataFrame, k: Int = 20,
+                       depth: Int = 4, width: Int = 1024): DataFrame = {
     val exact = documents.filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
@@ -513,8 +523,7 @@ object Sketches {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("n_true").desc, col("tok"))))
       .filter(col("rk") <= k).drop("rk")
-    val est = cmsketchEstimates(cmsketchState(documents, depth, width),
-      top.select(col("tok")), depth, width)
+    val est = cmsketchEstimates(state, top.select(col("tok")), depth, width)
     top.join(est, "tok")
       .select(col("tok"), col("n_true"), col("est"),
         (col("est") >= col("n_true")).as("never_under"),

@@ -67,4 +67,34 @@ object StreamingSketches {
     */
   def replayDriftMonitor(events: DataFrame, nBatches: Int = 4): DataFrame =
     Sketches.valueDriftFromState(replayHistDaily(events, nBatches))
+
+  /** Streamed Count-Min maintenance: fold each document micro-batch into
+    * the (row, col, cnt) artifact with
+    * [[graft.operators.Sketches.cmsketchUpdate]]. CM merge is an EXACT
+    * vector add, so the final artifact is bit-identical to the one-shot
+    * build — `StreamingSpec` pins that cell-for-cell, and the gate read
+    * from the streamed artifact shares `vocab_cmsketch`'s oracle.
+    */
+  def replayCmSketch(documents: DataFrame, nBatches: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_cms_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    (0 until nBatches).foreach { i =>
+      StreamingSessions.appendReplayFile(
+        documents.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i),
+        inDir, i + 1)
+    }
+    var state = Sketches.cmsketchState(documents.limit(0)).localCheckpoint()
+    val src = spark.readStream.schema(documents.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = Sketches.cmsketchUpdate(state, batch).localCheckpoint()
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
 }

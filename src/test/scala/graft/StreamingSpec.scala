@@ -64,6 +64,16 @@ class StreamingSpec extends SparkSpec {
     assert(gotDrift == wantDrift)
   }
 
+  test("streamed count-min maintenance is bit-identical to the one-shot build") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val streamed = StreamingSketches.replayCmSketch(docs, nBatches = 3)
+      .collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Sketches.cmsketchState(docs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == oneShot,
+      "CM vector-add maintenance must reproduce every cell exactly")
+  }
+
   test("session windows support append + complete; update mode is rejected at analysis") {
     // output-mode contract pin: Spark's session-window streaming
     // aggregation supports Append (emit on close — the reference's
