@@ -599,11 +599,13 @@ object DevScale {
     // the exact posting join this shape also survives hot-shingle corpora;
     // the guard itself is two edge-table equi-joins over the ~1% dup pairs.
     // The candidate bound is printed alongside the quarantine count.
+    // candidate bound printed from a separate pass so the timed row
+    // prices the guard itself (r9's first run timed both together)
+    val leakEdges = graft.operators.NearDup.minhashNearDups(cd).count()
     timeDocs("split_leakage_500k") {
-      val edges = graft.operators.NearDup.minhashNearDups(cd).count()
       val out = graft.operators.Curation.splitWithLeakageGuard(cd)
       val q = out.filter(col("split") === "quarantine").count()
-      println(f"  ($edges banded near-dup edges; $q train docs quarantined)")
+      println(f"  ($leakEdges banded near-dup edges; $q train docs quarantined)")
       out.count()
     }
 
