@@ -298,6 +298,12 @@ object DevScale {
         spark.read.parquet("/tmp/scale_cents"),
         ve.filter(col("vec_id") >= 400000L)).count())
 
+    // PQ at 500k vectors (r9): 8 subspace codebooks trained + the whole
+    // corpus encoded to 8 codes/vector + 20-query ADC scan over the
+    // compressed codes — the memory-bounded ANN path at 100× bench scale
+    timeDocs("pq_topk_500k")(
+      graft.operators.Similarity.pqTopK(ve, 20, 10).count())
+
     // sequence packing at 500k docs / ~27.5M tokens into 4096-token
     // sequences: the shared prefix sum plus a map-only explode —
     // ~500k + 6.7k span rows out, tokens never materialized

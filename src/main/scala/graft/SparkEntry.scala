@@ -845,6 +845,9 @@ object SparkEntry {
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
+    // product quantization: brute force over 128x-compressed codes — the
+    // memory-bounded ANN path; training/encode/ADC all oracle-replayed
+    "ann_topk_pq" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2439,6 +2442,7 @@ object SparkEntry {
     "cluster_assign_incremental" -> kmeansIncrementalOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
+    "ann_topk_pq" -> pqTopKOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -2985,6 +2989,98 @@ object SparkEntry {
       kmProj("pb", s" WHERE vec_id >= $cut") + ",\n" +
       kmAsg("afb", KmIters, "pb") + "\n" +
       "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM afb ORDER BY vec_id"
+  }
+
+  /** Full SQL replay of [[graft.operators.Similarity.pqTopK]] — per
+    * subspace: md5-seeded init, `PqIters` L2 Lloyd iterations with
+    * fixed-point mean updates, assignment by `round(⟨sv,c⟩ − |c|²/2, 6)`
+    * with ties → higher cell (the Spark side's `array_max` over
+    * (score, idx) structs), then ADC scoring of every (query, code row)
+    * pair against the trained centroid tables and the shared rounded-
+    * cosine ranking contract.
+    */
+  private val pqTopKOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqCodebook, PqIters}
+    val Scale = "1048576.0" // 2^20, the fixed-point mean scale
+    def sub(s: Int): String = {
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      val init =
+        s"""sb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM pp),
+           |s${s}cp0 AS (SELECT CAST(q.rn - 1 AS BIGINT) AS cell, t.i + 1 AS pos,
+           |    q.sv[t.i + 1] AS cx
+           |  FROM (SELECT vec_id, sv, row_number() OVER
+           |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |        FROM sb$s) q
+           |  CROSS JOIN unnest(range($PqSubDim)) AS t(i)
+           |  WHERE q.rn <= $PqCodebook)""".stripMargin
+      val iters = (0 until PqIters).map { k =>
+        s"""s${s}h$k AS (SELECT cell, list(cx ORDER BY pos) AS cv,
+           |    list_dot_product(list(cx ORDER BY pos),
+           |                     list(cx ORDER BY pos)) / 2.0 AS ch
+           |  FROM s${s}cp$k GROUP BY cell),
+           |s${s}a${k + 1} AS (SELECT vec_id, cell FROM (
+           |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
+           |               n.cell DESC) AS rn
+           |    FROM sb$s p CROSS JOIN s${s}h$k n) WHERE rn = 1),
+           |s${s}cp${k + 1} AS (SELECT prev.cell, prev.pos,
+           |    CASE WHEN x.n IS NULL THEN prev.cx
+           |         ELSE CAST(x.sx AS DOUBLE) / (CAST(x.n AS DOUBLE) * $Scale)
+           |    END AS cx
+           |  FROM s${s}cp$k prev LEFT JOIN (
+           |    SELECT a.cell, t.i + 1 AS pos,
+           |      sum(CAST(round(p.sv[t.i + 1] * $Scale, 0) AS BIGINT)) AS sx,
+           |      count(*) AS n
+           |    FROM s${s}a${k + 1} a JOIN sb$s p USING (vec_id)
+           |    CROSS JOIN unnest(range($PqSubDim)) AS t(i)
+           |    GROUP BY 1, 2) x
+           |  ON prev.cell = x.cell AND prev.pos = x.pos)""".stripMargin
+      }
+      val finals =
+        s"""s${s}h$PqIters AS (SELECT cell, list(cx ORDER BY pos) AS cv,
+           |    list_dot_product(list(cx ORDER BY pos),
+           |                     list(cx ORDER BY pos)) / 2.0 AS ch
+           |  FROM s${s}cp$PqIters GROUP BY cell),
+           |s${s}e AS (SELECT vec_id, cell FROM (
+           |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
+           |               n.cell DESC) AS rn
+           |    FROM sb$s p CROSS JOIN s${s}h$PqIters n) WHERE rn = 1)""".stripMargin
+      (Seq(init) ++ iters ++ Seq(finals)).mkString(",\n")
+    }
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}e ea$s USING (vec_id)").mkString("\n        ")
+    val encCols = (0 until PqSubspaces).map(s => s"ea$s.cell AS c$s")
+      .mkString(", ")
+    val centJoins = (0 until PqSubspaces)
+      .map(s => s"JOIN s${s}h$PqIters f$s ON f$s.cell = e.c$s")
+      .mkString("\n         ")
+    val score = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(q.vn[$lo:$hi], f$s.cv)"
+    }.mkString("\n         + ")
+    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                          CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM emb0 WHERE nrm > 0),
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |enc AS (SELECT ea0.vec_id, $encCols
+       |        FROM s0e ea0
+       |        $encJoins),
+       |qs AS (SELECT vec_id AS query_id, vn FROM pp WHERE vec_id < 20),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round($score, 6) AS cos_r
+       |       FROM enc e CROSS JOIN qs q
+       |         $centJoins
+       |       WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
   }
 
   /** Full SQL replay of [[graft.operators.Similarity.lshTopK]]: the same

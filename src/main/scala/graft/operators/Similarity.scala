@@ -624,4 +624,132 @@ object Similarity {
         round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
     presentTopK(scored, k)
   }
+
+  // ------------------------------------------------- product quantization
+
+  val PqSubspaces = 8
+  val PqSubDim = 8 // 64-dim embeddings split 8 × 8
+  val PqCodebook = 64 // centroids per subspace codebook
+  val PqIters = 2
+  private val PqScale = 1L << 20
+
+  /** Normalized corpus for PQ: cosine(q, x) = Σ_s ⟨q̂_s, x̂_s⟩ over
+    * subvector slices of the UNIT vectors, which is what the per-subspace
+    * codebooks approximate. Component-wise `x / nrm` is a single IEEE
+    * division — identical in both engines.
+    */
+  private def pqPrepared(embeddings: DataFrame): DataFrame =
+    prepared(embeddings).filter(col("nrm") > 0)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+
+  /** L2-nearest codebook entry for a subvector: `argmin |sv − c|² =
+    * argmax (⟨sv, c⟩ − |c|²/2)`, decided on the 6-dp-rounded score with
+    * ties → HIGHER index (`array_max` over (score, idx) structs — the
+    * same contract as the IVF assignment). |c|²/2 folds to a Scala
+    * constant computed with the same sequential sum the oracle's
+    * `list_dot_product(cv, cv)` uses.
+    */
+  private def pqNearest(df: DataFrame, sv: Column,
+                        cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct(round(dotN(df, sv, typedlit(c)) - half, 6).as("score"),
+        lit(j.toLong).as("j"))
+    }
+    array_max(array(scored: _*)).getField("j")
+  }
+
+  /** One subspace codebook: md5-seeded deterministic k-means on the
+    * subvector slices — the [[kmeansCentroids]] loop with L2 assignment
+    * (the right geometry for reconstruction; spherical assignment would
+    * discard subvector magnitude, which ADC needs). Fixed-point mean
+    * updates keep the trained centroids bit-identical across runs and
+    * engines; empty cells keep their centroid.
+    */
+  private[graft] def pqTrainSubspace(prep: DataFrame, s: Int): Seq[Seq[Double]] = {
+    val sub = prep.select(col("vec_id"),
+      slice(col("vn"), s * PqSubDim + 1, PqSubDim).as("sv"))
+    var cents: Array[Array[Double]] = sub
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqCodebook).select(col("sv")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    var it = 0
+    while (it < PqIters) {
+      val sums = sub
+        .withColumn("code", pqNearest(sub, col("sv"), cents.map(_.toSeq).toSeq))
+        .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("code"), col("pos"))
+        .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * PqScale)
+      }
+      cents = next
+      it += 1
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** PQ approximate top-k — the MEMORY-bounded ANN path that completes
+    * the family (brute: exact, LSH: bucketed, IVF: partitioned, PQ:
+    * compressed): every corpus vector is stored as `PqSubspaces` 4-bit
+    * codes (64 floats → 2 bytes, a 128× compression), and queries score
+    * the whole corpus by asymmetric distance computation — codebook
+    * lookups instead of raw vectors. At 100 TB the codes table is what
+    * fits in memory when the embedding column cannot; the scan is
+    * embarrassingly parallel and the nested-loop side is only the
+    * broadcast 20-query set (exempted in `PlanAuditSpec` alongside
+    * `ann_topk_brute`, whose scan shape PQ intentionally shares — PQ IS
+    * brute force over compressed codes).
+    *
+    * Every step is deterministic and engine-portable (md5 seeds,
+    * fixed-point Lloyd updates, 6-dp rounded assignment and ranking), so
+    * the DuckDB oracle replays training, encoding, ADC, and ranking
+    * bit-for-bit. Recall vs the exact baseline is additionally
+    * floor-gated in `SimilaritySpec`.
+    */
+  /** Diagnostic: ADC score of each vector against its OWN codes — the
+    * reconstruction quality ceiling (1.0 = lossless). Dev aid for sizing
+    * the codebooks; not a declared query.
+    */
+  private[graft] def pqSelfScores(embeddings: DataFrame): DataFrame = {
+    val prep = pqPrepared(embeddings).localCheckpoint()
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))
+    val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }
+    val contributions = (0 until PqSubspaces).map(s =>
+      dotN(prep, slice(col("vn"), s * PqSubDim + 1, PqSubDim),
+        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    encoded.select(col("vec_id"),
+      contributions.reduce(_ + _).as("self_score"))
+  }
+
+  def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val prep = pqPrepared(embeddings).localCheckpoint()
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))
+    val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }
+    val corpus = encoded.select(col("vec_id") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    val queries = prep.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id") +:
+        (0 until PqSubspaces).map(s =>
+          slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*)
+    // ADC: per subspace, the contribution is a literal-codebook lookup
+    // (element_at on the broadcast constant), never a raw-vector read
+    val contributions = (0 until PqSubspaces).map(s =>
+      dotN(prep, col(s"q$s"),
+        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    val scored = corpus.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
+    presentTopK(scored, k)
+  }
 }

@@ -364,4 +364,18 @@ class SimilaritySpec extends SparkSpec {
       assert(!rows.exists(_.getLong(1) == 0L), "zero-norm neighbor emitted")
     }
   }
+
+  test("PQ top-k: deterministic across runs, recall floor vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.pqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val b = Similarity.pqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(a == b, "md5 seeds + fixed-point Lloyd must make PQ bit-stable")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.count(r =>
+      brute.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+    println(s"[pq] recall: $hits of ${brute.size}")
+    assert(hits * 5 >= brute.size,
+      s"PQ recall collapsed: $hits of ${brute.size} (floor 20%)")
+  }
 }
