@@ -848,6 +848,10 @@ object SparkEntry {
     // product quantization: brute force over 128x-compressed codes — the
     // memory-bounded ANN path; training/encode/ADC all oracle-replayed
     "ann_topk_pq" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // frozen-codebook encode of the arriving 1/5 batch: map-only, no
+    // training rescan — the artifact-incremental daily-run path for PQ
+    "ann_pq_encode_inc" -> ((s, dir) =>
+      Similarity.pqEncodeIncremental(Tables.embeddings(s, dir))),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2443,6 +2447,7 @@ object SparkEntry {
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
     "ann_topk_pq" -> pqTopKOracle,
+    "ann_pq_encode_inc" -> pqEncodeIncOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -3000,12 +3005,94 @@ object SparkEntry {
     * cosine ranking contract.
     */
   private val pqTopKOracle: String = {
-    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqCodebook, PqIters}
-    val Scale = "1048576.0" // 2^20, the fixed-point mean scale
-    def sub(s: Int): String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim}
+    val sub = pqSubChainSql("pp") _
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}e ea$s USING (vec_id)").mkString("\n        ")
+    val encCols = (0 until PqSubspaces).map(s => s"ea$s.cell AS c$s")
+      .mkString(", ")
+    val centJoins = (0 until PqSubspaces)
+      .map(s => s"JOIN s${s}h${graft.operators.Similarity.PqIters} f$s ON f$s.cell = e.c$s")
+      .mkString("\n         ")
+    val score = (0 until PqSubspaces).map { s =>
       val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
-      val init =
-        s"""sb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM pp),
+      s"list_dot_product(q.vn[$lo:$hi], f$s.cv)"
+    }.mkString("\n         + ")
+    s"""WITH $pqPpSql,
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |enc AS (SELECT ea0.vec_id, $encCols
+       |        FROM s0e ea0
+       |        $encJoins),
+       |qs AS (SELECT vec_id AS query_id, vn FROM pp WHERE vec_id < 20),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round($score, 6) AS cos_r
+       |       FROM enc e CROSS JOIN qs q
+       |         $centJoins
+       |       WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Incremental-encode oracle: train the codebooks over the first 4/5 of
+    * vec_ids ([[pqSubChainSql]] on `ppa` — the frozen artifact corpus),
+    * then assign each batch subvector against the FINAL centroids with
+    * the identical rounded-score / higher-cell tie contract.
+    */
+  private val pqEncodeIncOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqIters}
+    val sub = pqSubChainSql("ppa") _
+    val batchChains = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"""bb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM ppb),
+         |s${s}be AS (SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
+         |               n.cell DESC) AS rn
+         |    FROM bb$s p CROSS JOIN s${s}h$PqIters n) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}be b$s USING (vec_id)").mkString("\n  ")
+    val cols = (0 until PqSubspaces).map(s => s"b$s.cell AS code$s")
+      .mkString(", ")
+    s"""WITH $pqPpSql,
+       |cutc AS (SELECT (max(vec_id) * 4) // 5 AS cutv FROM embeddings),
+       |ppa AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id < cutv),
+       |ppb AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id >= cutv),
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |$batchChains
+       |SELECT b0.vec_id, $cols
+       |FROM s0be b0
+       |  $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The normalized-vector projection every PQ oracle starts from.
+    * (A def, not a val: it is interpolated by `pqTopKOracle` and
+    * `pqEncodeIncOracle`, which initialize earlier in declaration order.)
+    */
+  private def pqPpSql: String =
+    """emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                          CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+      |       FROM emb0 WHERE nrm > 0)""".stripMargin
+
+  /** One subspace's full PQ chain (init + Lloyd iterations + final
+    * centroids `s{s}h{PqIters}` + corpus encoding `s{s}e`), trained over
+    * the normalized-vector CTE `pSrc`. Shared by the top-k and the
+    * incremental-encode oracles.
+    */
+  private def pqSubChainSql(pSrc: String)(s: Int): String = {
+    import graft.operators.Similarity.{PqSubDim, PqCodebook, PqIters}
+    val Scale = "1048576.0" // 2^20, the fixed-point mean scale
+    val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+    val init =
+      s"""sb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM $pSrc),
            |s${s}cp0 AS (SELECT CAST(q.rn - 1 AS BIGINT) AS cell, t.i + 1 AS pos,
            |    q.sv[t.i + 1] AS cx
            |  FROM (SELECT vec_id, sv, row_number() OVER
@@ -3047,40 +3134,6 @@ object SparkEntry {
            |               n.cell DESC) AS rn
            |    FROM sb$s p CROSS JOIN s${s}h$PqIters n) WHERE rn = 1)""".stripMargin
       (Seq(init) ++ iters ++ Seq(finals)).mkString(",\n")
-    }
-    val encJoins = (1 until PqSubspaces)
-      .map(s => s"JOIN s${s}e ea$s USING (vec_id)").mkString("\n        ")
-    val encCols = (0 until PqSubspaces).map(s => s"ea$s.cell AS c$s")
-      .mkString(", ")
-    val centJoins = (0 until PqSubspaces)
-      .map(s => s"JOIN s${s}h$PqIters f$s ON f$s.cell = e.c$s")
-      .mkString("\n         ")
-    val score = (0 until PqSubspaces).map { s =>
-      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
-      s"list_dot_product(q.vn[$lo:$hi], f$s.cv)"
-    }.mkString("\n         + ")
-    s"""WITH emb0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                          CAST(embedding AS DOUBLE[]))) AS nrm
-       |  FROM embeddings),
-       |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
-       |       FROM emb0 WHERE nrm > 0),
-       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
-       |enc AS (SELECT ea0.vec_id, $encCols
-       |        FROM s0e ea0
-       |        $encJoins),
-       |qs AS (SELECT vec_id AS query_id, vn FROM pp WHERE vec_id < 20),
-       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-       |         round($score, 6) AS cos_r
-       |       FROM enc e CROSS JOIN qs q
-       |         $centJoins
-       |       WHERE e.vec_id <> q.query_id),
-       |r AS (SELECT query_id, neighbor_id,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
-       |      FROM sc)
-       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
-       |ORDER BY query_id, "rank"""".stripMargin
   }
 
   /** Full SQL replay of [[graft.operators.Similarity.lshTopK]]: the same

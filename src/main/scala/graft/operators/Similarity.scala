@@ -729,6 +729,29 @@ object Similarity {
       contributions.reduce(_ + _).as("self_score"))
   }
 
+  /** Frozen-codebook PQ encoding of a new batch — the daily-run member of
+    * the artifact-incremental family (the [[assignWith]] analog for PQ):
+    * codebooks train once over the stored corpus (first 4/5 of vec_ids
+    * here, playing the persisted artifact), and the arriving batch
+    * encodes in ONE map-only pass — `PqSubspaces × PqCodebook` dot
+    * products per row, no shuffle, no training rescan. Output is the
+    * batch's code table `(vec_id, code0..code7)`.
+    */
+  def pqEncodeIncremental(embeddings: DataFrame): DataFrame = {
+    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val prep = pqPrepared(embeddings).localCheckpoint()
+    val train = prep.filter(col("vec_id") < cut)
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(train, s))
+    val batch = prep.filter(col("vec_id") >= cut)
+    (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }.select(col("vec_id") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+      .orderBy(col("vec_id"))
+  }
+
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))

@@ -378,4 +378,19 @@ class SimilaritySpec extends SparkSpec {
     assert(hits * 5 >= brute.size,
       s"PQ recall collapsed: $hits of ${brute.size} (floor 20%)")
   }
+
+  test("PQ incremental encode: deterministic batch codes in codebook range") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
+    val b = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
+    assert(a == b, "frozen-codebook encode must be bit-stable")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      r.tail.foreach { c =>
+        val code = c.asInstanceOf[Long]
+        assert(code >= 0L && code < Similarity.PqCodebook,
+          s"code $code outside the codebook")
+      }
+    }
+  }
 }
