@@ -303,6 +303,10 @@ object DevScale {
     // compressed codes — the memory-bounded ANN path at 100× bench scale
     timeDocs("pq_topk_500k")(
       graft.operators.Similarity.pqTopK(ve, 20, 10).count())
+    // the production composition at the same 500k: cell pruning should
+    // cut the scored candidates ~cells/probes-fold vs the PQ full scan
+    timeDocs("ivfpq_topk_500k")(
+      graft.operators.Similarity.ivfPqTopK(ve, 20, 10).count())
 
     // sequence packing at 500k docs / ~27.5M tokens into 4096-token
     // sequences: the shared prefix sum plus a map-only explode —

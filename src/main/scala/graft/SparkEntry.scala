@@ -852,6 +852,10 @@ object SparkEntry {
     // training rescan — the artifact-incremental daily-run path for PQ
     "ann_pq_encode_inc" -> ((s, dir) =>
       Similarity.pqEncodeIncremental(Tables.embeddings(s, dir))),
+    // the production composition: IVF cell pruning + PQ code scoring —
+    // a cell equi-join, no raw vectors in the search path
+    "ann_topk_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2448,6 +2452,7 @@ object SparkEntry {
     "ann_topk_ivf" -> ivfTopKOracle,
     "ann_topk_pq" -> pqTopKOracle,
     "ann_pq_encode_inc" -> pqEncodeIncOracle,
+    "ann_topk_ivfpq" -> ivfPqTopKOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -3029,6 +3034,60 @@ object SparkEntry {
        |       FROM enc e CROSS JOIN qs q
        |         $centJoins
        |       WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** IVF-PQ oracle: the km-training prefix (trained coarse centroids +
+    * per-vector cell ranking, verbatim from [[ivfTopKOracle]]'s chain)
+    * composed with the PQ chains — candidates come from the probed
+    * cells' members, scores from the trained codebooks via the encoded
+    * code table. Both component replays unchanged.
+    */
+  private val ivfPqTopKOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqIters, IvfProbes}
+    val ctePrefix = kmeansClusterOracle.substring(0,
+      kmeansClusterOracle.indexOf(",\naf AS"))
+    val sub = pqSubChainSql("pp") _
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}e ea$s USING (vec_id)").mkString("\n        ")
+    val encCols = (0 until PqSubspaces).map(s => s"ea$s.cell AS pc$s")
+      .mkString(", ")
+    val centJoins = (0 until PqSubspaces)
+      .map(s => s"JOIN s${s}h$PqIters f$s ON f$s.cell = e.pc$s")
+      .mkString("\n         ")
+    val score = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(qq.vn[$lo:$hi], f$s.cv)"
+    }.mkString("\n         + ")
+    s"""$ctePrefix,
+       |av AS (SELECT vec_id, cell, rn FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM p CROSS JOIN n${graft.operators.Similarity.IvfKmeansIters} n)),
+       |corp AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS query_id, cell AS q_cell FROM av
+       |        WHERE rn <= $IvfProbes AND vec_id < 20),
+       |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM p WHERE nrm > 0),
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |enc AS (SELECT ea0.vec_id, $encCols
+       |        FROM s0e ea0
+       |        $encJoins),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round($score, 6) AS cos_r
+       |       FROM qpr q JOIN corp c ON c.cell = q.q_cell
+       |                             AND c.vec_id <> q.query_id
+       |         JOIN enc e ON e.vec_id = c.vec_id
+       |         $centJoins
+       |         JOIN pp qq ON qq.vec_id = q.query_id),
        |r AS (SELECT query_id, neighbor_id,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"

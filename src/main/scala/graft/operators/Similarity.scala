@@ -752,6 +752,52 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-PQ — the production ANN composition at 100 TB: the IVF coarse
+    * quantizer prunes the candidate set to the probed cells' members
+    * (an equi-join on cell id — cost tracks cell occupancy), and PQ's
+    * asymmetric distance scores those members from 128×-compressed codes
+    * (no raw-vector reads in the search path at all). This replaces
+    * [[pqTopK]]'s full scan with IVF's partition pruning and
+    * [[ivfTopK]]'s raw-vector scoring with code lookups — each
+    * component's oracle-replayed machinery, composed unchanged, so the
+    * composition replays too.
+    */
+  def ivfPqTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                probes: Int = IvfProbes): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prepIvf = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prepIvf, IvfCells, IvfKmeansIters,
+      portableSeed = true)
+    val assigned = prepIvf
+      .withColumn("cells2", ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, probes))
+      .withColumn("cell", element_at(col("cells2"), 1))
+      .localCheckpoint()
+    val prepPq = pqPrepared(embeddings).localCheckpoint()
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prepPq, s))
+    val encoded = (0 until PqSubspaces).foldLeft(prepPq) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }.select(col("vec_id") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    val corpus = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"), col("cell"))
+      .join(encoded, "vec_id")
+    val queries = assigned.filter(col("vec_id") < numQueries && col("nrm") > 0)
+      .select(col("vec_id").as("query_id"), explode(col("cells2")).as("q_cell"))
+      .join(prepPq.select(col("vec_id").as("query_id") +:
+        (0 until PqSubspaces).map(s =>
+          slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
+        "query_id")
+    val contributions = (0 until PqSubspaces).map(s =>
+      dotN(prepPq, col(s"q$s"),
+        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
+    presentTopK(scored, k)
+  }
+
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))

@@ -379,6 +379,20 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall collapsed: $hits of ${brute.size} (floor 20%)")
   }
 
+  test("IVF-PQ: deterministic, candidates respect the IVF pruning") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.ivfPqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(a == Similarity.ivfPqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq)
+    // every reported neighbor must be an IVF candidate of its query —
+    // the pruning is the whole point of the composition
+    val ivf = Similarity.ivfTopK(emb, 10, Int.MaxValue - 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    a.foreach { r =>
+      val pair = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+      assert(ivf.contains(pair), s"$pair scored outside the probed cells")
+    }
+  }
+
   test("PQ incremental encode: deterministic batch codes in codebook range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
