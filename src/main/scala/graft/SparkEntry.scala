@@ -343,6 +343,13 @@ object SparkEntry {
     // per-node slack — the merge invariant)
     "quantile_qdigest_update" -> ((s, dir) =>
       graft.operators.Sketches.qdigestGateIncremental(Tables.events(s, dir))),
+    // the gate over a foreachBatch-maintained artifact (2-batch replay,
+    // event_id % 2 split) — build-then-merge, replayed two-phase
+    "quantile_qdigest_stream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.qdigestGateStreamed(
+        graft.streaming.StreamingSketches.replayQDigest(ev), ev)
+    }),
     // single-pass Deequ-style constraint suite over the corpus
     "corpus_constraints" -> ((s, dir) =>
       Curation.validateConstraints(Tables.documents(s, dir))),
@@ -1357,6 +1364,7 @@ object SparkEntry {
     // readout + rank-theorem booleans matched exactly
     "quantile_qdigest" -> qdigestOracle,
     "quantile_qdigest_update" -> qdigestUpdateOracle,
+    "quantile_qdigest_stream" -> qdigestStreamOracle,
     // consecutive-day TV distance over the same hdr bins, integer
     // cross-multiplied (drift_bp = Σ|c1·n2 − c2·n1|·10⁴ ÷ 2n1n2)
     "value_drift_daily" -> valueDriftOracle,
@@ -2700,12 +2708,27 @@ object SparkEntry {
        |${qdGateSql("nodes", "raw", "tt", 16)}""".stripMargin
 
   private val qdigestUpdateOracle: String =
+    qdigestTwoPhaseOracle("event_id < cutv", "event_id >= cutv")
+
+  /** The streamed maintainer replays as the SAME two-phase build-then-
+    * merge, with the engine-portable `event_id % 2` batch split.
+    */
+  private val qdigestStreamOracle: String =
+    qdigestTwoPhaseOracle("event_id % 2 = 0", "event_id % 2 = 1")
+
+  /** Two-phase q-digest oracle: build the first batch's artifact with its
+    * own `t`, compress the second batch likewise, merge under the
+    * combined `t` — the exact shape of `qdigestUpdate(build(A), B)` and
+    * of the 2-batch foreachBatch replay; gate slack 32 (the merged
+    * internal-node bound).
+    */
+  private def qdigestTwoPhaseOracle(aPred: String, bPred: String): String =
     s"""WITH rawe AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c, event_id
        |              FROM events WHERE value IS NOT NULL),
        |raw AS (SELECT c FROM rawe),
        |cutc AS (SELECT (max(event_id) * 4) // 5 AS cutv FROM events),
-       |la AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE event_id < cutv),
-       |lb AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE event_id >= cutv),
+       |la AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $aPred),
+       |lb AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $bPred),
        |tta AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |          greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM la),
        |p0a AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM la GROUP BY 1),

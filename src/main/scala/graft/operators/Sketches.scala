@@ -697,6 +697,16 @@ object Sketches {
     qdGateFrom(merged, events, sigma, qs, slack = 32)
   }
 
+  /** The gate evaluated against a CALLER-SUPPLIED artifact (e.g. one
+    * maintained incrementally by the streaming loop) at the merged-slack
+    * bound — q-digest merges re-compress, so unlike Count-Min the
+    * streamed artifact is bound-equivalent, not bit-identical.
+    */
+  def qdigestGateStreamed(state: DataFrame, events: DataFrame,
+                          sigma: Int = 256,
+                          qs: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    qdGateFrom(state, events, sigma, qs, slack = 32)
+
   private def qdGateFrom(state: DataFrame, events: DataFrame, sigma: Int,
                          qs: Seq[Int], slack: Int): DataFrame = {
     val spark = events.sparkSession

@@ -68,6 +68,38 @@ object StreamingSketches {
   def replayDriftMonitor(events: DataFrame, nBatches: Int = 4): DataFrame =
     Sketches.valueDriftFromState(replayHistDaily(events, nBatches))
 
+  /** Streamed q-digest maintenance: two micro-batches split on the
+    * engine-portable `event_id % 2`, each folded with
+    * [[graft.operators.Sketches.qdigestUpdate]] (sketch the batch, merge
+    * artifacts under the combined `t`). Because the first fold against
+    * the empty state re-compresses `build(batch0)` idempotently, the
+    * final artifact is EXACTLY `merge(build(A), build(B))` — the shape
+    * the `quantile_qdigest_stream` oracle replays two-phase; the rank
+    * theorem holds at the merged 2t-per-node slack.
+    */
+  def replayQDigest(events: DataFrame, nBatches: Int = 2,
+                    sigma: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    val root = java.nio.file.Files.createTempDirectory("graft_qd_")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    (0 until nBatches).foreach { i =>
+      StreamingSessions.appendReplayFile(
+        events.filter(pmod(col("event_id"), lit(nBatches)) === i), inDir, i + 1)
+    }
+    var state = Sketches.qdigestState(events.limit(0), sigma)
+    val src = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        state = Sketches.qdigestUpdate(state, batch, sigma)
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state
+  }
+
   /** Streamed Count-Min maintenance: fold each document micro-batch into
     * the (row, col, cnt) artifact with
     * [[graft.operators.Sketches.cmsketchUpdate]]. CM merge is an EXACT

@@ -64,6 +64,25 @@ class StreamingSpec extends SparkSpec {
     assert(gotDrift == wantDrift)
   }
 
+  test("streamed q-digest equals merge(build(A), build(B)) and keeps the rank bound") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val streamed = StreamingSketches.replayQDigest(events)
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Sketches.qdigestUpdate(
+      graft.operators.Sketches.qdigestState(
+        events.filter(pmod(col("event_id"), lit(2)) === 0)),
+      events.filter(pmod(col("event_id"), lit(2)) === 1))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == direct,
+      "the foreachBatch fold must land on the two-phase merge artifact " +
+        "(first fold re-compresses build(batch0) idempotently)")
+    graft.operators.Sketches.qdigestGateStreamed(
+      StreamingSketches.replayQDigest(events), events).collect().foreach { r =>
+      assert(r.getBoolean(6) && r.getBoolean(7),
+        s"streamed artifact breaks the 2t rank bound at q=${r.getLong(0)}")
+    }
+  }
+
   test("streamed count-min maintenance is bit-identical to the one-shot build") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val streamed = StreamingSketches.replayCmSketch(docs, nBatches = 3)
