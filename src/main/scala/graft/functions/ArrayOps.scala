@@ -136,6 +136,65 @@ object NearestCells {
   }
 }
 
+/** L2-nearest codebook index of a subvector — the PQ assignment kernel:
+  * `argmax round(⟨sv, c⟩ − |c|²/2, 6)`, ties → HIGHER index (the same
+  * contract as the `array_max`-over-(score, idx)-structs spelling it
+  * replaces, which — like the pre-[[NearestCells]] IVF scoring — blew
+  * past the whole-stage-codegen method limit at 64 centroids × 8
+  * subspaces and fell back to interpreted eval, turning the 500k-vector
+  * encode into the DevScale outlier). One tight loop over a
+  * reference-object matrix; |c|²/2 precomputed host-side with the same
+  * sequential sum the oracle's `list_dot_product(cv, cv)` uses.
+  */
+case class NearestCodeL2(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val halves: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum / 2.0)
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_code_l2"
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCodeL2.run(a.asInstanceOf[ArrayData], centroids, halves)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val hRef = ctx.addReferenceObj("halves", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NearestCodeL2.run($a, $cRef, $hRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCodeL2 {
+  def run(v: ArrayData, cents: Array[Array[Double]],
+          halves: Array[Double]): Long = {
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      // identical arithmetic to round(dot − half, 6) — BigDecimal HALF_UP
+      val q = s - halves(c)
+      val score =
+        if (!java.lang.Double.isFinite(q)) Double.NegativeInfinity
+        else java.math.BigDecimal.valueOf(q)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // ties → higher index: >= keeps the later centroid
+      if (best < 0 || score >= bestScore) { best = c; bestScore = score }
+      c += 1
+    }
+    best.toLong
+  }
+}
+
 object ArrayOps {
 
   /** Idempotently register graft functions on the session's registry. */
@@ -152,6 +211,24 @@ object ArrayOps {
         NearestCells(exprs.head, exprs(1), matrix,
           exprs(3).eval().asInstanceOf[Int])
       }, "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_code_l2", exprs => {
+        val matrix = exprs(1).eval() match {
+          case ad: ArrayData => ad.toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[ArrayData].toDoubleArray())
+        }
+        NearestCodeL2(exprs.head, matrix)
+      }, "built-in")
+  }
+
+  /** L2-nearest codebook index (PQ assignment) for a subvector column;
+    * the codebook travels as a foldable literal, unpacked at plan build.
+    */
+  def nearestCodeL2(spark: SparkSession, sv: Column,
+                    centroids: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("graft_code_l2", sv,
+      org.apache.spark.sql.functions.typedlit(centroids))
   }
 
   /** Codegen'd dot product of two array<double> columns. */

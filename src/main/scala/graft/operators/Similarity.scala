@@ -644,13 +644,22 @@ object Similarity {
 
   /** L2-nearest codebook entry for a subvector: `argmin |sv − c|² =
     * argmax (⟨sv, c⟩ − |c|²/2)`, decided on the 6-dp-rounded score with
-    * ties → HIGHER index (`array_max` over (score, idx) structs — the
-    * same contract as the IVF assignment). |c|²/2 folds to a Scala
-    * constant computed with the same sequential sum the oracle's
-    * `list_dot_product(cv, cv)` uses.
+    * ties → HIGHER index. Runs as the codegen'd
+    * [[graft.functions.NearestCodeL2]] — the `array_max`-over-structs
+    * spelling it replaces (kept below as the spec parity pin) exceeded
+    * the whole-stage-codegen limit at 64 centroids × 8 subspaces and
+    * fell back to interpreted eval, the r9 DevScale outlier.
     */
   private def pqNearest(df: DataFrame, sv: Column,
-                        cents: Seq[Seq[Double]]): Column = {
+                        cents: Seq[Seq[Double]]): Column =
+    ArrayOps.nearestCodeL2(df.sparkSession, sv, cents)
+
+  /** The original struct-array spelling of [[pqNearest]] — quadratic
+    * codegen, interpreted at real codebook sizes; retained ONLY as the
+    * bit-level parity pin for the native kernel (`SimilaritySpec`).
+    */
+  private[graft] def pqNearestStructs(df: DataFrame, sv: Column,
+                                      cents: Seq[Seq[Double]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val half = c.map(x => x * x).sum / 2.0
       struct(round(dotN(df, sv, typedlit(c)) - half, 6).as("score"),

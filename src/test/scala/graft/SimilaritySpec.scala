@@ -379,6 +379,23 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall collapsed: $hits of ${brute.size} (floor 20%)")
   }
 
+  test("NearestCodeL2 matches the array_max-of-structs spelling it replaced") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val prep = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("sv"))
+      .filter(expr("aggregate(sv, 0d, (a, x) -> a + x * x)") > 0)
+    // a deterministic toy codebook exercising negatives and ties
+    val cents = Seq.tabulate(64)(j =>
+      Seq.tabulate(64)(d => ((j * 31 + d * 7) % 13 - 6) / 10.0))
+    val native = graft.functions.ArrayOps
+      .nearestCodeL2(spark, col("sv"), cents)
+    val structs = Similarity.pqNearestStructs(prep, col("sv"), cents)
+    val diff = prep.select(col("vec_id"), native.as("a"), structs.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L, s"$diff vectors coded differently by the two spellings")
+  }
+
   test("IVF-PQ: deterministic, candidates respect the IVF pruning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.ivfPqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
