@@ -389,6 +389,20 @@ object SparkEntry {
     // lower-bound / error-bound / coverage booleans cannot)
     "vocab_heavy_hitters" -> ((s, dir) =>
       graft.operators.Sketches.heavyHitterGate(Tables.documents(s, dir))),
+    // the same theorem gate over a foreachBatch-maintained MG artifact —
+    // counter values differ per batching, the gated bounds cannot
+    "vocab_hh_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sketches.heavyHitterGateFrom(
+        graft.streaming.StreamingSketches.replayHeavyHitters(docs), docs)
+    }),
+    // cardinality gate over a foreachBatch-maintained HLL artifact —
+    // register-wise-max union makes it bit-identical to one-shot
+    "vocab_sketch_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sketches.vocabCardinalityFrom(
+        graft.streaming.StreamingSketches.replayVocabSketch(docs), docs)
+    }),
     // A3 on Spark 4's transformWithState API (RocksDB-backed named state):
     // same alert-set contract as t2_alert_outoforder
     "t2_alert_tws" -> ((s, dir) =>
@@ -1269,15 +1283,9 @@ object SparkEntry {
     // booleans, sketchAccuracy-style; ROLLUP's null group = grand total
     // ('TOTAL' < 'srcN' in binary collation on both engines, so the
     // global row sorts first deterministically)
-    "vocab_cardinality_sketch" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
-        |SELECT coalesce(source, 'TOTAL') AS source,
-        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
-        |  true AS within_bound
-        |FROM toks GROUP BY ROLLUP(source)
-        |ORDER BY source""".stripMargin,
+    "vocab_cardinality_sketch" -> vocabCardinalityOracle,
+    // streamed HLL artifact ≡ one-shot (register-wise max) → same oracle
+    "vocab_sketch_stream" -> vocabCardinalityOracle,
     // md5-bucket split + brute-jaccard leakage edges (same shingle CTE as
     // bruteJaccardOracle; only the train side of a cross-split edge is
     // quarantined). The Spark side defaults to banded-MinHash edges; its
@@ -1397,19 +1405,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
-    "vocab_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
-        |SELECT source,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
-        |  true AS size_ok,
-        |  true AS underestimates_only,
-        |  true AS err_within_bound,
-        |  true AS heavy_covered
-        |FROM toks GROUP BY source
-        |ORDER BY source""".stripMargin,
+    "vocab_heavy_hitters" -> heavyHitterOracle,
+    // streamed MG: counters vary per batching, the gated theorems do not
+    "vocab_hh_stream" -> heavyHitterOracle,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->
@@ -2621,6 +2619,35 @@ object SparkEntry {
     * (winner selection always sees the full corpus) — which is precisely
     * the incremental operator's contract.
     */
+  /** Exact-values-plus-theorem-boolean oracles shared by the one-shot and
+    * streamed sketch gates: HLL artifacts are bit-identical under any
+    * batching (register max), MG counter values vary but the gated
+    * theorem booleans hold for any merge tree.
+    */
+  private val vocabCardinalityOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+      |SELECT coalesce(source, 'TOTAL') AS source,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
+      |  true AS within_bound
+      |FROM toks GROUP BY ROLLUP(source)
+      |ORDER BY source""".stripMargin
+
+  private val heavyHitterOracle: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+      |  true AS size_ok,
+      |  true AS underestimates_only,
+      |  true AS err_within_bound,
+      |  true AS heavy_covered
+      |FROM toks GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Count-Min cells replayed cell-for-cell — shared by the one-shot and
     * the stream-maintained gate (exact vector-add merge ⇒ identical
     * artifacts ⇒ identical readouts).

@@ -157,6 +157,28 @@ object Sketches {
       .filter(col("n_tokens_exact") > 0)
       .orderBy(col("source"))
 
+  /** The cardinality gate evaluated against a CALLER-SUPPLIED sketch
+    * artifact table: exact distinct counts from the raw corpus joined to
+    * the artifact readout ([[vocabSketchEstimates]], incl. the merged
+    * TOTAL). HLL union is register-wise max, so a correctly-maintained
+    * artifact is bit-identical to the one-shot build and the gate shares
+    * `vocab_cardinality_sketch`'s oracle.
+    */
+  def vocabCardinalityFrom(state: DataFrame, documents: DataFrame,
+                           boundPct: Int = 5): DataFrame = {
+    val exact = sourceTokens(documents)
+      .rollup(col("source"))
+      .agg(count_distinct(col("tok")).as("n_tokens_exact"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_tokens_exact"))
+    exact.join(vocabSketchEstimates(state), "source")
+      .select(col("source"), col("n_tokens_exact"),
+        (abs(col("est_tokens") - col("n_tokens_exact")) * 100
+          <= col("n_tokens_exact") * boundPct).as("within_bound"))
+      .filter(col("n_tokens_exact") > 0)
+      .orderBy(col("source"))
+  }
+
   /** Per-source heavy-hitter ARTIFACTS: one ≤`k`-entry Misra–Gries
     * token-frequency summary per source ([[graft.functions.MisraGries]]).
     * The frequent-items sibling of [[vocabSketchState]]: build once per
@@ -739,10 +761,20 @@ object Sketches {
       .orderBy(col("q"))
   }
 
-  def heavyHitterGate(documents: DataFrame, k: Int = 8): DataFrame = {
+  def heavyHitterGate(documents: DataFrame, k: Int = 8): DataFrame =
+    heavyHitterGateFrom(heavyHitterState(documents, k), documents, k)
+
+  /** The MG gate evaluated against a CALLER-SUPPLIED artifact (e.g. one
+    * maintained by the streaming fold): counter VALUES vary with
+    * batching, but the checked theorems hold for any merge tree
+    * (`FreqSketchPropertySpec`), so the gate — and its oracle — are
+    * batching-independent.
+    */
+  def heavyHitterGateFrom(state: DataFrame, documents: DataFrame,
+                          k: Int = 8): DataFrame = {
     val exact = sourceTokens(documents)
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
-    val summ = heavyHitterState(documents, k).select(col("source"),
+    val summ = state.select(col("source"),
       explode(col("summary")).as(Seq("tok", "est")))
     exact.join(summ, Seq("source", "tok"), "left")
       .withColumn("nr", sum(col("n")).over(

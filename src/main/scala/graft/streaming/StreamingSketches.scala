@@ -100,28 +100,28 @@ object StreamingSketches {
     state
   }
 
-  /** Streamed Count-Min maintenance: fold each document micro-batch into
-    * the (row, col, cnt) artifact with
-    * [[graft.operators.Sketches.cmsketchUpdate]]. CM merge is an EXACT
-    * vector add, so the final artifact is bit-identical to the one-shot
-    * build — `StreamingSpec` pins that cell-for-cell, and the gate read
-    * from the streamed artifact shares `vocab_cmsketch`'s oracle.
+  /** Generic document-stream fold: split `documents` into `nBatches`
+    * deterministic micro-batches and fold each into an artifact with
+    * `step` — the shared harness behind the Count-Min, Misra–Gries and
+    * HLL streamed maintainers.
     */
-  def replayCmSketch(documents: DataFrame, nBatches: Int = 3): DataFrame = {
+  private def replayDocFold(documents: DataFrame, nBatches: Int,
+                            empty: DataFrame,
+                            step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val root = java.nio.file.Files.createTempDirectory("graft_cms_")
+    val root = java.nio.file.Files.createTempDirectory("graft_fold_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     (0 until nBatches).foreach { i =>
       StreamingSessions.appendReplayFile(
         documents.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i),
         inDir, i + 1)
     }
-    var state = Sketches.cmsketchState(documents.limit(0)).localCheckpoint()
+    var state = empty.localCheckpoint()
     val src = spark.readStream.schema(documents.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = Sketches.cmsketchUpdate(state, batch).localCheckpoint()
+        state = step(state, batch).localCheckpoint()
       }
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .trigger(Trigger.AvailableNow())
@@ -129,4 +129,37 @@ object StreamingSketches {
     q.awaitTermination()
     state
   }
+
+  /** Streamed Misra–Gries maintenance: per-batch summaries folded with
+    * the value-based artifact merge
+    * ([[graft.operators.Sketches.heavyHitterUpdate]]). Counter values
+    * vary with batching; the MG theorems the gate checks do not.
+    */
+  def replayHeavyHitters(documents: DataFrame, nBatches: Int = 3,
+                         k: Int = 8): DataFrame =
+    replayDocFold(documents, nBatches,
+      Sketches.heavyHitterState(documents.limit(0), k),
+      (st, b) => Sketches.heavyHitterUpdate(st, b, k))
+
+  /** Streamed HLL vocabulary maintenance: per-batch sketches folded with
+    * `hll_union_agg` ([[graft.operators.Sketches.vocabSketchUpdate]]) —
+    * register-wise max, so the streamed artifact is bit-identical to the
+    * one-shot build (`StreamingSpec` pins it).
+    */
+  def replayVocabSketch(documents: DataFrame, nBatches: Int = 3): DataFrame =
+    replayDocFold(documents, nBatches,
+      Sketches.vocabSketchState(documents.limit(0)),
+      (st, b) => Sketches.vocabSketchUpdate(st, b))
+
+  /** Streamed Count-Min maintenance: fold each document micro-batch into
+    * the (row, col, cnt) artifact with
+    * [[graft.operators.Sketches.cmsketchUpdate]]. CM merge is an EXACT
+    * vector add, so the final artifact is bit-identical to the one-shot
+    * build — `StreamingSpec` pins that cell-for-cell, and the gate read
+    * from the streamed artifact shares `vocab_cmsketch`'s oracle.
+    */
+  def replayCmSketch(documents: DataFrame, nBatches: Int = 3): DataFrame =
+    replayDocFold(documents, nBatches,
+      Sketches.cmsketchState(documents.limit(0)),
+      (st, b) => Sketches.cmsketchUpdate(st, b))
 }

@@ -93,6 +93,29 @@ class StreamingSpec extends SparkSpec {
       "CM vector-add maintenance must reproduce every cell exactly")
   }
 
+  test("streamed HLL vocab artifact estimates exactly match the one-shot build") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val streamed = graft.operators.Sketches.vocabSketchEstimates(
+      StreamingSketches.replayVocabSketch(docs, nBatches = 3))
+      .collect().map(_.toSeq).toSeq
+    val oneShot = graft.operators.Sketches.vocabSketchEstimates(
+      graft.operators.Sketches.vocabSketchState(docs))
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == oneShot,
+      "register-wise-max union must make any batching land on the same sketch")
+  }
+
+  test("streamed Misra–Gries artifact keeps the MG theorems per source") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.operators.Sketches.heavyHitterGateFrom(
+      StreamingSketches.replayHeavyHitters(docs, nBatches = 3), docs)
+      .collect().foreach { r =>
+        assert(r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5) &&
+          r.getBoolean(6),
+          s"${r.getString(0)}: an MG bound broke under streamed maintenance")
+      }
+  }
+
   test("session windows support append + complete; update mode is rejected at analysis") {
     // output-mode contract pin: Spark's session-window streaming
     // aggregation supports Append (emit on close — the reference's
