@@ -53,10 +53,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // headline (total + failed + count) BEFORE the per-query map, so a
-    // head-truncated capture still carries the totals; the stderr echo
-    // after the JSON line survives tail-truncated captures too
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
+    // The capture that survives is a TAIL of stdout (r9 measured: last
+    // ~2000 chars), so the headline fields must come LAST, twice over:
+    // (1) at the END of the full line — a tail cut mid-queries-map still
+    // keeps total+failed, exactly the r8 layout that survived; (2) as a
+    // standalone compact JSON line printed last, short enough (< 300
+    // chars + failed list) that no plausible tail budget can cut it.
+    val headline =
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir""""
+    println(s"""{"queries":$qs,$headline}""")
+    println(s"""{$headline}""")
     System.err.println(
       s"[bench] total=${math.round(total * 100) / 100.0}s failed=$failed n=${results.size} sf=$sfDir")
     spark.stop()

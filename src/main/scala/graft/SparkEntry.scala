@@ -335,6 +335,16 @@ object SparkEntry {
       graft.operators.Sketches.cmsketchGateFrom(
         graft.streaming.StreamingSketches.replayCmSketch(docs), docs)
     }),
+    // the gate over a PERSISTED-artifact maintainer (parquet table per
+    // batch, crash-recoverable — StreamingSpec kills and restarts it);
+    // exact vector-add maintenance keeps it on the one-shot oracle
+    "vocab_cmsketch_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_cmp_")
+      graft.operators.Sketches.cmsketchGateFrom(
+        graft.streaming.StreamingSketches.replayCmSketchPersisted(docs, root),
+        docs)
+    }),
     // q-digest rank-theorem gate: deterministic 128-ary dyadic sketch
     // over the unbounded cents universe, exact ranks + bound booleans
     "quantile_qdigest" -> ((s, dir) =>
@@ -877,6 +887,10 @@ object SparkEntry {
     // a cell equi-join, no raw vectors in the search path
     "ann_topk_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // residual encoding: PQ codes describe x̂ − ĉ_cell, scores add the
+    // coarse term back — better codebook utilization at the same 2 bytes
+    "ann_topk_ivfpq_res" -> ((s, dir) =>
+      Similarity.ivfPqResTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -1293,7 +1307,7 @@ object SparkEntry {
     // (dedup_minhash_lsh), so the exact-pair SQL remains this query's oracle
     "split_leakage_guard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                        for i in range(1, len(w) - 1)]) AS s
         |       FROM t WHERE len(w) >= 3),
@@ -1368,6 +1382,7 @@ object SparkEntry {
     // its artifact bit-identical to the one-shot build
     "vocab_cmsketch" -> cmsketchOracle,
     "vocab_cmsketch_stream" -> cmsketchOracle,
+    "vocab_cmsketch_persist" -> cmsketchOracle,
     // q-digest: full 8-level deterministic compression replayed in SQL,
     // readout + rank-theorem booleans matched exactly
     "quantile_qdigest" -> qdigestOracle,
@@ -2172,7 +2187,7 @@ object SparkEntry {
     // asymmetric containment twin of bruteJaccardOracle (doc-in-doc)
     "dedup_containment" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                        for i in range(1, len(w) - 1)]) AS s
         |       FROM t WHERE len(w) >= 3),
@@ -2349,7 +2364,7 @@ object SparkEntry {
     // split CTEs (as split_leakage_guard) -> train-only prefix shards
     "pipeline_eval_safe" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                        for i in range(1, len(w) - 1)]) AS s
         |       FROM t WHERE len(w) >= 3),
@@ -2459,6 +2474,7 @@ object SparkEntry {
     "ann_topk_pq" -> pqTopKOracle,
     "ann_pq_encode_inc" -> pqEncodeIncOracle,
     "ann_topk_ivfpq" -> ivfPqTopKOracle,
+    "ann_topk_ivfpq_res" -> ivfPqResTopKOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -2503,24 +2519,30 @@ object SparkEntry {
     * contract as the Spark side. `replace` is leftmost non-overlapping in
     * both engines, so greedy application order is pinned bit-for-bit.
     */
+  /** Every chained CTE is `AS MATERIALIZED`: each `e_r` is referenced
+    * twice (by `p_{r+1}` and `e_{r+1}`), so DuckDB's default inlining
+    * re-derives the whole prefix per reference — measured 119 s / 329 s
+    * for the two tokenize oracles at sf0.01 (exponential in k);
+    * materialized, 0.5 s / 0.2 s with identical results.
+    */
   private def bpeTrainCtes(k: Int, corpus: String = "documents"): String = {
     val base =
-      s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
         |        FROM $corpus)
         |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
-        |e0 AS (SELECT word, c,
+        |e0 AS MATERIALIZED (SELECT word, c,
         |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
         |  FROM w0)""".stripMargin
     val iters = (1 to k).map { r =>
-      s"""p$r AS (SELECT s[i] AS lhs, s[i + 1] AS rhs,
+      s"""p$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs,
          |    CAST(sum(c) AS BIGINT) AS cnt
          |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e${r - 1})
          |  CROSS JOIN unnest(range(2, len(s) - 1)) AS t(i)
          |  GROUP BY 1, 2),
-         |m$r AS (SELECT lhs, rhs, cnt FROM p$r
+         |m$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |e$r AS (SELECT word, c,
+         |e$r AS MATERIALIZED (SELECT word, c,
          |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
          |            '.' || m.lhs || m.rhs || '.') AS symseq
          |  FROM e${r - 1}, m$r m)""".stripMargin
@@ -2544,21 +2566,21 @@ object SparkEntry {
     */
   private def bpeTokenizeOracle(k: Int): String = {
     val enc = (1 to k).map { r =>
-      s"""x$r AS (SELECT doc_id, pos,
+      s"""x$r AS MATERIALIZED (SELECT doc_id, pos,
          |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
          |            '.' || m.lhs || m.rhs || '.') AS symseq
          |  FROM x${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${bpeTrainCtes(k)},
-       |d0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |d0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
        |        FROM documents)
        |  CROSS JOIN unnest(range(len(w))) AS u(i)),
-       |x0 AS (SELECT doc_id, pos,
+       |x0 AS MATERIALIZED (SELECT doc_id, pos,
        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
        |  FROM d0 WHERE regexp_full_match(word, '[a-z]+')),
        |$enc,
-       |sy AS (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |sy AS MATERIALIZED (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
        |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
        |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
        |vc AS (SELECT sym, CAST(count(*) AS BIGINT) AS n FROM sy GROUP BY sym),
@@ -2582,7 +2604,7 @@ object SparkEntry {
   private def bpeIncrementalOracle(k: Int): String = {
     val cut = "(SELECT (max(doc_id) * 4) // 5 FROM documents)"
     val enc = (1 to k).map { r =>
-      s"""x$r AS (SELECT doc_id, pos,
+      s"""x$r AS MATERIALIZED (SELECT doc_id, pos,
          |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
          |            '.' || m.lhs || m.rhs || '.') AS symseq
          |  FROM x${r - 1}, m$r m)""".stripMargin
@@ -2590,20 +2612,20 @@ object SparkEntry {
     val train =
       bpeTrainCtes(k, s"(SELECT * FROM documents WHERE doc_id < $cut) tr")
     s"""WITH $train,
-       |sv AS (SELECT s[i] AS sym, CAST(sum(c) AS BIGINT) AS n
+       |sv AS MATERIALIZED (SELECT s[i] AS sym, CAST(sum(c) AS BIGINT) AS n
        |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e$k)
        |  CROSS JOIN unnest(range(2, len(s))) AS t(i) GROUP BY 1),
-       |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+       |vi AS MATERIALIZED (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
        |    AS BIGINT) AS id FROM sv),
-       |d0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |d0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
        |        FROM documents WHERE doc_id >= $cut)
        |  CROSS JOIN unnest(range(len(w))) AS u(i)),
-       |x0 AS (SELECT doc_id, pos,
+       |x0 AS MATERIALIZED (SELECT doc_id, pos,
        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
        |  FROM d0 WHERE regexp_full_match(word, '[a-z]+')),
        |$enc,
-       |sy AS (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |sy AS MATERIALIZED (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
        |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
        |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
        |en AS (SELECT doc_id, pos, spos,
@@ -2689,17 +2711,17 @@ object SparkEntry {
       val matUnion = mat.map(m =>
         s"\n        UNION ALL SELECT prefix, cnt FROM $m WHERE level = ${l + 1}")
         .getOrElse("")
-      s"""g$l$sfx AS (SELECT prefix, cnt, prefix >> 7 AS parent,
+      s"""g$l$sfx AS MATERIALIZED (SELECT prefix, cnt, prefix >> 7 AS parent,
          |         sum(cnt) OVER (PARTITION BY prefix >> 7) AS s FROM p$l$sfx),
-         |k$l$sfx AS (SELECT CAST($l AS BIGINT) AS level, prefix, cnt
+         |k$l$sfx AS MATERIALIZED (SELECT CAST($l AS BIGINT) AS level, prefix, cnt
          |        FROM g$l$sfx, $tt WHERE s >= t),
-         |p${l + 1}$sfx AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |p${l + 1}$sfx AS MATERIALIZED (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
          |        SELECT parent AS prefix, cnt FROM g$l$sfx, $tt WHERE s < t$matUnion
          |     ) GROUP BY 1),""".stripMargin
     }.mkString("\n")
     rounds + s"""
-      |k8$sfx AS (SELECT CAST(8 AS BIGINT) AS level, prefix, cnt FROM p8$sfx),
-      |nodes$sfx AS (${(0 to 8).map(l => s"SELECT * FROM k$l$sfx")
+      |k8$sfx AS MATERIALIZED (SELECT CAST(8 AS BIGINT) AS level, prefix, cnt FROM p8$sfx),
+      |nodes$sfx AS MATERIALIZED (${(0 to 8).map(l => s"SELECT * FROM k$l$sfx")
         .mkString(" UNION ALL ")})""".stripMargin
   }
 
@@ -2711,7 +2733,7 @@ object SparkEntry {
        |              + ((CAST(1 AS BIGINT) << (7 * level)) - 1) AS upper_c, cnt
        |        FROM $nodes),
        |bu AS (SELECT upper_c, CAST(sum(cnt) AS BIGINT) AS cnt FROM ups GROUP BY 1),
-       |cw AS (SELECT upper_c, sum(cnt) OVER (ORDER BY upper_c) AS cum FROM bu),
+       |cw AS MATERIALIZED (SELECT upper_c, sum(cnt) OVER (ORDER BY upper_c) AS cum FROM bu),
        |qq AS (SELECT unnest([50, 90, 99]) AS q),
        |es AS (SELECT q, min(upper_c) AS est_cents
        |       FROM cw, qq, $tt WHERE cum >= (q * n + 99) // 100 GROUP BY q),
@@ -2725,9 +2747,9 @@ object SparkEntry {
        |FROM rk, $tt ORDER BY q""".stripMargin
 
   private val qdigestOracle: String =
-    s"""WITH raw AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+    s"""WITH raw AS MATERIALIZED (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
        |             FROM events WHERE value IS NOT NULL),
-       |lv AS (SELECT c + 4611686018427387904 AS u FROM raw),
+       |lv AS MATERIALIZED (SELECT c + 4611686018427387904 AS u FROM raw),
        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |         greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM lv),
        |p0 AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM lv GROUP BY 1),
@@ -2750,12 +2772,12 @@ object SparkEntry {
     * internal-node bound).
     */
   private def qdigestTwoPhaseOracle(aPred: String, bPred: String): String =
-    s"""WITH rawe AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c, event_id
+    s"""WITH rawe AS MATERIALIZED (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c, event_id
        |              FROM events WHERE value IS NOT NULL),
-       |raw AS (SELECT c FROM rawe),
+       |raw AS MATERIALIZED (SELECT c FROM rawe),
        |cutc AS (SELECT (max(event_id) * 4) // 5 AS cutv FROM events),
-       |la AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $aPred),
-       |lb AS (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $bPred),
+       |la AS MATERIALIZED (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $aPred),
+       |lb AS MATERIALIZED (SELECT c + 4611686018427387904 AS u FROM rawe, cutc WHERE $bPred),
        |tta AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |          greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM la),
        |p0a AS (SELECT u AS prefix, CAST(count(*) AS BIGINT) AS cnt FROM la GROUP BY 1),
@@ -2766,7 +2788,7 @@ object SparkEntry {
        |${qdChainSql("b", "ttb", None)},
        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
        |         greatest(CAST((count(*) + 255) // 256 AS BIGINT), 1) AS t FROM raw),
-       |sm AS (SELECT * FROM nodesa UNION ALL SELECT * FROM nodesb),
+       |sm AS MATERIALIZED (SELECT * FROM nodesa UNION ALL SELECT * FROM nodesb),
        |p0m AS (SELECT prefix, CAST(sum(cnt) AS BIGINT) AS cnt FROM sm
        |        WHERE level = 0 GROUP BY 1),
        |${qdChainSql("m", "tt", Some("sm"))},
@@ -3146,6 +3168,76 @@ object SparkEntry {
        |ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: the [[ivfPqTopKOracle]] chain with the PQ
+    * stages retargeted at residuals — `cmn`/`chn` compute each cell's
+    * fixed-point mean of its normalized members (the variance-minimizing
+    * offset), `ppr` subtracts the assigned cell's mean from each
+    * normalized vector, [[pqSubChainSql]] trains/encodes over `ppr`
+    * unchanged, and the score adds the `⟨q̂, m_cell⟩` term back.
+    */
+  private val ivfPqResTopKOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqIters, IvfProbes}
+    val ctePrefix = kmeansClusterOracle.substring(0,
+      kmeansClusterOracle.indexOf(",\naf AS"))
+    val sub = pqSubChainSql("ppr") _
+    val encJoins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}e ea$s USING (vec_id)").mkString("\n        ")
+    val encCols = (0 until PqSubspaces).map(s => s"ea$s.cell AS pc$s")
+      .mkString(", ")
+    val centJoins = (0 until PqSubspaces)
+      .map(s => s"JOIN s${s}h$PqIters f$s ON f$s.cell = e.pc$s")
+      .mkString("\n         ")
+    val score = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"list_dot_product(qq.vn[$lo:$hi], f$s.cv)"
+    }.mkString("\n         + ")
+    s"""$ctePrefix,
+       |av AS MATERIALIZED (SELECT vec_id, cell, rn FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM p CROSS JOIN n${graft.operators.Similarity.IvfKmeansIters} n)),
+       |corp AS MATERIALIZED (SELECT vec_id, cell FROM av WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS query_id, cell AS q_cell FROM av
+       |        WHERE rn <= $IvfProbes AND vec_id < 20),
+       |pp AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM p WHERE nrm > 0),
+       |cmn AS MATERIALIZED (SELECT c.cell, t.i + 1 AS pos,
+       |        CAST(sum(CAST(round(pp.vn[t.i + 1] * 1048576.0, 0) AS BIGINT))
+       |             AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0) AS mx
+       |      FROM pp JOIN corp c ON c.vec_id = pp.vec_id
+       |      CROSS JOIN unnest(range(len(pp.vn))) AS t(i)
+       |      GROUP BY 1, 2),
+       |chn AS MATERIALIZED (SELECT cell, list(mx ORDER BY pos) AS chv
+       |      FROM cmn GROUP BY cell),
+       |ppr AS MATERIALIZED (SELECT pp.vec_id,
+       |        list_transform(range(1, len(pp.vn) + 1),
+       |                       i -> pp.vn[i] - ch.chv[i]) AS vn
+       |      FROM pp JOIN corp ON corp.vec_id = pp.vec_id
+       |              JOIN chn ch ON ch.cell = corp.cell),
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |enc AS (SELECT ea0.vec_id, $encCols
+       |        FROM s0e ea0
+       |        $encJoins),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round(list_dot_product(qq.vn, cc.chv)
+       |         + $score, 6) AS cos_r
+       |       FROM qpr q JOIN corp c ON c.cell = q.q_cell
+       |                             AND c.vec_id <> q.query_id
+       |         JOIN chn cc ON cc.cell = c.cell
+       |         JOIN enc e ON e.vec_id = c.vec_id
+       |         $centJoins
+       |         JOIN pp qq ON qq.vec_id = q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   /** Incremental-encode oracle: train the codebooks over the first 4/5 of
     * vec_ids ([[pqSubChainSql]] on `ppa` — the frozen artifact corpus),
     * then assign each batch subvector against the FINAL centroids with
@@ -3197,29 +3289,38 @@ object SparkEntry {
     * incremental-encode oracles.
     */
   private def pqSubChainSql(pSrc: String)(s: Int): String = {
-    import graft.operators.Similarity.{PqSubDim, PqCodebook, PqIters}
+    import graft.operators.Similarity.{PqSubDim, PqCodebook, PqIters, PqTrainSample}
     val Scale = "1048576.0" // 2^20, the fixed-point mean scale
     val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+    // tb = the bounded training sample (md5-order prefix, the Spark
+    // side's pqTrainCorpus); seeding keeps its rn <= PqCodebook prefix.
+    // Lloyd assignment/update run over tb; the final encode (s{s}e)
+    // still covers all of sb. MATERIALIZED throughout: each CTE is
+    // referenced more than once and DuckDB's default inlining re-derives
+    // the whole chain per reference.
     val init =
-      s"""sb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM $pSrc),
-           |s${s}cp0 AS (SELECT CAST(q.rn - 1 AS BIGINT) AS cell, t.i + 1 AS pos,
-           |    q.sv[t.i + 1] AS cx
+      s"""sb$s AS MATERIALIZED (SELECT vec_id, vn[$lo:$hi] AS sv FROM $pSrc),
+           |tb$s AS MATERIALIZED (SELECT vec_id, sv, rn
            |  FROM (SELECT vec_id, sv, row_number() OVER
            |          (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-           |        FROM sb$s) q
+           |        FROM sb$s)
+           |  WHERE rn <= $PqTrainSample),
+           |s${s}cp0 AS MATERIALIZED (SELECT CAST(q.rn - 1 AS BIGINT) AS cell,
+           |    t.i + 1 AS pos, q.sv[t.i + 1] AS cx
+           |  FROM tb$s q
            |  CROSS JOIN unnest(range($PqSubDim)) AS t(i)
            |  WHERE q.rn <= $PqCodebook)""".stripMargin
       val iters = (0 until PqIters).map { k =>
-        s"""s${s}h$k AS (SELECT cell, list(cx ORDER BY pos) AS cv,
+        s"""s${s}h$k AS MATERIALIZED (SELECT cell, list(cx ORDER BY pos) AS cv,
            |    list_dot_product(list(cx ORDER BY pos),
            |                     list(cx ORDER BY pos)) / 2.0 AS ch
            |  FROM s${s}cp$k GROUP BY cell),
-           |s${s}a${k + 1} AS (SELECT vec_id, cell FROM (
+           |s${s}a${k + 1} AS MATERIALIZED (SELECT vec_id, cell FROM (
            |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
            |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
            |               n.cell DESC) AS rn
-           |    FROM sb$s p CROSS JOIN s${s}h$k n) WHERE rn = 1),
-           |s${s}cp${k + 1} AS (SELECT prev.cell, prev.pos,
+           |    FROM tb$s p CROSS JOIN s${s}h$k n) WHERE rn = 1),
+           |s${s}cp${k + 1} AS MATERIALIZED (SELECT prev.cell, prev.pos,
            |    CASE WHEN x.n IS NULL THEN prev.cx
            |         ELSE CAST(x.sx AS DOUBLE) / (CAST(x.n AS DOUBLE) * $Scale)
            |    END AS cx
@@ -3227,17 +3328,17 @@ object SparkEntry {
            |    SELECT a.cell, t.i + 1 AS pos,
            |      sum(CAST(round(p.sv[t.i + 1] * $Scale, 0) AS BIGINT)) AS sx,
            |      count(*) AS n
-           |    FROM s${s}a${k + 1} a JOIN sb$s p USING (vec_id)
+           |    FROM s${s}a${k + 1} a JOIN tb$s p USING (vec_id)
            |    CROSS JOIN unnest(range($PqSubDim)) AS t(i)
            |    GROUP BY 1, 2) x
            |  ON prev.cell = x.cell AND prev.pos = x.pos)""".stripMargin
       }
       val finals =
-        s"""s${s}h$PqIters AS (SELECT cell, list(cx ORDER BY pos) AS cv,
+        s"""s${s}h$PqIters AS MATERIALIZED (SELECT cell, list(cx ORDER BY pos) AS cv,
            |    list_dot_product(list(cx ORDER BY pos),
            |                     list(cx ORDER BY pos)) / 2.0 AS ch
            |  FROM s${s}cp$PqIters GROUP BY cell),
-           |s${s}e AS (SELECT vec_id, cell FROM (
+           |s${s}e AS MATERIALIZED (SELECT vec_id, cell FROM (
            |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
            |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
            |               n.cell DESC) AS rn
@@ -3360,7 +3461,7 @@ object SparkEntry {
       |      % 10000 < 1000 AS is_eval
       |  FROM documents),
       |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
-      |sh AS (SELECT doc_id, is_eval,
+      |sh AS MATERIALIZED (SELECT doc_id, is_eval,
       |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
       |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
       |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
@@ -3588,15 +3689,15 @@ object SparkEntry {
     */
   private val clusterCtes: String =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
+      |sh AS MATERIALIZED (SELECT doc_id,
       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                        for i in range(1, len(w) - 1)]) AS s
       |       FROM t WHERE len(w) >= 3),
-      |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      |p AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v
       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |      WHERE 2 * len(list_intersect(a.s, b.s))
       |            >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |e AS MATERIALIZED (SELECT u, v FROM p UNION SELECT v, u FROM p),
       |reach(a, b) AS (
       |  SELECT u, v FROM e
       |  UNION
@@ -3662,7 +3763,7 @@ object SparkEntry {
 
   private val bruteJaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT doc_id,
+      |sh AS MATERIALIZED (SELECT doc_id,
       |         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                        for i in range(1, len(w) - 1)]) AS s
       |       FROM t WHERE len(w) >= 3),

@@ -182,13 +182,21 @@ object NearestCodeL2 {
       var i = 0
       while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
       // identical arithmetic to round(dot − half, 6) — BigDecimal HALF_UP
+      // for finite scores; non-finite pass through unrounded, exactly as
+      // Spark's round() returns NaN/±Inf unchanged
       val q = s - halves(c)
       val score =
-        if (!java.lang.Double.isFinite(q)) Double.NegativeInfinity
+        if (!java.lang.Double.isFinite(q)) q
         else java.math.BigDecimal.valueOf(q)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      // ties → higher index: >= keeps the later centroid
-      if (best < 0 || score >= bestScore) { best = c; bestScore = score }
+      // Double.compare replicates Spark's sort ordering for doubles
+      // (nanSafeCompareDoubles): NaN greatest, NaN == NaN, −0.0 < 0.0 —
+      // so the argmax matches the array_max-over-structs parity pin on
+      // NON-finite inputs too, not just the finite fixture range.
+      // Ties (compare == 0) → >= keeps the later centroid.
+      if (best < 0 || java.lang.Double.compare(score, bestScore) >= 0) {
+        best = c; bestScore = score
+      }
       c += 1
     }
     best.toLong

@@ -813,11 +813,22 @@ object Curation {
     * Σ df(shingle)². The banded source's pair-set equality with exact
     * jac ≥ 1/2 at these parameters is itself oracle-gated
     * (`dedup_minhash_lsh` vs the brute-Jaccard oracle), which is what
-    * keeps THIS query oracle-checkable with the exact-pair SQL. Callers
-    * can inject any (documents → doc_i/doc_j pairs) frame via
-    * `edgeSource` — e.g. the exact join for small corpora. The guard
-    * itself is two edge-table equi-joins — duplicate-rate-proportional,
-    * never broadcast-hinted.
+    * keeps THIS query oracle-checkable with the exact-pair SQL.
+    *
+    * ==Probabilistic default — read before relying on the guard==
+    * LSH banding is only PROBABILISTICALLY equivalent to exact
+    * jac ≥ 1/2: at 32×4 bands a true pair at jaccard j survives with
+    * probability 1 − (1 − j⁴)³², ≈ 1 − 1.5e-15 at j = 0.9 but only
+    * ≈ 0.87 at j = 0.5 — borderline near-dups CAN slip past the guard
+    * and leak test content into train. The oracle equality above is a
+    * measured property of the bench corpus (whose planted pairs sit at
+    * j ≥ 0.9), not a theorem. When the corpus is small enough for the
+    * posting join, or when missing ANY true pair is unacceptable, inject
+    * the exact source:
+    * `splitWithLeakageGuard(docs, edgeSource = d => NearDup.jaccardNearDupsExact(d))`.
+    * Callers can likewise inject any (documents → doc_i/doc_j pairs)
+    * frame. The guard itself is two edge-table equi-joins —
+    * duplicate-rate-proportional, never broadcast-hinted.
     */
   def splitWithLeakageGuard(documents: DataFrame,
                             testBps: Int = 1000,

@@ -631,7 +631,22 @@ object Similarity {
   val PqSubDim = 8 // 64-dim embeddings split 8 × 8
   val PqCodebook = 64 // centroids per subspace codebook
   val PqIters = 2
+  val PqTrainSample = PqCodebook * 100 // Lloyd passes see this bounded sample
   private val PqScale = 1L << 20
+
+  /** Bounded training corpus for the PQ codebooks: the first
+    * `PqTrainSample` rows in deterministic md5(vec_id) order. At 100 TB
+    * codebooks train on a sample, never the corpus — Lloyd cost becomes
+    * O(sample × iters) instead of O(corpus × iters) (the r9 DevScale PQ
+    * row spent 16 full-corpus passes at 500k vectors). The sample is a
+    * PREFIX of the same md5 ordering the seeding uses, so the 64 seeds
+    * are unchanged, and on fixtures smaller than the sample the trained
+    * books are bit-identical to full-corpus training. The DuckDB oracle
+    * replays the identical `row_number() <= PqTrainSample` prefix.
+    */
+  private[graft] def pqTrainCorpus(prep: DataFrame): DataFrame =
+    prep.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqTrainSample).localCheckpoint()
 
   /** Normalized corpus for PQ: cosine(q, x) = Σ_s ⟨q̂_s, x̂_s⟩ over
     * subvector slices of the UNIT vectors, which is what the per-subspace
@@ -673,7 +688,9 @@ object Similarity {
     * (the right geometry for reconstruction; spherical assignment would
     * discard subvector magnitude, which ADC needs). Fixed-point mean
     * updates keep the trained centroids bit-identical across runs and
-    * engines; empty cells keep their centroid.
+    * engines; empty cells keep their centroid. Callers pass the BOUNDED
+    * [[pqTrainCorpus]] sample, never the raw corpus — seeding re-derives
+    * the same md5 prefix inside the sample.
     */
   private[graft] def pqTrainSubspace(prep: DataFrame, s: Int): Seq[Seq[Double]] = {
     val sub = prep.select(col("vec_id"),
@@ -726,7 +743,8 @@ object Similarity {
     */
   private[graft] def pqSelfScores(embeddings: DataFrame): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))
+    val tr = pqTrainCorpus(prep)
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(tr, s))
     val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
@@ -750,7 +768,7 @@ object Similarity {
     val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
       .head().getLong(0)
     val prep = pqPrepared(embeddings).localCheckpoint()
-    val train = prep.filter(col("vec_id") < cut)
+    val train = pqTrainCorpus(prep.filter(col("vec_id") < cut))
     val books = (0 until PqSubspaces).map(s => pqTrainSubspace(train, s))
     val batch = prep.filter(col("vec_id") >= cut)
     (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
@@ -783,7 +801,8 @@ object Similarity {
       .withColumn("cell", element_at(col("cells2"), 1))
       .localCheckpoint()
     val prepPq = pqPrepared(embeddings).localCheckpoint()
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prepPq, s))
+    val trPq = pqTrainCorpus(prepPq)
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trPq, s))
     val encoded = (0 until PqSubspaces).foldLeft(prepPq) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
@@ -807,9 +826,86 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the production spelling: each vector
+    * is PQ-coded as `x̂ − m_cell` (its offset from the assigned coarse
+    * cell's MEAN of normalized members) instead of the raw x̂. The
+    * per-cell mean is the variance-minimizing offset (`E|x̂ − m|² ≤
+    * E|x̂|²` by the variance decomposition — subtracting the normalized
+    * CENTROID direction instead would GROW residuals on low-coherence
+    * data, `|x̂ − ĉ|² = 2(1 − cos)`), so the same 64-entry codebooks
+    * always see a tighter ball than raw coding — better recall at the
+    * identical 2 bytes/vector. Scoring decomposes exactly:
+    * `⟨q̂, x̂⟩ = ⟨q̂, m_cell⟩ + ⟨q̂, x̂ − m_cell⟩`, with the first term a
+    * broadcast-constant lookup and the second the usual ADC sum over the
+    * residual codebooks. The offsets are fixed-point per-cell means (the
+    * [[kmeansCentroids]] update idiom — order-free long sums), so every
+    * stage stays bit-portable and the DuckDB oracle replays end-to-end.
+    */
+  def ivfPqResTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                   probes: Int = IvfProbes): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prepIvf = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prepIvf, IvfCells, IvfKmeansIters,
+      portableSeed = true)
+    val assigned = prepIvf
+      .withColumn("cells2", ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, probes))
+      .withColumn("cell", element_at(col("cells2"), 1))
+      .localCheckpoint()
+    val prepCell = pqPrepared(embeddings)
+      .join(assigned.select(col("vec_id"), col("cell"), col("cells2")), "vec_id")
+      .localCheckpoint()
+    // per-cell fixed-point mean of the normalized members — one shuffle
+    // to IvfCells × dim bounded rows, collected like the Lloyd updates
+    val dim = PqSubspaces * PqSubDim
+    val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0)) // empty cell → 0
+    prepCell
+      .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .foreach { r =>
+        moff(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * PqScale)
+      }
+    val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
+    // residual per corpus vector: x̂ − m_cell, IEEE per-component subtract
+    val prepRes = prepCell
+      .withColumn("rv", zip_with(col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
+        (x, c) => x - c))
+      .localCheckpoint()
+    val trRes = pqTrainCorpus(prepRes.select(col("vec_id"), col("rv").as("vn")))
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
+    val corpus = (0 until PqSubspaces).foldLeft(prepRes) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("rv"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }.select(col("vec_id") +: col("cell") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    val queryCols =
+      Seq(col("vec_id").as("query_id"), col("vn").as("qn")) ++
+        (0 until PqSubspaces).map(s =>
+          slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")) ++
+        Seq(explode(col("cells2")).as("q_cell"))
+    val queries = prepRes.filter(col("vec_id") < numQueries)
+      .select(queryCols: _*)
+    // ⟨q̂, ĉ_cell⟩: the candidate's coarse position, a constant lookup
+    val term0 = dotN(prepRes, col("qn"),
+      element_at(typedlit(chat), (col("cell") + 1).cast("int")))
+    val contributions = (0 until PqSubspaces).map(s =>
+      dotN(prepRes, col(s"q$s"),
+        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", round(term0 + contributions.reduce(_ + _), 6))
+    presentTopK(scored, k)
+  }
+
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(prep, s))
+    val tr = pqTrainCorpus(prep)
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(tr, s))
     val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))

@@ -541,10 +541,11 @@ object Sketches {
     val exact = documents.filter(col("text").isNotNull)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
-    val top = exact.withColumn("rk",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_true").desc, col("tok"))))
-      .filter(col("rk") <= k).drop("rk")
+    // orderBy + limit plans as TakeOrderedAndProject (per-partition top-k,
+    // then a bounded driver merge) — a global row_number window would
+    // instead drag every distinct token through ONE partition; the full
+    // (count DESC, tok) tie-break keeps the selected SET identical
+    val top = exact.orderBy(col("n_true").desc, col("tok")).limit(k)
     val est = cmsketchEstimates(state, top.select(col("tok")), depth, width)
     top.join(est, "tok")
       .select(col("tok"), col("n_true"), col("est"),

@@ -79,6 +79,12 @@ object StreamingSketches {
     */
   def replayQDigest(events: DataFrame, nBatches: Int = 2,
                     sigma: Int = 256): DataFrame = {
+    // the downstream gate (`qdigestGateStreamed`) prices exactly ONE merge
+    // of stored nodes (slack = 2t per node); every additional fold can
+    // coalesce a pushed group (< t) onto a node already holding up to 2t,
+    // eroding the bound — so the 2-batch shape is a contract, not a default
+    require(nBatches == 2,
+      s"replayQDigest is gate-priced for exactly 2 batches, got $nBatches")
     val spark = events.sparkSession
     val root = java.nio.file.Files.createTempDirectory("graft_qd_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
@@ -162,4 +168,69 @@ object StreamingSketches {
     replayDocFold(documents, nBatches,
       Sketches.cmsketchState(documents.limit(0)),
       (st, b) => Sketches.cmsketchUpdate(st, b))
+
+  /** Count-Min maintenance with the artifact PERSISTED to a parquet table
+    * per micro-batch — the production shape the `localCheckpoint`
+    * maintainers above document, proven here with crash recovery instead
+    * of asserted.
+    *
+    * Layout: `root/artifact/v{n}` holds the artifact after `n` folded
+    * batches (`v0` = the empty sketch, written before the stream starts).
+    * The fold for micro-batch id `b` reads `v{b}` and OVERWRITES
+    * `v{b+1}` — a pure function of (stored artifact, batch slice), never
+    * of driver memory. Spark's file source + streaming checkpoint replay
+    * a failed micro-batch with the SAME id and the SAME input slice, so:
+    * a crash BEFORE the write re-runs the fold; a crash AFTER the write
+    * (before the offset commit) re-derives and overwrites a bit-identical
+    * `v{b+1}`. Either way a restart on the same `checkpointLocation`
+    * resumes at the first uncommitted batch and the final artifact equals
+    * the uninterrupted run's — which, CM merge being an exact vector add,
+    * equals the one-shot build cell-for-cell (`StreamingSpec` kills the
+    * stream mid-flight and pins exactly this).
+    *
+    * `failAfterBatch` injects a crash after batch `b`'s artifact write
+    * (1-based count, -1 = never) — test plumbing for the recovery proof.
+    * Preparation (input split, `v0`) is idempotent so a caller can re-run
+    * the same `root` to resume.
+    */
+  def replayCmSketchPersisted(documents: DataFrame,
+                              root: java.nio.file.Path,
+                              nBatches: Int = 3,
+                              failAfterBatch: Int = -1): DataFrame = {
+    val spark = documents.sparkSession
+    val inDir = root.resolve("in")
+    val artDir = root.resolve("artifact")
+    if (!java.nio.file.Files.exists(inDir)) {
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until nBatches).foreach { i =>
+        StreamingSessions.appendReplayFile(
+          documents.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i),
+          inDir, i + 1)
+      }
+    }
+    if (!java.nio.file.Files.exists(artDir.resolve("v0")))
+      Sketches.cmsketchState(documents.limit(0))
+        .write.mode("overwrite").parquet(artDir.resolve("v0").toString)
+    val src = spark.readStream.schema(documents.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val ss = batch.sparkSession
+        val prev = ss.read.parquet(artDir.resolve(s"v$bid").toString)
+        Sketches.cmsketchUpdate(prev, batch)
+          .write.mode("overwrite")
+          .parquet(artDir.resolve(s"v${bid + 1}").toString)
+        // injected crash AFTER the artifact write, BEFORE the offset
+        // commit — the harder recovery case: the replayed batch must
+        // overwrite v{bid+1} with a bit-identical table
+        if (bid + 1 == failAfterBatch)
+          throw new IllegalStateException(
+            s"injected crash after persisting v${bid + 1}")
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(artDir.resolve(s"v$nBatches").toString)
+  }
 }

@@ -396,6 +396,29 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L, s"$diff vectors coded differently by the two spellings")
   }
 
+  test("NearestCodeL2 parity with the struct spelling on NON-finite scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ±Inf dots, NaN from Inf·0, and finite-overflow rows — the regime the
+    // fixture never reaches; the kernel must still match Spark's
+    // NaN-greatest, −0.0-below-0.0 argmax over (score, idx) structs
+    val vecs = Seq(
+      (1L, Seq(Double.PositiveInfinity, 1.0)),
+      (2L, Seq(Double.NegativeInfinity, 1.0)),
+      (3L, Seq(Double.NaN, 0.0)),
+      (4L, Seq(1e308, 1e308)),
+      (5L, Seq(-1e308, 0.5))).toDF("vec_id", "sv")
+    val cents = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(0.0, 0.0))
+    val native = graft.functions.ArrayOps.nearestCodeL2(spark, col("sv"), cents)
+    val structs = Similarity.pqNearestStructs(vecs, col("sv"), cents)
+    val rows = vecs.select(col("vec_id"), native.as("a"), structs.as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"vec ${r.getLong(0)}: native ${r.getLong(1)} != structs ${r.getLong(2)}")
+    }
+  }
+
   test("IVF-PQ: deterministic, candidates respect the IVF pruning") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.ivfPqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
@@ -408,6 +431,24 @@ class SimilaritySpec extends SparkSpec {
       val pair = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
       assert(ivf.contains(pair), s"$pair scored outside the probed cells")
     }
+  }
+
+  test("residual IVF-PQ: deterministic, recall >= the raw-vector composition") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val res = Similarity.ivfPqResTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(res == Similarity.ivfPqResTopK(emb, 10, 5).collect().map(_.toSeq).toSeq,
+      "residual IVF-PQ must be bit-stable")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Seq[Seq[Any]]): Int = rows.count(r =>
+      brute.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+    val raw = Similarity.ivfPqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val (hitsRes, hitsRaw) = (recall(res), recall(raw))
+    println(s"[ivfpq-res] recall: $hitsRes of ${brute.size} (raw: $hitsRaw)")
+    // residual coding spends the codebooks on fine structure — it must
+    // never do WORSE than coding the raw vectors with the same budget
+    assert(hitsRes >= hitsRaw,
+      s"residual recall $hitsRes below raw composition's $hitsRaw")
   }
 
   test("PQ incremental encode: deterministic batch codes in codebook range") {

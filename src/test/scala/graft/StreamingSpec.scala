@@ -93,6 +93,30 @@ class StreamingSpec extends SparkSpec {
       "CM vector-add maintenance must reproduce every cell exactly")
   }
 
+  test("persisted CM artifact survives a mid-stream crash: kill + restart, bit-identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_cmrec_")
+    // run 1: injected crash AFTER batch 2's artifact write but BEFORE its
+    // offset commit — the replayed batch must overwrite v2 idempotently
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingSketches.replayCmSketchPersisted(docs, root, nBatches = 3,
+        failAfterBatch = 2)
+    }
+    assert(ex.getMessage.contains("injected crash"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    // the crash left v0..v2 on disk and batch 1 uncommitted
+    assert(java.nio.file.Files.exists(root.resolve("artifact/v2")))
+    assert(!java.nio.file.Files.exists(root.resolve("artifact/v3")))
+    // run 2: same root, same checkpoint — resumes at the uncommitted
+    // batch, replays it against the PERSISTED v1, finishes the stream
+    val recovered = StreamingSketches.replayCmSketchPersisted(docs, root,
+      nBatches = 3).collect().map(_.toSeq).toSet
+    val oneShot = graft.operators.Sketches.cmsketchState(docs)
+      .collect().map(_.toSeq).toSet
+    assert(recovered == oneShot,
+      "crash-recovered persisted artifact must equal the one-shot build cell-for-cell")
+  }
+
   test("streamed HLL vocab artifact estimates exactly match the one-shot build") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val streamed = graft.operators.Sketches.vocabSketchEstimates(
