@@ -328,6 +328,36 @@ object SparkEntry {
     // estimates + the never-underestimates theorem boolean
     "vocab_cmsketch" -> ((s, dir) =>
       graft.operators.Sketches.cmsketchGate(Tables.documents(s, dir))),
+    // SQL-text twin: the whole CM pipeline — portable md5 cell hashes,
+    // sketch build, top-k probe, never-under theorem — in one statement
+    "vocab_cmsketch_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH tok AS (SELECT explode(split(text, ' ')) AS tok
+        |             FROM documents WHERE text IS NOT NULL),
+        |ex AS (SELECT tok, count(1) AS n_true FROM tok GROUP BY tok),
+        |top AS (SELECT tok, n_true FROM ex ORDER BY n_true DESC, tok LIMIT 20),
+        |cells AS (SELECT CAST(rw AS BIGINT) AS rw,
+        |            pmod(CAST(conv(substring(md5(
+        |              concat('r', CAST(rw AS STRING), ' ', tok)), 1, 15),
+        |              16, 10) AS BIGINT), CAST(1024 AS BIGINT)) AS col_id
+        |          FROM tok LATERAL VIEW explode(sequence(0, 3)) r AS rw),
+        |st AS (SELECT rw, col_id, count(1) AS cnt
+        |       FROM cells GROUP BY rw, col_id),
+        |keys AS (SELECT t.tok, CAST(rw AS BIGINT) AS rw,
+        |           pmod(CAST(conv(substring(md5(
+        |             concat('r', CAST(rw AS STRING), ' ', t.tok)), 1, 15),
+        |             16, 10) AS BIGINT), CAST(1024 AS BIGINT)) AS col_id
+        |         FROM top t LATERAL VIEW explode(sequence(0, 3)) r AS rw),
+        |es AS (SELECT k.tok, min(coalesce(st.cnt, CAST(0 AS BIGINT))) AS est
+        |       FROM keys k LEFT JOIN st ON k.rw = st.rw
+        |                               AND k.col_id = st.col_id
+        |       GROUP BY k.tok)
+        |SELECT t.tok, t.n_true, e.est,
+        |  e.est >= t.n_true AS never_under,
+        |  e.est - t.n_true AS overcount
+        |FROM top t JOIN es e ON t.tok = e.tok ORDER BY tok""".stripMargin)
+    }),
     // the same gate over a foreachBatch-maintained artifact (3-batch
     // replay): vector-add maintenance is bit-identical to one-shot
     "vocab_cmsketch_stream" -> ((s, dir) => {
@@ -349,6 +379,13 @@ object SparkEntry {
     // over the unbounded cents universe, exact ranks + bound booleans
     "quantile_qdigest" -> ((s, dir) =>
       graft.operators.Sketches.qdigestGate(Tables.events(s, dir))),
+    // SQL-text twin: the full 8-round build unrolled as CTEs (windows
+    // over parent groups, scalar-subquery threshold) + the readout and
+    // rank gate — the whole sketch as one Spark SQL statement
+    "quantile_qdigest_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(qdigestSparkSql)
+    }),
     // same gate over an 80/20 incrementally-merged artifact (doubled
     // per-node slack — the merge invariant)
     "quantile_qdigest_update" -> ((s, dir) =>
@@ -399,6 +436,38 @@ object SparkEntry {
     // lower-bound / error-bound / coverage booleans cannot)
     "vocab_heavy_hitters" -> ((s, dir) =>
       graft.operators.Sketches.heavyHitterGate(Tables.documents(s, dir))),
+    // SQL-text twin: the MG UDAF as a first-class SQL citizen; the output
+    // columns (exact aggregates + theorem booleans) are all
+    // batching-independent, so the twin is cell-identical to the
+    // Column-API gate even though internal counters may differ
+    "vocab_heavy_hitters_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.udf.register("graft_mg8", udaf(
+        new graft.functions.MisraGries(8),
+        org.apache.spark.sql.Encoders.STRING))
+      s.sql("""
+        |WITH toks AS (SELECT source, explode(split(text, ' ')) AS tok
+        |              FROM documents
+        |              WHERE source IS NOT NULL AND text IS NOT NULL),
+        |st AS (SELECT source, graft_mg8(tok).m AS summary
+        |       FROM toks GROUP BY source),
+        |ex AS (SELECT source, tok, count(1) AS n
+        |       FROM toks GROUP BY source, tok),
+        |summ AS (SELECT source, tok, est FROM st
+        |         LATERAL VIEW explode(summary) t AS tok, est),
+        |j AS (SELECT e.source, e.n, s.est
+        |      FROM ex e LEFT JOIN summ s
+        |        ON e.source = s.source AND e.tok = s.tok),
+        |w AS (SELECT source, n, est,
+        |        sum(n) OVER (PARTITION BY source) AS nr FROM j)
+        |SELECT source, max(nr) AS n_tokens, count(1) AS n_distinct,
+        |  (count(est) <= 8) AS size_ok,
+        |  bool_and(est IS NULL OR est <= n) AS underestimates_only,
+        |  bool_and((n - coalesce(est, CAST(0 AS BIGINT))) * 9 <= nr)
+        |    AS err_within_bound,
+        |  bool_and(NOT (n * 9 > nr) OR est IS NOT NULL) AS heavy_covered
+        |FROM w GROUP BY source ORDER BY source""".stripMargin)
+    }),
     // the same theorem gate over a foreachBatch-maintained MG artifact —
     // counter values differ per batching, the gated bounds cannot
     "vocab_hh_stream" -> ((s, dir) => {
@@ -1381,11 +1450,13 @@ object SparkEntry {
     // streamed variant shares the oracle: vector-add maintenance makes
     // its artifact bit-identical to the one-shot build
     "vocab_cmsketch" -> cmsketchOracle,
+    "vocab_cmsketch_sql" -> cmsketchOracle,
     "vocab_cmsketch_stream" -> cmsketchOracle,
     "vocab_cmsketch_persist" -> cmsketchOracle,
     // q-digest: full 8-level deterministic compression replayed in SQL,
     // readout + rank-theorem booleans matched exactly
     "quantile_qdigest" -> qdigestOracle,
+    "quantile_qdigest_sql" -> qdigestOracle,
     "quantile_qdigest_update" -> qdigestUpdateOracle,
     "quantile_qdigest_stream" -> qdigestStreamOracle,
     // consecutive-day TV distance over the same hdr bins, integer
@@ -1421,6 +1492,7 @@ object SparkEntry {
     // exact totals + literal-true MG theorems (size / lower-bound /
     // N/(k+1) error / heavy-coverage are guarantees, not measurements)
     "vocab_heavy_hitters" -> heavyHitterOracle,
+    "vocab_heavy_hitters_sql" -> heavyHitterOracle,
     // streamed MG: counters vary per batching, the gated theorems do not
     "vocab_hh_stream" -> heavyHitterOracle,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
@@ -2745,6 +2817,82 @@ object SparkEntry {
        |  rank_le >= (q * n + 99) // 100 AS lo_ok,
        |  rank_lt < (q * n + 99) // 100 + $slack * t AS hi_ok
        |FROM rk, $tt ORDER BY q""".stripMargin
+
+  /** The Spark-SQL-text spelling of `quantile_qdigest` — the same 8
+    * window-over-parent freeze/push rounds as the Column API (which
+    * `localCheckpoint`s per round; here they unroll as CTEs in one
+    * statement), the same readout and the same rank gate. Thresholds
+    * arrive as uncorrelated scalar subqueries (no one-row join → no
+    * nested-loop plan); the percentile fan-outs are LATERAL VIEW
+    * generators or a broadcast equi-join on a constant key. Checked
+    * against [[qdigestOracle]] — the identical DuckDB replay — and
+    * against the Column twin cell-for-cell in `SqlParitySpec`.
+    */
+  private def qdigestSparkSql: String = {
+    val rounds = (0 until 8).map { l =>
+      s"""g$l AS (SELECT prefix, cnt, shiftrightunsigned(prefix, 7) AS parent,
+         |        sum(cnt) OVER (PARTITION BY shiftrightunsigned(prefix, 7)) AS s
+         |        FROM p$l),
+         |k$l AS (SELECT CAST($l AS BIGINT) AS level, prefix, cnt FROM g$l
+         |        WHERE s >= (SELECT t FROM tt)),
+         |p${l + 1} AS (SELECT parent AS prefix, sum(cnt) AS cnt FROM g$l
+         |        WHERE s < (SELECT t FROM tt) GROUP BY parent)""".stripMargin
+    }.mkString(",\n")
+    val nodes = (0 to 8).map(l => s"SELECT * FROM k$l").mkString(" UNION ALL ")
+    s"""WITH raw AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
+       |            FROM events WHERE value IS NOT NULL),
+       |tt AS (SELECT CAST(count(1) AS BIGINT) AS n,
+       |        greatest(CAST((count(1) + 255) div 256 AS BIGINT),
+       |                 CAST(1 AS BIGINT)) AS t
+       |       FROM raw),
+       |p0 AS (SELECT c + 4611686018427387904 AS prefix, count(1) AS cnt
+       |       FROM raw GROUP BY 1),
+       |$rounds,
+       |k8 AS (SELECT CAST(8 AS BIGINT) AS level, prefix, cnt FROM p8),
+       |nodes AS ($nodes),
+       |ups AS (SELECT shiftleft(prefix, CAST(7 * level AS INT))
+       |             - 4611686018427387904
+       |             + (shiftleft(CAST(1 AS BIGINT), CAST(7 * level AS INT))
+       |                - 1) AS upper_c, cnt
+       |        FROM nodes),
+       |bu AS (SELECT upper_c, sum(cnt) AS cnt FROM ups GROUP BY upper_c),
+       |cw AS (SELECT upper_c, sum(cnt) OVER (ORDER BY upper_c) AS cum FROM bu),
+       |es AS (SELECT q, min(upper_c) AS est_cents
+       |       FROM (SELECT upper_c, cum, q FROM cw
+       |             LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
+       |       WHERE cum >= (q * (SELECT n FROM tt) + 99) div 100
+       |       GROUP BY q),
+       |ra AS (SELECT
+       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 50)
+       |               THEN 1 END) AS le50,
+       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 50)
+       |               THEN 1 END) AS lt50,
+       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 90)
+       |               THEN 1 END) AS le90,
+       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 90)
+       |               THEN 1 END) AS lt90,
+       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 99)
+       |               THEN 1 END) AS le99,
+       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 99)
+       |               THEN 1 END) AS lt99
+       |       FROM raw),
+       |rk AS (SELECT q,
+       |         CASE q WHEN 50 THEN (SELECT est_cents FROM es WHERE q = 50)
+       |                WHEN 90 THEN (SELECT est_cents FROM es WHERE q = 90)
+       |                ELSE (SELECT est_cents FROM es WHERE q = 99)
+       |         END AS est_cents,
+       |         CASE q WHEN 50 THEN le50 WHEN 90 THEN le90 ELSE le99
+       |         END AS rank_le,
+       |         CASE q WHEN 50 THEN lt50 WHEN 90 THEN lt90 ELSE lt99
+       |         END AS rank_lt
+       |       FROM ra LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
+       |SELECT q, (SELECT n FROM tt) AS n, (SELECT t FROM tt) AS t,
+       |  est_cents, rank_le, rank_lt,
+       |  rank_le >= (q * (SELECT n FROM tt) + 99) div 100 AS lo_ok,
+       |  rank_lt < (q * (SELECT n FROM tt) + 99) div 100
+       |    + 16 * (SELECT t FROM tt) AS hi_ok
+       |FROM rk ORDER BY q""".stripMargin
+  }
 
   private val qdigestOracle: String =
     s"""WITH raw AS MATERIALIZED (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c

@@ -26,7 +26,14 @@ class SqlParitySpec extends SparkSpec {
     ("q_weekday_hour_sql", "q_weekday_hour_profile"),
     ("q_monthly_growth_sql", "q_monthly_growth"),
     ("q_mad_outliers_sql", "q_mad_outliers"),
-    ("q_inter_gaps_sql", "q_inter_event_gaps"))
+    ("q_inter_gaps_sql", "q_inter_event_gaps"),
+    // sketch-family gates: CM cells and q-digest nodes are deterministic,
+    // so these are cell-identical; the MG twin's OUTPUT columns (exact
+    // aggregates + theorem booleans) are batching-independent even though
+    // its internal counters may differ from the Column API's
+    ("vocab_cmsketch_sql", "vocab_cmsketch"),
+    ("vocab_heavy_hitters_sql", "vocab_heavy_hitters"),
+    ("quantile_qdigest_sql", "quantile_qdigest"))
 
   test("every SQL-text query's schema (names + types) equals its DataFrame twin's") {
     twins.foreach { case (sqlName, dfName) =>
