@@ -38,15 +38,26 @@ object Bench {
       System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
     }
     // fixed name order: cross-round timings stay comparable and cache
-    // effects between related queries don't reshuffle per run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() materializes every output column of the physical
-      // plan (no projection pruning under count() — that would time a
-      // narrower plan than the query claims) without collecting to driver
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-               catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // effects between related queries don't reshuffle per run; optional
+    // args = query-name filter (dev iteration only — the driver passes none)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    // SPARK_GRAFT_REPEAT > 1 (dev-only; driver never sets it) times each
+    // query N times and reports the MIN — the noise-robust steady-state
+    // number for like-for-like regression hunting on a loaded box
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (0 until repeat).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() materializes every output column of the physical
+        // plan (no projection pruning under count() — that would time a
+        // narrower plan than the query claims) without collecting to driver
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

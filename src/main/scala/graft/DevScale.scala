@@ -672,6 +672,32 @@ object DevScale {
     // purely from the final artifact
     time("drift_stream_10m")(
       graft.streaming.StreamingSketches.replayDriftMonitor(evTyped).count())
+
+    // round-10 additions --------------------------------------------
+
+    // residual IVF-PQ at 500k: the ivfpq candidate scan plus per-cell
+    // mean offsets; codebooks (here and in pq/ivfpq above) now train on
+    // the bounded md5 sample (PqTrainSample = 6.4k) instead of 16
+    // full-corpus Lloyd passes — the r9 PQ row's dominant cost
+    timeDocs("ivfpq_res_topk_500k")(
+      graft.operators.Similarity.ivfPqResTopK(ve, 20, 10).count())
+
+    // streamed doc-fold maintainers at 500k docs / 3 micro-batches:
+    // per-batch cost = the batch scan + an artifact-sized merge (CM:
+    // 4×1024 cells, MG: 8 counters/source, HLL: one sketch/source)
+    val dcs = dc.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(8)).cast("string")))
+    timeDocs("cmsketch_stream_500k")(
+      graft.streaming.StreamingSketches.replayCmSketch(dc).count())
+    timeDocs("hh_stream_500k")(
+      graft.streaming.StreamingSketches.replayHeavyHitters(dcs).count())
+    timeDocs("vocab_sketch_stream_500k")(
+      graft.streaming.StreamingSketches.replayVocabSketch(dcs).count())
+    // the persisted variant adds one versioned parquet artifact
+    // write+read per batch — the crash-recoverable production shape
+    timeDocs("cmsketch_persist_500k")(
+      graft.streaming.StreamingSketches.replayCmSketchPersisted(dc,
+        java.nio.file.Files.createTempDirectory("graft_cmp10_")).count())
     spark.stop()
   }
 }

@@ -960,6 +960,10 @@ object SparkEntry {
     // coarse term back — better codebook utilization at the same 2 bytes
     "ann_topk_ivfpq_res" -> ((s, dir) =>
       Similarity.ivfPqResTopK(Tables.embeddings(s, dir), 20, 10)),
+    // the production composition's daily-run path: frozen quantizer +
+    // frozen offsets + frozen residual codebooks, batch encoded map-only
+    "ann_ivfpq_encode_inc" -> ((s, dir) =>
+      Similarity.ivfPqResEncodeIncremental(Tables.embeddings(s, dir))),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2547,6 +2551,7 @@ object SparkEntry {
     "ann_pq_encode_inc" -> pqEncodeIncOracle,
     "ann_topk_ivfpq" -> ivfPqTopKOracle,
     "ann_topk_ivfpq_res" -> ivfPqResTopKOracle,
+    "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -3384,6 +3389,66 @@ object SparkEntry {
        |      FROM sc)
        |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Residual-IVF-PQ incremental-encode oracle: the coarse quantizer
+    * trains on the 4/5 prefix ([[kmTrainCtes]]), every vector is assigned
+    * a cell against those frozen centroids, offsets are the prefix
+    * members' fixed-point means, residual codebooks train on the prefix
+    * residuals ([[pqSubChainSql]] on `ppra`), and the 1/5 batch encodes
+    * against the final centroid tables with the shared tie contract.
+    */
+  private val ivfPqResEncodeIncOracle: String = {
+    import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqIters}
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    val sub = pqSubChainSql("ppra") _
+    val batchChains = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      s"""bb$s AS (SELECT vec_id, vn[$lo:$hi] AS sv FROM pprb),
+         |s${s}be AS (SELECT vec_id, cell FROM (
+         |    SELECT p.vec_id, n.cell, row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY round(list_dot_product(p.sv, n.cv) - n.ch, 6) DESC,
+         |               n.cell DESC) AS rn
+         |    FROM bb$s p CROSS JOIN s${s}h$PqIters n) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqSubspaces)
+      .map(s => s"JOIN s${s}be b$s USING (vec_id)").mkString("\n  ")
+    val cols = (0 until PqSubspaces).map(s => s"b$s.cell AS code$s")
+      .mkString(", ")
+    s"""WITH ${kmTrainCtes(s" WHERE vec_id < $cut")},
+       |${kmProj("pall", "")},
+       |${kmAsg("aall", KmIters, "pall")},
+       |pp AS MATERIALIZED (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |     FROM pall WHERE nrm > 0),
+       |pc AS MATERIALIZED (SELECT pp.vec_id, pp.vn, a.cell
+       |     FROM pp JOIN aall a ON a.vec_id = pp.vec_id),
+       |cutc AS (SELECT (max(vec_id) * 4) // 5 AS cutv FROM embeddings),
+       |cmn AS MATERIALIZED (SELECT cell, t.i + 1 AS pos,
+       |        CAST(sum(CAST(round(pc.vn[t.i + 1] * 1048576.0, 0) AS BIGINT))
+       |             AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1048576.0) AS mx
+       |      FROM pc
+       |      CROSS JOIN unnest(range(len(pc.vn))) AS t(i)
+       |      WHERE pc.vec_id < (SELECT cutv FROM cutc)
+       |      GROUP BY 1, 2),
+       |chn AS MATERIALIZED (SELECT cell, list(mx ORDER BY pos) AS chv
+       |      FROM cmn GROUP BY cell),
+       |ppra AS MATERIALIZED (SELECT pc.vec_id,
+       |        list_transform(range(1, len(pc.vn) + 1),
+       |                       i -> pc.vn[i] - ch.chv[i]) AS vn
+       |      FROM pc JOIN chn ch ON ch.cell = pc.cell
+       |      WHERE pc.vec_id < (SELECT cutv FROM cutc)),
+       |pprb AS MATERIALIZED (SELECT pc.vec_id,
+       |        list_transform(range(1, len(pc.vn) + 1),
+       |                       i -> pc.vn[i] - coalesce(ch.chv[i], 0.0)) AS vn
+       |      FROM pc LEFT JOIN chn ch ON ch.cell = pc.cell
+       |      WHERE pc.vec_id >= (SELECT cutv FROM cutc)),
+       |${(0 until PqSubspaces).map(sub).mkString(",\n")},
+       |$batchChains
+       |SELECT b0.vec_id, CAST(pc.cell AS BIGINT) AS cell, $cols
+       |FROM s0be b0
+       |  $joins
+       |  JOIN pc ON pc.vec_id = b0.vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Incremental-encode oracle: train the codebooks over the first 4/5 of

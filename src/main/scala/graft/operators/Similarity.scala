@@ -902,6 +902,64 @@ object Similarity {
     presentTopK(scored, k)
   }
 
+  /** Frozen-artifact incremental encode for the PRODUCTION composition
+    * ([[ivfPqResTopK]]'s residual IVF-PQ): the coarse quantizer, the
+    * per-cell mean offsets AND the residual codebooks all train once over
+    * the stored corpus (first 4/5 of vec_ids — the persisted artifacts);
+    * the arriving batch is cell-assigned, offset-subtracted and
+    * residual-coded in ONE map-only pass (`IvfCells` +
+    * `PqSubspaces × PqCodebook` broadcast dot products per row — no
+    * shuffle, no training rescan). This is the daily-run path an IVF-PQ
+    * index actually executes at 100 TB: train weekly on the corpus
+    * sample, encode each arriving shard against the frozen artifacts.
+    * Output: the batch's index rows `(vec_id, cell, code0..code7)`.
+    */
+  def ivfPqResEncodeIncremental(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val prepIvf = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prepIvf.filter(col("vec_id") < cut),
+      IvfCells, IvfKmeansIters, portableSeed = true)
+    // one map-only assignment pass over ALL rows: train rows feed the
+    // offset/codebook training, batch rows are the encode target
+    val assigned = prepIvf.withColumn("cell",
+      element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, 1), 1).cast("long"))
+    val prepCell = pqPrepared(embeddings)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .localCheckpoint()
+    val trainCell = prepCell.filter(col("vec_id") < cut)
+    // frozen offsets: fixed-point per-cell means of the TRAIN members
+    val dim = PqSubspaces * PqSubDim
+    val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0))
+    trainCell
+      .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
+        count(lit(1)).as("n"))
+      .collect()
+      .foreach { r =>
+        moff(r.getLong(0).toInt)(r.getInt(1)) =
+          r.getLong(2).toDouble / (r.getLong(3).toDouble * PqScale)
+      }
+    val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
+    val withRes = (df: DataFrame) => df.withColumn("rv",
+      zip_with(col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
+        (x, c) => x - c))
+    val trRes = pqTrainCorpus(
+      withRes(trainCell).select(col("vec_id"), col("rv").as("vn")))
+    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
+    val batch = withRes(prepCell.filter(col("vec_id") >= cut))
+    (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
+      df.withColumn(s"code$s",
+        pqNearest(df, slice(col("rv"), s * PqSubDim + 1, PqSubDim), books(s)))
+    }.select(col("vec_id") +: col("cell") +:
+      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+      .orderBy(col("vec_id"))
+  }
+
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val tr = pqTrainCorpus(prep)

@@ -451,6 +451,24 @@ class SimilaritySpec extends SparkSpec {
       s"residual recall $hitsRes below raw composition's $hitsRaw")
   }
 
+  test("residual IVF-PQ incremental encode: deterministic, codes and cells in range") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.ivfPqResEncodeIncremental(emb).collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfPqResEncodeIncremental(emb).collect().map(_.toSeq).toSeq
+    assert(a == b, "frozen-artifact residual encode must be bit-stable")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val cell = r(1).asInstanceOf[Long]
+      assert(cell >= 0L && cell < Similarity.IvfCells,
+        s"cell $cell outside the coarse quantizer")
+      r.drop(2).foreach { c =>
+        val code = c.asInstanceOf[Long]
+        assert(code >= 0L && code < Similarity.PqCodebook,
+          s"code $code outside the codebook")
+      }
+    }
+  }
+
   test("PQ incremental encode: deterministic batch codes in codebook range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
