@@ -627,15 +627,80 @@ object Sketches {
                     sigma: Int = 256): DataFrame =
     qdigestMerge(state, qdigestState(newEvents, sigma), sigma)
 
+  /** Driver-path budget for [[qdCompress]]: material up to this many
+    * (level, prefix, cnt) rows — 24 MB of longs at the cap — compresses
+    * in driver memory. Same budget class as the adaptive BPE trainer's
+    * type table and the IVF centroid collects.
+    */
+  private val QdDriverMax = 1L << 20
+
   /** The deterministic bottom-up compression over (level, prefix, cnt)
     * material (levels may be mixed when merging artifacts).
+    *
+    * Execution is adaptive on the MATERIAL size (the BPE-trainer
+    * precedent): the 8 freeze/push rounds are pure integer arithmetic on
+    * an artifact-or-distinct-values-sized frame, so when that frame fits
+    * the bounded-driver-artifact budget (`QdDriverMax`) the rounds run
+    * in driver memory with ZERO per-round Spark jobs — the distributed
+    * spelling paid ~8 `localCheckpoint` job barriers per compress, which
+    * dominated the streamed/incremental q-digest queries' wall clock
+    * (driver latency, not data). Corpora whose distinct-value table
+    * exceeds the budget (the 100 TB case) keep the distributed
+    * window-over-parent loop unchanged. Both paths are the same
+    * deterministic algorithm; `QDigestSpec` pins them node-for-node
+    * equal on the fixture.
     */
   private def qdCompress(material: DataFrame, sigma: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     val mat = material.localCheckpoint()
     val n = mat.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
     if (n == 0L) return mat.select(col("level"), col("prefix"), col("cnt"))
     val t = math.max(1L, (n + sigma - 1) / sigma)
+    if (mat.count() <= QdDriverMax) qdCompressLocal(mat, t)
+    else qdCompressDistributed(mat, t)
+  }
+
+  /** The in-driver spelling of the freeze/push rounds — exact same math
+    * as [[qdCompressDistributed]] over collected rows.
+    */
+  private[graft] def qdCompressLocal(mat: DataFrame, t: Long): DataFrame = {
+    val spark = mat.sparkSession
+    import spark.implicits._
+    val byLevel = Array.fill(QdLevels + 1)(
+      new scala.collection.mutable.HashMap[Long, Long]())
+    mat.select(col("level"), col("prefix"), col("cnt")).collect().foreach { r =>
+      val m = byLevel(r.getLong(0).toInt)
+      val p = r.getLong(1)
+      m.update(p, m.getOrElse(p, 0L) + r.getLong(2))
+    }
+    val kept = Seq.newBuilder[(Long, Long, Long)]
+    var pending = scala.collection.mutable.HashMap[Long, Long]()
+    for (l <- 0 until QdLevels) {
+      val cur = pending
+      byLevel(l).foreach { case (p, c) =>
+        cur.update(p, cur.getOrElse(p, 0L) + c)
+      }
+      val parentSum = scala.collection.mutable.HashMap[Long, Long]()
+      cur.foreach { case (p, c) =>
+        val par = p >>> QdBits
+        parentSum.update(par, parentSum.getOrElse(par, 0L) + c)
+      }
+      val next = scala.collection.mutable.HashMap[Long, Long]()
+      cur.foreach { case (p, c) =>
+        val par = p >>> QdBits
+        if (parentSum(par) >= t) kept += ((l.toLong, p, c))
+        else next.update(par, next.getOrElse(par, 0L) + c)
+      }
+      pending = next
+    }
+    byLevel(QdLevels).foreach { case (p, c) =>
+      pending.update(p, pending.getOrElse(p, 0L) + c)
+    }
+    val top = pending.toSeq.map { case (p, c) => (QdLevels.toLong, p, c) }
+    (kept.result() ++ top).toDF("level", "prefix", "cnt").localCheckpoint()
+  }
+
+  private[graft] def qdCompressDistributed(mat: DataFrame, t: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     var pending = mat.select(col("prefix"), col("cnt")).limit(0)
     val kept = Seq.newBuilder[DataFrame]
     for (l <- 0 until QdLevels) {

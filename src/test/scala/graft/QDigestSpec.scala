@@ -19,6 +19,34 @@ class QDigestSpec extends SparkSpec {
   private def nodes(state: org.apache.spark.sql.DataFrame) =
     state.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
 
+  test("driver-path compression equals the distributed spelling node-for-node") {
+    // the adaptive dispatch routes fixture-sized material to the driver
+    // loop; this pins the two spellings equal on real data (build) and on
+    // mixed-level material (a merge), so the dispatch can never change
+    // results — only job counts
+    val leaves = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("value").isNotNull)
+      .select((expr("cast(round(value * 100, 0) as bigint)")
+        + 4611686018427387904L).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("cnt"))
+      .select(lit(0L).as("level"), col("prefix"), col("cnt"))
+      .localCheckpoint()
+    val n = leaves.agg(sum(col("cnt"))).head().getLong(0)
+    val t = math.max(1L, (n + 255) / 256)
+    val a = nodes(Sketches.qdCompressLocal(leaves, t)).toSet
+    val b = nodes(Sketches.qdCompressDistributed(leaves, t)).toSet
+    assert(a == b, s"driver and distributed compress diverge: ${a.diff(b)} / ${b.diff(a)}")
+    // mixed-level material: merge the two halves' artifacts
+    val mixed = Sketches.qdigestState(events.filter(col("event_id") % 2 === 0))
+      .unionByName(Sketches.qdigestState(events.filter(col("event_id") % 2 === 1)))
+      .localCheckpoint()
+    val nm = mixed.agg(sum(col("cnt"))).head().getLong(0)
+    val tm = math.max(1L, (nm + 255) / 256)
+    val am = nodes(Sketches.qdCompressLocal(mixed, tm)).toSet
+    val bm = nodes(Sketches.qdCompressDistributed(mixed, tm)).toSet
+    assert(am == bm, "merge-shaped material diverges between the spellings")
+  }
+
   test("no compression needed: artifact IS the exact value counts") {
     // 6 distinct cents, sigma 256 -> t = 1: every level-0 group reaches t
     val st = Sketches.qdigestState(ev(Seq(0.01, 0.02, 0.02, 0.03, 0.50, 9.99)))
