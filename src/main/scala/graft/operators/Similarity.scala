@@ -59,10 +59,32 @@ object Similarity {
     * per query by the engine-robust (round(cos,6) DESC, vec_id) order and
     * keep the top `k` — one copy of the ordering contract the
     * [[annRecallReport]] comparison depends on all three methods sharing.
+    *
+    * Two-level ranking (the [[graft.operators.Curation.stratifiedSample]]
+    * pattern): a single `partitionBy(query_id)` window would drag the
+    * whole scored frame — corpus × queries rows for the brute/PQ scans —
+    * through |queries| reducers (measured: the 20-partition sort WAS the
+    * PQ-at-500k wall clock, not the ADC math). Level 1 ranks inside
+    * (query, input-partition) — full parallelism, and any row in a
+    * query's global top-k is trivially in its partition's top-k under
+    * the same total order, so the prune is exact; level 2 ranks the
+    * ≤ partitions × k survivors per query — a bounded frame at any
+    * corpus size.
     */
   private def presentTopK(scored: DataFrame, k: Int): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("scan_pid"))
+      .orderBy(desc("cos_r"), col("vec_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos_r"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored
+      // project FIRST: the ranking sort must move 3 columns per candidate,
+      // not the full join row (the PQ scan's rows carry the query's LUT
+      // arrays — measured at 500k: sorting full-width rows WAS the scan's
+      // wall clock, 10M × ~hundreds of doubles through spill)
+      .select(col("query_id"), col("vec_id"), col("cos_r"))
+      .withColumn("scan_pid", spark_partition_id())
+      .withColumn("lr", row_number().over(wLocal))
+      .filter(col("lr") <= k)
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -811,18 +833,17 @@ object Similarity {
     val corpus = assigned.filter(col("nrm") > 0)
       .select(col("vec_id"), col("cell"))
       .join(encoded, "vec_id")
-    val queries = assigned.filter(col("vec_id") < numQueries && col("nrm") > 0)
-      .select(col("vec_id").as("query_id"), explode(col("cells2")).as("q_cell"))
-      .join(prepPq.select(col("vec_id").as("query_id") +:
-        (0 until PqSubspaces).map(s =>
-          slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
-        "query_id")
-    val contributions = (0 until PqSubspaces).map(s =>
-      dotN(prepPq, col(s"q$s"),
-        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    val queries = pqQueryLuts(
+      assigned.filter(col("vec_id") < numQueries && col("nrm") > 0)
+        .select(col("vec_id").as("query_id"), explode(col("cells2")).as("q_cell"))
+        .join(prepPq.select(col("vec_id").as("query_id") +:
+          (0 until PqSubspaces).map(s =>
+            slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
+          "query_id"),
+      books)
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
+      .withColumn("cos_r", round(lutContributions.reduce(_ + _), 6))
     presentTopK(scored, k)
   }
 
@@ -852,31 +873,55 @@ object Similarity {
         col("v"), col("nrm"), centroids, probes))
       .withColumn("cell", element_at(col("cells2"), 1))
       .localCheckpoint()
-    val prepCell = pqPrepared(embeddings)
-      .join(assigned.select(col("vec_id"), col("cell"), col("cells2")), "vec_id")
+    // narrow BEFORE the checkpoint: only the columns every downstream
+    // pass reads (drop v/nrm — at 500k the extra 64 doubles/row double
+    // the checkpoint size and read cost of the three passes over it).
+    // vn derives from the already-checkpointed assigned frame — same
+    // arithmetic as pqPrepared, without a second parquet scan + norm pass
+    val prepCell = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("vn"),
+        col("cell"), col("cells2"))
       .localCheckpoint()
-    // per-cell fixed-point mean of the normalized members — one shuffle
-    // to IvfCells × dim bounded rows, collected like the Lloyd updates
+    // per-cell fixed-point mean of the normalized members, as ONE
+    // aggregate pass with `dim` sum expressions per cell (a posexplode
+    // spelling would materialize corpus × dim rows before the combine —
+    // measured at 500k × 64, that generator was a double-digit-seconds
+    // stage; 64 agg expressions over element_at are map-side-combined
+    // straight to IvfCells rows). Same order-free long sums either way.
     val dim = PqSubspaces * PqSubDim
     val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0)) // empty cell → 0
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(expr(s"cast(round(element_at(vn, ${i + 1}) * $PqScale, 0) as bigint)"))
+        .as(s"sx$i"))
     prepCell
-      .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
-        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sumCols.head, sumCols.tail: _*)
       .collect()
       .foreach { r =>
-        moff(r.getInt(0))(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3).toDouble * PqScale)
+        val n = r.getLong(1)
+        (0 until dim).foreach { i =>
+          moff(r.getInt(0))(i) = // cell is INT here (uncast element_at)
+            r.getLong(2 + i).toDouble / (n.toDouble * PqScale)
+        }
       }
     val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
-    // residual per corpus vector: x̂ − m_cell, IEEE per-component subtract
+    // residual per corpus vector: x̂ − m_cell, IEEE per-component subtract.
+    // NOT checkpointed: rv is 64 subtracts/row off the checkpointed
+    // prepCell — cheaper to recompute in the two passes that read it
+    // (sample ordering, encode) than to write a second 500k × 64 frame
     val prepRes = prepCell
       .withColumn("rv", zip_with(col("vn"),
         element_at(typedlit(chat), (col("cell") + 1).cast("int")),
         (x, c) => x - c))
-      .localCheckpoint()
-    val trRes = pqTrainCorpus(prepRes.select(col("vec_id"), col("rv").as("vn")))
+    // sample FIRST, residualize the 6.4k sampled rows only: the md5
+    // ordering depends on vec_id alone, so the sampled SET — and the
+    // trained books — are identical to residualizing the whole corpus
+    val trRes = pqTrainCorpus(prepCell)
+      .withColumn("rv", zip_with(col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
+        (x, c) => x - c))
+      .select(col("vec_id"), col("rv").as("vn"))
     val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
     val corpus = (0 until PqSubspaces).foldLeft(prepRes) { (df, s) =>
       df.withColumn(s"code$s",
@@ -888,17 +933,17 @@ object Similarity {
         (0 until PqSubspaces).map(s =>
           slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")) ++
         Seq(explode(col("cells2")).as("q_cell"))
-    val queries = prepRes.filter(col("vec_id") < numQueries)
-      .select(queryCols: _*)
-    // ⟨q̂, ĉ_cell⟩: the candidate's coarse position, a constant lookup
-    val term0 = dotN(prepRes, col("qn"),
-      element_at(typedlit(chat), (col("cell") + 1).cast("int")))
-    val contributions = (0 until PqSubspaces).map(s =>
-      dotN(prepRes, col(s"q$s"),
-        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
+    val queries = pqQueryLuts(
+      prepRes.filter(col("vec_id") < numQueries).select(queryCols: _*),
+      books)
+      // ⟨q̂, m_cell⟩ per possible cell, precomputed query-side like the
+      // subspace tables — the pair-side coarse term is one lookup too
+      .withColumn("lutc",
+        transform(typedlit(chat), m => dotN(prepRes, col("qn"), m)))
+    val term0 = element_at(col("lutc"), (col("cell") + 1).cast("int"))
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_r", round(term0 + contributions.reduce(_ + _), 6))
+      .withColumn("cos_r", round(term0 + lutContributions.reduce(_ + _), 6))
     presentTopK(scored, k)
   }
 
@@ -926,30 +971,40 @@ object Similarity {
     val assigned = prepIvf.withColumn("cell",
       element_at(ArrayOps.nearestCells(spark,
         col("v"), col("nrm"), centroids, 1), 1).cast("long"))
-    val prepCell = pqPrepared(embeddings)
-      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    // vn from the assigned frame directly (pqPrepared's arithmetic,
+    // without a second parquet scan + norm pass), narrowed pre-checkpoint
+    val prepCell = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("vn"),
+        col("cell"))
       .localCheckpoint()
     val trainCell = prepCell.filter(col("vec_id") < cut)
-    // frozen offsets: fixed-point per-cell means of the TRAIN members
+    // frozen offsets: fixed-point per-cell means of the TRAIN members —
+    // one aggregate pass, dim sum expressions (the [[ivfPqResTopK]] shape)
     val dim = PqSubspaces * PqSubDim
     val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0))
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(expr(s"cast(round(element_at(vn, ${i + 1}) * $PqScale, 0) as bigint)"))
+        .as(s"sx$i"))
     trainCell
-      .select(col("cell"), posexplode(col("vn")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
-        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sumCols.head, sumCols.tail: _*)
       .collect()
       .foreach { r =>
-        moff(r.getLong(0).toInt)(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3).toDouble * PqScale)
+        val n = r.getLong(1)
+        (0 until dim).foreach { i =>
+          moff(r.getLong(0).toInt)(i) =
+            r.getLong(2 + i).toDouble / (n.toDouble * PqScale)
+        }
       }
     val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
     val withRes = (df: DataFrame) => df.withColumn("rv",
       zip_with(col("vn"),
         element_at(typedlit(chat), (col("cell") + 1).cast("int")),
         (x, c) => x - c))
-    val trRes = pqTrainCorpus(
-      withRes(trainCell).select(col("vec_id"), col("rv").as("vn")))
+    // sample before residualizing — the md5 order is vec_id-only
+    val trRes = withRes(pqTrainCorpus(trainCell))
+      .select(col("vec_id"), col("rv").as("vn"))
     val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
     val batch = withRes(prepCell.filter(col("vec_id") >= cut))
     (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
@@ -959,6 +1014,25 @@ object Similarity {
       (0 until PqSubspaces).map(s => col(s"code$s")): _*)
       .orderBy(col("vec_id"))
   }
+
+  /** Per-query ADC lookup tables: for each subspace, ALL `PqCodebook`
+    * query·centroid dot products precomputed ON THE QUERY SIDE (a
+    * |queries|-row frame, materialized before the broadcast), so the
+    * per-(corpus row, query) work in the scan drops from
+    * `PqSubspaces × PqSubDim` multiplies to `PqSubspaces` array lookups —
+    * the textbook ADC table. The table entry IS the dot the inline
+    * spelling computed (same [[graft.functions.ArrayDotProduct]] fold),
+    * so scores — and the oracles — are bit-identical.
+    */
+  private def pqQueryLuts(df: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame =
+    (0 until PqSubspaces).foldLeft(df) { (d, s) =>
+      d.withColumn(s"lut$s",
+        transform(typedlit(books(s)), cb => dotN(d, col(s"q$s"), cb)))
+    }
+
+  private def lutContributions: Seq[Column] =
+    (0 until PqSubspaces).map(s =>
+      element_at(col(s"lut$s"), (col(s"code$s") + 1).cast("int")))
 
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
@@ -970,17 +1044,34 @@ object Similarity {
     }
     val corpus = encoded.select(col("vec_id") +:
       (0 until PqSubspaces).map(s => col(s"code$s")): _*)
-    val queries = prep.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id") +:
+    val queries = pqQueryLuts(
+      prep.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id") +:
+          (0 until PqSubspaces).map(s =>
+            slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
+      books)
+    // The query LUT table is bounded (numQueries × subspaces × codebook
+    // doubles — 80 KB here), so it ships as a LITERAL and the full scan
+    // becomes one map-only codegen'd explode per corpus row. The previous
+    // spelling — broadcast + `vec_id =!= query_id` — planned a
+    // BroadcastNestedLoopJoin, which runs OUTSIDE whole-stage codegen and
+    // copies the full concatenated row per pair (measured at 500k: the
+    // BNLJ row processing was ~85 s of the scan while the equi-join
+    // IVF-PQ scan did half the pairs in ~5 s). ADC per pair: 8 nested
+    // literal lookups, arithmetic identical to the joined spelling.
+    val qLit: Seq[(Long, Seq[Seq[Double]])] = queries.collect().toSeq.map { r =>
+      (r.getLong(r.fieldIndex("query_id")),
         (0 until PqSubspaces).map(s =>
-          slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*)
-    // ADC: per subspace, the contribution is a literal-codebook lookup
-    // (element_at on the broadcast constant), never a raw-vector read
+          r.getSeq[Double](r.fieldIndex(s"lut$s")).toSeq))
+    }
+    val q = col("q")
     val contributions = (0 until PqSubspaces).map(s =>
-      dotN(prep, col(s"q$s"),
-        element_at(typedlit(books(s)), (col(s"code$s") + 1).cast("int"))))
-    val scored = corpus.join(broadcast(queries),
-        col("vec_id") =!= col("query_id"))
+      element_at(element_at(q.getField("_2"), s + 1),
+        (col(s"code$s") + 1).cast("int")))
+    val scored = corpus
+      .withColumn("q", explode(typedlit(qLit)))
+      .withColumn("query_id", q.getField("_1"))
+      .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
     presentTopK(scored, k)
   }
