@@ -340,9 +340,10 @@ object SparkEntry {
         |cells AS (SELECT CAST(rw AS BIGINT) AS rw,
         |            pmod(CAST(conv(substring(md5(
         |              concat('r', CAST(rw AS STRING), ' ', tok)), 1, 15),
-        |              16, 10) AS BIGINT), CAST(1024 AS BIGINT)) AS col_id
-        |          FROM tok LATERAL VIEW explode(sequence(0, 3)) r AS rw),
-        |st AS (SELECT rw, col_id, count(1) AS cnt
+        |              16, 10) AS BIGINT), CAST(1024 AS BIGINT)) AS col_id,
+        |            n_true AS c
+        |          FROM ex LATERAL VIEW explode(sequence(0, 3)) r AS rw),
+        |st AS (SELECT rw, col_id, sum(c) AS cnt
         |       FROM cells GROUP BY rw, col_id),
         |keys AS (SELECT t.tok, CAST(rw AS BIGINT) AS rw,
         |           pmod(CAST(conv(substring(md5(
