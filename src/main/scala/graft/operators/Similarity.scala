@@ -714,6 +714,51 @@ object Similarity {
     * [[pqTrainCorpus]] sample, never the raw corpus — seeding re-derives
     * the same md5 prefix inside the sample.
     */
+  /** All `PqSubspaces` codebooks in THREE Spark jobs total (one seed
+    * collect + one batched assignment/update pass per Lloyd iteration)
+    * instead of [[pqTrainSubspace]]'s 3 jobs × 8 subspaces: the seed
+    * rows are the SAME md5-prefix vec_ids for every subspace, and the
+    * per-iteration aggregates just gain a subspace key — per-subspace
+    * sums, and therefore the trained centroids, are bit-identical
+    * (`SimilaritySpec` pins it). On the bench fixtures the per-job
+    * driver latency WAS the PQ operators' cost; at scale it's 3 passes
+    * over the bounded sample instead of 24.
+    */
+  private[graft] def pqTrainAllSubspaces(tr: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val seeds: Array[Array[Double]] = tr
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(PqCodebook).select(col("vn")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces)(s =>
+      Array.tabulate(math.min(PqCodebook, seeds.length))(j =>
+        seeds(j).slice(s * PqSubDim, (s + 1) * PqSubDim)))
+    var it = 0
+    while (it < PqIters) {
+      val coded = (0 until PqSubspaces).foldLeft(tr) { (df, s) =>
+        df.withColumn(s"c$s", pqNearest(df,
+          slice(col("vn"), s * PqSubDim + 1, PqSubDim),
+          cents(s).map(_.toSeq).toSeq))
+      }
+      val sums = coded.select(explode(array((0 until PqSubspaces).map(s =>
+          struct(lit(s).as("s"), col(s"c$s").as("code"),
+            slice(col("vn"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) =
+          r.getLong(3).toDouble / (r.getLong(4).toDouble * PqScale)
+      }
+      cents = next
+      it += 1
+    }
+    cents.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
   private[graft] def pqTrainSubspace(prep: DataFrame, s: Int): Seq[Seq[Double]] = {
     val sub = prep.select(col("vec_id"),
       slice(col("vn"), s * PqSubDim + 1, PqSubDim).as("sv"))
@@ -766,7 +811,7 @@ object Similarity {
   private[graft] def pqSelfScores(embeddings: DataFrame): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val tr = pqTrainCorpus(prep)
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(tr, s))
+    val books = pqTrainAllSubspaces(tr)
     val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
@@ -791,7 +836,7 @@ object Similarity {
       .head().getLong(0)
     val prep = pqPrepared(embeddings).localCheckpoint()
     val train = pqTrainCorpus(prep.filter(col("vec_id") < cut))
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(train, s))
+    val books = pqTrainAllSubspaces(train)
     val batch = prep.filter(col("vec_id") >= cut)
     (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
       df.withColumn(s"code$s",
@@ -824,7 +869,7 @@ object Similarity {
       .localCheckpoint()
     val prepPq = pqPrepared(embeddings).localCheckpoint()
     val trPq = pqTrainCorpus(prepPq)
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trPq, s))
+    val books = pqTrainAllSubspaces(trPq)
     val encoded = (0 until PqSubspaces).foldLeft(prepPq) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
@@ -922,7 +967,7 @@ object Similarity {
         element_at(typedlit(chat), (col("cell") + 1).cast("int")),
         (x, c) => x - c))
       .select(col("vec_id"), col("rv").as("vn"))
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
+    val books = pqTrainAllSubspaces(trRes)
     val corpus = (0 until PqSubspaces).foldLeft(prepRes) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("rv"), s * PqSubDim + 1, PqSubDim), books(s)))
@@ -1005,7 +1050,7 @@ object Similarity {
     // sample before residualizing — the md5 order is vec_id-only
     val trRes = withRes(pqTrainCorpus(trainCell))
       .select(col("vec_id"), col("rv").as("vn"))
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(trRes, s))
+    val books = pqTrainAllSubspaces(trRes)
     val batch = withRes(prepCell.filter(col("vec_id") >= cut))
     (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
       df.withColumn(s"code$s",
@@ -1037,7 +1082,7 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val tr = pqTrainCorpus(prep)
-    val books = (0 until PqSubspaces).map(s => pqTrainSubspace(tr, s))
+    val books = pqTrainAllSubspaces(tr)
     val encoded = (0 until PqSubspaces).foldLeft(prep) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))

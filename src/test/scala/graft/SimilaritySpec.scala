@@ -396,6 +396,23 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L, s"$diff vectors coded differently by the two spellings")
   }
 
+  test("batched PQ training equals the per-subspace trainer book-for-book") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val v = col("embedding").cast("array<double>")
+    val prep = emb.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(graft.functions.ArrayOps
+        .dotNative(spark, col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+    val tr = Similarity.pqTrainCorpus(prep)
+    val batched = Similarity.pqTrainAllSubspaces(tr)
+    (0 until Similarity.PqSubspaces).foreach { s =>
+      assert(batched(s) == Similarity.pqTrainSubspace(tr, s),
+        s"subspace $s books diverge between the batched and per-subspace trainers")
+    }
+  }
+
   test("NearestCodeL2 parity with the struct spelling on NON-finite scores") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
