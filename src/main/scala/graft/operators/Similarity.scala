@@ -677,7 +677,8 @@ object Similarity {
     */
   private def pqPrepared(embeddings: DataFrame): DataFrame =
     prepared(embeddings).filter(col("nrm") > 0)
-      .withColumn("vn", transform(col("v"), x => x / col("nrm")))
+      .withColumn("vn", ArrayOps.divScalarNative(
+        embeddings.sparkSession, col("v"), col("nrm")))
 
   /** L2-nearest codebook entry for a subvector: `argmin |sv − c|² =
     * argmax (⟨sv, c⟩ − |c|²/2)`, decided on the 6-dp-rounded score with
@@ -925,7 +926,7 @@ object Similarity {
     // arithmetic as pqPrepared, without a second parquet scan + norm pass
     val prepCell = assigned.filter(col("nrm") > 0)
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("vn"),
+        ArrayOps.divScalarNative(spark, col("v"), col("nrm")).as("vn"),
         col("cell"), col("cells2"))
       .localCheckpoint()
     // per-cell fixed-point mean of the normalized members, as ONE
@@ -956,16 +957,14 @@ object Similarity {
     // prepCell — cheaper to recompute in the two passes that read it
     // (sample ordering, encode) than to write a second 500k × 64 frame
     val prepRes = prepCell
-      .withColumn("rv", zip_with(col("vn"),
-        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
-        (x, c) => x - c))
+      .withColumn("rv", ArrayOps.subNative(spark, col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
     // sample FIRST, residualize the 6.4k sampled rows only: the md5
     // ordering depends on vec_id alone, so the sampled SET — and the
     // trained books — are identical to residualizing the whole corpus
     val trRes = pqTrainCorpus(prepCell)
-      .withColumn("rv", zip_with(col("vn"),
-        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
-        (x, c) => x - c))
+      .withColumn("rv", ArrayOps.subNative(spark, col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
       .select(col("vec_id"), col("rv").as("vn"))
     val books = pqTrainAllSubspaces(trRes)
     val corpus = (0 until PqSubspaces).foldLeft(prepRes) { (df, s) =>
@@ -1020,7 +1019,7 @@ object Similarity {
     // without a second parquet scan + norm pass), narrowed pre-checkpoint
     val prepCell = assigned.filter(col("nrm") > 0)
       .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("vn"),
+        ArrayOps.divScalarNative(spark, col("v"), col("nrm")).as("vn"),
         col("cell"))
       .localCheckpoint()
     val trainCell = prepCell.filter(col("vec_id") < cut)
@@ -1044,9 +1043,8 @@ object Similarity {
       }
     val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
     val withRes = (df: DataFrame) => df.withColumn("rv",
-      zip_with(col("vn"),
-        element_at(typedlit(chat), (col("cell") + 1).cast("int")),
-        (x, c) => x - c))
+      ArrayOps.subNative(spark, col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
     // sample before residualizing — the md5 order is vec_id-only
     val trRes = withRes(pqTrainCorpus(trainCell))
       .select(col("vec_id"), col("rv").as("vn"))

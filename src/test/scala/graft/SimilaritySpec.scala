@@ -396,6 +396,27 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L, s"$diff vectors coded differently by the two spellings")
   }
 
+  test("ArraySub / ArrayDivScalar match the zip_with / transform spellings bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val v = col("embedding").cast("array<double>")
+    val base = emb.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(graft.functions.ArrayOps
+        .dotNative(spark, col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val offset = Seq.tabulate(64)(i => (i % 7 - 3) / 10.0)
+    val d = base
+      .withColumn("a1", graft.functions.ArrayOps
+        .divScalarNative(spark, col("v"), col("nrm")))
+      .withColumn("a2", transform(col("v"), x => x / col("nrm")))
+      .withColumn("s1", graft.functions.ArrayOps
+        .subNative(spark, col("a1"), typedlit(offset)))
+      .withColumn("s2", zip_with(col("a2"), typedlit(offset), (x, c) => x - c))
+    // exact bit equality, not tolerance: same IEEE op, same order
+    val bad = d.filter(col("a1") =!= col("a2") || col("s1") =!= col("s2")).count()
+    assert(bad == 0L, s"$bad rows diverge between native kernels and HOF spellings")
+  }
+
   test("batched PQ training equals the per-subspace trainer book-for-book") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
