@@ -45,8 +45,11 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     // SPARK_GRAFT_REPEAT > 1 (dev-only; driver never sets it) times each
     // query N times and reports the MIN — the noise-robust steady-state
-    // number for like-for-like regression hunting on a loaded box
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // number for like-for-like regression hunting on a loaded box.
+    // Clamped: a garbage or non-positive value must degrade to 1, not
+    // kill the whole bench before any JSON is emitted
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -74,6 +77,21 @@ object Bench {
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir""""
     println(s"""{"queries":$qs,$headline}""")
     println(s"""{$headline}""")
+    // The stdout tail the driver keeps cuts the per-query map to the last
+    // ~2000 chars (names alphabetically >= ~"s" only), so the COMPLETE
+    // timings also go to an in-repo file for cross-round regression
+    // hunting — committed each round (dev/bench_history/r{N}.json via
+    // SPARK_GRAFT_BENCH_TAG; unset runs land on latest.json). Best-effort:
+    // a read-only checkout must not kill the bench output.
+    try {
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
+      val outDir = java.nio.file.Paths.get("dev", "bench_history")
+      java.nio.file.Files.createDirectories(outDir)
+      java.nio.file.Files.write(outDir.resolve(s"$tag.json"),
+        s"""{"queries":$qs,$headline}\n""".getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] history write failed: ${e.getMessage}")
+    }
     System.err.println(
       s"[bench] total=${math.round(total * 100) / 100.0}s failed=$failed n=${results.size} sf=$sfDir")
     spark.stop()

@@ -19,13 +19,14 @@ class PlanAuditSpec extends SparkSpec {
     * dimension × dimension cross product (both sides are post-aggregate
     * scalars of the corpus, never corpus-proportional).
     */
-  /** `ann_topk_pq` is deliberately brute force over 128×-compressed
-    * codes (ADC) — the nested-loop side is the 20-row broadcast query
-    * set, the corpus side is one scan of 2-byte codes.
+  /** `ann_topk_pq` is deliberately brute force over 128×-compressed codes
+    * (ADC), but since the literal-LUT rewrite its scan is a map-only
+    * codegen'd explode — no BNLJ left to exempt, and the audit must catch
+    * any regression back to that shape.
     */
   private val nestedLoopAllowed =
     Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill",
-      "q_gapfill_sql", "ann_topk_pq")
+      "q_gapfill_sql")
 
   /** No exemptions left: since round 9 every declared query carries a
     * DuckDB oracle (`dedup_simhash` now runs the md5-portable kernel; the
