@@ -909,7 +909,17 @@ object Similarity {
     * stage stays bit-portable and the DuckDB oracle replays end-to-end.
     */
   def ivfPqResTopK(embeddings: DataFrame, numQueries: Int, k: Int,
-                   probes: Int = IvfProbes): DataFrame = {
+                   probes: Int = IvfProbes): DataFrame =
+    presentTopK(ivfPqResScored(embeddings, numQueries, probes)._1, k)
+
+  /** The residual-IVF-PQ ADC scan shared by [[ivfPqResTopK]] (ranked
+    * as-is) and [[ivfPqResRefineTopK]] (re-ranked exactly): returns the
+    * scored candidate frame `(query_id, vec_id, cos_r, …)` plus the
+    * checkpointed `(vec_id, vn, cell, cells2)` corpus frame the refine
+    * stage reads raw vectors from.
+    */
+  private def ivfPqResScored(embeddings: DataFrame, numQueries: Int,
+                             probes: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     val prepIvf = prepared(embeddings).localCheckpoint()
     val centroids = kmeansCentroids(prepIvf, IvfCells, IvfKmeansIters,
@@ -952,13 +962,6 @@ object Similarity {
         }
       }
     val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
-    // residual per corpus vector: x̂ − m_cell, IEEE per-component subtract.
-    // NOT checkpointed: rv is 64 subtracts/row off the checkpointed
-    // prepCell — cheaper to recompute in the two passes that read it
-    // (sample ordering, encode) than to write a second 500k × 64 frame
-    val prepRes = prepCell
-      .withColumn("rv", ArrayOps.subNative(spark, col("vn"),
-        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
     // sample FIRST, residualize the 6.4k sampled rows only: the md5
     // ordering depends on vec_id alone, so the sampled SET — and the
     // trained books — are identical to residualizing the whole corpus
@@ -967,28 +970,79 @@ object Similarity {
         element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
       .select(col("vec_id"), col("rv").as("vn"))
     val books = pqTrainAllSubspaces(trRes)
-    val corpus = (0 until PqSubspaces).foldLeft(prepRes) { (df, s) =>
-      df.withColumn(s"code$s",
-        pqNearest(df, slice(col("rv"), s * PqSubDim + 1, PqSubDim), books(s)))
-    }.select(col("vec_id") +: col("cell") +:
-      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    // residual slices FUSED into the encode projection: subvector s of
+    // `x̂ − m_cell` is `vn[s·8+1..] − m_cell[s·8+1..]` component-wise —
+    // identical IEEE subtracts on identical operands, so codes are
+    // bit-equal to subtracting the full 64-dim residual first. The former
+    // full-`rv` intermediate was recomputed INSIDE each of the 8 collapsed
+    // code projections (64 subtracts + a full offset-table literal per
+    // subspace per row — the r10 DevScale 75.8 s row's cost); the fused
+    // slices do 8 subtracts each against a 16×8 per-subspace literal.
+    val corpus = resEncode(prepCell, chat, books)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqSubspaces).map(s => col(s"code$s")): _*)
     val queryCols =
       Seq(col("vec_id").as("query_id"), col("vn").as("qn")) ++
         (0 until PqSubspaces).map(s =>
           slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")) ++
         Seq(explode(col("cells2")).as("q_cell"))
     val queries = pqQueryLuts(
-      prepRes.filter(col("vec_id") < numQueries).select(queryCols: _*),
+      prepCell.filter(col("vec_id") < numQueries).select(queryCols: _*),
       books)
       // ⟨q̂, m_cell⟩ per possible cell, precomputed query-side like the
       // subspace tables — the pair-side coarse term is one lookup too
       .withColumn("lutc",
-        transform(typedlit(chat), m => dotN(prepRes, col("qn"), m)))
+        transform(typedlit(chat), m => dotN(prepCell, col("qn"), m)))
     val term0 = element_at(col("lutc"), (col("cell") + 1).cast("int"))
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_r", round(term0 + lutContributions.reduce(_ + _), 6))
-    presentTopK(scored, k)
+      // LEFT-associative over (term0, lut0..lut7) — the exact grouping the
+      // oracle's `term0 + lut0 + lut1 + …` SQL evaluates. FP addition is
+      // non-associative: `term0 + ((lut0+lut1)+…)` can differ by 1 ulp and
+      // flip round(·, 6) at a rounding boundary
+      .withColumn("cos_r", round((term0 +: lutContributions).reduce(_ + _), 6))
+    (scored, prepCell)
+  }
+
+  /** Candidate budget of the exact re-rank stage: top-`RefineCandidates`
+    * ADC candidates per query get their true cosine computed. 4× the
+    * registry's k=10 — the standard refine head-room (the re-rank can
+    * only promote within the candidate set, so m/k bounds how deep an
+    * ADC mis-ranking it can repair).
+    */
+  val RefineCandidates = 40
+
+  /** Two-stage retrieval — the production composition's final form (the
+    * stage FAISS calls `refine`): [[ivfPqResScored]]'s ADC scan keeps the
+    * top-`m` candidates per query, and ONLY those `numQueries × m` rows
+    * get exact dot products against the raw normalized vectors, re-ranked
+    * to the final top-k. At 100 TB the raw-vector reads stay
+    * candidate-bounded (an equi-join of the corpus against the broadcast
+    * candidate set — never a second scan-wide score), which is exactly
+    * why the pattern exists: ADC compression errors cap recall, and the
+    * refine buys exact ordering for the price of `m` vector reads per
+    * query.
+    *
+    * Every brute-force top-k hit present in the candidate set survives
+    * the re-rank (at most k−1 candidates can out-score it exactly, and
+    * ties break on the same vec_id order), so refine recall ≥ the ADC
+    * scan's recall by construction — `SimilaritySpec` pins it.
+    */
+  def ivfPqResRefineTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                         m: Int = RefineCandidates,
+                         probes: Int = IvfProbes): DataFrame = {
+    require(m >= k, s"refine candidate budget m=$m must cover k=$k")
+    val (scored, prepCell) = ivfPqResScored(embeddings, numQueries, probes)
+    val cand = presentTopK(scored, m)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = prepCell.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qvn"))
+    // candidates ⋈ query vectors: numQueries × m rows — bounded, broadcast
+    val candQ = cand.join(qv, "query_id")
+    val exact = prepCell.select(col("vec_id"), col("vn"))
+      .join(broadcast(candQ), col("vec_id") === col("neighbor_id"))
+      .withColumn("cos_r", round(dotN(prepCell, col("qvn"), col("vn")), 6))
+    presentTopK(exact, k)
   }
 
   /** Frozen-artifact incremental encode for the PRODUCTION composition
@@ -1042,20 +1096,41 @@ object Similarity {
         }
       }
     val chat: Seq[Seq[Double]] = moff.map(_.toSeq).toSeq
-    val withRes = (df: DataFrame) => df.withColumn("rv",
-      ArrayOps.subNative(spark, col("vn"),
-        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
     // sample before residualizing — the md5 order is vec_id-only
-    val trRes = withRes(pqTrainCorpus(trainCell))
+    val trRes = pqTrainCorpus(trainCell)
+      .withColumn("rv", ArrayOps.subNative(spark, col("vn"),
+        element_at(typedlit(chat), (col("cell") + 1).cast("int"))))
       .select(col("vec_id"), col("rv").as("vn"))
     val books = pqTrainAllSubspaces(trRes)
-    val batch = withRes(prepCell.filter(col("vec_id") >= cut))
-    (0 until PqSubspaces).foldLeft(batch) { (df, s) =>
-      df.withColumn(s"code$s",
-        pqNearest(df, slice(col("rv"), s * PqSubDim + 1, PqSubDim), books(s)))
-    }.select(col("vec_id") +: col("cell") +:
-      (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+    resEncode(prepCell.filter(col("vec_id") >= cut), chat, books)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqSubspaces).map(s => col(s"code$s")): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** Residual-encode a `(vn, cell, …)` frame against frozen per-cell
+    * offsets and residual codebooks, with the offset subtract FUSED into
+    * each subspace's code projection: subvector `s` of `x̂ − m_cell` is
+    * computed as `vn[s·dim+1 ..] − m_cell[s·dim+1 ..]` — the identical
+    * IEEE subtracts on the identical operands as materializing the full
+    * 64-dim residual first (codes bit-equal; `SimilaritySpec` pins the
+    * operators end-to-end), but 8 subtracts per subspace against a
+    * `cells × subdim` literal instead of a recomputed 64-subtract
+    * intermediate plus the full offset table inside every collapsed
+    * projection — the r10 residual-encode 4× overhead.
+    */
+  private def resEncode(df: DataFrame, chat: Seq[Seq[Double]],
+                        books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    val chatS: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(s =>
+      chat.map(_.slice(s * PqSubDim, (s + 1) * PqSubDim)))
+    (0 until PqSubspaces).foldLeft(df) { (d, s) =>
+      d.withColumn(s"code$s",
+        pqNearest(d, ArrayOps.subNative(spark,
+          slice(col("vn"), s * PqSubDim + 1, PqSubDim),
+          element_at(typedlit(chatS(s)), (col("cell") + 1).cast("int"))),
+          books(s)))
+    }
   }
 
   /** Per-query ADC lookup tables: for each subspace, ALL `PqCodebook`
@@ -1094,28 +1169,48 @@ object Similarity {
             slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
       books)
     // The query LUT table is bounded (numQueries × subspaces × codebook
-    // doubles — 80 KB here), so it ships as a LITERAL and the full scan
-    // becomes one map-only codegen'd explode per corpus row. The previous
-    // spelling — broadcast + `vec_id =!= query_id` — planned a
-    // BroadcastNestedLoopJoin, which runs OUTSIDE whole-stage codegen and
-    // copies the full concatenated row per pair (measured at 500k: the
-    // BNLJ row processing was ~85 s of the scan while the equi-join
-    // IVF-PQ scan did half the pairs in ~5 s). ADC per pair: 8 nested
-    // literal lookups, arithmetic identical to the joined spelling.
-    val qLit: Seq[(Long, Seq[Seq[Double]])] = queries.collect().toSeq.map { r =>
-      (r.getLong(r.fieldIndex("query_id")),
-        (0 until PqSubspaces).map(s =>
-          r.getSeq[Double](r.fieldIndex(s"lut$s")).toSeq))
+    // doubles — 80 KB at the registry's 20 queries), so it ships as a
+    // LITERAL and the full scan becomes one map-only codegen'd explode per
+    // corpus row. The previous spelling — broadcast + `vec_id =!=
+    // query_id` — planned a BroadcastNestedLoopJoin, which runs OUTSIDE
+    // whole-stage codegen and copies the full concatenated row per pair
+    // (measured at 500k: the BNLJ row processing was ~85 s of the scan
+    // while the equi-join IVF-PQ scan did half the pairs in ~5 s). ADC
+    // per pair: 8 nested literal lookups, arithmetic identical to the
+    // joined spelling.
+    //
+    // Guarded: the literal lives in the PLAN (driver memory + codegen
+    // constant pool), so past ~4 MB of LUT doubles (~1k queries) the scan
+    // falls back to the broadcast-join spelling — a BNLJ of the bounded
+    // query set against the code scan, the same honest brute shape as
+    // [[bruteForceTopK]]; identical arithmetic, identical rows.
+    if (numQueries.toLong * PqSubspaces * PqCodebook * 8 <= PqLutLiteralMaxBytes) {
+      val qLit: Seq[(Long, Seq[Seq[Double]])] = queries.collect().toSeq.map { r =>
+        (r.getLong(r.fieldIndex("query_id")),
+          (0 until PqSubspaces).map(s =>
+            r.getSeq[Double](r.fieldIndex(s"lut$s")).toSeq))
+      }
+      val q = col("q")
+      val contributions = (0 until PqSubspaces).map(s =>
+        element_at(element_at(q.getField("_2"), s + 1),
+          (col(s"code$s") + 1).cast("int")))
+      val scored = corpus
+        .withColumn("q", explode(typedlit(qLit)))
+        .withColumn("query_id", q.getField("_1"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
+      presentTopK(scored, k)
+    } else {
+      val scored = corpus.join(broadcast(queries),
+          col("vec_id") =!= col("query_id"))
+        .withColumn("cos_r", round(lutContributions.reduce(_ + _), 6))
+      presentTopK(scored, k)
     }
-    val q = col("q")
-    val contributions = (0 until PqSubspaces).map(s =>
-      element_at(element_at(q.getField("_2"), s + 1),
-        (col(s"code$s") + 1).cast("int")))
-    val scored = corpus
-      .withColumn("q", explode(typedlit(qLit)))
-      .withColumn("query_id", q.getField("_1"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
-    presentTopK(scored, k)
   }
+
+  /** Plan-literal budget for [[pqTopK]]'s query-LUT constant: past this
+    * many bytes of LUT doubles the scan uses the broadcast join instead
+    * of a plan literal (codegen constant-pool / driver-memory guard).
+    */
+  private val PqLutLiteralMaxBytes = 4L << 20
 }

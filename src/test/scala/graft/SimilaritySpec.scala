@@ -489,6 +489,32 @@ class SimilaritySpec extends SparkSpec {
       s"residual recall $hitsRes below raw composition's $hitsRaw")
   }
 
+  test("refine stage: deterministic, recall >= the ADC scan it re-ranks") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ref = Similarity.ivfPqResRefineTopK(emb, 10, 5, m = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(ref == Similarity.ivfPqResRefineTopK(emb, 10, 5, m = 20)
+      .collect().map(_.toSeq).toSeq, "refine must be bit-stable")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Seq[Seq[Any]]): Int = rows.count(r =>
+      brute.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+    val res = Similarity.ivfPqResTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val (hitsRef, hitsRes) = (recall(ref), recall(res))
+    println(s"[ivfpq-refine] recall: $hitsRef of ${brute.size} (adc: $hitsRes)")
+    // every brute hit in the candidate set survives the exact re-rank, so
+    // refine can never recall less than the ADC ranking it started from
+    assert(hitsRef >= hitsRes,
+      s"refine recall $hitsRef below the ADC scan's $hitsRes")
+    // the re-rank only permutes/extends within the ADC candidate set
+    val candSet = Similarity.ivfPqResTopK(emb, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ref.foreach { r =>
+      val pair = (r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])
+      assert(candSet.contains(pair), s"$pair was never an ADC candidate")
+    }
+  }
+
   test("residual IVF-PQ incremental encode: deterministic, codes and cells in range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.ivfPqResEncodeIncremental(emb).collect().map(_.toSeq).toSeq
