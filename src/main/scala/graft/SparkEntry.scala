@@ -21,6 +21,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("t1_sessions_2h")(spark, "/root/testdata/sf0.001")
 
+  /** Run a persisted-artifact replay in a fresh temp root and CLEAN IT UP:
+    * the gate result is bounded (tens of rows), so it is materialized
+    * eagerly (`localCheckpoint`) before the parquet artifact chain under
+    * the root is deleted — otherwise every oracle compare and bench
+    * repetition leaks a full v0..vN + checkpoint + input split into /tmp.
+    */
+  private def withTempReplayRoot(prefix: String)
+                                (f: java.nio.file.Path => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    try f(root).localCheckpoint()
+    finally StreamingSessions.deleteRecursively(root)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -371,10 +384,23 @@ object SparkEntry {
     // exact vector-add maintenance keeps it on the one-shot oracle
     "vocab_cmsketch_persist" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft_cmp_")
-      graft.operators.Sketches.cmsketchGateFrom(
-        graft.streaming.StreamingSketches.replayCmSketchPersisted(docs, root),
-        docs)
+      withTempReplayRoot("graft_cmp_") { root =>
+        graft.operators.Sketches.cmsketchGateFrom(
+          graft.streaming.StreamingSketches.replayCmSketchPersisted(docs, root),
+          docs)
+      }
+    }),
+    // the MG theorem gate over the persisted-artifact maintainer — the
+    // crash-recoverable versioned-parquet fold ported to the second
+    // value-mergeable sketch; gated bounds are batching-independent, so it
+    // shares the one-shot MG oracle
+    "vocab_hh_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      withTempReplayRoot("graft_hhp_") { root =>
+        graft.operators.Sketches.heavyHitterGateFrom(
+          graft.streaming.StreamingSketches.replayHeavyHittersPersisted(docs, root),
+          docs)
+      }
     }),
     // q-digest rank-theorem gate: deterministic 128-ary dyadic sketch
     // over the unbounded cents universe, exact ranks + bound booleans
@@ -965,6 +991,11 @@ object SparkEntry {
     // frozen offsets + frozen residual codebooks, batch encoded map-only
     "ann_ivfpq_encode_inc" -> ((s, dir) =>
       Similarity.ivfPqResEncodeIncremental(Tables.embeddings(s, dir))),
+    // two-stage retrieval: residual IVF-PQ top-m candidates re-ranked by
+    // EXACT cosine on the raw vectors (the FAISS refine stage) —
+    // candidate-bounded exact reads via a broadcast equi-join
+    "ann_topk_ivfpq_refine" -> ((s, dir) =>
+      Similarity.ivfPqResRefineTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -1500,6 +1531,9 @@ object SparkEntry {
     "vocab_heavy_hitters_sql" -> heavyHitterOracle,
     // streamed MG: counters vary per batching, the gated theorems do not
     "vocab_hh_stream" -> heavyHitterOracle,
+    // persisted MG: same gate over the crash-recoverable versioned-parquet
+    // maintainer — batching-independent bounds keep it on the same oracle
+    "vocab_hh_persist" -> heavyHitterOracle,
     // JSONL roundtrip parity: parse(render(events)) == events (malformed
     // lines dropped, field-level nulls preserved)
     "jsonl_roundtrip_events" ->
@@ -2552,6 +2586,7 @@ object SparkEntry {
     "ann_pq_encode_inc" -> pqEncodeIncOracle,
     "ann_topk_ivfpq" -> ivfPqTopKOracle,
     "ann_topk_ivfpq_res" -> ivfPqResTopKOracle,
+    "ann_topk_ivfpq_refine" -> ivfPqResRefineOracle,
     "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
@@ -3329,7 +3364,18 @@ object SparkEntry {
     * normalized vector, [[pqSubChainSql]] trains/encodes over `ppr`
     * unchanged, and the score adds the `⟨q̂, m_cell⟩` term back.
     */
-  private val ivfPqResTopKOracle: String = {
+  private val ivfPqResTopKOracle: String = ivfPqResOracle(refineM = None)
+
+  /** Two-stage refine oracle: the residual chain keeps the top-m ADC
+    * candidates per query, then re-scores exactly those rows with the
+    * TRUE cosine (`list_dot_product` of the normalized vectors — the
+    * identical spelling Spark's kernel folds) and re-ranks to top-k —
+    * the [[graft.operators.Similarity.ivfPqResRefineTopK]] contract.
+    */
+  private val ivfPqResRefineOracle: String =
+    ivfPqResOracle(refineM = Some(graft.operators.Similarity.RefineCandidates))
+
+  private def ivfPqResOracle(refineM: Option[Int]): String = {
     import graft.operators.Similarity.{PqSubspaces, PqSubDim, PqIters, IvfProbes}
     val ctePrefix = kmeansClusterOracle.substring(0,
       kmeansClusterOracle.indexOf(",\naf AS"))
@@ -3387,8 +3433,18 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
-       |      FROM sc)
-       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |      FROM sc)${refineM.fold("")(m => s""",
+       |cand AS (SELECT query_id, neighbor_id FROM r WHERE "rank" <= $m),
+       |rf AS (SELECT c.query_id, c.neighbor_id,
+       |         round(list_dot_product(qn.vn, nn.vn), 6) AS cos_r
+       |       FROM cand c JOIN pp qn ON qn.vec_id = c.query_id
+       |                   JOIN pp nn ON nn.vec_id = c.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM rf)""")}
+       |SELECT query_id, neighbor_id, "rank"
+       |FROM ${refineM.fold("r")(_ => "rr")} WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
   }
 

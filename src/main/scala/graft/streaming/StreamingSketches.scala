@@ -196,10 +196,58 @@ object StreamingSketches {
   def replayCmSketchPersisted(documents: DataFrame,
                               root: java.nio.file.Path,
                               nBatches: Int = 3,
-                              failAfterBatch: Int = -1): DataFrame = {
+                              failAfterBatch: Int = -1): DataFrame =
+    replayDocFoldPersisted(documents, root, nBatches, failAfterBatch,
+      Sketches.cmsketchState(documents.limit(0)),
+      (st, b) => Sketches.cmsketchUpdate(st, b))
+
+  /** Misra–Gries maintenance with the artifact persisted per micro-batch —
+    * the [[replayCmSketchPersisted]] pattern ported to the second
+    * value-mergeable maintainer: each fold reads `v{b}` and overwrites
+    * `v{b+1}` as a pure function of (stored artifact, batch slice), so a
+    * crash anywhere around the write re-derives a bit-identical table on
+    * restart (MG counter VALUES depend on the batching, but the batching
+    * — the deterministic split + checkpointed replay — is itself fixed,
+    * so recovery is exact; the THEOREMS the gate checks hold for any
+    * batching regardless). `StreamingSpec` kills and restarts it like the
+    * CM twin.
+    */
+  def replayHeavyHittersPersisted(documents: DataFrame,
+                                  root: java.nio.file.Path,
+                                  nBatches: Int = 3, k: Int = 8,
+                                  failAfterBatch: Int = -1): DataFrame =
+    replayDocFoldPersisted(documents, root, nBatches, failAfterBatch,
+      Sketches.heavyHitterState(documents.limit(0), k),
+      (st, b) => Sketches.heavyHitterUpdate(st, b, k))
+
+  /** The shared versioned-parquet fold behind the `*Persisted`
+    * maintainers. Layout: `root/artifact/v{n}` = artifact after `n`
+    * folded batches (`v0` = empty, written before the stream starts);
+    * batch `b` reads `v{b}`, overwrites `v{b+1}`. Spark's file source +
+    * streaming checkpoint replay a failed micro-batch with the same id
+    * and input slice, so a crash before OR after the write converges to
+    * the same `v{b+1}` on restart.
+    *
+    * Resume contract: the `nbatches` marker is written LAST during
+    * preparation. A root whose `in/` exists is resumable ONLY when the
+    * marker exists and matches this call's `nBatches` — a missing marker
+    * means a crash mid-preparation (partial input split), and a mismatch
+    * means the checkpoint/split belong to a different batch count or
+    * corpus slice; both fail fast instead of silently folding the wrong
+    * replay ([[graft]] ADVICE r10).
+    *
+    * `failAfterBatch` injects a crash after batch `b`'s artifact write
+    * (1-based, -1 = never) — test plumbing for the recovery proof.
+    */
+  private def replayDocFoldPersisted(documents: DataFrame,
+                                     root: java.nio.file.Path,
+                                     nBatches: Int, failAfterBatch: Int,
+                                     empty: => DataFrame,
+                                     step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val spark = documents.sparkSession
     val inDir = root.resolve("in")
     val artDir = root.resolve("artifact")
+    val marker = root.resolve("nbatches")
     if (!java.nio.file.Files.exists(inDir)) {
       java.nio.file.Files.createDirectories(inDir)
       (0 until nBatches).foreach { i =>
@@ -207,17 +255,26 @@ object StreamingSketches {
           documents.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i),
           inDir, i + 1)
       }
+      java.nio.file.Files.write(marker, nBatches.toString.getBytes("UTF-8"))
+    } else {
+      val stored =
+        if (java.nio.file.Files.exists(marker))
+          new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+        else "<absent: preparation did not complete>"
+      require(stored == nBatches.toString,
+        s"replay root $root was prepared with nBatches=$stored but resumed " +
+          s"with nBatches=$nBatches — the stored input split and checkpoint " +
+          "would not match this run; use a fresh root")
     }
     if (!java.nio.file.Files.exists(artDir.resolve("v0")))
-      Sketches.cmsketchState(documents.limit(0))
-        .write.mode("overwrite").parquet(artDir.resolve("v0").toString)
+      empty.write.mode("overwrite").parquet(artDir.resolve("v0").toString)
     val src = spark.readStream.schema(documents.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val ss = batch.sparkSession
         val prev = ss.read.parquet(artDir.resolve(s"v$bid").toString)
-        Sketches.cmsketchUpdate(prev, batch)
+        step(prev, batch)
           .write.mode("overwrite")
           .parquet(artDir.resolve(s"v${bid + 1}").toString)
         // injected crash AFTER the artifact write, BEFORE the offset

@@ -115,6 +115,47 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(recovered == oneShot,
       "crash-recovered persisted artifact must equal the one-shot build cell-for-cell")
+    // resume guard: the same root resumed with a DIFFERENT nBatches must
+    // fail fast — the stored input split and checkpoint belong to 3
+    assert(intercept[IllegalArgumentException] {
+      StreamingSketches.replayCmSketchPersisted(docs, root, nBatches = 4)
+    }.getMessage.contains("nBatches"))
+  }
+
+  test("persisted MG artifact survives a mid-stream crash: kill + restart, bit-identical") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_hhrec_")
+    // run 1: injected crash AFTER batch 2's artifact write but BEFORE its
+    // offset commit — the replayed batch must overwrite v2 idempotently
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingSketches.replayHeavyHittersPersisted(docs, root, nBatches = 3,
+        failAfterBatch = 2)
+    }
+    assert(ex.getMessage.contains("injected crash"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    assert(java.nio.file.Files.exists(root.resolve("artifact/v2")))
+    assert(!java.nio.file.Files.exists(root.resolve("artifact/v3")))
+    // run 2: same root, same checkpoint — resumes at the uncommitted batch,
+    // replays it against the PERSISTED v1, finishes the stream. MG counter
+    // values depend on the batching, so the reference is the LOCALLY-HELD
+    // fold over the same 3-way split (replayHeavyHitters), which the
+    // recovered persisted run must reproduce row-for-row
+    val recovered = StreamingSketches.replayHeavyHittersPersisted(docs, root,
+      nBatches = 3).collect().map(_.toSeq).toSet
+    val uninterrupted = StreamingSketches.replayHeavyHitters(docs, nBatches = 3)
+      .collect().map(_.toSeq).toSet
+    assert(recovered == uninterrupted,
+      "crash-recovered persisted MG artifact must equal the uninterrupted fold")
+    // and the theorem gate over it matches the one-shot gate (the
+    // batching-independent contract the vocab_hh_persist oracle relies on)
+    val gatePersist = graft.operators.Sketches
+      .heavyHitterGateFrom(StreamingSketches.replayHeavyHittersPersisted(
+        docs, java.nio.file.Files.createTempDirectory("graft_hhrec2_")), docs)
+      .collect().map(_.toSeq).toSeq
+    val gateOneShot = graft.operators.Sketches.heavyHitterGate(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(gatePersist == gateOneShot,
+      "MG gate over the persisted artifact must be batching-independent")
   }
 
   test("streamed HLL vocab artifact estimates exactly match the one-shot build") {
