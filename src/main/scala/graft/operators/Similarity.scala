@@ -973,14 +973,23 @@ object Similarity {
     // residual slices FUSED into the encode projection: subvector s of
     // `x̂ − m_cell` is `vn[s·8+1..] − m_cell[s·8+1..]` component-wise —
     // identical IEEE subtracts on identical operands, so codes are
-    // bit-equal to subtracting the full 64-dim residual first. The former
-    // full-`rv` intermediate was recomputed INSIDE each of the 8 collapsed
-    // code projections (64 subtracts + a full offset-table literal per
-    // subspace per row — the r10 DevScale 75.8 s row's cost); the fused
-    // slices do 8 subtracts each against a 16×8 per-subspace literal.
+    // bit-equal to subtracting the full 64-dim residual first (the former
+    // full-`rv` intermediate was recomputed inside each of the 8 collapsed
+    // code projections).
+    //
+    // The code table is MATERIALIZED before the scored join — it IS the
+    // persisted index artifact an IVF-PQ deployment writes (2 bytes +
+    // cell id per vector, the bounded thing that fits in memory at
+    // 100 TB). Left lazy, the whole-stage-codegen'd BroadcastHashJoin
+    // defers the probe side's non-key columns to OUTPUT rows, re-running
+    // all 8 encode kernels once per matched (corpus, query-probe) PAIR —
+    // the ~10× join fan-out made that the r10 DevScale row's actual cost
+    // (measured at 500k×64: search 46.6 s from the lazy fold vs 2.6 s
+    // from the materialized table; encode+write is 5 s).
     val corpus = resEncode(prepCell, chat, books)
       .select(col("vec_id") +: col("cell") +:
         (0 until PqSubspaces).map(s => col(s"code$s")): _*)
+      .localCheckpoint()
     val queryCols =
       Seq(col("vec_id").as("query_id"), col("vn").as("qn")) ++
         (0 until PqSubspaces).map(s =>
