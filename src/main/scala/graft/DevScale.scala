@@ -271,6 +271,29 @@ object DevScale {
         spark.read.parquet("/tmp/scale_bpe_vocab"),
         dc.filter(col("doc_id") >= 400000L)).count())
 
+    // production-vocabulary BPE: the scale corpus has only 31 word types
+    // (pairs exhaust at a handful of merges), so the ≥1k-merge regime runs
+    // on a synthetic rich vocabulary — 20k distinct seeded words, 500k
+    // docs × 30 words. Training is 1000 driver-side rounds over the 20k
+    // type table; the encode is the codegen'd kernel whose per-word cost
+    // tracks merges APPLIED (≤ |word|−1), not the 1000-rank table — the
+    // row the chained-replace spelling could never print (a 1000-node
+    // replace chain per projection)
+    timeDocs("bpe_encode_1k_merges_500k") {
+      val rnd = new scala.util.Random(7L)
+      val vocab: Seq[String] = (0 until 20000).map { _ =>
+        (0 until (4 + rnd.nextInt(9))).map(_ => ('a' + rnd.nextInt(26)).toChar)
+          .mkString
+      }.distinct
+      val vlit = typedlit(vocab)
+      val rich = spark.range(500000).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(30)), i =>
+          element_at(vlit, (pmod(xxhash64(col("id") * 31 + i), lit(vocab.size))
+            + 1).cast("int")))).as("text"))
+        .localCheckpoint() // time the tokenizer, not the generator
+      graft.functions.TextAnalysis.encodeBpe(rich, numMerges = 1000).count()
+    }
+
     // k-means corpus clustering at 500k×64-dim (1000× the sf0.01 oracle
     // corpus): per iteration one map pass + a (cell,pos)=16×64-key
     // fixed-point shuffle — wall-clock should track the 4 corpus scans

@@ -495,6 +495,23 @@ object TextAnalysis {
     slice(arr, lit(2), size(arr) - lit(2))
   }
 
+  /** The chained-`replace` spelling of BPE application — one leftmost
+    * non-overlapping pass per merge rank over the symseq string, in rank
+    * order. Retained as the semantic REFERENCE: the DuckDB oracles replay
+    * exactly these passes as unrolled CTEs, and `BpeSpec` pins the
+    * codegen'd kernel ([[graft.functions.BpeEncodeWord]] — which skips
+    * the no-op passes but applies the identical sequence of effective
+    * ones) to this form symbol-for-symbol.
+    */
+  private[graft] def bpeChainedSyms(word: Column,
+                                    merges: Seq[(String, String)]): Column = {
+    val symseq = merges.foldLeft(bpeInitSymseq(word)) { case (c, (lhs, rhs)) =>
+      val (pat, rep) = bpeMergePattern(lhs, rhs)
+      replace(c, lit(pat), lit(rep))
+    }
+    bpeSymbols(symseq)
+  }
+
   /** The BPE training loop: `numMerges` rounds of (pair-count, argmax,
     * apply) over the word-TYPE table — each round's winning pair is
     * collected to the driver (ONE bounded row per round, the
@@ -524,7 +541,11 @@ object TextAnalysis {
     */
   private[graft] def bpeMerges(documents: DataFrame,
                                numMerges: Int): Seq[(Long, String, String, Long)] = {
-    require(numMerges > 0 && numMerges <= 64, "numMerges must be in 1..64")
+    // 65536 is a sanity bound, not a plan-size constraint: the encode is
+    // one codegen'd kernel regardless of table size ([[graft.functions
+    // .BpeEncodeWord]]), and training is one bounded argmax per round
+    require(numMerges > 0 && numMerges <= 65536,
+      "numMerges must be in 1..65536")
     // the corpus-sized word count is built and CACHED once, before the
     // probe: the probe's limit only materializes the partitions it
     // fetches, and on the big-vocabulary handoff the distributed loop
@@ -562,40 +583,94 @@ object TextAnalysis {
     * (count DESC, lhs ASC, rhs ASC), and each merge applies greedy
     * leftmost non-overlapping per word — exactly what the symseq string
     * `replace` does.
+    *
+    * Incremental (the Sennrich-codebase optimization, re-derived): pair
+    * counts are delta-maintained — a merge touches only the words that
+    * contain its pair, subtracting their old adjacent-pair contributions
+    * and adding the post-merge ones — and the argmax reads the head of an
+    * ordered set kept in the same (count DESC, lhs, rhs) total order, so
+    * each round costs O(touched words × |word| · log) instead of a full
+    * vocabulary recount. At 20k types × 1000 merges the recounting loop
+    * was ~35 s of driver latency; counts and argmax picks are exactly the
+    * recount's (the per-word delta is the recount restricted to changed
+    * words), which the Sennrich fixture + random-corpora property suites
+    * pin.
     */
   private[graft] def bpeMergesLocal(types: Array[(String, Long)],
                              numMerges: Int): Seq[(Long, String, String, Long)] = {
-    var words: Array[(Array[String], Long)] =
-      types.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val words: Array[Array[String]] =
+      types.map { case (w, _) => w.map(_.toString).toArray }
+    val wc: Array[Long] = types.map(_._2)
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // word indices that EVER contained a pair; entries can go stale after
+    // later merges rewrite a word — consumers re-check the live word
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    // (count, lhs, rhs) in argmax-first order; kept in lockstep with cnt
+    val ord: Ordering[(Long, String, String)] =
+      Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (n, l, r) => (-n, l, r)
+      }
+    val heap = scala.collection.mutable.TreeSet.empty[(Long, String, String)](ord)
+    def bump(k: (String, String), delta: Long, wi: Int): Unit = {
+      val old = cnt.getOrElse(k, 0L)
+      if (old != 0L) heap.remove((old, k._1, k._2))
+      val next = old + delta
+      if (next == 0L) cnt.remove(k)
+      else { cnt(k) = next; heap.add((next, k._1, k._2)) }
+      if (delta > 0L && wi >= 0) {
+        occ.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty[Int])
+          .append(wi)
+      }
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val syms = words(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        bump((syms(i), syms(i + 1)), wc(wi), wi); i += 1
+      }
+      wi += 1
+    }
     val out = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     while (r <= numMerges) {
-      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          cnt(k) = cnt.getOrElse(k, 0L) + c
-          i += 1
-        }
-      }
-      require(cnt.nonEmpty,
+      require(heap.nonEmpty,
         s"corpus exhausted adjacent symbol pairs after ${r - 1} merges; " +
           s"lower numMerges (wanted $numMerges)")
-      // total order — HashMap iteration order cannot leak into the result
-      val ((lhs, rhs), c) = cnt.minBy { case ((l, rr), n) => (-n, l, rr) }
+      val (c, lhs, rhs) = heap.head
       out += ((r.toLong, lhs, rhs, c))
-      words = words.map { case (syms, wc) =>
-        if (syms.length < 2) (syms, wc)
-        else {
+      val touched = occ.getOrElse((lhs, rhs),
+        scala.collection.mutable.ArrayBuffer.empty[Int]).distinct
+      occ.remove((lhs, rhs))
+      touched.foreach { ti =>
+        val syms = words(ti)
+        // stale occ entry (the word was rewritten since) → pair may be gone
+        var has = false
+        var i = 0
+        while (!has && i < syms.length - 1) {
+          has = syms(i) == lhs && syms(i + 1) == rhs; i += 1
+        }
+        if (has) {
+          // delta = recount of THIS word: remove old pair contributions,
+          // apply the greedy leftmost merge, add the new ones
+          i = 0
+          while (i < syms.length - 1) {
+            bump((syms(i), syms(i + 1)), -wc(ti), -1); i += 1
+          }
           val merged = Array.newBuilder[String]
-          var i = 0
+          i = 0
           while (i < syms.length) {
             if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
               merged += lhs + rhs; i += 2
             } else { merged += syms(i); i += 1 }
           }
-          (merged.result(), wc)
+          val next = merged.result()
+          words(ti) = next
+          i = 0
+          while (i < next.length - 1) {
+            bump((next(i), next(i + 1)), wc(ti), ti); i += 1
+          }
         }
       }
       r += 1
@@ -670,9 +745,12 @@ object TextAnalysis {
     * different merges can produce the same string). No OOV is possible:
     * the symbol inventory is closed over the same corpus it encodes.
     *
-    * Scale shape: encoding is map-only — `numMerges` chained literal
-    * `replace`es inside one codegen'd projection — and symbols stay as
-    * per-WORD arrays end-to-end: the per-symbol exploded form exists
+    * Scale shape: encoding is map-only — ONE codegen'd kernel
+    * ([[graft.functions.BpeEncodeWord]]) applies the whole rank-ordered
+    * merge table per word, with cost tracking merges APPLIED (≤ |word|−1)
+    * rather than table size, so a 32k-merge production vocabulary encodes
+    * at the same per-word cost as the 10-merge fixture — and symbols stay
+    * as per-WORD arrays end-to-end: the per-symbol exploded form exists
     * only inside the map-combined vocabulary count (a scan, never a
     * shuffle of symbol rows), the ≤ 26 + numMerges symbol dictionary is
     * collected as one bounded driver map (the k-means-centroid pattern)
@@ -684,20 +762,20 @@ object TextAnalysis {
     * join+collect spelling.
     */
   def encodeBpe(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
     val merges = bpeMerges(documents, numMerges)
     val words = documents.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
       .filter(col("word").rlike(BpeWordRe))
-      .withColumn("symseq", bpeInitSymseq(col("word")))
-    val encoded = merges.foldLeft(words) { case (df, (_, lhs, rhs, _)) =>
-      val (pat, rep) = bpeMergePattern(lhs, rhs)
-      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
-    }
-    // consumed twice (vocab count + the encode): materialize so the
-    // numMerges-replace projection runs once — the persist a production
-    // pipeline would give this stage
-    val symArrs = encoded.select(col("doc_id"), col("pos"),
-      bpeSymbols(col("symseq")).as("syms"))
+    // one codegen'd kernel applies the whole rank-ordered table per word
+    // (cost tracks merges APPLIED, ≤ |word|−1, not table size) — the
+    // chained numMerges-replace projection it replaces is retained as
+    // [[bpeChainedSyms]], the BpeSpec parity pin and the oracle's shape.
+    // Consumed twice (vocab count + the encode): materialize — the
+    // persist a production pipeline would give this stage
+    val symArrs = words.select(col("doc_id"), col("pos"),
+      graft.functions.BpeOps.encodeNative(spark, col("word"),
+        merges.map(m => (m._2, m._3))).as("syms"))
       .localCheckpoint()
     val idOf = symArrs.select(explode(col("syms")).as("sym"))
       .groupBy(col("sym")).agg(count(lit(1)).as("n"))
@@ -746,13 +824,9 @@ object TextAnalysis {
       .select(explode(split(lower(col("text")), " ")).as("word"))
       .filter(col("word").rlike(BpeWordRe))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .withColumn("symseq", bpeInitSymseq(col("word")))
-    val post = merges.foldLeft(types) { case (df, (_, lhs, rhs, _)) =>
-      val (pat, rep) = bpeMergePattern(lhs, rhs)
-      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
-    }
-    val vocabDf = post
-      .select(col("c"), explode(bpeSymbols(col("symseq"))).as("sym"))
+    val vocabDf = types
+      .select(col("c"), explode(graft.functions.BpeOps.encodeNative(
+        spark, col("word"), merges.map(m => (m._2, m._3)))).as("sym"))
       .groupBy(col("sym")).agg(sum(col("c")).as("n"))
       .orderBy(desc("n"), col("sym"))
       .collect() // bounded: ≤ 26 + numMerges post-merge symbols
@@ -788,14 +862,11 @@ object TextAnalysis {
     val words = batch.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
       .filter(col("word").rlike(BpeWordRe))
-      .withColumn("symseq", bpeInitSymseq(col("word")))
-    val encoded = mseq.foldLeft(words) { case (df, (lhs, rhs)) =>
-      val (pat, rep) = bpeMergePattern(lhs, rhs)
-      df.withColumn("symseq", replace(col("symseq"), lit(pat), lit(rep)))
-    }
     val idMap = typedlit(idOf)
-    encoded
-      .withColumn("ids", transform(bpeSymbols(col("symseq")),
+    words
+      .withColumn("ids", transform(
+        graft.functions.BpeOps.encodeNative(batch.sparkSession, col("word"),
+          mseq.toSeq),
         s => coalesce(element_at(idMap, s), lit(0L))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),

@@ -94,6 +94,82 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("exhausted"))
   }
 
+  test("kernel application equals the chained-replace spelling on arbitrary tables") {
+    import org.apache.spark.sql.functions.col
+    // the semantics pin: graft_bpe_encode must match the chained
+    // numMerges-replace projection (the oracle's shape) for ANY table —
+    // including the rank-SKIP case that separates chained semantics from
+    // an HF-style from-zero min-rank loop: here rank 3 CREATES the
+    // symbol "abc" that rank 2's pair (x, abc) wants, but chained passed
+    // rank 2 already, so the word must stay [x, abc], never [xabc]
+    val adv = Seq(("a", "b"), ("x", "abc"), ("ab", "c"))
+    val advDf = Seq("xabc").toDF("word")
+    val advGot = advDf.select(
+      graft.functions.BpeOps.encodeNative(spark, col("word"), adv).as("k"),
+      TextAnalysis.bpeChainedSyms(col("word"), adv).as("c")).head()
+    assert(advGot.getSeq[String](0) == Seq("x", "abc"),
+      s"kernel must skip already-passed ranks, got ${advGot.getSeq[String](0)}")
+    assert(advGot.getSeq[String](0) == advGot.getSeq[String](1))
+    // random tables (duplicate pairs allowed) × random words: parity holds
+    // for every table, trained or not
+    val rnd = new scala.util.Random(20260815L)
+    def sym(): String =
+      (0 until (1 + rnd.nextInt(2))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 12).foreach { t =>
+      val merges = (0 until (1 + rnd.nextInt(12))).map(_ => (sym(), sym()))
+      val words = (0 until 60).map(_ =>
+        (0 until (1 + rnd.nextInt(12))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val rows = words.toDF("word").select(col("word"),
+        graft.functions.BpeOps.encodeNative(spark, col("word"), merges).as("k"),
+        TextAnalysis.bpeChainedSyms(col("word"), merges).as("c")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"table $t diverged on '${r.getString(0)}' under $merges: " +
+            s"kernel ${r.getSeq[String](1)} vs chained ${r.getSeq[String](2)}")
+      }
+    }
+  }
+
+  test("kernel at 1k+ merges equals a driver-side chained reference") {
+    import org.apache.spark.sql.functions.col
+    // the production-vocabulary regime the chained plan cannot reach (a
+    // 1200-replace projection): train 1200 merges locally on a synthetic
+    // rich vocabulary (the sf0.001 fixture exhausts pairs at 89), then
+    // pin the kernel word-for-word to a plain-Scala full-pass-per-rank
+    // reference
+    val rnd = new scala.util.Random(42L)
+    val types: Array[(String, Long)] = (0 until 4000).map { _ =>
+      val w = (0 until (4 + rnd.nextInt(11)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      (w, (1 + rnd.nextInt(50)).toLong)
+    }.distinct.toArray
+    val merges = TextAnalysis.bpeMergesLocal(types, numMerges = 1200)
+      .map(m => (m._2, m._3))
+    def chainedRef(word: String): Seq[String] = {
+      var syms = word.map(_.toString).toArray
+      merges.foreach { case (l, r) =>
+        if (syms.length > 1) {
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms.toSeq
+    }
+    val got = types.map(_._1).toSeq.toDF("word")
+      .select(col("word"),
+        graft.functions.BpeOps.encodeNative(spark, col("word"), merges).as("k"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    types.map(_._1).foreach { w =>
+      assert(got(w) == chainedRef(w), s"1200-merge divergence on '$w'")
+    }
+  }
+
   test("property: engine BPE equals a driver-side reference on random corpora") {
     // independent reference implementation: mutable pair counting +
     // cursor-based greedy-leftmost application over symbol vectors (no
