@@ -278,6 +278,67 @@ object ArrayDivScalar {
   }
 }
 
+/** `cast(round(x * scale, 0) as bigint)` as one branchy primitive kernel —
+  * the fixed-point quantization inside every Lloyd update and per-cell
+  * mean. Spark's `Round` on a double goes through
+  * `BigDecimal.valueOf(d).setScale(0, HALF_UP)` — a shortest-decimal
+  * format + parse + scale per ELEMENT, which at 10M × 64-dim × 3
+  * iterations (1.9G calls) WAS the k-means wall clock (measured 521 s of
+  * the 10M residual chain).
+  *
+  * Exactness: for scale-0 HALF_UP the decimal detour cannot change the
+  * answer — the shortest decimal representation of a double round-trips,
+  * so it lies on the SAME side of any `n + 0.5` boundary as the binary
+  * value (a decimal repr equal to `n.5` exactly would parse to the
+  * `n.5` double, which round-trips only for the exactly-representable
+  * halves). Hence comparing `t` against the EXACT midpoint `floor(t) +
+  * 0.5` (representable whenever t is non-integral, i.e. |t| < 2⁵²) +
+  * away-from-zero on the tie replicates BigDecimal HALF_UP bit-for-bit
+  * on the SQL spelling's whole ANSI domain. A fraction `t − floor(t)`
+  * would NOT work: the subtraction is inexact across a binade (e.g.
+  * −0.49999999999999994 + 1 ties-to-even to exactly 0.5 — caught by the
+  * spec). Outside the ANSI domain (where `cast` THROWS — never reached
+  * by the bounded |x·scale| ≤ ~2²¹ quantization inputs) the kernel
+  * zeroes NaN and saturates ±Inf/overflow. `FixedPointSpec` sweeps the
+  * adversarial boundaries (±n.5 exact halves, ±0.49999999999999994,
+  * 1 − 2⁻⁵³ neighbours, the 2⁵² integrality edge) against the SQL
+  * spelling and pins the out-of-domain contract directly.
+  */
+case class RoundScaledLong(child: Expression, scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_round_scaled"
+
+  override def nullSafeEval(a: Any): Any =
+    RoundScaledLong.run(a.asInstanceOf[Double], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RoundScaledLong.run($a, ${scale}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RoundScaledLong {
+  def run(x: Double, scale: Long): Long = {
+    val t = x * scale
+    if (java.lang.Double.isNaN(t)) return 0L
+    if (t >= 9.223372036854776e18) return Long.MaxValue
+    if (t <= -9.223372036854776e18) return Long.MinValue
+    val f = math.floor(t)
+    if (t == f) return t.toLong // integral (covers every |t| ≥ 2^52)
+    val mid = f + 0.5 // exact: non-integral t ⇒ |f| < 2^52
+    val rounded =
+      if (t > mid) f + 1.0
+      else if (t < mid) f
+      else if (t >= 0.0) f + 1.0 // tie: HALF_UP rounds away from zero
+      else f
+    rounded.toLong
+  }
+}
+
 object ArrayOps {
 
   /** Idempotently register graft functions on the session's registry. */
@@ -299,6 +360,10 @@ object ArrayOps {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_array_divs", exprs => ArrayDivScalar(exprs.head, exprs(1)), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_round_scaled", exprs =>
+        RoundScaledLong(exprs.head,
+          exprs(1).eval().asInstanceOf[Long]), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_code_l2", exprs => {
         val matrix = exprs(1).eval() match {
           case ad: ArrayData => ad.toObjectArray(ArrayType(DoubleType))
@@ -316,6 +381,16 @@ object ArrayOps {
     register(spark)
     call_function("graft_code_l2", sv,
       org.apache.spark.sql.functions.typedlit(centroids))
+  }
+
+  /** Codegen'd `cast(round(x * scale, 0) as bigint)` — the fixed-point
+    * quantization of the Lloyd / per-cell-mean updates, bit-identical to
+    * the SQL spelling without its per-element BigDecimal detour.
+    */
+  def roundScaledLong(spark: SparkSession, x: Column, scale: Long): Column = {
+    register(spark)
+    call_function("graft_round_scaled", x,
+      org.apache.spark.sql.functions.lit(scale))
   }
 
   /** Codegen'd dot product of two array<double> columns. */

@@ -417,20 +417,33 @@ object Similarity {
       .select(col("v"))
       .collect()
       .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     var it = 0
     while (it < iters) {
+      // one aggregate pass with `dim` fixed-point sums per cell (the
+      // per-cell-mean shape): map-side combine reduces straight to
+      // `cells` rows. The former posexplode spelling materialized
+      // corpus × dim rows per iteration AND sent every element through
+      // round()'s per-value BigDecimal (measured at 10M × 64: the three
+      // Lloyd updates were 521 s of the residual chain — the dominant
+      // cost of every IVF operator at that scale); identical long sums,
+      // so the trained centroids are bit-equal.
+      val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+        sum(ArrayOps.roundScaledLong(spark,
+          element_at(col("v"), i + 1), Scale)).as(s"sx$i"))
       val sums = prep
         .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
           col("v"), col("nrm"), centroids.map(_.toSeq).toSeq, 1), 1))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(expr(s"cast(round(x * $Scale, 0) as bigint)")).as("sx"),
-          count(lit(1)).as("n"))
+        .groupBy(col("cell"))
+        .agg(sumCols.head, sumCols.tail: _*)
         .collect()
       val next = centroids.map(_.clone()) // empty cells keep their centroid
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) =
-          r.getLong(2).toDouble / (r.getLong(3).toDouble * Scale)
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        (0 until dim).foreach { i =>
+          next(cell)(i) = r.getLong(2 + i).toDouble / (n.toDouble * Scale)
+        }
       }
       centroids = next
       it += 1
@@ -746,8 +759,8 @@ object Similarity {
         .select(col("e.s").as("s"), col("e.code").as("code"),
           posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("code"), col("pos"))
-        .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
-          count(lit(1)).as("n"))
+        .agg(sum(ArrayOps.roundScaledLong(tr.sparkSession, col("x"), PqScale))
+          .as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.map(_.clone()))
       sums.foreach { r =>
@@ -773,8 +786,8 @@ object Similarity {
         .withColumn("code", pqNearest(sub, col("sv"), cents.map(_.toSeq).toSeq))
         .select(col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("code"), col("pos"))
-        .agg(sum(expr(s"cast(round(x * $PqScale, 0) as bigint)")).as("sx"),
-          count(lit(1)).as("n"))
+        .agg(sum(ArrayOps.roundScaledLong(prep.sparkSession, col("x"), PqScale))
+          .as("sx"), count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       sums.foreach { r =>
@@ -868,24 +881,34 @@ object Similarity {
         col("v"), col("nrm"), centroids, probes))
       .withColumn("cell", element_at(col("cells2"), 1))
       .localCheckpoint()
-    val prepPq = pqPrepared(embeddings).localCheckpoint()
-    val trPq = pqTrainCorpus(prepPq)
-    val books = pqTrainAllSubspaces(trPq)
-    val encoded = (0 until PqSubspaces).foldLeft(prepPq) { (df, s) =>
+    // single-frame index build (the [[ivfPqResTopK]] shape, back-ported
+    // in r11): vn derives from the already-checkpointed assigned frame —
+    // same `v / nrm` arithmetic as pqPrepared, without a second parquet
+    // scan, a double-width (v + vn) checkpoint, or the corpus-wide
+    // vec_id join the previous spelling paid to glue cells onto codes
+    // (at 10M×64 that join + checkpoint were 795 s of the 10M row)
+    val prepCell = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        ArrayOps.divScalarNative(spark, col("v"), col("nrm")).as("vn"),
+        col("cell"), col("cells2"))
+      .localCheckpoint()
+    val books = pqTrainAllSubspaces(pqTrainCorpus(prepCell))
+    // codes MATERIALIZED before the scored join — the persisted index
+    // artifact; left lazy the BHJ defers probe-side columns to output
+    // rows and re-runs the encode kernels per matched pair (see
+    // [[ivfPqResScored]], where this was measured)
+    val corpus = (0 until PqSubspaces).foldLeft(prepCell) { (df, s) =>
       df.withColumn(s"code$s",
         pqNearest(df, slice(col("vn"), s * PqSubDim + 1, PqSubDim), books(s)))
-    }.select(col("vec_id") +:
+    }.select(col("vec_id") +: col("cell") +:
       (0 until PqSubspaces).map(s => col(s"code$s")): _*)
-    val corpus = assigned.filter(col("nrm") > 0)
-      .select(col("vec_id"), col("cell"))
-      .join(encoded, "vec_id")
+      .localCheckpoint()
     val queries = pqQueryLuts(
-      assigned.filter(col("vec_id") < numQueries && col("nrm") > 0)
-        .select(col("vec_id").as("query_id"), explode(col("cells2")).as("q_cell"))
-        .join(prepPq.select(col("vec_id").as("query_id") +:
+      prepCell.filter(col("vec_id") < numQueries)
+        .select(Seq(col("vec_id").as("query_id")) ++
           (0 until PqSubspaces).map(s =>
-            slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")): _*),
-          "query_id"),
+            slice(col("vn"), s * PqSubDim + 1, PqSubDim).as(s"q$s")) ++
+          Seq(explode(col("cells2")).as("q_cell")): _*),
       books)
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
@@ -944,12 +967,14 @@ object Similarity {
     // spelling would materialize corpus × dim rows before the combine —
     // measured at 500k × 64, that generator was a double-digit-seconds
     // stage; 64 agg expressions over element_at are map-side-combined
-    // straight to IvfCells rows). Same order-free long sums either way.
+    // straight to IvfCells rows). The quantization runs as the
+    // [[graft.functions.RoundScaledLong]] kernel — bit-identical long
+    // sums, no per-element BigDecimal (131 s of the 10M chain).
     val dim = PqSubspaces * PqSubDim
     val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0)) // empty cell → 0
     val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
-      sum(expr(s"cast(round(element_at(vn, ${i + 1}) * $PqScale, 0) as bigint)"))
-        .as(s"sx$i"))
+      sum(ArrayOps.roundScaledLong(spark, element_at(col("vn"), i + 1),
+        PqScale)).as(s"sx$i"))
     prepCell
       .groupBy(col("cell"))
       .agg(sumCols.head, sumCols.tail: _*)
@@ -1091,8 +1116,8 @@ object Similarity {
     val dim = PqSubspaces * PqSubDim
     val moff = Array.fill(IvfCells)(Array.fill(dim)(0.0))
     val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
-      sum(expr(s"cast(round(element_at(vn, ${i + 1}) * $PqScale, 0) as bigint)"))
-        .as(s"sx$i"))
+      sum(ArrayOps.roundScaledLong(spark, element_at(col("vn"), i + 1),
+        PqScale)).as(s"sx$i"))
     trainCell
       .groupBy(col("cell"))
       .agg(sumCols.head, sumCols.tail: _*)
