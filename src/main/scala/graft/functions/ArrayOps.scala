@@ -112,8 +112,8 @@ object NearestCells {
       val q = s / (nrm * cnorms(c))
       scores(c) =
         if (!java.lang.Double.isFinite(q)) Double.NegativeInfinity
-        else java.math.BigDecimal.valueOf(q)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        else Round6.round(q) // = BigDecimal HALF_UP at 6 dp, sans the
+      // per-value decimal detour ([[Round6]] — was the 10M wall clock)
       c += 1
     }
     // top-k by (score desc, cid desc): selection over m=|cells| entries
@@ -185,10 +185,10 @@ object NearestCodeL2 {
       // for finite scores; non-finite pass through unrounded, exactly as
       // Spark's round() returns NaN/±Inf unchanged
       val q = s - halves(c)
-      val score =
-        if (!java.lang.Double.isFinite(q)) q
-        else java.math.BigDecimal.valueOf(q)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // [[Round6]] = the BigDecimal HALF_UP result without the per-value
+      // decimal detour (512 of these per row in the PQ encode); it
+      // passes non-finite q through unchanged, as round() does
+      val score = Round6.round(q)
       // Double.compare replicates Spark's sort ordering for doubles
       // (nanSafeCompareDoubles): NaN greatest, NaN == NaN, −0.0 < 0.0 —
       // so the argmax matches the array_max-over-structs parity pin on
@@ -339,6 +339,69 @@ object RoundScaledLong {
   }
 }
 
+/** `round(x, 6)` (BigDecimal HALF_UP, Spark's double rounding) with a
+  * guarded primitive fast path — the 6-dp score rounding runs per CELL
+  * per row in [[NearestCells]], per CODEBOOK ENTRY per row in
+  * [[NearestCodeL2]], and per scored PAIR in every top-k scan; at 10M
+  * vectors that is billions of `BigDecimal.valueOf` calls (shortest-
+  * decimal format + parse each) and was the dominant cost of the whole
+  * ANN family (k-means alone measured 521 s).
+  *
+  * Fast path: `t = x·10⁶` (inexact — 10⁶ is not a power of two), so the
+  * integer `n` nearest the DECIMAL value of x·10⁶ is derived from t only
+  * when t sits comfortably away from the `n + 0.5` midpoint: the binary
+  * drift (shortest-decimal ≤ half-ulp of x, multiply ≤ half-ulp of t) is
+  * bounded by a few ulp(t), so outside a 4·ulp(t) band the fast n is the
+  * decimal n. Inside the band — exact or near-exact decimal halves — it
+  * falls back to the BigDecimal spelling itself, so ties keep HALF_UP's
+  * away-from-zero semantics verbatim. Integer boundaries need no band:
+  * a decimal value just under `f` rounds to `f` like one just over it.
+  * The result `n / 10⁶` is one correctly-rounded divide — the same
+  * double `BigDecimal.doubleValue()` produces for n·10⁻⁶. NaN/±Inf pass
+  * through unchanged, exactly as Spark's `round` behaves.
+  * `FixedPointSpec` sweeps decimal-midpoint neighbourhoods (n+0.5)·10⁻⁶
+  * ± ulps and random doubles against `round(x, 6)`.
+  */
+object Round6 {
+  def round(q: Double): Double = {
+    if (!java.lang.Double.isFinite(q)) return q
+    val t = q * 1e6
+    if (math.abs(t) >= 4.5e15) // large-|x| edge (never a cosine) → exact path
+      return java.math.BigDecimal.valueOf(q)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val f = math.floor(t)
+    val r = t - f
+    val band = 4.0 * math.ulp(t) + java.lang.Double.MIN_NORMAL
+    val n =
+      if (r > 0.5 + band) f + 1.0
+      else if (r < 0.5 - band) f
+      else return java.math.BigDecimal.valueOf(q)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = n / 1e6
+    if (out == 0.0) 0.0 else out // BigDecimal has no −0.0
+  }
+}
+
+/** Codegen'd `round(x, 6)` — [[Round6]] as an expression for the scored
+  * top-k pair rounding (`cos_r`), bit-identical to Spark's `Round`.
+  */
+case class RoundSix(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_round6"
+
+  override def nullSafeEval(a: Any): Any =
+    Round6.round(a.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Round6.round($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayOps {
 
   /** Idempotently register graft functions on the session's registry. */
@@ -359,6 +422,8 @@ object ArrayOps {
       "graft_array_sub", exprs => ArraySub(exprs.head, exprs(1)), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_array_divs", exprs => ArrayDivScalar(exprs.head, exprs(1)), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_round6", exprs => RoundSix(exprs.head), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_round_scaled", exprs =>
         RoundScaledLong(exprs.head,
@@ -381,6 +446,15 @@ object ArrayOps {
     register(spark)
     call_function("graft_code_l2", sv,
       org.apache.spark.sql.functions.typedlit(centroids))
+  }
+
+  /** Codegen'd `round(x, 6)` for the per-pair score rounding — the
+    * [[Round6]] guarded fast path as a column, bit-identical to
+    * `functions.round(x, 6)`.
+    */
+  def round6(spark: SparkSession, x: Column): Column = {
+    register(spark)
+    call_function("graft_round6", x)
   }
 
   /** Codegen'd `cast(round(x * scale, 0) as bigint)` — the fixed-point

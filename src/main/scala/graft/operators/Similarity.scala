@@ -298,7 +298,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("q_v"), col("nrm").as("q_n"))
     val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
-        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+        ArrayOps.round6(embeddings.sparkSession,
+          dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm"))))
     presentTopK(scored, k)
   }
 
@@ -491,7 +492,8 @@ object Similarity {
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
-        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+        ArrayOps.round6(embeddings.sparkSession,
+          dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm"))))
     presentTopK(scored, k)
   }
 
@@ -656,7 +658,8 @@ object Similarity {
     val scored = corpus.join(broadcast(queries),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r",
-        round(dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm")), 6))
+        ArrayOps.round6(embeddings.sparkSession,
+          dotN(embeddings, col("q_v"), col("v")) / (col("q_n") * col("nrm"))))
     presentTopK(scored, k)
   }
 
@@ -912,7 +915,7 @@ object Similarity {
       books)
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos_r", round(lutContributions.reduce(_ + _), 6))
+      .withColumn("cos_r", ArrayOps.round6(spark, lutContributions.reduce(_ + _)))
     presentTopK(scored, k)
   }
 
@@ -1034,7 +1037,8 @@ object Similarity {
       // oracle's `term0 + lut0 + lut1 + …` SQL evaluates. FP addition is
       // non-associative: `term0 + ((lut0+lut1)+…)` can differ by 1 ulp and
       // flip round(·, 6) at a rounding boundary
-      .withColumn("cos_r", round((term0 +: lutContributions).reduce(_ + _), 6))
+      .withColumn("cos_r",
+        ArrayOps.round6(spark, (term0 +: lutContributions).reduce(_ + _)))
     (scored, prepCell)
   }
 
@@ -1075,7 +1079,8 @@ object Similarity {
     val candQ = cand.join(qv, "query_id")
     val exact = prepCell.select(col("vec_id"), col("vn"))
       .join(broadcast(candQ), col("vec_id") === col("neighbor_id"))
-      .withColumn("cos_r", round(dotN(prepCell, col("qvn"), col("vn")), 6))
+      .withColumn("cos_r",
+        ArrayOps.round6(prepCell.sparkSession, dotN(prepCell, col("qvn"), col("vn"))))
     presentTopK(exact, k)
   }
 
@@ -1232,12 +1237,14 @@ object Similarity {
         .withColumn("q", explode(typedlit(qLit)))
         .withColumn("query_id", q.getField("_1"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos_r", round(contributions.reduce(_ + _), 6))
+        .withColumn("cos_r",
+          ArrayOps.round6(prep.sparkSession, contributions.reduce(_ + _)))
       presentTopK(scored, k)
     } else {
       val scored = corpus.join(broadcast(queries),
           col("vec_id") =!= col("query_id"))
-        .withColumn("cos_r", round(lutContributions.reduce(_ + _), 6))
+        .withColumn("cos_r",
+          ArrayOps.round6(prep.sparkSession, lutContributions.reduce(_ + _)))
       presentTopK(scored, k)
     }
   }

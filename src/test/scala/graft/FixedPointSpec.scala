@@ -69,6 +69,46 @@ class FixedPointSpec extends SparkSpec {
     compare(randoms, 1L << 20)
   }
 
+  private def compare6(values: Seq[Double]): Unit = {
+    val rows = values.filter(java.lang.Double.isFinite)
+      .toDF("x").select(col("x"),
+        graft.functions.ArrayOps.round6(spark, col("x")).as("kernel"),
+        round(col("x"), 6).as("sql"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) == 0,
+        s"x=${r.getDouble(0)}: round6 ${r.getDouble(1)} != round(,6) ${r.getDouble(2)}")
+    }
+  }
+
+  test("round6 equals round(x, 6) on decimal-midpoint neighbourhoods and randoms") {
+    val rnd = new scala.util.Random(99L)
+    // exact decimal midpoints (n + 0.5)·10⁻⁶ and their ulp neighbours —
+    // the band where the kernel must fall back to BigDecimal to keep
+    // HALF_UP's away-from-zero tie semantics
+    val mids = (0 until 2000).flatMap { _ =>
+      val n = rnd.nextInt(4000001) - 2000000
+      val m = (n + 0.5) / 1e6
+      Seq(m, -m, math.nextUp(m), math.nextDown(m),
+        math.nextUp(-m), math.nextDown(-m))
+    }
+    val randoms = (0 until 20000).map { _ =>
+      rnd.nextInt(3) match {
+        case 0 => rnd.nextDouble() * 2.0 - 1.0 // the cosine range
+        case 1 => (rnd.nextDouble() - 0.5) * 2e7 // past the 1e6 scale
+        case _ => (rnd.nextInt(2000001) - 1000000) / 1e6 // exact 6-dp grid
+      }
+    }
+    compare6(mids ++ randoms ++ Seq(0.0, -0.0, 1.0, -1.0, 0.4999995,
+      -0.4999995, 1e-7, -1e-7, 4.5e15, -4.5e15, 9e15, 1e300, -1e300))
+    // non-finite pass-through, as Spark's round leaves them
+    val k = graft.functions.Round6
+    assert(k.round(Double.NaN).isNaN)
+    assert(k.round(Double.PositiveInfinity) == Double.PositiveInfinity)
+    assert(k.round(Double.NegativeInfinity) == Double.NegativeInfinity)
+  }
+
   test("out-of-domain kernel contract: NaN zeroes, overflow saturates") {
     val k = graft.functions.RoundScaledLong
     assert(k.run(Double.NaN, 1L) == 0L)
