@@ -51,8 +51,8 @@ object DevResProfile {
     val moff = Array.fill(16)(Array.fill(dim)(0.0))
     time("per-cell mean agg") {
       val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
-        sum(expr(s"cast(round(element_at(vn, ${i + 1}) * $scale, 0) as bigint)"))
-          .as(s"sx$i"))
+        sum(ArrayOps.roundScaledLong(spark, element_at(col("vn"), i + 1),
+          scale)).as(s"sx$i"))
       prepCell.groupBy(col("cell")).agg(sumCols.head, sumCols.tail: _*)
         .collect().foreach { r =>
           val n = r.getLong(1)

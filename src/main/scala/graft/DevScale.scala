@@ -704,6 +704,10 @@ object DevScale {
     // full-corpus Lloyd passes — the r9 PQ row's dominant cost
     timeDocs("ivfpq_res_topk_500k")(
       graft.operators.Similarity.ivfPqResTopK(ve, 20, 10).count())
+    // two-stage retrieval: the same ADC scan + exact re-rank of the
+    // top-40 candidates per query (candidate-bounded raw-vector reads)
+    timeDocs("ivfpq_res_refine_500k")(
+      graft.operators.Similarity.ivfPqResRefineTopK(ve, 20, 10).count())
 
     // streamed doc-fold maintainers at 500k docs / 3 micro-batches:
     // per-batch cost = the batch scan + an artifact-sized merge (CM:
@@ -721,6 +725,9 @@ object DevScale {
     timeDocs("cmsketch_persist_500k")(
       graft.streaming.StreamingSketches.replayCmSketchPersisted(dc,
         java.nio.file.Files.createTempDirectory("graft_cmp10_")).count())
+    timeDocs("hh_persist_500k")(
+      graft.streaming.StreamingSketches.replayHeavyHittersPersisted(dcs,
+        java.nio.file.Files.createTempDirectory("graft_hhp10_")).count())
     spark.stop()
   }
 }
