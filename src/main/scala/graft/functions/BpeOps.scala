@@ -17,6 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * intermediate merge and counted again later in training) is legal, and
   * the chained-pass semantics apply each of its ranks independently — the
   * per-pair rank ARRAY keeps that case exact.
+  *
+  * The table is symbol-DOMAIN agnostic: char-level symbols (`[a-z]+`) and
+  * byte-level symbols (lowercase hex, `[0-9a-f]+` with even length) both
+  * exclude the NUL separator, so the same index serves both kernels.
   */
 final class BpeMergeTable(val lhs: Array[String], val rhs: Array[String])
     extends Serializable {
@@ -63,22 +67,29 @@ final class BpeMergeTable(val lhs: Array[String], val rhs: Array[String])
   *
   * Output: the post-merge symbol array (what `bpeSymbols` extracts from
   * the chained form's symseq string).
+  *
+  * `byteLevel = true` switches the INITIAL symbol inventory from the
+  * word's characters to its UTF-8 bytes, each spelled as a lowercase
+  * 2-hex-digit symbol (`é` → `c3`,`a9`) — the production-tokenizer domain
+  * (initial inventory 256, no OOV possible for any input). The merge loop
+  * itself is domain-blind.
   */
-case class BpeEncodeWord(child: Expression, table: BpeMergeTable)
+case class BpeEncodeWord(child: Expression, table: BpeMergeTable,
+                         byteLevel: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_encode"
 
   override def nullSafeEval(a: Any): Any =
-    BpeEncodeWord.run(a.asInstanceOf[UTF8String], table)
+    BpeEncodeWord.run(a.asInstanceOf[UTF8String], table, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tRef = ctx.addReferenceObj("bpeTable", table,
       "graft.functions.BpeMergeTable")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
-        s"graft.functions.BpeEncodeWord.run($a, $tRef);")
+        s"graft.functions.BpeEncodeWord.run($a, $tRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -86,12 +97,36 @@ case class BpeEncodeWord(child: Expression, table: BpeMergeTable)
 }
 
 object BpeEncodeWord {
-  def run(word: UTF8String, t: BpeMergeTable): ArrayData = {
-    val w = word.toString
-    var len = w.length
-    val syms = new Array[String](math.max(len, 1))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Initial symbol array: one lowercase-hex symbol per UTF-8 byte. */
+  private def byteSyms(word: UTF8String): Array[String] = {
+    val bytes = word.getBytes
+    val out = new Array[String](bytes.length)
     var i = 0
-    while (i < len) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i) = new String(Array(HexDigits(b >>> 4), HexDigits(b & 0xf)))
+      i += 1
+    }
+    out
+  }
+
+  def run(word: UTF8String, t: BpeMergeTable, byteLevel: Boolean): ArrayData = {
+    var len = 0
+    var syms: Array[String] = null
+    if (byteLevel) {
+      val bs = byteSyms(word)
+      len = bs.length
+      syms = if (len > 0) bs else new Array[String](1)
+    } else {
+      val w = word.toString
+      len = w.length
+      syms = new Array[String](math.max(len, 1))
+      var k = 0
+      while (k < len) { syms(k) = String.valueOf(w.charAt(k)); k += 1 }
+    }
+    var i = 0
     val ranks = t.ranksOf
     var last = 0
     var progress = len > 1
@@ -149,19 +184,25 @@ object BpeOps {
           case ad: ArrayData => ad.toObjectArray(StringType)
             .map(_.asInstanceOf[UTF8String].toString)
         }
-        BpeEncodeWord(exprs.head, new BpeMergeTable(l, r))
+        val byteLevel =
+          exprs.length > 3 && exprs(3).eval().asInstanceOf[Boolean]
+        BpeEncodeWord(exprs.head, new BpeMergeTable(l, r), byteLevel)
       }, "built-in")
   }
 
-  /** Post-merge symbol array of a `[a-z]+` word column under the frozen
+  /** Post-merge symbol array of a word column under the frozen
     * rank-ordered merge list — the codegen'd twin of the chained
     * `replace` spelling (`TextAnalysis.bpeChainedSyms`, the parity pin).
+    * `byteLevel = true` starts from lowercase-hex UTF-8 byte symbols
+    * (merge table symbols must then be in the same hex domain).
     */
   def encodeNative(spark: SparkSession, word: Column,
-                   merges: Seq[(String, String)]): Column = {
+                   merges: Seq[(String, String)],
+                   byteLevel: Boolean = false): Column = {
     register(spark)
     call_function("graft_bpe_encode", word,
       org.apache.spark.sql.functions.typedlit(merges.map(_._1)),
-      org.apache.spark.sql.functions.typedlit(merges.map(_._2)))
+      org.apache.spark.sql.functions.typedlit(merges.map(_._2)),
+      org.apache.spark.sql.functions.lit(byteLevel))
   }
 }

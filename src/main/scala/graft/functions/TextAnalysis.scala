@@ -512,6 +512,38 @@ object TextAnalysis {
     bpeSymbols(symseq)
   }
 
+  /** BYTE-level initial symseq: one lowercase 2-hex-digit symbol per UTF-8
+    * byte of the word (`é` → `..c3..a9..`) — the production-tokenizer
+    * symbol domain (initial inventory 256, closed over ALL input, so no
+    * pre-tokenization filter and no OOV are ever needed). Hex chars
+    * `[0-9a-f]` exclude the `.` boundary, so the symseq machinery is
+    * shared with the char-level path; `hex()` hex-encodes a string's
+    * UTF-8 bytes identically in Spark and DuckDB (both uppercase —
+    * lowered on both sides).
+    */
+  private def bpeBytesInitSymseq(word: Column): Column =
+    concat(regexp_replace(lower(hex(word)), "(..)", "..$1"), lit(".."))
+
+  /** Chained-replace spelling of byte-level application — the BpeSpec
+    * parity pin for the `byteLevel` kernel and the oracle's CTE shape.
+    */
+  private[graft] def bpeChainedSymsBytes(word: Column,
+                                         merges: Seq[(String, String)]): Column = {
+    val symseq = merges.foldLeft(bpeBytesInitSymseq(word)) {
+      case (c, (lhs, rhs)) =>
+        val (pat, rep) = bpeMergePattern(lhs, rhs)
+        replace(c, lit(pat), lit(rep))
+    }
+    bpeSymbols(symseq)
+  }
+
+  /** Driver-side twin of [[bpeBytesInitSymseq]]: a word's initial
+    * byte-level symbol array.
+    */
+  private[graft] def byteSymsOf(w: String): Array[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x")
+
   /** The BPE training loop: `numMerges` rounds of (pair-count, argmax,
     * apply) over the word-TYPE table — each round's winning pair is
     * collected to the driver (ONE bounded row per round, the
@@ -571,6 +603,37 @@ object TextAnalysis {
     } finally if (!handoff) wordTypes.unpersist()
   }
 
+  /** Byte-level training loop — [[bpeMerges]] with the symbol domain
+    * switched to lowercase-hex UTF-8 bytes and the pre-tokenization
+    * widened to EVERY non-empty whitespace token (byte-level needs no
+    * `[a-z]+` normalization: the 256-byte inventory closes over any
+    * input, which is the point of byte BPE). Same adaptive driver /
+    * distributed split, same argmax total order (hex symbols compare
+    * bytewise identically in both engines), same greedy leftmost pass.
+    */
+  private[graft] def bpeBytesMerges(documents: DataFrame,
+                                    numMerges: Int): Seq[(Long, String, String, Long)] = {
+    require(numMerges > 0 && numMerges <= 65536,
+      "numMerges must be in 1..65536")
+    val wordTypes = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .withColumn("symseq", bpeBytesInitSymseq(col("word")))
+      .cache()
+    var handoff = false
+    try {
+      val probe = wordTypes.limit(BpeDriverTypeLimit + 1).collect()
+      if (probe.length <= BpeDriverTypeLimit)
+        bpeMergesLocalSyms(
+          probe.map(r => (byteSymsOf(r.getString(0)), r.getLong(1))), numMerges)
+      else {
+        handoff = true // bpeMergesDistributed owns the unpersist
+        bpeMergesDistributed(wordTypes, numMerges)
+      }
+    } finally if (!handoff) wordTypes.unpersist()
+  }
+
   /** Bounded-artifact budget for the driver-side training path: 100k
     * `(word, count)` rows is a few MB on the driver — the same order as
     * the IVF centroid tables [[graft.operators.Similarity]] collects.
@@ -597,9 +660,19 @@ object TextAnalysis {
     * pin.
     */
   private[graft] def bpeMergesLocal(types: Array[(String, Long)],
+                             numMerges: Int): Seq[(Long, String, String, Long)] =
+    bpeMergesLocalSyms(
+      types.map { case (w, c) => (w.map(_.toString).toArray, c) }, numMerges)
+
+  /** Symbol-domain-agnostic core of the driver-side trainer: takes each
+    * word TYPE as its pre-split initial symbol array (chars for the
+    * char-level path, lowercase-hex UTF-8 bytes for the byte-level one) —
+    * the merge loop itself never looks inside a symbol.
+    */
+  private[graft] def bpeMergesLocalSyms(types: Array[(Array[String], Long)],
                              numMerges: Int): Seq[(Long, String, String, Long)] = {
-    val words: Array[Array[String]] =
-      types.map { case (w, _) => w.map(_.toString).toArray }
+    // the loop rewrites word arrays in place — own a copy
+    val words: Array[Array[String]] = types.map(_._1.clone())
     val wc: Array[Long] = types.map(_._2)
     val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
     // word indices that EVER contained a pair; entries can go stale after
@@ -781,6 +854,61 @@ object TextAnalysis {
       .groupBy(col("sym")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("sym"))
       .collect() // bounded: the post-merge inventory is ≤ 26 + numMerges
+      .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
+    val idMap = typedlit(idOf)
+    symArrs
+      .withColumn("ids", transform(col("syms"), s => element_at(idMap, s)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("ids"))).cast("long").as("n_tokens"),
+        concat_ws(" ", transform(
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("ids")))),
+            s => s.getField("ids"))),
+          i => i.cast("string"))).as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Byte-level BPE merge table — [[trainBpeMerges]] with the symbol
+    * domain generalized from `[a-z]` characters to UTF-8 bytes (lowercase
+    * 2-hex-digit symbols, initial inventory 256). This is the real
+    * production-tokenizer shape (GPT-2/SentencePiece byte fallback): any
+    * input — accents, CJK, emoji — tokenizes with zero OOV, so the
+    * pre-tokenizer keeps every non-empty whitespace token instead of
+    * filtering to an alphabet.
+    */
+  def trainBpeBytesMerges(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeBytesMerges(documents, numMerges)
+      .map { case (r, lhs, rhs, cnt) => (r, lhs, rhs, lhs + rhs, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Byte-level subword encoding — [[encodeBpe]] over the
+    * [[trainBpeBytesMerges]] symbol domain: every non-empty whitespace
+    * token's UTF-8 bytes seed the symbol sequence, the codegen'd kernel
+    * applies the rank-ordered merges (`byteLevel = true`), and the final
+    * hex symbols get dense (count DESC, sym ASC) ids. Same scale shape as
+    * the char-level path: map-only encode, one bounded vocab collect
+    * (≤ 256 + numMerges post-merge symbols), per-doc reassembly shuffles
+    * one row per word.
+    */
+  def encodeBpeBytes(documents: DataFrame, numMerges: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val merges = bpeBytesMerges(documents, numMerges)
+    val words = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val symArrs = words.select(col("doc_id"), col("pos"),
+      graft.functions.BpeOps.encodeNative(spark, col("word"),
+        merges.map(m => (m._2, m._3)), byteLevel = true).as("syms"))
+      .localCheckpoint()
+    val idOf = symArrs.select(explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("sym"))
+      .collect() // bounded: the post-merge inventory is ≤ 256 + numMerges
       .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1L) }.toMap
     val idMap = typedlit(idOf)
     symArrs

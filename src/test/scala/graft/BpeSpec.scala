@@ -372,6 +372,92 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 3L, 3L, "0 1 0")))
   }
 
+  test("byte-level training merges multi-byte UTF-8 sequences") {
+    // é = c3 a9: the word 'éé' is bytes [c3, a9, c3, a9]; pair counts over
+    // 2 occurrences: (c3,a9)=4 (two per word), (a9,c3)=2 → merge 1 fuses
+    // the é bytes back into one symbol, merge 2 fuses the two és
+    val docs = Seq((1L, "éé éé")).toDF("doc_id", "text")
+    val got = TextAnalysis.trainBpeBytesMerges(docs, numMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "c3", "a9", "c3a9", 4L),
+      (2L, "c3a9", "c3a9", "c3a9c3a9", 2L)))
+  }
+
+  test("byte-level encode: dense ids over hex symbols, no OOV possible") {
+    // after merge 1 ((c3,a9)→c3a9): 'éé'→[c3a9,c3a9], 'é'→[c3a9] —
+    // vocabulary is exactly {c3a9} with count 3 → id 1
+    val docs = Seq((1L, "éé é")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeBpeBytes(docs, numMerges = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, "1 1 1")))
+  }
+
+  test("byte-level pre-tokenization keeps every non-empty token") {
+    // unlike the char-level [a-z]+ filter, byte BPE closes over ALL input:
+    // digits, punctuation, and CJK all tokenize (that is its point)
+    val docs = Seq((1L, "x9 ab!c 漢字"), (2L, "!!")).toDF("doc_id", "text")
+    val enc = TextAnalysis.encodeBpeBytes(docs, numMerges = 1).collect()
+    assert(enc.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 1L)))
+    // 漢字 is 6 UTF-8 bytes; total byte count survives a 0-fire merge only
+    // if no pair repeats — here (21,21) from '!!' fires, so just check
+    // every doc's n_tokens ≤ its UTF-8 byte count and > 0
+    enc.foreach(r => assert(r.getLong(2) > 0L))
+  }
+
+  test("byte-level kernel equals the chained-replace spelling (incl. rank skip)") {
+    import org.apache.spark.sql.functions.col
+    // the char-level rank-skip case transcribed to the hex domain
+    // (a=61 b=62 c=63 x=78, word "xabc"): rank 3 creates '616263' that
+    // rank 2's pair (78, 616263) wants, but chained already passed rank 2
+    // — the word must stay [78, 616263], never [78616263]
+    val adv = Seq(("61", "62"), ("78", "616263"), ("6162", "63"))
+    val advGot = Seq("xabc").toDF("word").select(
+      graft.functions.BpeOps.encodeNative(spark, col("word"), adv,
+        byteLevel = true).as("k"),
+      TextAnalysis.bpeChainedSymsBytes(col("word"), adv).as("c")).head()
+    assert(advGot.getSeq[String](0) == Seq("78", "616263"),
+      s"byte kernel rank handling: got ${advGot.getSeq[String](0)}")
+    assert(advGot.getSeq[String](0) == advGot.getSeq[String](1))
+    // random multi-byte words × random hex-domain tables: parity holds
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "aéø字!"
+    def hexSym(): String = {
+      val ch = alphabet(rnd.nextInt(alphabet.length)).toString
+      val hx = ch.getBytes("UTF-8").map(b => f"${b & 0xff}%02x")
+      val from = rnd.nextInt(hx.length)
+      hx.slice(from, from + 1 + rnd.nextInt(2)).mkString
+    }
+    (1 to 8).foreach { t =>
+      val merges = (0 until (1 + rnd.nextInt(10))).map(_ => (hexSym(), hexSym()))
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val rows = words.toDF("word").select(col("word"),
+        graft.functions.BpeOps.encodeNative(spark, col("word"), merges,
+          byteLevel = true).as("k"),
+        TextAnalysis.bpeChainedSymsBytes(col("word"), merges).as("c")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"byte table $t diverged on '${r.getString(0)}' under $merges")
+      }
+    }
+  }
+
+  test("byte-level path equals the char-level path on single-byte alphabets") {
+    // for pure [a-z] corpora the two domains are isomorphic (char c ↔ its
+    // one hex byte), so merge COUNTS and final token boundaries coincide;
+    // ids coincide because both rank by (count DESC, sym ASC) over
+    // order-isomorphic symbol sets (hex of [a-z] preserves lex order)
+    val byteEnc = TextAnalysis.encodeBpeBytes(sennrichDocs, numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val charEnc = TextAnalysis.encodeBpe(sennrichDocs, numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(byteEnc.toSeq == charEnc.toSeq)
+  }
+
   test("encoding round-trips: ids decode back to the document's words") {
     val docs = Seq(
       (1L, "streaming merge streaming window"),
