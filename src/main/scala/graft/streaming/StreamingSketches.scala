@@ -220,6 +220,32 @@ object StreamingSketches {
       Sketches.heavyHitterState(documents.limit(0), k),
       (st, b) => Sketches.heavyHitterUpdate(st, b, k))
 
+  /** q-digest maintenance with the artifact persisted per micro-batch —
+    * the versioned-parquet crash-recovery pattern ported to the one
+    * streamed sketch whose fold is BOUND-equivalent rather than
+    * value-exact vs the one-shot build. Recovery itself is still exact:
+    * the split (`event_id % 2`, [[replayQDigest]]'s contract batching),
+    * the per-batch build, and the compression walk are all deterministic
+    * functions of (stored artifact, batch slice), so a replayed batch
+    * overwrites a bit-identical `v{b+1}` — and the recovered artifact
+    * must additionally satisfy the 2t-per-node rank-slack gate
+    * ([[graft.operators.Sketches.qdigestGateStreamed]]), the property
+    * that distinguishes this sketch's contract. `StreamingSpec` kills and
+    * restarts it like the CM/MG twins and checks BOTH.
+    *
+    * Keeps [[replayQDigest]]'s exactly-2-batches contract: the gate
+    * prices ONE artifact merge (2t slack per node); more folds erode the
+    * bound.
+    */
+  def replayQDigestPersisted(events: DataFrame,
+                             root: java.nio.file.Path,
+                             sigma: Int = 256,
+                             failAfterBatch: Int = -1): DataFrame =
+    replayDocFoldPersisted(events, root, nBatches = 2, failAfterBatch,
+      Sketches.qdigestState(events.limit(0), sigma),
+      (st, b) => Sketches.qdigestUpdate(st, b, sigma),
+      (i, n) => pmod(col("event_id"), lit(n)) === i)
+
   /** The shared versioned-parquet fold behind the `*Persisted`
     * maintainers. Layout: `root/artifact/v{n}` = artifact after `n`
     * folded batches (`v0` = empty, written before the stream starts);
@@ -243,7 +269,9 @@ object StreamingSketches {
                                      root: java.nio.file.Path,
                                      nBatches: Int, failAfterBatch: Int,
                                      empty: => DataFrame,
-                                     step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+                                     step: (DataFrame, DataFrame) => DataFrame,
+                                     split: (Int, Int) => org.apache.spark.sql.Column =
+                                       (i, n) => pmod(xxhash64(col("doc_id")), lit(n)) === i): DataFrame = {
     val spark = documents.sparkSession
     val inDir = root.resolve("in")
     val artDir = root.resolve("artifact")
@@ -252,8 +280,7 @@ object StreamingSketches {
       java.nio.file.Files.createDirectories(inDir)
       (0 until nBatches).foreach { i =>
         StreamingSessions.appendReplayFile(
-          documents.filter(pmod(xxhash64(col("doc_id")), lit(nBatches)) === i),
-          inDir, i + 1)
+          documents.filter(split(i, nBatches)), inDir, i + 1)
       }
       java.nio.file.Files.write(marker, nBatches.toString.getBytes("UTF-8"))
     } else {

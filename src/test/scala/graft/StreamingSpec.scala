@@ -158,6 +158,37 @@ class StreamingSpec extends SparkSpec {
       "MG gate over the persisted artifact must be batching-independent")
   }
 
+  test("persisted q-digest artifact survives a mid-stream crash and keeps the rank bound") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_qdrec_")
+    // run 1: injected crash AFTER batch 1's artifact write but BEFORE its
+    // offset commit — the replayed batch must overwrite v1 idempotently
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingSketches.replayQDigestPersisted(events, root,
+        failAfterBatch = 1)
+    }
+    assert(ex.getMessage.contains("injected crash"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    assert(java.nio.file.Files.exists(root.resolve("artifact/v1")))
+    assert(!java.nio.file.Files.exists(root.resolve("artifact/v2")))
+    // run 2: same root, same checkpoint — resumes at the uncommitted
+    // batch, replays it against the PERSISTED v0, finishes the stream.
+    // The deterministic split + compression walk make recovery exact: the
+    // recovered artifact equals the in-memory streamed fold node-for-node
+    val recovered = StreamingSketches.replayQDigestPersisted(events, root)
+    assert(recovered.collect().map(_.toSeq).toSet ==
+      StreamingSketches.replayQDigest(events).collect().map(_.toSeq).toSet,
+      "crash-recovered persisted q-digest must equal the uninterrupted fold")
+    // and — the property that distinguishes this sketch's contract — the
+    // recovered artifact still satisfies the merged 2t-per-node rank-slack
+    // gate (bound-equivalence, not value-exactness, is what q-digest ships)
+    graft.operators.Sketches.qdigestGateStreamed(recovered, events)
+      .collect().foreach { r =>
+        assert(r.getBoolean(6) && r.getBoolean(7),
+          s"recovered artifact breaks the 2t rank bound at q=${r.getLong(0)}")
+      }
+  }
+
   test("streamed HLL vocab artifact estimates exactly match the one-shot build") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val streamed = graft.operators.Sketches.vocabSketchEstimates(
