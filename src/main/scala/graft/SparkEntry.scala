@@ -424,6 +424,15 @@ object SparkEntry {
       graft.operators.Sketches.qdigestGateStreamed(
         graft.streaming.StreamingSketches.replayQDigest(ev), ev)
     }),
+    // the same gate over the PERSISTED (versioned-parquet, crash-
+    // recoverable) maintainer — identical split and fold, so the stored
+    // artifact and readout match the in-memory streamed twin exactly
+    "quantile_qdigest_persist" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qd_persist_")
+      graft.operators.Sketches.qdigestGateStreamed(
+        graft.streaming.StreamingSketches.replayQDigestPersisted(ev, root), ev)
+    }),
     // single-pass Deequ-style constraint suite over the corpus
     "corpus_constraints" -> ((s, dir) =>
       Curation.validateConstraints(Tables.documents(s, dir))),
@@ -695,6 +704,15 @@ object SparkEntry {
     // subword (BPE) encoding: apply the trained merges to every word and
     // emit dense token-id sequences — the encoding an LLM pipeline ships
     "tokenize_bpe" -> ((s, dir) => TextAnalysis.encodeBpe(Tables.documents(s, dir))),
+    // BYTE-level BPE (the production GPT-2-style domain: initial
+    // inventory 256, no OOV): train+encode over a planted-non-ASCII
+    // corpus (a→ä, o→ø makes every doc multi-byte UTF-8) — symbols are
+    // lowercase-hex UTF-8 bytes, merges and ids follow the same argmax /
+    // dense-id contracts as the char-level path
+    "tokenize_bpe_bytes" -> ((s, dir) => TextAnalysis.encodeBpeBytes(
+      Tables.documents(s, dir).withColumn("text",
+        replace(replace(col("text"), lit("a"), lit("ä")),
+          lit("o"), lit("ø"))), 10)),
     // incremental BPE: freeze merge+vocab artifacts on the 4/5 prefix,
     // encode the 1/5 tail O(batch) with OOV->0 — the tokenizer-ship shape
     "tokenize_bpe_incremental" -> ((s, dir) => {
@@ -1495,6 +1513,7 @@ object SparkEntry {
     "quantile_qdigest_sql" -> qdigestOracle,
     "quantile_qdigest_update" -> qdigestUpdateOracle,
     "quantile_qdigest_stream" -> qdigestStreamOracle,
+    "quantile_qdigest_persist" -> qdigestStreamOracle,
     // consecutive-day TV distance over the same hdr bins, integer
     // cross-multiplied (drift_bp = Σ|c1·n2 − c2·n1|·10⁴ ÷ 2n1n2)
     "value_drift_daily" -> valueDriftOracle,
@@ -1893,6 +1912,7 @@ object SparkEntry {
     // replace round per merge rank — the cluster_embeddings pattern)
     "vocab_bpe" -> bpeVocabOracle(10),
     "tokenize_bpe" -> bpeTokenizeOracle(10),
+    "tokenize_bpe_bytes" -> bpeBytesTokenizeOracle(10),
     "tokenize_bpe_incremental" -> bpeIncrementalOracle(10),
     // per-source reputation: integer round-half-up bp math throughout
     "source_reputation" ->
@@ -2638,16 +2658,12 @@ object SparkEntry {
     * for the two tokenize oracles at sf0.01 (exponential in k);
     * materialized, 0.5 s / 0.2 s with identical results.
     */
-  private def bpeTrainCtes(k: Int, corpus: String = "documents"): String = {
-    val base =
-      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
-        |        FROM $corpus)
-        |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
-        |e0 AS MATERIALIZED (SELECT word, c,
-        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
-        |  FROM w0)""".stripMargin
-    val iters = (1 to k).map { r =>
+  /** Per-round (pair-count, argmax, apply) CTE template — shared by the
+    * char-level and byte-level trainers (the round logic never looks
+    * inside a symbol, exactly like the Spark-side merge loop).
+    */
+  private def bpeRoundCtes(k: Int): String =
+    (1 to k).map { r =>
       s"""p$r AS MATERIALIZED (SELECT s[i] AS lhs, s[i + 1] AS rhs,
          |    CAST(sum(c) AS BIGINT) AS cnt
          |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e${r - 1})
@@ -2659,8 +2675,18 @@ object SparkEntry {
          |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
          |            '.' || m.lhs || m.rhs || '.') AS symseq
          |  FROM e${r - 1}, m$r m)""".stripMargin
-    }
-    (base +: iters).mkString(",\n")
+    }.mkString(",\n")
+
+  private def bpeTrainCtes(k: Int, corpus: String = "documents"): String = {
+    val base =
+      s"""w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        |        FROM $corpus)
+        |  WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+        |e0 AS MATERIALIZED (SELECT word, c,
+        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
+        |  FROM w0)""".stripMargin
+    base + ",\n" + bpeRoundCtes(k)
   }
 
   private def bpeVocabOracle(k: Int): String = {
@@ -2692,6 +2718,50 @@ object SparkEntry {
        |x0 AS MATERIALIZED (SELECT doc_id, pos,
        |    regexp_replace(word, '(.)', '..\\1', 'g') || '..' AS symseq
        |  FROM d0 WHERE regexp_full_match(word, '[a-z]+')),
+       |$enc,
+       |sy AS MATERIALIZED (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
+       |vc AS (SELECT sym, CAST(count(*) AS BIGINT) AS n FROM sy GROUP BY sym),
+       |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+       |    AS BIGINT) AS id FROM vc),
+       |en AS (SELECT doc_id, pos, spos, id FROM sy JOIN vi USING (sym))
+       |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str
+       |FROM en GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** BYTE-level BPE oracle: same shape as [[bpeTokenizeOracle]] with the
+    * symbol domain switched to lowercase-hex UTF-8 bytes (`hex()` encodes
+    * a string's UTF-8 bytes identically in DuckDB and Spark) and the
+    * pre-tokenizer widened to every non-empty whitespace token. The
+    * corpus is the planted-non-ASCII transform (a→ä, o→ø) of `documents`,
+    * so every word exercises multi-byte sequences.
+    */
+  private def bpeBytesTokenizeOracle(k: Int): String = {
+    val enc = (1 to k).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT doc_id, pos,
+         |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
+         |            '.' || m.lhs || m.rhs || '.') AS symseq
+         |  FROM x${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dx AS MATERIALIZED (SELECT doc_id,
+       |    replace(replace(text, 'a', 'ä'), 'o', 'ø') AS text
+       |  FROM documents),
+       |w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM dx)
+       |  WHERE word <> '' GROUP BY word),
+       |e0 AS MATERIALIZED (SELECT word, c,
+       |    regexp_replace(lower(hex(word)), '(..)', '..\\1', 'g') || '..' AS symseq
+       |  FROM w0),
+       |${bpeRoundCtes(k)},
+       |d0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dx)
+       |  CROSS JOIN unnest(range(len(w))) AS u(i)),
+       |x0 AS MATERIALIZED (SELECT doc_id, pos,
+       |    regexp_replace(lower(hex(word)), '(..)', '..\\1', 'g') || '..' AS symseq
+       |  FROM d0 WHERE word <> ''),
        |$enc,
        |sy AS MATERIALIZED (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
        |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
