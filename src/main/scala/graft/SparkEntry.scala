@@ -987,6 +987,25 @@ object SparkEntry {
       val cents = Similarity.clusterArtifacts(emb.filter(col("vec_id") < cut))
       Similarity.assignWith(cents, emb.filter(col("vec_id") >= cut))
     }),
+    // artifact-refresh drift gate: occupancy TV + coarse-fit drop of a
+    // batch under the FROZEN centroid artifact, with a planted-drift
+    // scenario (every component +0.25) that must flip retrain_needed and
+    // an unshifted control that must not
+    "ann_artifact_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val idx = emb.filter(col("vec_id") < cut)
+      val tail = emb.filter(col("vec_id") >= cut)
+      val drifted = tail.withColumn("embedding",
+        transform(col("embedding").cast("array<double>"), x => x + lit(0.25)))
+      val cents = Similarity.clusterArtifacts(idx).localCheckpoint()
+      Similarity.annArtifactDrift(cents, idx, tail)
+        .select(lit("none").as("scenario"), col("*"))
+        .unionAll(Similarity.annArtifactDrift(cents, idx, drifted)
+          .select(lit("planted").as("scenario"), col("*")))
+        .orderBy(col("scenario"))
+    }),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_lsh" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -2600,6 +2619,7 @@ object SparkEntry {
       "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "cluster_embeddings" -> kmeansClusterOracle,
     "cluster_assign_incremental" -> kmeansIncrementalOracle,
+    "ann_artifact_drift" -> annArtifactDriftOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
     "ann_topk_pq" -> pqTopKOracle,
@@ -3330,6 +3350,72 @@ object SparkEntry {
       kmProj("pb", s" WHERE vec_id >= $cut") + ",\n" +
       kmAsg("afb", KmIters, "pb") + "\n" +
       "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM afb ORDER BY vec_id"
+  }
+
+  /** Drift-gate oracle: replays the frozen-centroid training over the
+    * 4/5 prefix ([[kmTrainCtes]]), then for each side (index, raw tail,
+    * planted-drift tail = every component +0.25) the assignment WITH the
+    * winning raw cosine, reduced to occupancy TV distance and truncated
+    * mean-fit basis points — the exact
+    * [[graft.operators.Similarity.annArtifactDrift]] integer contract,
+    * thresholds included.
+    */
+  private val annArtifactDriftOracle: String = {
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    // assignment + fit of a projected side against the trained centroids:
+    // winner by (rounded cosine DESC, cell DESC) — kmAsg's contract —
+    // carrying the winner's RAW cosine into a round(·10⁶) long
+    def asgFit(name: String, src: String) =
+      s"""$name AS (SELECT vec_id, cell,
+         |    CAST(round(rawcos * 1000000.0, 0) AS BIGINT) AS fit6 FROM (
+         |  SELECT p.vec_id, n.cell,
+         |    list_dot_product(p.v, n.cv) / (p.nrm * n.cn) AS rawcos,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+         |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+         |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+         |  FROM $src p CROSS JOIN n$KmIters n) WHERE rn = 1)""".stripMargin
+    // per-side readout: occupancy by cell + (n, Σfit6)
+    def sideAgg(tag: String, asg: String) =
+      s"""occ_$tag AS (SELECT cell, CAST(count(*) AS BIGINT) AS c
+         |  FROM $asg GROUP BY cell),
+         |tot_$tag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(fit6) AS BIGINT) AS f FROM $asg)""".stripMargin
+    // one scenario row: TV(occ_i, occ_x) in bp + truncated mean fits
+    def scenario(label: String, tag: String) =
+      s"""SELECT '$label' AS scenario, ti.n AS n_index, tx.n AS n_batch,
+         |  CAST(num.v * 10000 // (2 * ti.n * tx.n) AS BIGINT)
+         |    AS occupancy_drift_bp,
+         |  CAST(ti.f // (ti.n * 100) AS BIGINT) AS fit_index_bp,
+         |  CAST(tx.f // (tx.n * 100) AS BIGINT) AS fit_batch_bp,
+         |  (num.v * 10000 // (2 * ti.n * tx.n) > 4000
+         |   OR ti.f // (ti.n * 100) - tx.f // (tx.n * 100) > 2000)
+         |    AS retrain_needed
+         |FROM tot_i ti, tot_$tag tx,
+         |  (SELECT CAST(sum(abs(coalesce(a.c, 0) * tx.n
+         |                       - coalesce(b.c, 0) * ti.n)) AS BIGINT) AS v
+         |   FROM occ_i a FULL OUTER JOIN occ_$tag b USING (cell),
+         |        tot_i ti, tot_$tag tx) num""".stripMargin
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      s"""pi AS (SELECT * FROM p WHERE nrm > 0),
+         |${kmProj("pbr", s" WHERE vec_id >= $cut")},
+         |pb AS (SELECT * FROM pbr WHERE nrm > 0),
+         |pdr AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.25) AS v
+         |  FROM embeddings WHERE vec_id >= $cut),
+         |pdn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+         |  FROM pdr),
+         |pd AS (SELECT * FROM pdn WHERE nrm > 0),
+         |${asgFit("ai", "pi")},
+         |${asgFit("ab", "pb")},
+         |${asgFit("ad", "pd")},
+         |${sideAgg("i", "ai")},
+         |${sideAgg("b", "ab")},
+         |${sideAgg("d", "ad")}
+         |${scenario("none", "b")}
+         |UNION ALL
+         |${scenario("planted", "d")}
+         |ORDER BY scenario""".stripMargin
   }
 
   /** Full SQL replay of [[graft.operators.Similarity.pqTopK]] — per

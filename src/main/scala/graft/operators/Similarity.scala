@@ -571,6 +571,20 @@ object Similarity {
     */
   def assignWith(centroids: DataFrame, batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    val cents = centroidsOf(centroids)
+    prepared(batch)
+      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), cents, 1), 1).cast("long"))
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Collect + validate a [[clusterArtifacts]] `(cell, pos, cx)` table
+    * into the in-memory centroid list the assignment kernels take —
+    * bounded (`cells × dim` artifact rows), shared by [[assignWith]] and
+    * [[annArtifactDrift]].
+    */
+  private def centroidsOf(centroids: DataFrame): Seq[Seq[Double]] = {
     val comp = centroids.select(col("cell"), col("pos"), col("cx"))
       .collect() // bounded: cells × dim artifact rows
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -592,13 +606,7 @@ object Similarity {
           s"complete duplicate-free 0..${dim - 1} — the artifact is " +
           "corrupted (partial write or double append); rebuild it")
     }
-    val cents: Seq[Seq[Double]] =
-      cellIds.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
-    prepared(batch)
-      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
-        col("v"), col("nrm"), cents, 1), 1).cast("long"))
-      .select(col("vec_id"), col("cell"))
-      .orderBy(col("vec_id"))
+    cellIds.map(c => byCell(c).sortBy(_._2).map(_._3).toSeq)
   }
 
   /** Quantitative correctness floor for the approximate ANN paths: joins
@@ -1145,6 +1153,96 @@ object Similarity {
       .select(col("vec_id") +: col("cell") +:
         (0 until PqSubspaces).map(s => col(s"code$s")): _*)
       .orderBy(col("vec_id"))
+  }
+
+  /** Artifact-refresh drift gate for the frozen-ANN-index pipeline: the
+    * incremental encodes ([[ivfPqResEncodeIncremental]] and friends)
+    * freeze weekly-trained artifacts and encode arriving batches against
+    * them forever — this operator is the monitor that says WHEN that
+    * stops being sound, composing the snapshot-diff machinery
+    * ([[graft.operators.Sketches.tokenDrift]]'s cross-multiplied integer
+    * TV distance) with a quantizer-fit readout over the frozen coarse
+    * centroids:
+    *
+    *   - occupancy_drift_bp: total-variation distance (basis points)
+    *     between the index corpus's and the batch's cell-occupancy
+    *     distributions under the SAME frozen centroids — a shifted
+    *     embedding distribution piles the batch into cells the index
+    *     trained sparsely, which is exactly when cell-pruned search and
+    *     per-cell residual codebooks lose recall;
+    *   - fit_index_bp / fit_batch_bp: mean cosine (basis points, floor)
+    *     between each vector and its assigned frozen centroid — the
+    *     coarse quantization fit whose degradation upper-bounds every
+    *     downstream compression stage's health (residual offsets and
+    *     codebooks are trained per cell AROUND that centroid);
+    *   - retrain_needed: occupancy_drift_bp > `occDriftBp` OR the batch
+    *     fit trails the index fit by > `fitDropBp`.
+    *
+    * Threshold calibration (measured across sf0.001/0.01/0.1): an
+    * UNdrifted held-out batch reads occupancy TV 801–1688 bp (small-batch
+    * sampling noise over `IvfCells` cells) and a fit drop of 472–1151 bp
+    * — the train/held-out generalization gap, present with NO
+    * distribution shift; a planted component shift of +0.25 reads
+    * 6935–8472 bp occupancy TV. The defaults sit between the regimes
+    * with ≥2× margin each way: occupancy TV is the sensitive
+    * distribution-shift alarm, the fit drop a backstop for the
+    * batch-matches-no-centroid regime (scaled/rotated embedding spaces)
+    * that occupancy alone can miss.
+    *
+    * Everything is deterministic integer math over the portable-seeded
+    * trainer, so the whole gate — training included — replays as DuckDB
+    * CTEs (`ann_artifact_drift`). Scale shape: two map-only assignment
+    * scans (broadcast centroid literals, the [[assignWith]] kernel) into
+    * bounded per-cell aggregates; the readout is driver-side over
+    * ≤ `IvfCells` + 2 collected rows (the centroid-collect budget class).
+    * Fit means use round(cos·10⁶) longs — order-independent sums, exact
+    * in both engines.
+    */
+  def annArtifactDrift(centroidArtifact: DataFrame,
+                       indexEmb: DataFrame, batch: DataFrame,
+                       occDriftBp: Long = 4000,
+                       fitDropBp: Long = 2000): DataFrame = {
+    val spark = indexEmb.sparkSession
+    import spark.implicits._
+    val cents = centroidsOf(centroidArtifact)
+    val cns = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    // per-side (occupancy-by-cell, n, Σ round(cos·10⁶)): one map-only
+    // assignment + fit pass, one bounded aggregate — collected driver-side
+    // (≤ IvfCells + 1 rows, the centroid-artifact budget class)
+    def sideStats(emb: DataFrame): (Map[Long, Long], Long, Long) = {
+      val withCell = prepared(emb).filter(col("nrm") > 0)
+        .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+          col("v"), col("nrm"), cents, 1), 1).cast("long"))
+      val cv = element_at(typedlit(cents), (col("cell") + 1).cast("int"))
+      val cn = element_at(typedlit(cns), (col("cell") + 1).cast("int"))
+      val rows = withCell
+        .withColumn("fit6", ArrayOps.roundScaledLong(spark,
+          ArrayOps.dotNative(spark, col("v"), cv) / (col("nrm") * cn),
+          1000000L))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("c"), sum(col("fit6")).as("f"))
+        .collect() // bounded: ≤ IvfCells rows
+      val occ = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (occ, rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    }
+    val (occ1, n1, f1) = sideStats(indexEmb)
+    val (occ2, n2, f2) = sideStats(batch)
+    require(n1 > 0 && n2 > 0, "drift gate needs non-empty index and batch")
+    // TV distance in bp, the tokenDrift integer form: exact while
+    // 2·n1·n2·10⁴ fits a long (n ≤ ~2·10⁷ per side; beyond that, sample)
+    val num = (occ1.keySet ++ occ2.keySet).toSeq.map { c =>
+      math.abs(occ1.getOrElse(c, 0L) * n2 - occ2.getOrElse(c, 0L) * n1)
+    }.sum
+    val occDrift = num * 10000L / (2L * n1 * n2)
+    // mean fit in bp: Σ round(cos·10⁶) · 10⁴ / (n · 10⁶) — TRUNCATING
+    // division on both engines (Long `/` here, `//` in DuckDB: both
+    // round toward zero, including for a negative fit sum)
+    val fitIdx = f1 / (n1 * 100L)
+    val fitBat = f2 / (n2 * 100L)
+    Seq((n1, n2, occDrift, fitIdx, fitBat,
+      occDrift > occDriftBp || fitIdx - fitBat > fitDropBp))
+      .toDF("n_index", "n_batch", "occupancy_drift_bp",
+        "fit_index_bp", "fit_batch_bp", "retrain_needed")
   }
 
   /** Residual-encode a `(vn, cell, …)` frame against frozen per-cell

@@ -533,6 +533,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("artifact drift gate: planted shift flips retrain_needed, control does not") {
+    import org.apache.spark.sql.functions.{col, expr, lit, transform}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val idx = emb.filter(col("vec_id") < cut)
+    val tail = emb.filter(col("vec_id") >= cut)
+    val cents = Similarity.clusterArtifacts(idx).localCheckpoint()
+    val none = Similarity.annArtifactDrift(cents, idx, tail).head()
+    assert(!none.getBoolean(5),
+      s"undrifted held-out batch must not flip the gate: $none")
+    // identical-distribution control: batch = the index corpus itself —
+    // zero occupancy TV, zero fit drop by construction
+    val self = Similarity.annArtifactDrift(cents, idx, idx).head()
+    assert(self.getLong(2) == 0L && self.getLong(3) == self.getLong(4)
+      && !self.getBoolean(5), s"self-batch must read zero drift: $self")
+    val drifted = tail.withColumn("embedding",
+      transform(col("embedding").cast("array<double>"), x => x + lit(0.25)))
+    val planted = Similarity.annArtifactDrift(cents, idx, drifted).head()
+    assert(planted.getBoolean(5),
+      s"planted +0.25 component shift must flip the gate: $planted")
+    assert(planted.getLong(2) > none.getLong(2),
+      "planted occupancy TV must exceed the sampling-noise control")
+  }
+
   test("PQ incremental encode: deterministic batch codes in codebook range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
