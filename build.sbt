@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for dev measurement runs (e.g. GC probes:
+  // SPARK_GRAFT_JVM_OPTS="-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m")
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -19,8 +19,9 @@ object DevScaleAnn {
     // mean aggregate (64 sum expressions per cell) and the codes-only
     // search survive 20x the 500k table
     val tenM = args.contains("10m")
+    val modeFlags = Set("10m", "recall", "check")
     val path =
-      args.find(a => a != "10m").getOrElse(
+      args.find(a => !modeFlags(a)).getOrElse(
         if (tenM) "/tmp/scale_vecs_10m" else "/tmp/scale_vecs")
     if (tenM && !new java.io.File(path + "/_SUCCESS").exists()) {
       import org.apache.spark.sql.functions._
@@ -45,15 +46,118 @@ object DevScaleAnn {
       // independent measurements
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    if (!tenM)
-      time("pq_topk")(graft.operators.Similarity.pqTopK(ve, 20, 10).count())
-    time("ivfpq_topk")(graft.operators.Similarity.ivfPqTopK(ve, 20, 10).count())
-    time("ivfpq_res_topk")(
-      graft.operators.Similarity.ivfPqResTopK(ve, 20, 10).count())
-    time("ivfpq_res_refine_topk")(
-      graft.operators.Similarity.ivfPqResRefineTopK(ve, 20, 10).count())
-    time("ivfpq_res_encode_inc")(
-      graft.operators.Similarity.ivfPqResEncodeIncremental(ve).count())
+    // "recall" = the quality half of the scale audit: exact top-k ground
+    // truth for a query sample (per-partition bounded-heap reduction —
+    // shuffles 100 × k rows per partition, never the 10M × 100 scored
+    // pairs), then hits@k of the residual composition and its refine
+    // stage against it. Wall-time rows prove the plans scale;
+    // compression-error recall is distribution-dependent, so it needs
+    // re-pinning at the 10M distribution, not just the sf0.01 fixture
+    // (`SimilaritySpec` `ann_recall_floor`).
+    if (args.contains("recall")) {
+      import org.apache.spark.sql.functions._
+      val nq = 100; val k = 10
+      val t0 = System.nanoTime()
+      // ground truth: same contract as bruteForceTopK (cos rounded to
+      // 6 dp, rank by (cos_r DESC, neighbor_id ASC), zero-norms excluded
+      // both sides) without its numQueries×corpus windowed shuffle
+      val qArr = ve.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .filter(col("vec_id") < nq).collect()
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
+        }.filter(_._3 > 0).sortBy(_._1)
+      val qB = spark.sparkContext.broadcast(qArr)
+      val perPart = ve.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .mapPartitions { it =>
+          val qs = qB.value
+          // per-query bounded min-heap of (cos_r, neighbor): O(k) memory
+          // per query per partition
+          val heaps = Array.fill(qs.length)(
+            scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+              Ordering.by { case (c, id) => (-c, id) }))
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val v = r.getSeq[Double](1).toArray
+            var nrm2 = 0.0
+            var j = 0
+            while (j < v.length) { nrm2 += v(j) * v(j); j += 1 }
+            val nrm = math.sqrt(nrm2)
+            if (nrm > 0) {
+              var q = 0
+              while (q < qs.length) {
+                val (qid, qv, qn) = qs(q)
+                if (qid != id) {
+                  var d = 0.0; var i = 0
+                  while (i < v.length) { d += qv(i) * v(i); i += 1 }
+                  // the engine's exact cos_r rounding kernel — keeps the
+                  // ground truth bit-identical to bruteForceTopK's contract
+                  val c = graft.functions.Round6.round(d / (qn * nrm))
+                  val h = heaps(q)
+                  if (h.size < k) h.enqueue((c, id))
+                  else {
+                    val (wc, wid) = h.head // worst kept: min cos, max id
+                    if (c > wc || (c == wc && id < wid)) {
+                      h.dequeue(); h.enqueue((c, id))
+                    }
+                  }
+                }
+                q += 1
+              }
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+            h.iterator.map { case (c, id) => (qs(q)._1, id, c) }
+          }
+        }(org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+        .collect() // ≤ partitions × nq × k rows
+      val exact: Set[(Long, Long)] = perPart.groupBy(_._1).iterator.flatMap {
+        case (qid, rows) =>
+          rows.sortBy { case (_, id, c) => (-c, id) }.take(k)
+            .map { case (_, id, _) => (qid, id) }
+      }.toSet
+      println(f"[recall] exact top-$k ground truth for ${qArr.length} queries " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s (${exact.size} pairs)")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      def hitsOf(name: String, df: => org.apache.spark.sql.DataFrame): Long = {
+        val t = System.nanoTime()
+        val got = df.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val hits = got.count(exact)
+        println(f"[recall] $name%-22s hits@$k = $hits/${exact.size} " +
+          f"(${hits * 100.0 / exact.size}%.1f%%)  " +
+          f"${(System.nanoTime() - t) / 1e9}%.1f s incl. operator")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        hits
+      }
+      // "check": validate the heap-reduced ground truth against the
+      // windowed bruteForceTopK spelling (identical contract → must be
+      // 100%) — run at fixture scale, skipped at 10M where the windowed
+      // spelling's numQueries × corpus shuffle is the thing we avoided
+      if (args.contains("check"))
+        hitsOf("bruteForceTopK parity",
+          graft.operators.Similarity.bruteForceTopK(ve, nq, k))
+      val hRes = hitsOf("ivfpq_res_topk",
+        graft.operators.Similarity.ivfPqResTopK(ve, nq, k))
+      val hRef = hitsOf("ivfpq_res_refine",
+        graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k))
+      println(s"[recall] refine >= res at 10M: ${hRef >= hRes} ($hRef vs $hRes)")
+    } else {
+      if (!tenM)
+        time("pq_topk")(graft.operators.Similarity.pqTopK(ve, 20, 10).count())
+      time("ivfpq_topk")(graft.operators.Similarity.ivfPqTopK(ve, 20, 10).count())
+      time("ivfpq_res_topk")(
+        graft.operators.Similarity.ivfPqResTopK(ve, 20, 10).count())
+      time("ivfpq_res_refine_topk")(
+        graft.operators.Similarity.ivfPqResRefineTopK(ve, 20, 10).count())
+      time("ivfpq_res_encode_inc")(
+        graft.operators.Similarity.ivfPqResEncodeIncremental(ve).count())
+    }
     spark.stop()
   }
 }

@@ -206,12 +206,22 @@ object StreamingSessions {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val result =
       try {
+        val t0 = System.nanoTime()
         val q = statefulStage(src).writeStream
           .format("memory").queryName(sinkName).outputMode("append")
           .option("checkpointLocation", root.resolve("ckpt").toString)
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // opt-in dev instrumentation: per-micro-batch duration breakdown
+        // (the fixed cost the replay-harness bench entries pay) — set
+        // GRAFT_REPLAY_PROGRESS=1; numbers land in ARCHITECTURE.md
+        if (sys.env.contains("GRAFT_REPLAY_PROGRESS")) {
+          println(f"[replay-stream] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          q.recentProgress.foreach(p => println(
+            s"[replay-batch] id=${p.batchId} rows=${p.numInputRows} " +
+              s"durationMs=${p.durationMs}"))
+        }
         // memory sink rows live on the driver: snapshot them into a local
         // frame so the replay's temp dirs (input files + checkpoint) can
         // be deleted before returning. A stage whose output keeps no
