@@ -19,7 +19,7 @@ object DevScaleAnn {
     // mean aggregate (64 sum expressions per cell) and the codes-only
     // search survive 20x the 500k table
     val tenM = args.contains("10m")
-    val modeFlags = Set("10m", "recall", "check")
+    val modeFlags = Set("10m", "recall", "check", "attrib")
     val path =
       args.find(a => !modeFlags(a)).getOrElse(
         if (tenM) "/tmp/scale_vecs_10m" else "/tmp/scale_vecs")
@@ -147,6 +147,17 @@ object DevScaleAnn {
       val hRef = hitsOf("ivfpq_res_refine",
         graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k))
       println(s"[recall] refine >= res at 10M: ${hRef >= hRes} ($hRef vs $hRes)")
+      // the corpus-scaled candidate budget: m=40 is 4e-6 of a 10M corpus
+      // (vs 8e-5 of 500k) — measure how much recall a deployment buys
+      // back by scaling m with the corpus
+      hitsOf("ivfpq_res_refine_m400",
+        graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k, m = 400))
+      // "attrib": the IVF-pruning recall CEILING — exact scoring inside
+      // the probed cells (no PQ), so (ceiling − res) is the ADC
+      // compression share and (1 − ceiling) the cell-pruning share
+      if (args.contains("attrib"))
+        hitsOf("ivf_exact_probed",
+          graft.operators.Similarity.ivfTopK(ve, nq, k))
     } else {
       if (!tenM)
         time("pq_topk")(graft.operators.Similarity.pqTopK(ve, 20, 10).count())

@@ -713,6 +713,19 @@ object SparkEntry {
       Tables.documents(s, dir).withColumn("text",
         replace(replace(col("text"), lit("a"), lit("ä")),
           lit("o"), lit("ø"))), 10)),
+    // byte-level incremental BPE: freeze hex-domain merge+vocab artifacts
+    // on the 4/5 prefix of the planted-non-ASCII corpus, encode the 1/5
+    // tail O(batch) with OOV->0 — the byte tokenizer's ship shape
+    "tokenize_bpe_bytes_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("text",
+        replace(replace(col("text"), lit("a"), lit("ä")),
+          lit("o"), lit("ø")))
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val (m, v) = TextAnalysis.bpeBytesArtifacts(
+        docs.filter(col("doc_id") < cut))
+      TextAnalysis.encodeBpeBytesWith(m, v, docs.filter(col("doc_id") >= cut))
+    }),
     // incremental BPE: freeze merge+vocab artifacts on the 4/5 prefix,
     // encode the 1/5 tail O(batch) with OOV->0 — the tokenizer-ship shape
     "tokenize_bpe_incremental" -> ((s, dir) => {
@@ -1932,6 +1945,7 @@ object SparkEntry {
     "vocab_bpe" -> bpeVocabOracle(10),
     "tokenize_bpe" -> bpeTokenizeOracle(10),
     "tokenize_bpe_bytes" -> bpeBytesTokenizeOracle(10),
+    "tokenize_bpe_bytes_incremental" -> bpeBytesIncrementalOracle(10),
     "tokenize_bpe_incremental" -> bpeIncrementalOracle(10),
     // per-source reputation: integer round-half-up bp math throughout
     "source_reputation" ->
@@ -2790,6 +2804,55 @@ object SparkEntry {
        |vi AS (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
        |    AS BIGINT) AS id FROM vc),
        |en AS (SELECT doc_id, pos, spos, id FROM sy JOIN vi USING (sym))
+       |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str
+       |FROM en GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Byte-level incremental oracle: [[bpeBytesTokenizeOracle]]'s hex
+    * domain with [[bpeIncrementalOracle]]'s split — train merges and the
+    * token-weighted frozen vocabulary over the 4/5 doc_id prefix of the
+    * planted corpus, encode the 1/5 tail with OOV → 0.
+    */
+  private def bpeBytesIncrementalOracle(k: Int): String = {
+    val cut = "(SELECT (max(doc_id) * 4) // 5 FROM documents)"
+    val enc = (1 to k).map { r =>
+      s"""x$r AS MATERIALIZED (SELECT doc_id, pos,
+         |    replace(symseq, '.' || m.lhs || '..' || m.rhs || '.',
+         |            '.' || m.lhs || m.rhs || '.') AS symseq
+         |  FROM x${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dx AS MATERIALIZED (SELECT doc_id,
+       |    replace(replace(text, 'a', 'ä'), 'o', 'ø') AS text
+       |  FROM documents),
+       |w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM dx WHERE doc_id < $cut)
+       |  WHERE word <> '' GROUP BY word),
+       |e0 AS MATERIALIZED (SELECT word, c,
+       |    regexp_replace(lower(hex(word)), '(..)', '..\\1', 'g') || '..' AS symseq
+       |  FROM w0),
+       |${bpeRoundCtes(k)},
+       |sv AS MATERIALIZED (SELECT s[i] AS sym, CAST(sum(c) AS BIGINT) AS n
+       |  FROM (SELECT string_split(symseq, '..') AS s, c FROM e$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i) GROUP BY 1),
+       |vi AS MATERIALIZED (SELECT sym, CAST(row_number() OVER (ORDER BY n DESC, sym)
+       |    AS BIGINT) AS id FROM sv),
+       |d0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM dx WHERE doc_id >= $cut)
+       |  CROSS JOIN unnest(range(len(w))) AS u(i)),
+       |x0 AS MATERIALIZED (SELECT doc_id, pos,
+       |    regexp_replace(lower(hex(word)), '(..)', '..\\1', 'g') || '..' AS symseq
+       |  FROM d0 WHERE word <> ''),
+       |$enc,
+       |sy AS MATERIALIZED (SELECT doc_id, pos, CAST(i AS BIGINT) AS spos, s[i] AS sym
+       |  FROM (SELECT doc_id, pos, string_split(symseq, '..') AS s FROM x$k)
+       |  CROSS JOIN unnest(range(2, len(s))) AS t(i)),
+       |en AS (SELECT doc_id, pos, spos,
+       |    coalesce(vi.id, CAST(0 AS BIGINT)) AS id
+       |  FROM sy LEFT JOIN vi USING (sym))
        |SELECT doc_id, CAST(count(DISTINCT pos) AS BIGINT) AS n_words,
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_str

@@ -1007,6 +1007,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Byte-level tokenizer artifacts — [[bpeArtifacts]] in the
+    * [[trainBpeBytesMerges]] symbol domain: merges over hex-byte symbols
+    * and the token-weighted post-merge vocabulary (≤ 256 + numMerges
+    * rows), both bounded parquet-able tables.
+    */
+  def bpeBytesArtifacts(documents: DataFrame,
+                        numMerges: Int = 10): (DataFrame, DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val merges = bpeBytesMerges(documents, numMerges)
+    val mergesDf = merges
+      .map { case (r, lhs, rhs, cnt) => (r, lhs, rhs, lhs + rhs, cnt) }
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    val types = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val vocabDf = types
+      .select(col("c"), explode(graft.functions.BpeOps.encodeNative(
+        spark, col("word"), merges.map(m => (m._2, m._3)),
+        byteLevel = true)).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("c")).as("n"))
+      .orderBy(desc("n"), col("sym"))
+      .collect() // bounded: ≤ 256 + numMerges post-merge symbols
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1L, r.getLong(1)) }
+      .toSeq.toDF("sym", "id", "n")
+    (mergesDf, vocabDf)
+  }
+
+  /** Encode a batch against FROZEN [[bpeBytesArtifacts]] — the byte-level
+    * [[encodeBpeWith]]: O(batch), map-only, artifacts collected once.
+    * OOV (id 0) is still possible — not for raw bytes the training corpus
+    * never saw when they survive as standalone symbols (byte coverage is
+    * total), but for a MERGED symbol training consumed entirely into a
+    * later merge that survives standalone in a batch word; real byte-level
+    * tokenizers close this by seeding the vocabulary with all 256 bytes,
+    * which the id-0 convention models without a 256-row floor.
+    */
+  def encodeBpeBytesWith(merges: DataFrame, vocab: DataFrame,
+                         batch: DataFrame): DataFrame = {
+    val mseq = merges.select(col("merge_rank"), col("lhs"), col("rhs"))
+      .orderBy(col("merge_rank"))
+      .collect() // bounded by the training cap
+      .map(r => (r.getString(1), r.getString(2)))
+    val idOf = vocab.select(col("sym"), col("id"))
+      .collect() // bounded post-merge symbol inventory
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = batch.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val idMap = typedlit(idOf)
+    words
+      .withColumn("ids", transform(
+        graft.functions.BpeOps.encodeNative(batch.sparkSession, col("word"),
+          mseq.toSeq, byteLevel = true),
+        s => coalesce(element_at(idMap, s), lit(0L))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("ids"))).cast("long").as("n_tokens"),
+        concat_ws(" ", transform(
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("ids")))),
+            s => s.getField("ids"))),
+          i => i.cast("string"))).as("ids_str"))
+      .orderBy(col("doc_id"))
+  }
+
   def encodeTokenIds(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val vocab = buildVocab(documents, vocabSize).select(col("tok"), col("token_id"))
     val posToks = documents.select(col("doc_id"),

@@ -446,6 +446,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level frozen artifacts reproduce whole-corpus encode; unseen merged symbol -> OOV 0") {
+    // batch = training corpus: token-weighted frozen vocab counts equal
+    // the per-token counts, so the two byte-level paths must agree
+    val docs = Seq((1L, "éé é ab"), (2L, "ab éé"), (3L, "é ab ab"))
+      .toDF("doc_id", "text")
+    val (m, v) = TextAnalysis.bpeBytesArtifacts(docs, numMerges = 3)
+    val inc = TextAnalysis.encodeBpeBytesWith(m, v, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val whole = TextAnalysis.encodeBpeBytes(docs, numMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(inc.toSeq == whole.toSeq)
+    // OOV: train on 'abc' only — merges (61,62)->6162, (6162,63)->616263
+    // consume '6162' entirely, so a batch 'ab' (= standalone 6162) and a
+    // byte never seen in training ('z' = 7a) both encode as id 0
+    val train = Seq((1L, "abc abc abc abc")).toDF("doc_id", "text")
+    val (m2, v2) = TextAnalysis.bpeBytesArtifacts(train, numMerges = 2)
+    assert(v2.select("sym").as[String].collect().toSeq == Seq("616263"))
+    val got = TextAnalysis.encodeBpeBytesWith(m2, v2,
+      Seq((10L, "ab abc z")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((10L, 3L, 3L, "0 1 0")))
+  }
+
   test("byte-level path equals the char-level path on single-byte alphabets") {
     // for pure [a-z] corpora the two domains are isomorphic (char c ↔ its
     // one hex byte), so merge COUNTS and final token boundaries coincide;
