@@ -60,6 +60,15 @@ object Bench {
                  catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // Drop the query's leaked storage before the next entry runs:
+      // `localCheckpoint` blocks (the ANN/dedup index artifacts) pin
+      // executor memory for the life of the SparkContext, and 185
+      // queries in one 8 GiB JVM accumulate enough of them that
+      // mid-run entries degrade up to ~5× vs the same query isolated
+      // (r12 measured: pipeline_multimodal 32.6 s in-run vs 6.8 s
+      // alone). A bench entry must not pay its predecessors' GC.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       (name, times.map(_._1).min, times.forall(_._2))
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }

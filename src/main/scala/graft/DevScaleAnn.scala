@@ -144,6 +144,11 @@ object DevScaleAnn {
           graft.operators.Similarity.bruteForceTopK(ve, nq, k))
       val hRes = hitsOf("ivfpq_res_topk",
         graft.operators.Similarity.ivfPqResTopK(ve, nq, k))
+      // the r12 closure of the recall finding: 8 bits per DIMENSION
+      // (64 B/vec) instead of PQ's 8 bits per SUBSPACE (2 B/vec) —
+      // quantization error drops below the corpus's top-rank margins
+      hitsOf("sq8_topk", graft.operators.Similarity.sqTopK(ve, nq, k))
+      hitsOf("ivfsq_topk", graft.operators.Similarity.ivfSqTopK(ve, nq, k))
       val hRef = hitsOf("ivfpq_res_refine",
         graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k))
       println(s"[recall] refine >= res at 10M: ${hRef >= hRes} ($hRef vs $hRes)")
@@ -168,6 +173,11 @@ object DevScaleAnn {
         graft.operators.Similarity.ivfPqResRefineTopK(ve, 20, 10).count())
       time("ivfpq_res_encode_inc")(
         graft.operators.Similarity.ivfPqResEncodeIncremental(ve).count())
+      time("sq8_topk")(graft.operators.Similarity.sqTopK(ve, 20, 10).count())
+      time("ivfsq_topk")(
+        graft.operators.Similarity.ivfSqTopK(ve, 20, 10).count())
+      time("sq8_encode_inc")(
+        graft.operators.Similarity.sqEncodeIncremental(ve).count())
     }
     spark.stop()
   }

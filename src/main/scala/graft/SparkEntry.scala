@@ -1046,6 +1046,20 @@ object SparkEntry {
     // candidate-bounded exact reads via a broadcast equi-join
     "ann_topk_ivfpq_refine" -> ((s, dir) =>
       Similarity.ivfPqResRefineTopK(Tables.embeddings(s, dir), 20, 10)),
+    // scalar quantization: 8 bits per DIMENSION (64 B/vec, 8× cut) — the
+    // high-recall compression point between brute (512 B, exact) and PQ
+    // (2 B, coarse); the r12 10M audit showed PQ's fixed code error
+    // overwhelming tight top-rank margins — SQ8 is the deployment answer
+    "ann_topk_sq8" -> ((s, dir) =>
+      Similarity.sqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // IVF cell pruning + SQ8 code scoring (the FAISS "IVF…,SQ8" shape):
+    // codes-only search path on the probed cells' members
+    "ann_topk_ivfsq" -> ((s, dir) =>
+      Similarity.ivfSqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // frozen-bounds incremental SQ8 encode of the arriving 1/5 batch:
+    // one map-only pass, out-of-range values clamp by construction
+    "ann_sq_encode_inc" -> ((s, dir) =>
+      Similarity.sqEncodeIncremental(Tables.embeddings(s, dir))),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2642,6 +2656,9 @@ object SparkEntry {
     "ann_topk_ivfpq_res" -> ivfPqResTopKOracle,
     "ann_topk_ivfpq_refine" -> ivfPqResRefineOracle,
     "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
+    "ann_topk_sq8" -> sqTopKOracle,
+    "ann_topk_ivfsq" -> ivfSqTopKOracle,
+    "ann_sq_encode_inc" -> sqEncodeIncOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -3757,6 +3774,125 @@ object SparkEntry {
        |SELECT b0.vec_id, $cols
        |FROM s0be b0
        |  $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The SQ8 chain over a normalized-vector CTE: per-dim bounds from
+    * `trSrc` (`mm`), derived step/inverse-step (`st`), and the wide
+    * quantized-code table over `pSrc` (`enc`, columns `c00..c63`) —
+    * shared by all three SQ oracles. Every FP op mirrors
+    * [[graft.operators.Similarity.sqTopK]]'s kernels in the identical
+    * order: `(x − mn)·iv + 0.5 → floor → clamp`, `st = (mx − mn)/255`,
+    * `iv = 255/(mx − mn)`.
+    */
+  private def sqChainSql(pSrc: String, trSrc: String): String = {
+    import graft.operators.Similarity.SqDim
+    val mm = (0 until SqDim).map(d =>
+      s"min(vn[${d + 1}]) AS mn$d, max(vn[${d + 1}]) AS mx$d")
+      .mkString(",\n    ")
+    val st = (0 until SqDim).map(d =>
+      s"CASE WHEN mx$d > mn$d THEN (mx$d - mn$d)/255.0 ELSE 0.0 END AS st$d, " +
+        s"CASE WHEN mx$d > mn$d THEN 255.0/(mx$d - mn$d) ELSE 0.0 END AS iv$d")
+      .mkString(",\n    ")
+    val enc = (0 until SqDim).map(d =>
+      s"CAST(least(255.0, greatest(0.0, floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5))) AS BIGINT) AS c${"%02d".format(d)}")
+      .mkString(",\n    ")
+    s"""mm AS MATERIALIZED (SELECT $mm FROM $trSrc),
+       |st AS MATERIALIZED (SELECT *,
+       |    $st FROM mm),
+       |enc AS MATERIALIZED (SELECT p.vec_id,
+       |    $enc
+       |  FROM $pSrc p CROSS JOIN st s)""".stripMargin
+  }
+
+  /** The fused SQ8 ADC terms, as SQL fragments: per-query constant
+    * `⟨q̂, mn⟩`, per-query weight list `q̂ ⊙ st`, and the code list cast
+    * to double — [[graft.operators.Similarity.sqTopK]]'s decomposition
+    * `⟨q̂, deq(c)⟩ = cq + ⟨wq, c⟩` verbatim.
+    */
+  private def sqScoreParts: (String, String, String) = {
+    import graft.operators.Similarity.SqDim
+    ((0 until SqDim).map(d => s"s.mn$d").mkString(", "),
+      (0 until SqDim).map(d => s"p.vn[${d + 1}]*s.st$d").mkString(", "),
+      (0 until SqDim).map(d => s"CAST(e.c${"%02d".format(d)} AS DOUBLE)").mkString(", "))
+  }
+
+  /** SQ8 full-scan top-k oracle: bounds → codes → fused ADC → rank. */
+  private val sqTopKOracle: String = {
+    val (mnList, wqList, cList) = sqScoreParts
+    s"""WITH $pqPpSql,
+       |${sqChainSql("pp", "pp")},
+       |qs AS (SELECT p.vec_id AS query_id,
+       |         list_dot_product(p.vn, [$mnList]) AS cq,
+       |         [$wqList] AS wq
+       |       FROM pp p CROSS JOIN st s WHERE p.vec_id < 20),
+       |sc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(q.cq + list_dot_product(q.wq, [$cList]), 6) AS cos_r
+       |       FROM enc e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** IVF-SQ8 oracle: the km-training prefix + per-vector cell ranking
+    * (verbatim from [[ivfPqTopKOracle]]'s chain) composed with the SQ8
+    * chain — candidates from the probed cells, scores from the fused
+    * SQ8 ADC over the code table.
+    */
+  private val ivfSqTopKOracle: String = {
+    import graft.operators.Similarity.IvfProbes
+    val ctePrefix = kmeansClusterOracle.substring(0,
+      kmeansClusterOracle.indexOf(",\naf AS"))
+    val (mnList, wqList, cList) = sqScoreParts
+    s"""$ctePrefix,
+       |av AS (SELECT vec_id, cell, rn FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM p CROSS JOIN n${graft.operators.Similarity.IvfKmeansIters} n)),
+       |corp AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS query_id, cell AS q_cell FROM av
+       |        WHERE rn <= $IvfProbes AND vec_id < 20),
+       |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM p WHERE nrm > 0),
+       |${sqChainSql("pp", "pp")},
+       |qs AS (SELECT p.vec_id AS query_id,
+       |         list_dot_product(p.vn, [$mnList]) AS cq,
+       |         [$wqList] AS wq
+       |       FROM pp p CROSS JOIN st s WHERE p.vec_id < 20),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round(qq.cq + list_dot_product(qq.wq, [$cList]), 6) AS cos_r
+       |       FROM qpr q JOIN corp c ON c.cell = q.q_cell
+       |                             AND c.vec_id <> q.query_id
+       |         JOIN enc e ON e.vec_id = c.vec_id
+       |         JOIN qs qq ON qq.query_id = q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Frozen-bounds incremental SQ8 encode oracle: bounds over the
+    * stored 4/5, wide code table over the arriving 1/5 — the
+    * [[pqEncodeIncOracle]] cut spelling.
+    */
+  private val sqEncodeIncOracle: String = {
+    import graft.operators.Similarity.SqDim
+    val cols = (0 until SqDim).map(d => s"c${"%02d".format(d)}").mkString(", ")
+    s"""WITH $pqPpSql,
+       |cutc AS (SELECT (max(vec_id) * 4) // 5 AS cutv FROM embeddings),
+       |ppa AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id < cutv),
+       |ppb AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id >= cutv),
+       |${sqChainSql("ppb", "ppa")}
+       |SELECT vec_id, $cols
+       |FROM enc
        |ORDER BY vec_id""".stripMargin
   }
 

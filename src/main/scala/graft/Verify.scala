@@ -32,6 +32,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
+      // free the query's localCheckpoint blocks (the Bench loop's leak
+      // fix, here for robustness not timing: ~190 queries' checkpointed
+      // index artifacts accumulate in one 8 GiB JVM)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1352,4 +1352,160 @@ object Similarity {
     * of a plan literal (codegen constant-pool / driver-memory guard).
     */
   private val PqLutLiteralMaxBytes = 4L << 20
+
+  // ==================== scalar quantization (SQ8) =======================
+
+  /** SQ8 code range: 8-bit levels 0..255 per dimension. */
+  val SqLevels = 255
+  private[graft] val SqDim = PqSubspaces * PqSubDim // 64
+
+  /** Per-dimension `(min, max)` of the normalized corpus — the whole SQ8
+    * training artifact (2×64 doubles; vs PQ's 8×64×8-double codebooks).
+    * ONE partial-aggregable pass with 128 agg columns over `element_at`
+    * — deliberately NOT a posexplode grid (at 10M×64 that is 640M
+    * shuffled rows for what a map-side combine can carry in 1 KB).
+    * min/max are order-free and exact, so Spark and the DuckDB oracle
+    * agree bit-for-bit with no fixed-point machinery.
+    */
+  private[graft] def sqBounds(prep: DataFrame): (Seq[Double], Seq[Double]) = {
+    val aggs = (0 until SqDim).flatMap(d => Seq(
+      min(element_at(col("vn"), d + 1)).as(s"mn$d"),
+      max(element_at(col("vn"), d + 1)).as(s"mx$d")))
+    // bounded artifact read: exactly ONE row of 2·dim doubles
+    val r = prep.agg(aggs.head, aggs.tail: _*).head()
+    ((0 until SqDim).map(d => r.getDouble(2 * d)),
+      (0 until SqDim).map(d => r.getDouble(2 * d + 1)))
+  }
+
+  /** Per-dim quantization step `st_d = (mx_d − mn_d)/255` (0 on a
+    * degenerate dim). */
+  private def sqSteps(mins: Seq[Double], maxs: Seq[Double]): Seq[Double] =
+    mins.lazyZip(maxs).map((mn, mx) =>
+      if (mx > mn) (mx - mn) / SqLevels else 0.0).toSeq
+
+  /** 8-bit linear quantization of `vn` against frozen per-dim bounds:
+    * `c_d = clamp(⌊(x_d − mn_d)·iv_d + 0.5⌋, 0, 255)` with
+    * `iv_d = 255/(mx_d − mn_d)`. Half-up floor is the engine-wide
+    * rounding convention; every FP op appears in the DuckDB oracle in
+    * the identical order, and the clamp makes frozen-bounds encoding of
+    * out-of-range FUTURE batches well-defined (the incremental path).
+    */
+  private def sqCodesCol(mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val ivs = mins.lazyZip(maxs).map((mn, mx) =>
+      if (mx > mn) SqLevels.toDouble / (mx - mn) else 0.0).toSeq
+    zip_with(
+      zip_with(col("vn"), typedlit(mins), (x, mn) => x - mn),
+      typedlit(ivs),
+      (t, iv) => greatest(lit(0L), least(lit(255L), floor(t * iv + lit(0.5)))))
+  }
+
+  /** The fused SQ8 ADC decomposition, shared by every SQ scoring path
+    * (and replayed verbatim by the oracles):
+    * `⟨q̂, deq(c)⟩ = ⟨q̂, mn⟩ + ⟨q̂ ⊙ st, c⟩` — a per-QUERY constant plus
+    * a 64-FMA dot against the integer codes, so the scan touches codes
+    * only (the r11 residual-path lesson, applied at design time instead
+    * of after a profile: never rebuild the dequantized vector per
+    * matched pair).
+    */
+  private def sqQueryCols(df: DataFrame, qn: Column,
+                          mins: Seq[Double], sts: Seq[Double]): (Column, Column) =
+    (dotN(df, qn, typedlit(mins)),
+      zip_with(qn, typedlit(sts), (x, st) => x * st))
+
+  /** SQ8 full-scan top-k — the third point on the compression-recall
+    * curve the family now spans: brute (512 B/vec, exact), SQ8
+    * (64 B/vec, ~lossless ranking), PQ (2 B/vec, coarse). The r12 10M
+    * recall audit showed PQ's fixed 8×8-bit code error overwhelms the
+    * shrinking top-rank margins of a large uniform corpus (6–36%
+    * hits@10); SQ8 keeps 8 bits per DIMENSION, so quantization noise
+    * (~step/2 ≈ 2e-3 per dim before the 1/√64 averaging) sits well
+    * below ranking margins — near-exact recall at an 8× memory cut.
+    * Scan shape = [[pqTopK]]'s literal map-only explode (queries are a
+    * bounded set; codes-only corpus reads).
+    */
+  def sqTopK(embeddings: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prep = pqPrepared(embeddings).localCheckpoint()
+    val (mins, maxs) = sqBounds(prep)
+    val sts = sqSteps(mins, maxs)
+    // the persisted index artifact: codes MATERIALIZED before scoring
+    val corpus = prep.select(col("vec_id"), sqCodesCol(mins, maxs).as("codes"))
+      .localCheckpoint()
+    val (cq, wq) = sqQueryCols(prep, col("vn"), mins, sts)
+    // bounded collect: numQueries rows × (1 + dim) doubles
+    val qLit: Seq[(Long, Double, Seq[Double])] =
+      prep.filter(col("vec_id") < numQueries)
+        .select(col("vec_id"), cq.as("cq"), wq.as("wq"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toSeq))
+    val q = col("q")
+    val scored = corpus
+      .withColumn("q", explode(typedlit(qLit)))
+      .withColumn("query_id", q.getField("_1"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", ArrayOps.round6(spark,
+        q.getField("_2") +
+          dotN(corpus, q.getField("_3"), col("codes").cast("array<double>"))))
+    presentTopK(scored, k)
+  }
+
+  /** IVF-SQ8 — the high-recall production composition (FAISS's
+    * `IVF…,SQ8` shape): the coarse quantizer prunes candidates to the
+    * probed cells exactly as [[ivfPqTopK]], and SQ8 codes score them —
+    * 64 B/vec instead of PQ's 2 B, buying back the recall the 10M audit
+    * showed PQ losing on tight-margin corpora. Search path reads
+    * (cell, codes) only; the scored join is the same broadcast-queries
+    * equi-join on cell id.
+    */
+  def ivfSqTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                probes: Int = IvfProbes): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prepIvf = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prepIvf, IvfCells, IvfKmeansIters,
+      portableSeed = true)
+    val assigned = prepIvf
+      .withColumn("cells2", ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, probes))
+      .withColumn("cell", element_at(col("cells2"), 1))
+      .localCheckpoint()
+    val prepCell = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        ArrayOps.divScalarNative(spark, col("v"), col("nrm")).as("vn"),
+        col("cell"), col("cells2"))
+      .localCheckpoint()
+    val (mins, maxs) = sqBounds(prepCell)
+    val sts = sqSteps(mins, maxs)
+    val corpus = prepCell
+      .select(col("vec_id"), col("cell"), sqCodesCol(mins, maxs).as("codes"))
+      .localCheckpoint()
+    val (cq, wq) = sqQueryCols(prepCell, col("vn"), mins, sts)
+    val queries = prepCell.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), cq.as("cq"), wq.as("wq"),
+        explode(col("cells2")).as("q_cell"))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", ArrayOps.round6(spark,
+        col("cq") + dotN(corpus, col("wq"), col("codes").cast("array<double>"))))
+    presentTopK(scored, k)
+  }
+
+  /** Frozen-bounds incremental SQ8 encode — the daily-run member of the
+    * artifact family ([[pqEncodeIncremental]]'s analog): bounds train
+    * once over the stored corpus (first 4/5 of vec_ids playing the
+    * persisted artifact), the arriving batch encodes in ONE map-only
+    * pass (64 multiply-round-clamps per row, no shuffle, no rescan);
+    * out-of-range batch values clamp to the code range by construction.
+    * Output is the batch's wide code table `(vec_id, c00..c63)`.
+    */
+  def sqEncodeIncremental(embeddings: DataFrame): DataFrame = {
+    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val prep = pqPrepared(embeddings).localCheckpoint()
+    val (mins, maxs) = sqBounds(prep.filter(col("vec_id") < cut))
+    prep.filter(col("vec_id") >= cut)
+      .withColumn("codes", sqCodesCol(mins, maxs))
+      .select(col("vec_id") +: (0 until SqDim).map(d =>
+        element_at(col("codes"), d + 1).as(f"c$d%02d")): _*)
+      .orderBy(col("vec_id"))
+  }
 }

@@ -379,6 +379,56 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall collapsed: $hits of ${brute.size} (floor 20%)")
   }
 
+  test("SQ8 top-k: deterministic, near-exact recall vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.sqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val b = Similarity.sqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(a == b, "min/max bounds are exact — SQ8 must be bit-stable")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.count(r =>
+      brute.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+    println(s"[sq8] recall: $hits of ${brute.size}")
+    // 8 bits per DIMENSION: quantization noise ~step/2 per dim sits far
+    // below ranking margins — the floor is 90%, not PQ's 20%
+    assert(hits * 10 >= brute.size * 9,
+      s"SQ8 recall below 90%: $hits of ${brute.size}")
+  }
+
+  test("IVF-SQ8: recall >= IVF-PQ under the identical cell pruning") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Array[org.apache.spark.sql.Row]): Int = rows.count(r =>
+      brute.contains((r.getLong(0), r.getLong(1))))
+    val sq = recall(Similarity.ivfSqTopK(emb, 10, 5).collect())
+    val pq = recall(Similarity.ivfPqTopK(emb, 10, 5).collect())
+    println(s"[ivfsq] recall: $sq of ${brute.size} (ivfpq: $pq)")
+    // same candidates (same coarse quantizer, same probes); 64 B/vec SQ8
+    // codes cannot rank them worse than 2 B/vec PQ codes on this fixture
+    assert(sq >= pq, s"IVF-SQ8 recall $sq below IVF-PQ's $pq")
+  }
+
+  test("SQ8 incremental encode: frozen bounds clamp out-of-range batch values") {
+    // cut = (4*4) div 5 = 3 → train = {0,1,2}, batch = {3,4}; the batch
+    // carries values outside the trained [min,max] on every dim
+    val dim = 64
+    val df = vecs(
+      (0L, Seq.tabulate(dim)(d => (d % 5).toFloat / 10f)),
+      (1L, Seq.tabulate(dim)(d => ((d + 1) % 5).toFloat / 10f)),
+      (2L, Seq.tabulate(dim)(d => ((d + 2) % 5).toFloat / 10f)),
+      (3L, Seq.tabulate(dim)(_ => 100f)),   // far above every max
+      (4L, Seq.tabulate(dim)(_ => -100f)))  // far below every min
+    val out = Similarity.sqEncodeIncremental(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    val codes = out.map(r => (1 to dim).map(r.getLong))
+    assert(codes.flatten.forall(c => c >= 0L && c <= 255L), "clamp violated")
+    // vec 3 is the positive direction scaled up: normalized it still
+    // exceeds the trained per-dim max on SOME dims → codes hit 255
+    assert(codes(0).contains(255L) && codes(1).contains(0L),
+      "out-of-range batch values must saturate the code range")
+  }
+
   test("NearestCodeL2 matches the array_max-of-structs spelling it replaced") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
