@@ -112,18 +112,36 @@ object DevTimerProfile {
         .groupByKey(_.user_id)
         .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
         .toDF()
+    // state partitions: the replay harness defaults to 4 (right for the
+    // sf0.1 contract replays, where per-batch volume is small and commit
+    // cost per partition×batch dominates) — at 10M events on 32 cores
+    // the stateful stage itself is the cost, so the audit runs at 32
+    // unless overridden (args: [nEvents] [stateParts])
+    val stateParts = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    // "hdfs" runs the BUILTIN rung on the in-memory HDFSBacked state
+    // store (the transformWithState rungs require RocksDB) — isolates
+    // provider cost from operator cost on hosts with slow local disk
+    val hdfsBuiltin = args.contains("hdfs")
+    println(s"[timerprof] statePartitions=$stateParts events=$n " +
+      s"builtinStore=${if (hdfsBuiltin) "hdfs" else "rocksdb"}")
     // warmups at 100k (streaming engine + codegen init)
     val warm = ev.filter(col("event_id") % 100 === 0)
     graft.streaming.StreamingSessions.replayOutOfOrder(warm, lit("30 minutes")).count()
     graft.streaming.TimerSessions.replayTimerSessions(warm, 1800L).count()
     time("builtin_replay")(graft.streaming.StreamingSessions
-      .replayOutOfOrder(ev, lit("30 minutes")).count())
-    time("timer_replay")(graft.streaming.TimerSessions
-      .replayTimerSessions(ev, 1800L).count())
+      .replayOutOfOrder(ev, lit("30 minutes"),
+        useRocksDb = !hdfsBuiltin, statePartitions = stateParts).count())
+    time("timer_replay")(graft.streaming.StreamingSessions
+      .replayStageOutOfOrder(ev,
+        src => graft.streaming.TimerSessions
+          .timerSessionStream(src, 1800L, "10 minutes"),
+        statePartitions = stateParts).count())
     time("state_only_replay")(graft.streaming.StreamingSessions
-      .replayStageOutOfOrder(ev, typedStage(new StateOnlySessProcessor)).count())
+      .replayStageOutOfOrder(ev, typedStage(new StateOnlySessProcessor),
+        statePartitions = stateParts).count())
     time("noop_replay")(graft.streaming.StreamingSessions
-      .replayStageOutOfOrder(ev, typedStage(new NoopSessProcessor)).count())
+      .replayStageOutOfOrder(ev, typedStage(new NoopSessProcessor),
+        statePartitions = stateParts).count())
     spark.stop()
   }
 }

@@ -444,6 +444,15 @@ object SparkEntry {
     // distinct counts (incl. the artifact-merge TOTAL path)
     "vocab_cardinality_sketch" -> ((s, dir) =>
       graft.operators.Sketches.vocabCardinalitySketch(Tables.documents(s, dir))),
+    // pairwise cross-source vocabulary overlap from the per-source HLL
+    // artifacts (inclusion–exclusion on a sources² grid — no corpus
+    // join), gated against exact intersection within 5% of each union
+    "vocab_overlap_sketch" -> ((s, dir) =>
+      graft.operators.Sketches.crossSourceOverlapGate(Tables.documents(s, dir))),
+    // the same readout over an artifact table built in two maintenance
+    // folds — overlap answered from persisted state, corpus never reread
+    "vocab_overlap_incremental" -> ((s, dir) =>
+      graft.operators.Sketches.crossSourceOverlapIncremental(Tables.documents(s, dir))),
     // HDR-histogram quantile artifacts: deterministic log-spaced bins,
     // exact-replayed readout + in-bin containment of the true quantile
     "value_quantile_hist" -> ((s, dir) =>
@@ -1469,6 +1478,10 @@ object SparkEntry {
     "vocab_cardinality_sketch" -> vocabCardinalityOracle,
     // streamed HLL artifact ≡ one-shot (register-wise max) → same oracle
     "vocab_sketch_stream" -> vocabCardinalityOracle,
+    "vocab_overlap_sketch" -> vocabOverlapOracle,
+    // batched-artifact estimates ≡ one-shot (register-wise max) → the
+    // incremental spelling passes the identical gate
+    "vocab_overlap_incremental" -> vocabOverlapOracle,
     // md5-bucket split + brute-jaccard leakage edges (same shingle CTE as
     // bruteJaccardOracle; only the train side of a cross-split edge is
     // quarantined). The Spark side defaults to banded-MinHash edges; its
@@ -2929,6 +2942,31 @@ object SparkEntry {
     * batching (register max), MG counter values vary but the gated
     * theorem booleans hold for any merge tree.
     */
+  /** Cross-source overlap oracle: exact pairwise intersection of the
+    * per-source distinct-token vocabularies over the all-pairs grid
+    * (`src_a < src_b`), with `within_bound` pinned TRUE — the Spark
+    * side's sketch estimate must land inside its stated union-relative
+    * bound on every pair.
+    */
+  private val vocabOverlapOracle: String =
+    """WITH toks AS (SELECT DISTINCT * FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)),
+      |srcs AS (SELECT DISTINCT source FROM toks),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+      |          FROM srcs a CROSS JOIN srcs b WHERE a.source < b.source),
+      |ov AS (SELECT x.source AS src_a, y.source AS src_b,
+      |         count(*) AS n_overlap_exact
+      |       FROM toks x JOIN toks y
+      |         ON x.tok = y.tok AND x.source < y.source
+      |       GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b,
+      |  COALESCE(ov.n_overlap_exact, 0) AS n_overlap_exact,
+      |  TRUE AS within_bound
+      |FROM pairs p LEFT JOIN ov
+      |  ON ov.src_a = p.src_a AND ov.src_b = p.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   private val vocabCardinalityOracle: String =
     """WITH toks AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS tok

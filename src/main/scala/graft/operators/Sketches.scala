@@ -866,4 +866,75 @@ object Sketches {
           .as("heavy_covered"))
       .orderBy(col("source"))
   }
+
+  /** Pairwise cross-source vocabulary overlap from a sketch-ARTIFACT
+    * table ([[vocabSketchState]]'s shape) — "how much does source A's
+    * vocabulary overlap source B's?" answered with no corpus-scale join:
+    * the per-source ~KB HLL binaries pair up on a sources² grid (bounded
+    * by the source DIMENSION, never the corpus) and each intersection is
+    * estimated by inclusion–exclusion
+    * `|A∩B| = est(A) + est(B) − est(A∪B)`, the union via the scalar
+    * `hll_union` (register-wise max — the same merge the incremental
+    * maintainer folds batches with, so artifact-built and one-shot
+    * states give IDENTICAL estimates). At 100 TB the exact answer is a
+    * distinct-(source, token) self-join — a corpus-keyed shuffle this
+    * readout exists to avoid; the estimate costs O(sources²) KB merges.
+    *
+    * The gate alongside: inclusion–exclusion error is ADDITIVE in the
+    * union size (three ±~0.8%-rsd estimates at the default lgK 12), so
+    * `|est − exact|` is bounded against the pair's UNION cardinality,
+    * not the possibly-tiny intersection — the honest contract for
+    * sketch-based overlap (a 2% union error can be 100% of a near-empty
+    * intersection). Output is engine-replayable: exact counts + the
+    * boolean, never the estimate itself.
+    */
+  def overlapGateFromState(state: DataFrame, documents: DataFrame,
+                           boundPct: Int = 5): DataFrame = {
+    val a = state.select(col("source").as("src_a"), col("sketch").as("sk_a"))
+    val b = state.select(col("source").as("src_b"), col("sketch").as("sk_b"))
+    // sources × sources — dimension-bounded, the sanctioned tiny grid
+    val est = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+          .as("est_overlap"))
+    val toks = sourceTokens(documents).distinct()
+    val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val exact = toks.as("x").join(toks.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_overlap_exact"))
+    est
+      .join(sizes.select(col("source").as("src_a"), col("nv").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("nv").as("nb")), "src_b")
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_overlap_exact"))
+      .select(col("src_a"), col("src_b"), col("n_overlap_exact"),
+        (abs(col("est_overlap") - col("n_overlap_exact")) * 100
+          <= (col("na") + col("nb") - col("n_overlap_exact")) * boundPct)
+          .as("within_bound"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** One-shot spelling of the overlap gate: sketch, pair, check. */
+  def crossSourceOverlapGate(documents: DataFrame,
+                             boundPct: Int = 5): DataFrame =
+    overlapGateFromState(vocabSketchState(documents), documents, boundPct)
+
+  /** The incremental spelling: the artifact table is BUILT in two
+    * maintenance folds (even doc_ids, then [[vocabSketchUpdate]] with the
+    * odd batch) and the overlap readout runs purely on the folded
+    * artifacts. HLL union is register-wise max, so the batched state is
+    * bit-identical to one-shot sketching (`SketchesSpec` pins this) and
+    * the same gate must pass — overlap-between-sources is answerable
+    * from a maintained daily artifact table without ever re-reading the
+    * summarized corpus.
+    */
+  def crossSourceOverlapIncremental(documents: DataFrame,
+                                    boundPct: Int = 5): DataFrame = {
+    val even = documents.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = documents.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val state = vocabSketchUpdate(vocabSketchState(even), odd)
+    overlapGateFromState(state, documents, boundPct)
+  }
 }

@@ -79,8 +79,21 @@ class TimerSessionProcessor
   private def expiryMs(s: OpenSession): Long =
     (s.end_us + 999L) / 1000L // ceil: wm(ms) ≥ this ⟹ wm covers micros expiry
 
-  private def rearm(sessions: Seq[OpenSession]): Unit = {
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+  /** Re-register the key's single timer at the earliest open expiry.
+    * `skipMs` is the timer that JUST FIRED when called from
+    * `handleExpiredTimer`: the framework deletes it itself after the
+    * handler returns, so deleting it here double-deletes — a wasted
+    * state-store call plus a WARN ("Failed to delete timer … does not
+    * exist") PER CLOSED SESSION, 8.7M of each at the 10M replay. Skipping
+    * it is safe: every surviving session ends strictly after the
+    * watermark, so its ceil-ms expiry is strictly greater than the fired
+    * timer's (≤ wm) and the new registration never collides with the
+    * framework's pending delete.
+    */
+  private def rearm(sessions: Seq[OpenSession],
+                    skipMs: Long = Long.MinValue): Unit = {
+    getHandle.listTimers().foreach(t =>
+      if (t != skipMs) getHandle.deleteTimer(t))
     if (sessions.nonEmpty) getHandle.registerTimer(sessions.map(expiryMs).min)
   }
 
@@ -116,7 +129,7 @@ class TimerSessionProcessor
     val sessions = if (open.exists()) open.get().toSeq else Seq.empty
     val (ripe, rest) = sessions.partition(_.end_us <= wmUs)
     if (rest.isEmpty) open.clear() else open.put(rest.toArray)
-    rearm(rest)
+    rearm(rest, skipMs = expiredTimerInfo.getExpiryTimeInMs())
     ripe.sortBy(_.start_us).iterator.map(s =>
       SessionOut(userId, s.start_us, s.end_us, s.n, s.sum_cents, s.n_vals))
   }
@@ -256,8 +269,15 @@ class TimerFunnelProcessor(nSteps: Int, windowUs: Long)
     }
   }
 
-  private def rearm(deadlineUs: Long): Unit = {
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+  /** Single-timer re-arm; `skipMs` = the just-fired timer when called
+    * from `handleExpiredTimer` (the framework deletes that one itself —
+    * see [[TimerSessionProcessor.rearm]]). A re-arm only happens there
+    * when the chain still extends past the watermark, so the new
+    * deadline is strictly later than the fired timer.
+    */
+  private def rearm(deadlineUs: Long, skipMs: Long = Long.MinValue): Unit = {
+    getHandle.listTimers().foreach(t =>
+      if (t != skipMs) getHandle.deleteTimer(t))
     getHandle.registerTimer((deadlineUs + 999L) / 1000L)
   }
 
@@ -282,7 +302,9 @@ class TimerFunnelProcessor(nSteps: Int, windowUs: Long)
       done.update(true); buf.clear()
       Iterator.single(FunnelFinal(userId, reached.toLong))
     } else {
-      if (reached > 0) rearm(tReached + windowUs) // chain advanced since arming
+      if (reached > 0) // chain advanced since arming
+        rearm(tReached + windowUs,
+          skipMs = expiredTimerInfo.getExpiryTimeInMs())
       Iterator.empty
     }
   }
