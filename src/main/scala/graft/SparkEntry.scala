@@ -2965,7 +2965,7 @@ object SparkEntry {
       |  TRUE AS within_bound
       |FROM pairs p LEFT JOIN ov
       |  ON ov.src_a = p.src_a AND ov.src_b = p.src_b
-      |ORDER BY src_a, src_b""".stripMargin
+      |ORDER BY p.src_a, p.src_b""".stripMargin
 
   private val vocabCardinalityOracle: String =
     """WITH toks AS (

@@ -888,16 +888,27 @@ object Sketches {
     * intersection). Output is engine-replayable: exact counts + the
     * boolean, never the estimate itself.
     */
-  def overlapGateFromState(state: DataFrame, documents: DataFrame,
-                           boundPct: Int = 5): DataFrame = {
+  /** The production readout: estimated pairwise overlap (and union) per
+    * ordered source pair, purely from the artifact table — what a
+    * dedup-planning dashboard queries daily. The gate below checks this
+    * exact frame against ground truth.
+    */
+  def overlapEstimatesFromState(state: DataFrame): DataFrame = {
     val a = state.select(col("source").as("src_a"), col("sketch").as("sk_a"))
     val b = state.select(col("source").as("src_b"), col("sketch").as("sk_b"))
     // sources × sources — dimension-bounded, the sanctioned tiny grid
-    val est = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"),
         (hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
           - hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
-          .as("est_overlap"))
+          .as("est_overlap"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+          .as("est_union"))
+  }
+
+  def overlapGateFromState(state: DataFrame, documents: DataFrame,
+                           boundPct: Int = 5): DataFrame = {
+    val est = overlapEstimatesFromState(state)
     val toks = sourceTokens(documents).distinct()
     val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("nv"))
     val exact = toks.as("x").join(toks.as("y"),
