@@ -1069,6 +1069,15 @@ object SparkEntry {
     // one map-only pass, out-of-range values clamp by construction
     "ann_sq_encode_inc" -> ((s, dir) =>
       Similarity.sqEncodeIncremental(Tables.embeddings(s, dir))),
+    // the STREAMED index maintainer: the code table is the persisted
+    // versioned artifact, each micro-batch appends its frozen-bounds
+    // encodes (crash-recoverable like the CM/MG/q-digest folds); the
+    // final table must equal the one-shot incremental encode
+    "ann_sq_encode_stream" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sq_persist_")
+      graft.streaming.StreamingSketches.replaySqEncodePersisted(
+        Tables.embeddings(s, dir), root)
+    }),
     "ann_recall_floor" -> ((s, dir) =>
       Similarity.annRecallReport(Tables.embeddings(s, dir), 20, 10,
         ivfFloor = 140L, lshFloor = 25L)),
@@ -2672,6 +2681,8 @@ object SparkEntry {
     "ann_topk_sq8" -> sqTopKOracle,
     "ann_topk_ivfsq" -> ivfSqTopKOracle,
     "ann_sq_encode_inc" -> sqEncodeIncOracle,
+    // streamed fold ≡ one-shot incremental encode row-for-row
+    "ann_sq_encode_stream" -> sqEncodeIncOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -2679,6 +2690,10 @@ object SparkEntry {
       """SELECT 'ivf' AS method, CAST(20 AS BIGINT) AS n_queries, true AS floor_met
         |UNION ALL
         |SELECT 'lsh', CAST(20 AS BIGINT), true
+        |UNION ALL
+        |SELECT 'sq8', CAST(20 AS BIGINT), true
+        |UNION ALL
+        |SELECT 'ivfsq', CAST(20 AS BIGINT), true
         |ORDER BY method""".stripMargin,
     "ann_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -623,7 +623,8 @@ object Similarity {
     * pins it above degenerate).
     */
   def annRecallReport(embeddings: DataFrame, numQueries: Int, k: Int,
-                      ivfFloor: Long, lshFloor: Long): DataFrame = {
+                      ivfFloor: Long, lshFloor: Long,
+                      sq8Floor: Long = 190L, ivfSqFloor: Long = 140L): DataFrame = {
     // each method's hit frame feeds TWO aggregates (coverage + hits) and
     // the brute baseline feeds both methods' joins — materialize each
     // once (numQueries×k rows) or the full scans replay per consumer
@@ -646,6 +647,12 @@ object Similarity {
     }
     stats("ivf", ivfTopK(embeddings, numQueries, k), ivfFloor)
       .unionAll(stats("lsh", lshTopK(embeddings, numQueries, k), lshFloor))
+      // SQ8 (r12): near-exact by construction — floor 190/200 (measured
+      // 197–200 across SFs, DevSqRecall); IVF-SQ8 shares the coarse
+      // quantizer's pruning ceiling, so its floor is the IVF floor
+      // (measured 151–163 vs IVF's 156–164)
+      .unionAll(stats("sq8", sqTopK(embeddings, numQueries, k), sq8Floor))
+      .unionAll(stats("ivfsq", ivfSqTopK(embeddings, numQueries, k), ivfSqFloor))
       .orderBy(col("method"))
   }
 
@@ -1497,15 +1504,25 @@ object Similarity {
     * out-of-range batch values clamp to the code range by construction.
     * Output is the batch's wide code table `(vec_id, c00..c63)`.
     */
-  def sqEncodeIncremental(embeddings: DataFrame): DataFrame = {
-    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
-      .head().getLong(0)
-    val prep = pqPrepared(embeddings).localCheckpoint()
-    val (mins, maxs) = sqBounds(prep.filter(col("vec_id") < cut))
-    prep.filter(col("vec_id") >= cut)
+  /** Frozen SQ8 bounds trained over a stored corpus — the whole
+    * persisted training artifact (2 × 64 doubles). */
+  private[graft] def sqTrainBounds(embeddings: DataFrame): (Seq[Double], Seq[Double]) =
+    sqBounds(pqPrepared(embeddings).localCheckpoint())
+
+  /** Encode a batch against frozen bounds → the wide code table
+    * `(vec_id, c00..c63)`; one map-only pass, clamp by construction. */
+  private[graft] def sqEncodeWithBounds(batch: DataFrame, mins: Seq[Double],
+                                        maxs: Seq[Double]): DataFrame =
+    pqPrepared(batch)
       .withColumn("codes", sqCodesCol(mins, maxs))
       .select(col("vec_id") +: (0 until SqDim).map(d =>
         element_at(col("codes"), d + 1).as(f"c$d%02d")): _*)
+
+  def sqEncodeIncremental(embeddings: DataFrame): DataFrame = {
+    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val (mins, maxs) = sqTrainBounds(embeddings.filter(col("vec_id") < cut))
+    sqEncodeWithBounds(embeddings.filter(col("vec_id") >= cut), mins, maxs)
       .orderBy(col("vec_id"))
   }
 }

@@ -246,6 +246,34 @@ object StreamingSketches {
       (st, b) => Sketches.qdigestUpdate(st, b, sigma),
       (i, n) => pmod(col("event_id"), lit(n)) === i)
 
+  /** Streaming SQ8 index maintenance: the code TABLE as the persisted
+    * artifact — bounds freeze over the stored corpus (first 4/5 of
+    * vec_ids, [[graft.operators.Similarity.sqEncodeIncremental]]'s cut),
+    * then each arriving micro-batch of embeddings encodes map-only
+    * against them and APPENDS to the versioned table
+    * (`v{b+1} = v{b} ∪ encode(batch)` — a pure function of (stored
+    * artifact, batch slice), so the CM/MG/q-digest crash contract holds
+    * verbatim and the recovered table is bit-identical). The final
+    * artifact equals the one-shot incremental encode row-for-row, which
+    * is exactly what the shared `ann_sq_encode_inc` oracle asserts.
+    */
+  def replaySqEncodePersisted(embeddings: DataFrame,
+                              root: java.nio.file.Path,
+                              nBatches: Int = 2,
+                              failAfterBatch: Int = -1): DataFrame = {
+    import graft.operators.Similarity
+    val cut = embeddings.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val (mins, maxs) =
+      Similarity.sqTrainBounds(embeddings.filter(col("vec_id") < cut))
+    replayDocFoldPersisted(embeddings.filter(col("vec_id") >= cut),
+      root, nBatches, failAfterBatch,
+      Similarity.sqEncodeWithBounds(embeddings.limit(0), mins, maxs),
+      (st, b) => st.unionByName(Similarity.sqEncodeWithBounds(b, mins, maxs)),
+      (i, n) => pmod(col("vec_id"), lit(n)) === i)
+      .orderBy(col("vec_id"))
+  }
+
   /** The shared versioned-parquet fold behind the `*Persisted`
     * maintainers. Layout: `root/artifact/v{n}` = artifact after `n`
     * folded batches (`v0` = empty, written before the stream starts);

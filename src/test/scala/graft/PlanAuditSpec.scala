@@ -24,9 +24,14 @@ class PlanAuditSpec extends SparkSpec {
     * codegen'd explode — no BNLJ left to exempt, and the audit must catch
     * any regression back to that shape.
     */
+  /** The overlap readouts pair the per-source sketch ARTIFACTS on a
+    * sources × sources grid — dimension-bounded (KB rows per source,
+    * never corpus-proportional), the same sanctioned shape as the
+    * gap-fill dim grids.
+    */
   private val nestedLoopAllowed =
     Set("ann_topk_brute", "ann_recall_floor", "q_timeseries_gapfill",
-      "q_gapfill_sql")
+      "q_gapfill_sql", "vocab_overlap_sketch", "vocab_overlap_incremental")
 
   /** No exemptions left: since round 9 every declared query carries a
     * DuckDB oracle (`dedup_simhash` now runs the md5-portable kernel; the

@@ -189,6 +189,29 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("persisted SQ8 code table survives a mid-stream crash, equals the one-shot encode") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_sqrec_")
+    // run 1: crash AFTER batch 1 appends its encodes but BEFORE the
+    // offset commit — the replayed batch must overwrite v1 idempotently
+    // (the append fold is a pure function of (stored table, batch slice))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingSketches.replaySqEncodePersisted(emb, root, failAfterBatch = 1)
+    }
+    assert(ex.getMessage.contains("injected crash"),
+      s"unexpected failure mode: ${ex.getMessage.take(200)}")
+    assert(java.nio.file.Files.exists(root.resolve("artifact/v1")))
+    assert(!java.nio.file.Files.exists(root.resolve("artifact/v2")))
+    // run 2: same root + checkpoint — the recovered code table must equal
+    // the one-shot incremental encode row-for-row (frozen bounds make
+    // every code batch-order-independent)
+    val recovered = StreamingSketches.replaySqEncodePersisted(emb, root)
+    assert(recovered.collect().map(_.toSeq).toSet ==
+      graft.operators.Similarity.sqEncodeIncremental(emb)
+        .collect().map(_.toSeq).toSet,
+      "crash-recovered SQ8 code table must equal the one-shot encode")
+  }
+
   test("streamed HLL vocab artifact estimates exactly match the one-shot build") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val streamed = graft.operators.Sketches.vocabSketchEstimates(
