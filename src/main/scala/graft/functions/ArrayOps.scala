@@ -402,6 +402,83 @@ case class RoundSix(child: Expression)
     copy(child = newChild)
 }
 
+/** Pack an `array<long>` of 8-bit codes (0..255) into a BinaryType of
+  * one byte per code — the SQ8 index representation that makes the
+  * "64 B/vector" claim literal: the stored/scanned artifact is 64 bytes,
+  * not 64 boxed longs (8×). Values are masked to the low byte; callers
+  * guarantee the 0..255 range (the quantizer clamps).
+  */
+case class PackCodes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pack_codes"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Byte](x.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = (x.getLong(i) & 0xFFL).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |byte[] $out = new byte[$a.numElements()];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  $out[$i] = (byte) ($a.getLong($i) & 0xFFL);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The SQ8 ADC dot against PACKED codes: `Σ w_d · (bytes[d] & 0xFF)` —
+  * arithmetic bit-identical to `graft_dot(w, cast(codes as array<double>))`
+  * over the unpacked longs (byte → exact small double, same fold order),
+  * so the DuckDB oracles replaying the unpacked spelling pin this kernel
+  * too. One primitive loop inside whole-stage codegen; the scan touches
+  * 64 bytes per corpus row.
+  */
+case class SqAdcDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val w = b.asInstanceOf[ArrayData]
+    val n = math.min(bytes.length, w.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += w.getDouble(i) * (bytes(i) & 0xFF); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $b.getDouble($i) * (double) (($a[$i]) & 0xFF);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
 
   /** Idempotently register graft functions on the session's registry. */
@@ -428,6 +505,10 @@ object ArrayOps {
       "graft_round_scaled", exprs =>
         RoundScaledLong(exprs.head,
           exprs(1).eval().asInstanceOf[Long]), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pack_codes", exprs => PackCodes(exprs.head), "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sq_adc", exprs => SqAdcDot(exprs.head, exprs(1)), "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_code_l2", exprs => {
         val matrix = exprs(1).eval() match {
@@ -471,6 +552,20 @@ object ArrayOps {
   def dotNative(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Pack an array<long> of 0..255 codes into a one-byte-per-code
+    * binary — the literal 64 B/vector SQ8 index representation. */
+  def packCodes(spark: SparkSession, codes: Column): Column = {
+    register(spark)
+    call_function("graft_pack_codes", codes)
+  }
+
+  /** Codegen'd SQ8 ADC dot: Σ w_d · byte_d over a packed-codes binary;
+    * bit-identical to `graft_dot(w, cast(codes as array<double>))`. */
+  def sqAdcDot(spark: SparkSession, packed: Column, w: Column): Column = {
+    register(spark)
+    call_function("graft_sq_adc", packed, w)
   }
 
   /** Codegen'd elementwise subtraction of two array<double> columns. */

@@ -1435,8 +1435,10 @@ object Similarity {
     val prep = pqPrepared(embeddings).localCheckpoint()
     val (mins, maxs) = sqBounds(prep)
     val sts = sqSteps(mins, maxs)
-    // the persisted index artifact: codes MATERIALIZED before scoring
-    val corpus = prep.select(col("vec_id"), sqCodesCol(mins, maxs).as("codes"))
+    // the persisted index artifact: codes PACKED to one byte per dim
+    // (the literal 64 B/vector) and MATERIALIZED before scoring
+    val corpus = prep.select(col("vec_id"),
+        ArrayOps.packCodes(spark, sqCodesCol(mins, maxs)).as("codes"))
       .localCheckpoint()
     val (cq, wq) = sqQueryCols(prep, col("vn"), mins, sts)
     // bounded collect: numQueries rows × (1 + dim) doubles
@@ -1452,7 +1454,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", ArrayOps.round6(spark,
         q.getField("_2") +
-          dotN(corpus, q.getField("_3"), col("codes").cast("array<double>"))))
+          ArrayOps.sqAdcDot(spark, col("codes"), q.getField("_3"))))
     presentTopK(scored, k)
   }
 
@@ -1483,7 +1485,8 @@ object Similarity {
     val (mins, maxs) = sqBounds(prepCell)
     val sts = sqSteps(mins, maxs)
     val corpus = prepCell
-      .select(col("vec_id"), col("cell"), sqCodesCol(mins, maxs).as("codes"))
+      .select(col("vec_id"), col("cell"),
+        ArrayOps.packCodes(spark, sqCodesCol(mins, maxs)).as("codes"))
       .localCheckpoint()
     val (cq, wq) = sqQueryCols(prepCell, col("vn"), mins, sts)
     val queries = prepCell.filter(col("vec_id") < numQueries)
@@ -1492,7 +1495,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", ArrayOps.round6(spark,
-        col("cq") + dotN(corpus, col("wq"), col("codes").cast("array<double>"))))
+        col("cq") + ArrayOps.sqAdcDot(spark, col("codes"), col("wq"))))
     presentTopK(scored, k)
   }
 

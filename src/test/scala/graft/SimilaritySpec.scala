@@ -429,6 +429,24 @@ class SimilaritySpec extends SparkSpec {
       "out-of-range batch values must saturate the code range")
   }
 
+  test("packed SQ8 ADC kernel matches the unpacked array spelling bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // arbitrary 0..255 code vectors + an arbitrary weight vector: the
+    // kernel contract is pure arithmetic, independent of the quantizer
+    val codes = emb.select(col("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => pmod(abs((x * 1000).cast("long")), lit(256L))).as("codes"))
+    val w = Seq.tabulate(64)(d => (d % 7 - 3) / 3.0 + d * 1e-3)
+    val packed = graft.functions.ArrayOps.packCodes(spark, col("codes"))
+    val viaBytes = graft.functions.ArrayOps.sqAdcDot(spark, packed, typedlit(w))
+    val viaArray = graft.functions.ArrayOps.dotNative(spark, typedlit(w),
+      col("codes").cast("array<double>"))
+    val diff = codes.select((viaBytes =!= viaArray).as("d"))
+      .filter(col("d")).count()
+    assert(diff == 0L, s"$diff rows scored differently by the packed kernel")
+  }
+
   test("NearestCodeL2 matches the array_max-of-structs spelling it replaced") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
