@@ -19,7 +19,7 @@ object DevScaleAnn {
     // mean aggregate (64 sum expressions per cell) and the codes-only
     // search survive 20x the 500k table
     val tenM = args.contains("10m")
-    val modeFlags = Set("10m", "recall", "check", "attrib")
+    val modeFlags = Set("10m", "recall", "check", "attrib", "drift")
     val path =
       args.find(a => !modeFlags(a)).getOrElse(
         if (tenM) "/tmp/scale_vecs_10m" else "/tmp/scale_vecs")
@@ -163,6 +163,28 @@ object DevScaleAnn {
       if (args.contains("attrib"))
         hitsOf("ivf_exact_probed",
           graft.operators.Similarity.ivfTopK(ve, nq, k))
+    } else if (args.contains("drift")) {
+      // the SQ8 staleness gate at volume: bounds agg over the 8M index +
+      // one quantize-and-count pass per side — the daily-run cost of
+      // asking "are the frozen bounds stale?"
+      import org.apache.spark.sql.functions._
+      val cut = ve.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val idx = ve.filter(col("vec_id") < cut)
+      val tail = ve.filter(col("vec_id") >= cut)
+      val collapsed = tail.withColumn("embedding",
+        concat(slice(col("embedding").cast("array<double>"), 1, 24),
+          typedlit(Seq.fill(40)(0.0))))
+      time("sq_bounds_drift_ctrl")(
+        graft.operators.Similarity.sqBoundsDrift(idx, tail).count())
+      time("sq_bounds_drift_plant") {
+        val r = graft.operators.Similarity.sqBoundsDrift(idx, collapsed)
+          .collect()(0)
+        println(s"[drift] planted: sat_pm_index=${r.getLong(r.fieldIndex("sat_pm_index"))} " +
+          s"sat_pm_batch=${r.getLong(r.fieldIndex("sat_pm_batch"))} " +
+          s"retrain=${r.getBoolean(r.fieldIndex("retrain_needed"))}")
+        1L
+      }
     } else {
       if (!tenM)
         time("pq_topk")(graft.operators.Similarity.pqTopK(ve, 20, 10).count())
