@@ -798,6 +798,16 @@ object SparkEntry {
     // oracle — are identical to text_decontaminate
     "text_decontaminate_bloom" -> ((s, dir) =>
       Curation.decontaminateBloom(Tables.documents(s, dir))),
+    // fuzzy decontamination: training docs whose 3-shingle Jaccard vs any
+    // eval doc is >= 1/2 — MinHash band candidates keyed against the
+    // benchmark-sized eval band table only, exact integer verify
+    "text_decontaminate_fuzzy" -> ((s, dir) =>
+      Curation.decontaminateFuzzy(Tables.documents(s, dir))),
+    // DSIR-style importance resampling (Xie et al. 2023): hashed
+    // unigram/bigram milli-integer probability-ratio weights vs the
+    // lang=en target, keep the top quartile by mean weight (tie class in)
+    "sample_importance" -> ((s, dir) =>
+      Curation.importanceSample(Tables.documents(s, dir))),
     // Gopher-style repetition quality signals (top-2-gram share,
     // duplicate-3-gram share, exact integer basis points)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
@@ -978,6 +988,11 @@ object SparkEntry {
         |ORDER BY vec_i, vec_j""".stripMargin)
     }),
     "dedup_embedding_lsh" -> ((s, dir) => Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.4)),
+    // embedding-space decontamination: training vectors with cosine >= 0.4
+    // against any eval vector (md5-bucket 10% split), exact cross-set
+    // block-grid screen — the leak class no n-gram screen can see
+    "decontaminate_semantic" -> ((s, dir) =>
+      Similarity.decontaminateSemantic(Tables.embeddings(s, dir))),
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
@@ -2050,6 +2065,62 @@ object SparkEntry {
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
     "text_decontaminate_sql" -> decontaminateOracle,
     "text_decontaminate_bloom" -> decontaminateOracle,
+    // fuzzy decontamination: brute cross-set 3-shingle Jaccard (the
+    // bruteJaccardOracle shape restricted to train x eval, grouped per
+    // training doc) — the LSH path's 32-band x 4-row capture at the >= 1/2
+    // verify threshold is the dedup_minhash_lsh precedent
+    "text_decontaminate_fuzzy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 < 1000 AS is_eval
+        |  FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, is_eval,
+        |     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                    for i in range(1, len(w) - 1)]) AS s
+        |   FROM t WHERE len(w) >= 3),
+        |p AS (SELECT tr.doc_id AS doc_id,
+        |        len(list_intersect(tr.s, ev.s)) AS inter,
+        |        len(tr.s) + len(ev.s) - len(list_intersect(tr.s, ev.s)) AS u
+        |      FROM sh tr JOIN sh ev ON (NOT tr.is_eval) AND ev.is_eval)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_neardups,
+        |  CAST(max((inter * 20000 + u) // (2 * u)) AS BIGINT) AS max_jac_bp
+        |FROM p WHERE inter * 2 >= u
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR importance resampling: the full weight/score/threshold chain
+    // replayed — md5-prefix feature buckets, milli-integer smoothed
+    // ratio weights, per-doc mean, histogram quantile gate (ties in)
+    "sample_importance" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, unnest(w) AS feat FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feat
+        |  FROM t WHERE len(w) >= 2),
+        |bo AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM occ),
+        |cnt AS (SELECT b,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t,
+        |    CAST(count(*) AS BIGINT) AS cnt_r
+        |  FROM bo GROUP BY b),
+        |wt AS (SELECT b,
+        |    (1000 * (cnt_t + 1) * ((SELECT sum(cnt_r) FROM cnt) + 4096))
+        |      // ((cnt_r + 1) * ((SELECT sum(cnt_t) FROM cnt) + 4096))
+        |      AS w_milli
+        |  FROM cnt),
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(w_milli) // count(*) AS BIGINT) AS w_avg_milli
+        |  FROM bo JOIN wt USING (b) GROUP BY doc_id),
+        |hist AS (SELECT w_avg_milli AS s, count(*) AS cnt FROM ds GROUP BY 1),
+        |thr AS (SELECT max(s) AS thr FROM (
+        |  SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum,
+        |         sum(cnt) OVER () AS total FROM hist)
+        |  WHERE cum * 10000 >= total * 2500)
+        |SELECT doc_id, n_feats, w_avg_milli FROM ds
+        |WHERE w_avg_milli >= (SELECT thr FROM thr)
+        |ORDER BY doc_id""".stripMargin,
     "quality_gate" ->
       """WITH t AS (SELECT doc_id,
         |    (len(list_distinct(string_split(text, ' '))) * 20000
@@ -2689,6 +2760,18 @@ object SparkEntry {
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY vec_i, vec_j""".stripMargin,
     "dedup_embedding_lsh" -> lshPairOracle,
+    // embedding-space decontamination: brute cross-set cosine screen
+    // (pair membership has >= 1e-4 margin on this data; cosines are not
+    // emitted — the dedup_embedding contract)
+    "decontaminate_semantic" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+        |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 10000 < 1000 AS is_eval
+        |  FROM embeddings)
+        |SELECT t.vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+        |FROM b t JOIN b e ON (NOT t.is_eval) AND e.is_eval
+        |WHERE list_cosine_similarity(t.ve, e.ve) >= 0.4
+        |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(),
     "dedup_semantic_incremental" -> semanticDedupOracle(
       "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),

@@ -583,6 +583,172 @@ object Curation {
     contaminationReport(pruned, evalSide)
   }
 
+  /** Fuzzy (near-duplicate) decontamination: flag training docs whose
+    * word-shingle Jaccard against ANY eval doc is ≥ 1/2 — the
+    * benchmark-leak class exact n-gram [[decontaminate]] cannot see
+    * (a paraphrased or lightly-edited eval question shares few exact
+    * 8-grams but keeps most of its 3-shingle set). Same content-free
+    * eval split as the exact variant, so the two reports compose on the
+    * same doc ids.
+    *
+    * Scale shape: the [[NearDup.minhashNearDups]] candidates-then-verify
+    * pipeline restricted to CROSS-SET pairs — signatures are the same
+    * map-only codegen kernels, but the band join keys the corpus side
+    * against only the eval side's band table (benchmark-sized, fixed as
+    * the corpus grows; AQE broadcasts it — same no-hint rule as the
+    * dedup verify joins). The corpus is never self-joined: candidate
+    * volume is bounded by eval-band collisions, not the corpus's own
+    * duplicate rate. Verification is the shared integer-exact
+    * [[NearDup.verifyJaccard]], so the oracle (a brute cross-set Jaccard)
+    * matches exactly; LSH capture at the ≥1/2 verify threshold carries
+    * the same 32-band×4-row miss bound as `dedup_minhash_lsh`
+    * ((1-j⁴)³² ≤ 1.5e-15 at the planted j ≥ 0.9 — nothing in this data
+    * sits in [0.1, 0.5)).
+    *
+    * Output: one row per CONTAMINATED training doc — `doc_id`,
+    * `n_eval_neardups` (eval docs hit), `max_jac_bp` (closest leak, basis
+    * points).
+    */
+  def decontaminateFuzzy(documents: DataFrame, evalBps: Int = 1000): DataFrame = {
+    val sh = NearDup.shingled(documents)
+      .withColumn("is_eval", sampleBucket(col("doc_id")) < evalBps)
+      .persist()
+    try {
+      val bands = sh
+        .select(col("doc_id"), col("is_eval"),
+          graft.functions.TextHashOps
+            .minhashNative(sh.sparkSession, col("shingles")).as("sig"))
+        .select(col("doc_id"), col("is_eval"),
+          posexplode(graft.functions.TextHashOps
+            .bandKeysNative(sh.sparkSession, col("sig"))))
+        .select(col("doc_id"), col("is_eval"),
+          col("pos").cast("int").as("band_idx"), col("col").as("band_key"))
+      val trainBands = bands.filter(!col("is_eval"))
+        .select(col("doc_id").as("doc_i"), col("band_idx"), col("band_key"))
+      val evalBands = bands.filter(col("is_eval"))
+        .select(col("doc_id").as("doc_j"), col("band_idx"), col("band_key"))
+      val cands = trainBands.join(evalBands, Seq("band_idx", "band_key"))
+        .select(col("doc_i"), col("doc_j")).distinct()
+      NearDup.verifyJaccard(cands, sh.select(col("doc_id"), col("shingles")))
+        .groupBy(col("doc_i").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_neardups"),
+          max(col("jac_bp")).as("max_jac_bp"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
+  /** (doc_id, lang, feat) occurrence rows for the importance-sampling
+    * feature space: whitespace unigrams plus adjacent bigrams, WITH
+    * multiplicity (the n-gram model counts occurrences, not doc sets —
+    * unlike the shingle paths). Map-only: two explode branches unioned.
+    */
+  private def featureOccurrences(documents: DataFrame): DataFrame = {
+    val t = documents.select(col("doc_id"), col("lang"),
+      split(col("text"), " ").as("w"))
+    t.select(col("doc_id"), col("lang"), explode(col("w")).as("feat"))
+      .unionAll(t.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+            .as("feat")))
+  }
+
+  /** Hashed-feature importance weights (the DSIR recipe — Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): bucket every unigram/bigram occurrence into `buckets`
+    * hash bins, estimate the target (`lang = targetLang`) and raw (whole
+    * pool) occurrence distributions over bins, and weight each bin by the
+    * smoothed probability ratio — milli-scaled INTEGER
+    * `w_milli = (1000·(cnt_t+1)·(tot_r+B)) div ((cnt_r+1)·(tot_t+B))`.
+    *
+    * Two deliberate engine-portability choices, same discipline as the
+    * milli-integer BM25: the bin hash is the md5-prefix bucket (not
+    * xxhash — an independent SQL engine replicates it bit-for-bit), and
+    * the weight is the smoothed probability RATIO rather than its log —
+    * a per-bin monotone transform of the same evidence, kept in exact
+    * integer math so no cross-engine `ln` ulp can flip a score. (DSIR's
+    * log turns the per-doc product into a sum; summing milli-ratios
+    * instead changes how multi-bin evidence composes, not which bins look
+    * target-like — and buys an oracle that matches exactly.)
+    *
+    * Scale shape: one partial-aggregated groupBy over occurrence rows →
+    * a ≤`buckets`-row weight table; the corpus totals come from an
+    * unpartitioned window over THAT bounded frame (never the corpus).
+    * Long arithmetic is exact to ~3·10⁹ target occurrences per the 1000×
+    * headroom under 2⁶³; beyond that (a 100 TB pool) promote the two
+    * products to decimal(38,0) — multiplication stays exact, only the
+    * formula's div needs the wider type.
+    */
+  def importanceWeights(documents: DataFrame, targetLang: String = "en",
+                        buckets: Int = 4096): DataFrame = {
+    val occ = featureOccurrences(documents)
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    occ.groupBy(col("b"))
+      .agg(count(when(col("lang") === targetLang, 1)).as("cnt_t"),
+        count(lit(1)).as("cnt_r"))
+      .withColumn("tot_t", sum(col("cnt_t")).over(allW))
+      .withColumn("tot_r", sum(col("cnt_r")).over(allW))
+      .withColumn("w_milli", expr(
+        s"(1000 * (cnt_t + 1) * (tot_r + $buckets)) div " +
+          s"((cnt_r + 1) * (tot_t + $buckets))"))
+      .select(col("b"), col("cnt_t"), col("cnt_r"), col("w_milli"))
+  }
+
+  /** Importance-resampling selection: score each doc by the mean
+    * [[importanceWeights]] milli-ratio over its feature occurrences
+    * (mean, not sum — sum is length, not target-likeness) and keep the
+    * top `keepBps`/10000 by the [[qualityQuantileGate]] threshold
+    * contract: `w_avg_milli ≥ T*` where `T*` is the highest score whose
+    * cumulative count reaches the quota, whole boundary tie class kept —
+    * membership is a pure function of a doc's score, no per-doc global
+    * rank.
+    *
+    * Scale shape: the weight table is ≤`buckets` rows, so the score join
+    * is an AQE broadcast against the occurrence stream (map-side); the
+    * per-doc aggregate is one partial-aggregated groupBy. The threshold
+    * histogram is domain-bounded — `w_milli ≤ 1000·(tot_r+B)/(tot_t+B)`,
+    * i.e. 1000/target-fraction, a few thousand distinct values for any
+    * target that is ≥ a few percent of the pool — so the unpartitioned
+    * cumulative window never sees a corpus-proportional frame.
+    *
+    * On this fixture (`targetLang` = en, 44% of docs) the kept quartile
+    * runs ~92% en — the hashed ratio signal separates the planted
+    * language vocabularies.
+    */
+  def importanceSample(documents: DataFrame, targetLang: String = "en",
+                       keepBps: Int = 2500, buckets: Int = 4096): DataFrame = {
+    require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    val occ = featureOccurrences(documents)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    val wt = importanceWeights(documents, targetLang, buckets)
+      .select(col("b"), col("w_milli"))
+    val ds = occ.join(wt, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(w_milli) div count(1)").as("w_avg_milli"))
+    val hist = ds.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("w_avg_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val thrRow = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("total", sum(col("cnt")).over(allW))
+      .filter(col("cum") * 10000 >= col("total") * keepBps)
+      .agg(max(col("w_avg_milli")).as("thr"))
+      .head()
+    if (thrRow.isNullAt(0)) ds.filter(lit(false))
+    else ds.filter(col("w_avg_milli") >= thrRow.getLong(0))
+      .orderBy(col("doc_id"))
+  }
+
   /** The curation funnel: (1) quality gate — at least `minTokens`
     * whitespace tokens; (2) exact dedup — keep the lowest doc_id per
     * md5(text); (3) near-dup canonicalization — drop every non-canonical

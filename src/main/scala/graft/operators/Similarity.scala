@@ -161,6 +161,51 @@ object Similarity {
       .orderBy(col("vec_i"), col("vec_j"))
   }
 
+  /** Semantic decontamination: flag training vectors whose cosine against
+    * ANY eval vector is ≥ `threshold` — the embedding-space twin of
+    * [[graft.operators.Curation.decontaminateFuzzy]], catching the leak
+    * class no n-gram screen sees (a translated or fully-rewritten eval
+    * item keeps its embedding, not its surface text). Eval membership is
+    * the content-free md5 bucket (`vec_id` bucket < `evalBps`), the same
+    * split every decontamination variant uses, so the reports compose.
+    *
+    * Scale shape: the corpus side is never replicated and never
+    * self-joined — the benchmark-sized eval side is exploded to all
+    * `blocks` block ids and equi-joined against the corpus's
+    * `pmod(vec_id, blocks)`, the cross-set instance of the
+    * [[cosineNearDupPairs]] block grid: full train×eval coverage through
+    * a hash join (AQE broadcasts the eval side), with the corpus-side
+    * rows spread over `blocks` join groups. The train×|eval| dot products
+    * are the inherent exact-screen cost (same as exact n-gram
+    * decontamination's posting join); when the threshold is selective,
+    * compose [[bucketTable]] probes in front exactly as
+    * [[cosineNearDupPairsLsh]] does for the pair search.
+    *
+    * Emits ids + hit counts only, not cosines — the pair set is decided
+    * with ≥1e-4 margin on this data while the cosine VALUE is
+    * FP-formula-sensitive (same contract as [[cosineNearDupPairs]]).
+    */
+  def decontaminateSemantic(embeddings: DataFrame, evalBps: Int = 1000,
+                            threshold: Double = 0.4,
+                            blocks: Int = 8): DataFrame = {
+    val prep = prepared(embeddings)
+      .withColumn("is_eval",
+        graft.operators.Curation.sampleBucket(col("vec_id")) < evalBps)
+    val train = prep.filter(!col("is_eval"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        pmod(col("vec_id"), lit(blocks.toLong)).as("blk"))
+    val eval = prep.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("v").as("v_e"),
+        col("nrm").as("n_e"),
+        explode(sequence(lit(0L), lit(blocks.toLong - 1))).as("blk"))
+    train.join(eval, "blk")
+      .filter(dotN(embeddings, col("v"), col("v_e")) /
+        (col("nrm") * col("n_e")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method): embedding-space near-duplicates
     * are grouped by connected components over the LSH-verified cosine

@@ -669,4 +669,57 @@ class CurationSpec extends SparkSpec {
     assert(out(pairAId) == "train" && out(pairBId) == "train",
       "train-train duplicates do not cross the split boundary")
   }
+
+  test("fuzzy decontamination: equals the exact Jaccard cross-set restriction") {
+    val out = Curation.decontaminateFuzzy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.nonEmpty, "fixture must contain cross-set near-dups")
+    val isEval = docs.select(col("doc_id"),
+        (Curation.sampleBucket(col("doc_id")) < 1000).as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // independent derivation: the exact inverted-index Jaccard pair set
+    // (no minhash anywhere), restricted to pairs crossing the eval split
+    val expected = NearDup.jaccardNearDupsExact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (i, j, bp) => (isEval(i), isEval(j)) match {
+        case (false, true) => Some((i, j, bp))
+        case (true, false) => Some((j, i, bp))
+        case _ => None
+      }}
+      .groupBy(_._1).map { case (d, hits) =>
+        (d, hits.length.toLong, hits.map(_._3).max)
+      }.toSet
+    assert(out == expected, "LSH candidates + verify must equal brute cross-set")
+    assert(out.forall { case (d, _, _) => !isEval(d) }, "eval docs never flagged")
+  }
+
+  test("importance sampling: quota with tie class, target enrichment, exact weights") {
+    val kept = Curation.importanceSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = docs.count()
+    assert(kept.length * 10000L >= n * 2500, "kept set must reach the quota")
+    // minimality: dropping the boundary tie class falls below the quota
+    val thr = kept.map(_._3).min
+    assert(kept.count(_._3 > thr) * 10000L < n * 2500,
+      "threshold must be the HIGHEST score meeting the quota")
+    // determinism
+    val again = Curation.importanceSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(kept.toSeq == again.toSeq)
+    // target enrichment: en share among kept exceeds the pool's en share
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keptEn = kept.count(k => langOf(k._1) == "en").toDouble / kept.length
+    val poolEn = langOf.values.count(_ == "en").toDouble / n
+    assert(keptEn > poolEn,
+      f"importance weights must enrich the target: kept $keptEn%.2f vs pool $poolEn%.2f")
+    // weight table: raw totals exact, milli-ratio inside its domain bound
+    val wt = Curation.importanceWeights(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totT = wt.map(_._1).sum; val totR = wt.map(_._2).sum
+    assert(wt.forall { case (t, r, _) => t <= r })
+    val bound = 1000L * (totR + 4096) / (totT + 4096)
+    assert(wt.forall(_._3 <= bound),
+      s"w_milli must respect the 1000/target-fraction histogram bound $bound")
+  }
 }

@@ -659,6 +659,29 @@ class SimilaritySpec extends SparkSpec {
       "planted occupancy TV must exceed the sampling-noise control")
   }
 
+  test("semantic decontamination: equals the exact pair set restricted to train x eval") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.decontaminateSemantic(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty, "fixture must contain cross-set hits")
+    // independent derivation: the exact all-pairs screen at the same
+    // threshold, restricted to pairs crossing the eval split
+    val isEval = graft.operators.Curation.sampleBucket(col("id")) < 1000
+    val flags = emb.select(col("vec_id").as("id")).withColumn("ev", isEval)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = Similarity.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (i, j) => (flags(i), flags(j)) match {
+        case (false, true) => Some(i)
+        case (true, false) => Some(j)
+        case _ => None
+      }}
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out == expected, "must equal the exact screen's cross-set restriction")
+    assert(out.keySet.forall(id => !flags(id)), "eval vectors never flagged")
+  }
+
   test("PQ incremental encode: deterministic batch codes in codebook range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
