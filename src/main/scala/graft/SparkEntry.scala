@@ -808,6 +808,15 @@ object SparkEntry {
     // lang=en target, keep the top quartile by mean weight (tie class in)
     "sample_importance" -> ((s, dir) =>
       Curation.importanceSample(Tables.documents(s, dir))),
+    // the deployment shape: weights + threshold frozen on the first-80%
+    // pool, the last-20% batch admitted per-doc against the artifacts
+    "sample_importance_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Curation.importanceSampleIncremental(
+        docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
+    }),
     // Gopher-style repetition quality signals (top-2-gram share,
     // duplicate-3-gram share, exact integer basis points)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
@@ -2120,6 +2129,43 @@ object SparkEntry {
         |  WHERE cum * 10000 >= total * 2500)
         |SELECT doc_id, n_feats, w_avg_milli FROM ds
         |WHERE w_avg_milli >= (SELECT thr FROM thr)
+        |ORDER BY doc_id""".stripMargin,
+    // frozen-artifact admission: weights + threshold from the pool slice
+    // only, batch scored against them — the whole chain replayed
+    "sample_importance_incremental" ->
+      """WITH cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+        |        doc_id < (SELECT c FROM cutv) AS in_pool
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, lang, in_pool, unnest(w) AS feat FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, in_pool,
+        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feat
+        |  FROM t WHERE len(w) >= 2),
+        |bo AS (SELECT doc_id, lang, in_pool,
+        |    CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM occ),
+        |cnt AS (SELECT b,
+        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t,
+        |    CAST(count(*) AS BIGINT) AS cnt_r
+        |  FROM bo WHERE in_pool GROUP BY b),
+        |wt AS (SELECT b,
+        |    (1000 * (cnt_t + 1) * ((SELECT sum(cnt_r) FROM cnt) + 4096))
+        |      // ((cnt_r + 1) * ((SELECT sum(cnt_t) FROM cnt) + 4096))
+        |      AS w_milli
+        |  FROM cnt),
+        |ds AS (SELECT doc_id, in_pool, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(w_milli) // count(*) AS BIGINT) AS w_avg_milli
+        |  FROM bo JOIN wt USING (b) GROUP BY doc_id, in_pool),
+        |hist AS (SELECT w_avg_milli AS s, count(*) AS cnt FROM ds
+        |  WHERE in_pool GROUP BY 1),
+        |thr AS (SELECT max(s) AS thr FROM (
+        |  SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum,
+        |         sum(cnt) OVER () AS total FROM hist)
+        |  WHERE cum * 10000 >= total * 2500)
+        |SELECT doc_id, n_feats, w_avg_milli FROM ds
+        |WHERE NOT in_pool AND w_avg_milli >= (SELECT thr FROM thr)
         |ORDER BY doc_id""".stripMargin,
     "quality_gate" ->
       """WITH t AS (SELECT doc_id,

@@ -723,16 +723,9 @@ object Curation {
   def importanceSample(documents: DataFrame, targetLang: String = "en",
                        keepBps: Int = 2500, buckets: Int = 4096): DataFrame = {
     require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
-    val occ = featureOccurrences(documents)
-      .select(col("doc_id"),
-        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("b"))
     val wt = importanceWeights(documents, targetLang, buckets)
       .select(col("b"), col("w_milli"))
-    val ds = occ.join(wt, "b")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        expr("sum(w_milli) div count(1)").as("w_avg_milli"))
+    val ds = importanceScores(documents, wt, buckets)
     val hist = ds.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
     val cumW = Window.orderBy(col("w_avg_milli").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -746,6 +739,74 @@ object Curation {
       .head()
     if (thrRow.isNullAt(0)) ds.filter(lit(false))
     else ds.filter(col("w_avg_milli") >= thrRow.getLong(0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc mean importance score against a FROZEN weight table — the
+    * map-only scoring half of [[importanceSample]], shared by the
+    * one-shot and incremental paths so the two can never diverge on
+    * scoring semantics.
+    */
+  private def importanceScores(documents: DataFrame, weights: DataFrame,
+                               buckets: Int): DataFrame = {
+    val occ = featureOccurrences(documents)
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("b"))
+    occ.join(weights.select(col("b"), col("w_milli")), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        expr("sum(w_milli) div count(1)").as("w_avg_milli"))
+  }
+
+  /** Incremental importance-resampling admission — the deployment shape
+    * of [[importanceSample]]: the weight table AND the selection
+    * threshold are trained ONCE on the standing pool (`indexDocs`) and
+    * frozen; a new batch is then scored and admitted against those
+    * artifacts without touching the pool again. Admission is a pure
+    * per-doc function of the frozen artifacts (batch docs cannot see each
+    * other — no quota re-fit per batch), so admitting a doc alone or in
+    * any batch gives the same verdict, and daily batches cost
+    * O(batch): one map-side broadcast join against the ≤`buckets`-row
+    * weight table plus one partial-aggregated groupBy. The threshold
+    * derivation is the same histogram quantile gate, run once at
+    * training time over the pool's scores. Retrain cadence is a drift
+    * decision — compose [[graft.operators.Sketches]] token drift against
+    * the pool exactly like the ANN artifact gate.
+    *
+    * Batch occurrences hashing to buckets the pool never saw are absent
+    * from the frozen table and drop out of the mean (inner join on `b`,
+    * both here and in the oracle); with 4096 buckets, any real pool
+    * occupies every bucket, so the case is a fixture-scale artifact.
+    *
+    * Emits the ADMITTED batch docs `(doc_id, n_feats, w_avg_milli)`.
+    */
+  def importanceSampleIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
+                                  targetLang: String = "en",
+                                  keepBps: Int = 2500,
+                                  buckets: Int = 4096): DataFrame = {
+    require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    // frozen artifacts: weight table + threshold, both pool-only. The
+    // weight table is consumed twice (pool scoring for the threshold,
+    // then batch scoring) — bounded at <= buckets rows, so materialize
+    // it once rather than re-running the pool aggregate per consumer.
+    val wt = importanceWeights(indexDocs, targetLang, buckets)
+      .select(col("b"), col("w_milli")).localCheckpoint()
+    val poolScores = importanceScores(indexDocs, wt, buckets)
+    val hist = poolScores.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
+    val cumW = Window.orderBy(col("w_avg_milli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val thrRow = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("total", sum(col("cnt")).over(allW))
+      .filter(col("cum") * 10000 >= col("total") * keepBps)
+      .agg(max(col("w_avg_milli")).as("thr"))
+      .head()
+    if (thrRow.isNullAt(0)) importanceScores(batchDocs, wt, buckets).filter(lit(false))
+    else importanceScores(batchDocs, wt, buckets)
+      .filter(col("w_avg_milli") >= thrRow.getLong(0))
       .orderBy(col("doc_id"))
   }
 

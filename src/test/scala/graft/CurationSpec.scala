@@ -722,4 +722,33 @@ class CurationSpec extends SparkSpec {
     assert(wt.forall(_._3 <= bound),
       s"w_milli must respect the 1000/target-fraction histogram bound $bound")
   }
+
+  test("incremental importance admission: frozen artifacts, per-doc purity") {
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val pool = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+    val admitted = Curation.importanceSampleIncremental(pool, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(admitted.nonEmpty, "fixture batch must have admissions")
+    // per-doc purity: a batch doc's verdict cannot depend on its batch —
+    // replaying ONE admitted and ONE rejected doc as singleton batches
+    // must reproduce their verdicts exactly
+    val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0))
+    val rejectedId = batchIds.filterNot(admitted.contains).head
+    val admittedId = admitted.keys.min
+    val aloneA = Curation.importanceSampleIncremental(pool,
+      batch.filter(col("doc_id") === admittedId)).collect()
+    assert(aloneA.length == 1 && aloneA.head.getLong(2) == admitted(admittedId),
+      "admitted doc must be admitted alone, with the same score")
+    val aloneR = Curation.importanceSampleIncremental(pool,
+      batch.filter(col("doc_id") === rejectedId)).collect()
+    assert(aloneR.isEmpty, "rejected doc must be rejected alone too")
+    // the frozen threshold is the POOL quantile gate's: every admitted
+    // score clears the one-shot sampler's threshold on the pool
+    val poolThr = Curation.importanceSample(pool).collect()
+      .map(_.getLong(2)).min
+    assert(admitted.values.forall(_ >= poolThr),
+      "admission threshold must be the pool-trained quantile threshold")
+  }
 }
