@@ -1002,6 +1002,11 @@ object SparkEntry {
     // block-grid screen — the leak class no n-gram screen can see
     "decontaminate_semantic" -> ((s, dir) =>
       Similarity.decontaminateSemantic(Tables.embeddings(s, dir))),
+    // the 100 TB shape: train-side bucket/hamming-1 probes equi-joined
+    // against the eval bucket table, exact cosine verify — candidates
+    // bounded by eval collisions, never corpus x eval dot products
+    "decontaminate_semantic_lsh" -> ((s, dir) =>
+      Similarity.decontaminateSemanticLsh(Tables.embeddings(s, dir))),
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
@@ -1023,6 +1028,11 @@ object SparkEntry {
     // spherical k-means clustering; the oracle re-runs the ENTIRE Lloyd
     // loop (md5 seed + 3 fixed-point iterations) as unrolled DuckDB CTEs
     "cluster_embeddings" -> ((s, dir) => Similarity.clusterEmbeddings(Tables.embeddings(s, dir))),
+    // cluster-balanced diversity sampling: up to 8 vectors per k-means
+    // cell in content-free (md5-bucket, vec_id) order — training,
+    // assignment, and the pick all replayed in the oracle
+    "sample_cluster_balanced" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(Tables.embeddings(s, dir))),
     // incremental assignment: freeze centroid artifacts on the 4/5
     // vec_id prefix, assign the 1/5 tail O(batch) — keeps semantic
     // shards stable as the corpus grows
@@ -2818,11 +2828,34 @@ object SparkEntry {
         |FROM b t JOIN b e ON (NOT t.is_eval) AND e.is_eval
         |WHERE list_cosine_similarity(t.ve, e.ve) >= 0.4
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
+    // LSH-prefiltered screen: the hyperplane buckets replayed in SQL
+    // (lshBucketCtes), candidates = cross-set hamming <= 1, exact verify
+    "decontaminate_semantic_lsh" ->
+      s"""WITH $lshBucketCtes,
+         |f AS (SELECT b.*,
+         |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000 < 1000 AS is_eval
+         |  FROM b)
+         |SELECT t.vec_id, CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_eval_hits
+         |FROM f t JOIN f e ON (NOT t.is_eval) AND e.is_eval
+         | AND bit_count(xor(t.bucket, e.bucket)) <= 1
+         |WHERE list_cosine_similarity(t.ve, e.ve) >= 0.4
+         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
     "dedup_semantic" -> semanticDedupOracle(),
     "dedup_semantic_incremental" -> semanticDedupOracle(
       "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "cluster_embeddings" -> kmeansClusterOracle,
     "cluster_assign_incremental" -> kmeansIncrementalOracle,
+    // cluster-balanced sampling: the same trained quantizer + assignment,
+    // then the per-cell (md5-bucket, vec_id) pick replayed as one window
+    "sample_cluster_balanced" ->
+      ("WITH " + kmTrainCtes("") + ",\n" + kmAsg("af", KmIters) + "\n" +
+        """SELECT vec_id, CAST(cell AS BIGINT) AS cell, rk FROM (
+          |  SELECT vec_id, cell, CAST(row_number() OVER (PARTITION BY cell
+          |    ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+          |      AS BIGINT) % 10000, vec_id) AS BIGINT) AS rk
+          |  FROM af)
+          |WHERE rk <= 8 ORDER BY vec_id""".stripMargin),
     "ann_artifact_drift" -> annArtifactDriftOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,

@@ -206,6 +206,38 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** [[decontaminateSemantic]] with the LSH prefilter in front — the
+    * shape that survives 100 TB when the eval set is not tiny: candidate
+    * pairs are the train side's bucket ∪ hamming-1 probes equi-joined
+    * against the EVAL bucket table only (never corpus×eval dot products),
+    * then the exact cosine verify. Same probe set, same recall contract
+    * as [[cosineNearDupPairsLsh]]: genuine near-dup thresholds are
+    * captured ≈ exactly, weak-similarity leaks are sampled — and the
+    * approximation contract is itself deterministic and oracle-checked
+    * (the `decontaminate_semantic_lsh` oracle replays the hyperplanes
+    * in SQL), so the screen's behavior is pinned, not hoped.
+    */
+  def decontaminateSemanticLsh(embeddings: DataFrame, evalBps: Int = 1000,
+                               threshold: Double = 0.4,
+                               numPlanes: Int = NumPlanes): DataFrame = {
+    val prep = prepared(embeddings)
+      .withColumn("bucket", bucketOf(embeddings, col("v"), numPlanes))
+      .withColumn("is_eval",
+        graft.operators.Curation.sampleBucket(col("vec_id")) < evalBps)
+    val train = prep.filter(!col("is_eval"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(probeCols(numPlanes): _*)).as("probe"))
+    val eval = prep.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("v").as("v_e"),
+        col("nrm").as("n_e"), col("bucket").as("bucket_e"))
+    train.join(eval, col("probe") === col("bucket_e"))
+      .filter(dotN(embeddings, col("v"), col("v_e")) /
+        (col("nrm") * col("n_e")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count_distinct(col("eval_id")).as("n_eval_hits"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method): embedding-space near-duplicates
     * are grouped by connected components over the LSH-verified cosine
@@ -576,6 +608,49 @@ object Similarity {
       .select(col("cell").cast("long").as("cell"), col("n_vectors"),
         col("min_vec_id"))
       .orderBy(col("cell"))
+  }
+
+  /** Cluster-balanced (diversity) sampling: up to `perCell` vectors per
+    * spherical-k-means cell, chosen in the content-free
+    * `(md5-bucket, vec_id)` order — the "don't let one dense semantic
+    * region dominate the training mix" selection step (the
+    * cluster-then-sample half of SemDeDup-style curation, and the
+    * embedding-space twin of [[graft.operators.Curation
+    * .stratifiedSample]]'s language balancing). The quantizer is the
+    * md5-seeded [[kmeansCentroids]] loop, so the DuckDB oracle replays
+    * training, assignment, AND the per-cell pick.
+    *
+    * Scale shape: training/assignment are [[clusterEmbeddings]]'s (map
+    * passes + a `(cell, pos)` fixed-point shuffle); the per-cell pick is
+    * the stratified sampler's two-level rank — level 1 inside
+    * `(cell, bucket-range)` sub-strata (exact by the prefix property),
+    * level 2 over ≤ `subStrata × perCell` survivors per cell — so no
+    * cell ever single-reducer-sorts its full population.
+    */
+  def clusterBalancedSample(embeddings: DataFrame, perCell: Int = 8,
+                            cells: Int = IvfCells,
+                            iters: Int = IvfKmeansIters,
+                            subStrata: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prep = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prep, cells, iters, portableSeed = true)
+    val keyed = prep
+      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, 1), 1).cast("long"))
+      .select(col("vec_id"), col("cell"),
+        graft.operators.Curation.sampleBucket(col("vec_id")).as("bkt"))
+    val subWidth = math.max(1, 10000 / math.max(1, subStrata))
+    val wLocal = Window.partitionBy(col("cell"), col("sub"))
+      .orderBy(col("bkt"), col("vec_id"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("bkt"), col("vec_id"))
+    keyed
+      .withColumn("sub", floor(col("bkt") / lit(subWidth)))
+      .withColumn("local_rank", row_number().over(wLocal))
+      .filter(col("local_rank") <= perCell)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy(col("vec_id"))
   }
 
   /** Persistable clustering artifact — the trained spherical-k-means

@@ -682,6 +682,57 @@ class SimilaritySpec extends SparkSpec {
     assert(out.keySet.forall(id => !flags(id)), "eval vectors never flagged")
   }
 
+  test("LSH semantic decontamination: equals the LSH pair search's cross-set restriction") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.decontaminateSemanticLsh(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flags = emb.select(col("vec_id"),
+        (graft.operators.Curation.sampleBucket(col("vec_id")) < 1000).as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the candidate set IS cosineNearDupPairsLsh's (same probes, same
+    // verify); the report must equal its cross-set restriction
+    val expected = Similarity.cosineNearDupPairsLsh(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (i, j) => (flags(i), flags(j)) match {
+        case (false, true) => Some(i)
+        case (true, false) => Some(j)
+        case _ => None
+      }}
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out == expected)
+    // and it is a subset of the exact screen (same pairs minus LSH misses)
+    val exact = Similarity.decontaminateSemantic(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(exact.keySet))
+    assert(out.forall { case (id, n) => n <= exact(id) })
+  }
+
+  test("cluster-balanced sample: per-cell cap, bucket-order pick, assignment-consistent") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.clusterBalancedSample(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.groupBy(_._2).values.forall(_.length <= 8), "per-cell cap")
+    // assignment consistency: the sampled cells equal the frozen-artifact
+    // assignment of the same corpus (independent path through
+    // clusterArtifacts + assignWith)
+    val asg = Similarity.assignWith(Similarity.clusterArtifacts(emb), emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (v, c, _) => asg(v) == c })
+    // the pick is EXACTLY the naive per-cell (bucket, vec_id) top-8 —
+    // the two-level rank must be invisible in the result
+    val bkt = emb.select(col("vec_id"),
+        graft.operators.Curation.sampleBucket(col("vec_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = asg.toSeq.groupBy(_._2).flatMap { case (c, vs) =>
+      vs.map(_._1).sortBy(v => (bkt(v), v)).take(8).zipWithIndex
+        .map { case (v, i) => (v, c, (i + 1).toLong) }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
   test("PQ incremental encode: deterministic batch codes in codebook range") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val a = Similarity.pqEncodeIncremental(emb).collect().map(_.toSeq).toSeq
