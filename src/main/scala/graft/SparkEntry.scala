@@ -817,6 +817,34 @@ object SparkEntry {
       Curation.importanceSampleIncremental(
         docs.filter(col("doc_id") < cut), docs.filter(col("doc_id") >= cut))
     }),
+    // the CONTINUOUS form: the same frozen artifacts persisted to parquet,
+    // the batch slice replayed as 3 micro-batches through the stateless
+    // admission loop — must equal the incremental operator (same oracle)
+    "sample_importance_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      withTempReplayRoot("graft_imp_stream_") { root =>
+        val (wt, thr) = Curation.importanceArtifacts(
+          docs.filter(col("doc_id") < cut))
+        wt.write.parquet(s"$root/art/weights")
+        thr.write.parquet(s"$root/art/thr")
+        val in = root.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        val batch = docs.filter(col("doc_id") >= cut)
+          .select(col("doc_id"), col("text"))
+        (0 until 3).foreach { i =>
+          StreamingSessions.appendReplayFile(
+            batch.filter(pmod(col("doc_id"), lit(3)) === i), in, i)
+        }
+        graft.streaming.StreamingPack.importanceAdmissionStream(s,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        graft.streaming.StreamingPack
+          .readOutput(s, root.resolve("out").toString)
+          .orderBy(col("doc_id"))
+      }
+    }),
     // Gopher-style repetition quality signals (top-2-gram share,
     // duplicate-3-gram share, exact integer basis points)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionMetrics(Tables.documents(s, dir))),
@@ -2142,41 +2170,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // frozen-artifact admission: weights + threshold from the pool slice
     // only, batch scored against them — the whole chain replayed
-    "sample_importance_incremental" ->
-      """WITH cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
-        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
-        |        doc_id < (SELECT c FROM cutv) AS in_pool
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, lang, in_pool, unnest(w) AS feat FROM t
-        |  UNION ALL
-        |  SELECT doc_id, lang, in_pool,
-        |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feat
-        |  FROM t WHERE len(w) >= 2),
-        |bo AS (SELECT doc_id, lang, in_pool,
-        |    CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 4096 AS b
-        |  FROM occ),
-        |cnt AS (SELECT b,
-        |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t,
-        |    CAST(count(*) AS BIGINT) AS cnt_r
-        |  FROM bo WHERE in_pool GROUP BY b),
-        |wt AS (SELECT b,
-        |    (1000 * (cnt_t + 1) * ((SELECT sum(cnt_r) FROM cnt) + 4096))
-        |      // ((cnt_r + 1) * ((SELECT sum(cnt_t) FROM cnt) + 4096))
-        |      AS w_milli
-        |  FROM cnt),
-        |ds AS (SELECT doc_id, in_pool, CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(sum(w_milli) // count(*) AS BIGINT) AS w_avg_milli
-        |  FROM bo JOIN wt USING (b) GROUP BY doc_id, in_pool),
-        |hist AS (SELECT w_avg_milli AS s, count(*) AS cnt FROM ds
-        |  WHERE in_pool GROUP BY 1),
-        |thr AS (SELECT max(s) AS thr FROM (
-        |  SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum,
-        |         sum(cnt) OVER () AS total FROM hist)
-        |  WHERE cum * 10000 >= total * 2500)
-        |SELECT doc_id, n_feats, w_avg_milli FROM ds
-        |WHERE NOT in_pool AND w_avg_milli >= (SELECT thr FROM thr)
-        |ORDER BY doc_id""".stripMargin,
+    "sample_importance_incremental" -> importanceIncrementalOracle,
+    // the streamed admission is stateless over the same frozen artifacts,
+    // so batching cannot change a verdict — shared incremental oracle
+    "sample_importance_stream" -> importanceIncrementalOracle,
     "quality_gate" ->
       """WITH t AS (SELECT doc_id,
         |    (len(list_distinct(string_split(text, ' '))) * 20000
@@ -4679,6 +4676,48 @@ object SparkEntry {
       | AND a.event_type = 'purchase' AND b.event_type = 'error'
       | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
       |ORDER BY purchase_id, error_id""".stripMargin
+
+  /** Frozen-artifact importance admission replayed end to end: weights +
+    * threshold from the pool slice only, batch scored against them.
+    * Shared by the single-shot incremental call and the streamed
+    * admission loop (stateless over the same artifacts, so batching
+    * cannot change a verdict).
+    */
+  private val importanceIncrementalOracle: String =
+    """WITH cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+      |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
+      |        doc_id < (SELECT c FROM cutv) AS in_pool
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, lang, in_pool, unnest(w) AS feat FROM t
+      |  UNION ALL
+      |  SELECT doc_id, lang, in_pool,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feat
+      |  FROM t WHERE len(w) >= 2),
+      |bo AS (SELECT doc_id, lang, in_pool,
+      |    CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 4096 AS b
+      |  FROM occ),
+      |cnt AS (SELECT b,
+      |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS cnt_t,
+      |    CAST(count(*) AS BIGINT) AS cnt_r
+      |  FROM bo WHERE in_pool GROUP BY b),
+      |wt AS (SELECT b,
+      |    (1000 * (cnt_t + 1) * ((SELECT sum(cnt_r) FROM cnt) + 4096))
+      |      // ((cnt_r + 1) * ((SELECT sum(cnt_t) FROM cnt) + 4096))
+      |      AS w_milli
+      |  FROM cnt),
+      |ds AS (SELECT doc_id, in_pool, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(w_milli) // count(*) AS BIGINT) AS w_avg_milli
+      |  FROM bo JOIN wt USING (b) GROUP BY doc_id, in_pool),
+      |hist AS (SELECT w_avg_milli AS s, count(*) AS cnt FROM ds
+      |  WHERE in_pool GROUP BY 1),
+      |thr AS (SELECT max(s) AS thr FROM (
+      |  SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum,
+      |         sum(cnt) OVER () AS total FROM hist)
+      |  WHERE cum * 10000 >= total * 2500)
+      |SELECT doc_id, n_feats, w_avg_milli FROM ds
+      |WHERE NOT in_pool AND w_avg_milli >= (SELECT thr FROM thr)
+      |ORDER BY doc_id""".stripMargin
 
   private val bruteJaccardOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

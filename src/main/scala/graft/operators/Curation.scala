@@ -638,20 +638,23 @@ object Curation {
     } finally sh.unpersist()
   }
 
-  /** (doc_id, lang, feat) occurrence rows for the importance-sampling
-    * feature space: whitespace unigrams plus adjacent bigrams, WITH
-    * multiplicity (the n-gram model counts occurrences, not doc sets —
-    * unlike the shingle paths). Map-only: two explode branches unioned.
+  /** (doc_id, carried..., feat) occurrence rows for the
+    * importance-sampling feature space: whitespace unigrams plus adjacent
+    * bigrams, WITH multiplicity (the n-gram model counts occurrences, not
+    * doc sets — unlike the shingle paths). Map-only: two explode branches
+    * unioned. `carry` names the extra columns to thread through (the
+    * weight trainer needs `lang`; scoring needs none — a streamed batch
+    * carries only doc_id/text).
     */
-  private def featureOccurrences(documents: DataFrame): DataFrame = {
-    val t = documents.select(col("doc_id"), col("lang"),
-      split(col("text"), " ").as("w"))
-    t.select(col("doc_id"), col("lang"), explode(col("w")).as("feat"))
+  private def featureOccurrences(documents: DataFrame,
+                                 carry: Seq[String] = Seq.empty): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    val t = documents.select(keep :+ split(col("text"), " ").as("w"): _*)
+    t.select(keep :+ explode(col("w")).as("feat"): _*)
       .unionAll(t.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(expr(
-            "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
-            .as("feat")))
+        .select(keep :+ explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("feat"): _*))
   }
 
   /** Hashed-feature importance weights (the DSIR recipe — Xie et al.,
@@ -682,7 +685,7 @@ object Curation {
     */
   def importanceWeights(documents: DataFrame, targetLang: String = "en",
                         buckets: Int = 4096): DataFrame = {
-    val occ = featureOccurrences(documents)
+    val occ = featureOccurrences(documents, Seq("lang"))
       .select(col("doc_id"), col("lang"),
         pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("b"))
@@ -747,8 +750,8 @@ object Curation {
     * one-shot and incremental paths so the two can never diverge on
     * scoring semantics.
     */
-  private def importanceScores(documents: DataFrame, weights: DataFrame,
-                               buckets: Int): DataFrame = {
+  private[graft] def importanceScores(documents: DataFrame, weights: DataFrame,
+                                      buckets: Int): DataFrame = {
     val occ = featureOccurrences(documents)
       .select(col("doc_id"),
         pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
@@ -781,19 +784,14 @@ object Curation {
     *
     * Emits the ADMITTED batch docs `(doc_id, n_feats, w_avg_milli)`.
     */
-  def importanceSampleIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
-                                  targetLang: String = "en",
-                                  keepBps: Int = 2500,
-                                  buckets: Int = 4096): DataFrame = {
-    require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
-    // frozen artifacts: weight table + threshold, both pool-only. The
-    // weight table is consumed twice (pool scoring for the threshold,
-    // then batch scoring) — bounded at <= buckets rows, so materialize
-    // it once rather than re-running the pool aggregate per consumer.
-    val wt = importanceWeights(indexDocs, targetLang, buckets)
-      .select(col("b"), col("w_milli")).localCheckpoint()
-    val poolScores = importanceScores(indexDocs, wt, buckets)
-    val hist = poolScores.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
+  /** The quantile-gate threshold over a score frame: highest score whose
+    * cumulative count reaches the `keepBps` quota (whole tie class in) —
+    * the one spelling [[importanceSample]], [[importanceSampleIncremental]],
+    * and the artifact builder all share. None on an empty frame.
+    */
+  private[graft] def importanceThreshold(scores: DataFrame,
+                                         keepBps: Int): Option[Long] = {
+    val hist = scores.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
     val cumW = Window.orderBy(col("w_avg_milli").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val allW = Window.rowsBetween(Window.unboundedPreceding,
@@ -804,9 +802,41 @@ object Curation {
       .filter(col("cum") * 10000 >= col("total") * keepBps)
       .agg(max(col("w_avg_milli")).as("thr"))
       .head()
-    if (thrRow.isNullAt(0)) importanceScores(batchDocs, wt, buckets).filter(lit(false))
+    if (thrRow.isNullAt(0)) None else Some(thrRow.getLong(0))
+  }
+
+  /** The persistable importance-selection artifact pair: the frozen
+    * weight table `(b, w_milli)` and a one-row `(thr_milli)` threshold
+    * frame — what a deployment writes at training time and ships to
+    * every admission job ([[importanceSampleIncremental]], the streamed
+    * admission loop). Both bounded: ≤`buckets` rows + 1 row.
+    */
+  def importanceArtifacts(indexDocs: DataFrame, targetLang: String = "en",
+                          keepBps: Int = 2500,
+                          buckets: Int = 4096): (DataFrame, DataFrame) = {
+    require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    val spark = indexDocs.sparkSession
+    import spark.implicits._
+    // the weight table is consumed twice (pool scoring for the
+    // threshold, then shipped) — bounded at <= buckets rows, so
+    // materialize it once rather than re-running the pool aggregate
+    val wt = importanceWeights(indexDocs, targetLang, buckets)
+      .select(col("b"), col("w_milli")).localCheckpoint()
+    val thr = importanceThreshold(importanceScores(indexDocs, wt, buckets),
+      keepBps)
+    (wt, thr.toSeq.toDF("thr_milli"))
+  }
+
+  def importanceSampleIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
+                                  targetLang: String = "en",
+                                  keepBps: Int = 2500,
+                                  buckets: Int = 4096): DataFrame = {
+    val (wt, thrFrame) = importanceArtifacts(indexDocs, targetLang, keepBps,
+      buckets)
+    val thr = thrFrame.collect().headOption.map(_.getLong(0)) // 1-row artifact
+    if (thr.isEmpty) importanceScores(batchDocs, wt, buckets).filter(lit(false))
     else importanceScores(batchDocs, wt, buckets)
-      .filter(col("w_avg_milli") >= thrRow.getLong(0))
+      .filter(col("w_avg_milli") >= thr.get)
       .orderBy(col("doc_id"))
   }
 

@@ -121,4 +121,49 @@ object StreamingPack {
       .start()
     q.awaitTermination()
   }
+
+  /** Streamed importance admission — the continuous form of
+    * [[graft.operators.Curation.importanceSampleIncremental]]: documents
+    * arrive as micro-batches and each batch is scored against the FROZEN
+    * [[graft.operators.Curation.importanceArtifacts]] (weights under
+    * `artifactDir/weights`, the one-row threshold under
+    * `artifactDir/thr`), admitting `w_avg_milli ≥ thr` rows to the
+    * batch-id-keyed idempotent output.
+    *
+    * Unlike the dedup admission loops this one is STATELESS — the
+    * artifacts are read-only and a doc's verdict is a pure function of
+    * them (the incremental operator's spec-pinned purity) — so replay
+    * safety needs no frontier guard: a replayed batch re-derives
+    * byte-identical admissions and the `_SUCCESS`-gated writer keeps the
+    * committed dir verbatim. Per-batch cost is one broadcast join
+    * against the ≤buckets-row weight table plus a partial-aggregated
+    * groupBy — O(batch), the artifacts never rescan.
+    */
+  def importanceAdmissionStream(spark: SparkSession, inDir: String,
+                                artifactDir: String, outDir: String,
+                                ckptDir: String,
+                                buckets: Int = 4096): Unit = {
+    val stream = spark.readStream.schema(StreamingDedup.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sess = batch.sparkSession
+      val wt = sess.read.parquet(s"$artifactDir/weights").localCheckpoint()
+      val thr = sess.read.parquet(s"$artifactDir/thr")
+        .collect().headOption.map(_.getLong(0)) // 1-row artifact
+      val admitted = thr match {
+        case None => // empty pool trained no threshold: admit nothing
+          graft.operators.Curation.importanceScores(batch, wt, buckets)
+            .filter(org.apache.spark.sql.functions.lit(false))
+        case Some(t) =>
+          graft.operators.Curation.importanceScores(batch, wt, buckets)
+            .filter(org.apache.spark.sql.functions.col("w_avg_milli") >= t)
+      }
+      StreamingDedup.writeOutputBatch(admitted, outDir, batchId)
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -1869,4 +1869,44 @@ class FileSourceSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamed importance admission equals the incremental operator; replay is a no-op") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val pool = docs.filter(col("doc_id") < cut)
+    val batch = docs.filter(col("doc_id") >= cut)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-imp-stream")
+    try {
+      val (wt, thr) = graft.operators.Curation.importanceArtifacts(pool)
+      wt.write.parquet(s"$root/art/weights")
+      thr.write.parquet(s"$root/art/thr")
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      (0 until 3).foreach { i =>
+        StreamingSessions.appendReplayFile(
+          batch.filter(pmod(col("doc_id"), lit(3)) === i), in, i)
+      }
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingPack.importanceAdmissionStream(spark,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve(ckpt).toString)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingPack
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      val inc = graft.operators.Curation
+        .importanceSampleIncremental(pool, batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == inc,
+        "the streamed admission must equal the single-shot incremental call")
+      assert(got.nonEmpty)
+      // lost-checkpoint full replay: stateless loop + idempotent writer
+      // leave the committed output verbatim
+      run("ckpt2")
+      assert(readOut() == got)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
 }
