@@ -803,6 +803,18 @@ object SparkEntry {
     // benchmark-sized eval band table only, exact integer verify
     "text_decontaminate_fuzzy" -> ((s, dir) =>
       Curation.decontaminateFuzzy(Tables.documents(s, dir))),
+    // frozen-artifact screen: the eval split's postings persisted once,
+    // the last-20% (non-eval) slice screened as an arriving batch —
+    // O(batch), eval side never re-shingled
+    "text_decontaminate_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Curation.decontaminateWith(
+        Curation.evalNgramArtifact(docs),
+        docs.filter(col("doc_id") >= cut &&
+          Curation.sampleBucket(col("doc_id")) >= 1000))
+    }),
     // DSIR-style importance resampling (Xie et al. 2023): hashed
     // unigram/bigram milli-integer probability-ratio weights vs the
     // lang=en target, keep the top quartile by mean weight (tie class in)
@@ -2112,6 +2124,27 @@ object SparkEntry {
     // a 64-bit collision, the dedup_ngram_jaccard precedent)
     "text_decontaminate_sql" -> decontaminateOracle,
     "text_decontaminate_bloom" -> decontaminateOracle,
+    // the frozen-artifact screen is the whole-corpus screen restricted
+    // to the batch slice (per-doc purity) — same CTE chain, cut filter
+    "text_decontaminate_incremental" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 1000 AS is_eval
+        |  FROM documents),
+        |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
+        |sh AS MATERIALIZED (SELECT doc_id, is_eval,
+        |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+        |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT tr.doc_id,
+        |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+        |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+        |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
+        |WHERE NOT tr.is_eval AND ev.is_eval
+        |  AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     // fuzzy decontamination: brute cross-set 3-shingle Jaccard (the
     // bruteJaccardOracle shape restricted to train x eval, grouped per
     // training doc) — the LSH path's 32-band x 4-row capture at the >= 1/2

@@ -583,6 +583,38 @@ object Curation {
     contaminationReport(pruned, evalSide)
   }
 
+  /** The persistable decontamination artifact: the eval split's n-gram
+    * postings `(ngh, eval_doc_id)` — benchmark-sized, fixed as the
+    * corpus grows. A deployment shingles the benchmark ONCE at eval-set
+    * freeze time and ships this table to every arriving-batch screen
+    * ([[decontaminateWith]]), instead of re-shingling the eval side per
+    * run the way the whole-corpus [[decontaminate]] does.
+    */
+  def evalNgramArtifact(documents: DataFrame, evalBps: Int = 1000,
+                        n: Int = 8): DataFrame =
+    contaminationPostings(documents, evalBps, n)
+      .filter(col("is_eval"))
+      .select(col("ngh"), col("doc_id").as("eval_doc_id"))
+
+  /** Screen a training batch against a FROZEN [[evalNgramArtifact]] —
+    * the incremental form of [[decontaminate]]: per-batch cost is the
+    * batch's own shingle explode plus one equi-join against the
+    * benchmark-sized artifact (AQE broadcasts it), O(batch) with the
+    * eval side never recomputed. A doc's report is a pure function of
+    * (doc, artifact), so screening in any batching equals the
+    * whole-corpus screen restricted to those docs — the same purity
+    * contract as the importance admission.
+    */
+  def decontaminateWith(evalPostings: DataFrame, batch: DataFrame,
+                        n: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val trainSide = batch.select(col("doc_id"),
+        explode(graft.functions.TextHashOps
+          .shinglesNative(spark, col("text"), n)).as("ng"))
+      .select(col("doc_id"), xxhash64(col("ng")).as("ngh"))
+    contaminationReport(trainSide, evalPostings)
+  }
+
   /** Fuzzy (near-duplicate) decontamination: flag training docs whose
     * word-shingle Jaccard against ANY eval doc is ≥ 1/2 — the
     * benchmark-leak class exact n-gram [[decontaminate]] cannot see

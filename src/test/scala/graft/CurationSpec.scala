@@ -723,6 +723,28 @@ class CurationSpec extends SparkSpec {
       s"w_milli must respect the 1000/target-fraction histogram bound $bound")
   }
 
+  test("frozen-artifact decontamination equals the whole-corpus screen restricted to the batch") {
+    val whole = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(whole.nonEmpty)
+    // artifact round-trip through parquet (what a deployment ships)
+    val root = java.nio.file.Files.createTempDirectory("graft-decon-art")
+    try {
+      Curation.evalNgramArtifact(docs)
+        .write.parquet(root.resolve("eval_ngrams").toString)
+      val art = spark.read.parquet(root.resolve("eval_ngrams").toString)
+      // screen an arbitrary slice (odd doc ids, eval excluded) as a batch
+      val batch = docs.filter(col("doc_id") % 2 === 1 &&
+        Curation.sampleBucket(col("doc_id")) >= 1000)
+      val got = Curation.decontaminateWith(art, batch).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expected = whole.filter(r => r._1 % 2 == 1)
+      assert(got == expected,
+        "batch screening against the frozen artifact must equal the " +
+          "whole-corpus screen's restriction")
+    } finally graft.streaming.StreamingSessions.deleteRecursively(root)
+  }
+
   test("incremental importance admission: frozen artifacts, per-doc purity") {
     val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
       .head().getLong(0)
