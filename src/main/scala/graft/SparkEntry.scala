@@ -1008,6 +1008,10 @@ object SparkEntry {
     "shuffle_epochs" -> ((s, dir) =>
       Curation.shuffleEpochs(Tables.documents(s, dir), 128L, 2, 8)),
     "pipeline_clean_corpus" -> ((s, dir) => Curation.cleanCorpus(Tables.documents(s, dir), 30L)),
+    // the release-gate composition: non-eval docs clearing BOTH surface
+    // leak screens (exact 8-gram + fuzzy 3-shingle Jaccard)
+    "pipeline_decontaminated" -> ((s, dir) =>
+      Curation.decontaminatedCorpus(Tables.documents(s, dir))),
     // Embedding similarity: exact near-dup pairs + exact top-k (oracle),
     // LSH-bucketed approximate top-k (scale path; no oracle).
     "dedup_embedding" -> ((s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)),
@@ -2145,6 +2149,36 @@ object SparkEntry {
         |WHERE NOT tr.is_eval AND ev.is_eval
         |  AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // the composed release gate: both screens' flag sets replayed, then
+    // survivors = non-eval docs outside the union
+    "pipeline_decontaminated" ->
+      """WITH b AS (SELECT doc_id, text,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 < 1000 AS is_eval
+        |  FROM documents),
+        |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
+        |g8 AS MATERIALIZED (SELECT doc_id, is_eval,
+        |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+        |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
+        |  FROM t WHERE len(w) >= 8),
+        |exact_flag AS (SELECT DISTINCT tr.doc_id
+        |  FROM g8 tr JOIN g8 ev ON tr.ng = ev.ng
+        |  WHERE NOT tr.is_eval AND ev.is_eval),
+        |s3 AS MATERIALIZED (SELECT doc_id, is_eval,
+        |   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                  for i in range(1, len(w) - 1)]) AS s
+        | FROM t WHERE len(w) >= 3),
+        |fuzzy_flag AS (SELECT DISTINCT tr.doc_id
+        |  FROM s3 tr JOIN s3 ev ON (NOT tr.is_eval) AND ev.is_eval
+        |  WHERE len(list_intersect(tr.s, ev.s)) * 2 >=
+        |        len(tr.s) + len(ev.s) - len(list_intersect(tr.s, ev.s))),
+        |flagged AS (SELECT doc_id FROM exact_flag
+        |            UNION SELECT doc_id FROM fuzzy_flag)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM b WHERE NOT is_eval
+        |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
     // fuzzy decontamination: brute cross-set 3-shingle Jaccard (the
     // bruteJaccardOracle shape restricted to train x eval, grouped per
     // training doc) — the LSH path's 32-band x 4-row capture at the >= 1/2

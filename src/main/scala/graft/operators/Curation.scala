@@ -670,6 +670,27 @@ object Curation {
     } finally sh.unpersist()
   }
 
+  /** The decontaminated training corpus: every non-eval doc that BOTH
+    * surface screens clear — the exact 8-gram overlap ([[decontaminate]])
+    * and the fuzzy 3-shingle Jaccard ([[decontaminateFuzzy]]) — composed
+    * the way a release pipeline runs them: each screen is the unchanged
+    * oracle-gated operator, survivors are one left-anti equi-join against
+    * the union of flagged ids (leak-rate-proportional, so never
+    * hint-broadcast). Emits survivors with whitespace token counts, the
+    * [[cleanCorpus]] output shape.
+    */
+  def decontaminatedCorpus(documents: DataFrame,
+                           evalBps: Int = 1000): DataFrame = {
+    val flagged = decontaminate(documents, evalBps).select(col("doc_id"))
+      .union(decontaminateFuzzy(documents, evalBps).select(col("doc_id")))
+      .distinct()
+    documents.filter(sampleBucket(col("doc_id")) >= evalBps)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** (doc_id, carried..., feat) occurrence rows for the
     * importance-sampling feature space: whitespace unigrams plus adjacent
     * bigrams, WITH multiplicity (the n-gram model counts occurrences, not

@@ -745,6 +745,21 @@ class CurationSpec extends SparkSpec {
     } finally graft.streaming.StreamingSessions.deleteRecursively(root)
   }
 
+  test("decontaminated corpus: survivors + flagged + eval partition the corpus") {
+    val survivors = Curation.decontaminatedCorpus(docs).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.nonEmpty)
+    val flagged = Curation.decontaminate(docs).collect().map(_.getLong(0)).toSet ++
+      Curation.decontaminateFuzzy(docs).collect().map(_.getLong(0)).toSet
+    val eval = docs.filter(Curation.sampleBucket(col("doc_id")) < 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors.intersect(flagged).isEmpty, "no flagged doc survives")
+    assert(survivors.intersect(eval).isEmpty, "the eval slice never ships")
+    val all = docs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors ++ flagged ++ eval == all,
+      "every doc is accounted for (screens only flag non-eval docs)")
+  }
+
   test("incremental importance admission: frozen artifacts, per-doc purity") {
     val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
       .head().getLong(0)
