@@ -42,7 +42,7 @@ object DevScaleCuration {
     // fuzzy decontamination at 500k / 10% eval split: candidates are the
     // train-band × eval-band equi-join (eval-collision-bounded); the ~1%
     // planted chains whose members straddle the md5 split are the hits
-    time("decon_fuzzy_500k") {
+    time("decon_fuzzy") {
       val out = graft.operators.Curation.decontaminateFuzzy(dc)
       out.count()
     }
@@ -53,13 +53,13 @@ object DevScaleCuration {
     // occurrences, not separation, which the fixture oracle pins)
     val fullDocs = dc.withColumn("lang",
       concat(lit("l"), pmod(col("doc_id"), lit(5))))
-    time("importance_sample_500k") {
+    time("importance_sample") {
       val out = graft.operators.Curation.importanceSample(fullDocs, "l1")
       val kept = out.count()
       println(f"  (kept $kept of $nDocs — uniform-vocab corpus, tie-heavy)")
       kept
     }
-    time("importance_inc_100k") {
+    time("importance_inc_20pct") {
       graft.operators.Curation.importanceSampleIncremental(
         fullDocs.filter(col("doc_id") < nDocs * 4 / 5),
         fullDocs.filter(col("doc_id") >= nDocs * 4 / 5), "l1").count()
@@ -81,11 +81,11 @@ object DevScaleCuration {
     vecs.write.mode("overwrite").parquet("/tmp/scale_vecs")
     val ve = spark.read.parquet("/tmp/scale_vecs")
     val autoP = graft.operators.Similarity.autoPlanes(nDocs)
-    time("decon_semantic_exact_1k") {
+    time("decon_semantic_exact_2bp") {
       graft.operators.Similarity
         .decontaminateSemantic(ve, evalBps = 20, threshold = 0.9).count()
     }
-    time(s"decon_semantic_lsh_50k p=$autoP") {
+    time(s"decon_semantic_lsh_10pct p=$autoP") {
       val out = graft.operators.Similarity.decontaminateSemanticLsh(
         ve, evalBps = 1000, threshold = 0.9, numPlanes = autoP)
       val hits = out.count()

@@ -287,4 +287,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) == realCount)
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
   }
+
+  test("selection and decontamination edges: empty pools, all-eval corpora") {
+    import org.apache.spark.sql.functions.col
+    val emptyLangDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    // empty pool trains no threshold: one-shot, incremental, and the
+    // artifact builder all degrade to empty/None rather than throwing
+    assert(Curation.importanceSample(emptyLangDocs).count() == 0)
+    val someDocs = Seq((10001L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    assert(Curation.importanceSampleIncremental(emptyLangDocs, someDocs)
+      .count() == 0, "no pool-trained threshold admits nothing")
+    val (wt, thr) = Curation.importanceArtifacts(emptyLangDocs)
+    assert(wt.count() == 0 && thr.count() == 0)
+    // an all-eval corpus has no training side: every screen is empty
+    assert(Curation.decontaminate(emptyDocs).count() == 0)
+    assert(Curation.decontaminateFuzzy(emptyDocs).count() == 0)
+    assert(Curation.decontaminatedCorpus(emptyDocs).count() == 0)
+    assert(Curation.decontaminatedCorpus(
+      Tables.documents(spark, "/root/testdata/sf0.001"), evalBps = 10000)
+      .count() == 0, "evalBps=10000 makes the whole corpus eval — nothing ships")
+    // frozen-artifact screen over an empty batch
+    val art = Curation.evalNgramArtifact(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(Curation.decontaminateWith(art, emptyDocs).count() == 0)
+  }
 }
