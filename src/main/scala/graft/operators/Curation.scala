@@ -694,20 +694,23 @@ object Curation {
   /** (doc_id, carried..., feat) occurrence rows for the
     * importance-sampling feature space: whitespace unigrams plus adjacent
     * bigrams, WITH multiplicity (the n-gram model counts occurrences, not
-    * doc sets — unlike the shingle paths). Map-only: two explode branches
-    * unioned. `carry` names the extra columns to thread through (the
-    * weight trainer needs `lang`; scoring needs none — a streamed batch
-    * carries only doc_id/text).
+    * doc sets — unlike the shingle paths). Map-only, and ONE corpus scan:
+    * the unigram and bigram lists are concatenated row-local and exploded
+    * once (the earlier two-branch `unionAll` spelling scanned the corpus
+    * twice per consumer — at 100 TB the scan is the cost). `carry` names
+    * the extra columns to thread through (the weight trainer needs
+    * `lang`; scoring needs none — a streamed batch carries only
+    * doc_id/text).
     */
   private def featureOccurrences(documents: DataFrame,
                                  carry: Seq[String] = Seq.empty): DataFrame = {
     val keep = col("doc_id") +: carry.map(col)
     val t = documents.select(keep :+ split(col("text"), " ").as("w"): _*)
-    t.select(keep :+ explode(col("w")).as("feat"): _*)
-      .unionAll(t.filter(size(col("w")) >= 2)
-        .select(keep :+ explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
-          .as("feat"): _*))
+    t.select(keep :+ explode(expr(
+      """concat(w, CASE WHEN size(w) >= 2
+        |  THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))
+        |  ELSE CAST(array() AS array<string>) END)""".stripMargin))
+      .as("feat"): _*)
   }
 
   /** Hashed-feature importance weights (the DSIR recipe — Xie et al.,
