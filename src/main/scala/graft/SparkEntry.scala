@@ -815,6 +815,33 @@ object SparkEntry {
         docs.filter(col("doc_id") >= cut &&
           Curation.sampleBucket(col("doc_id")) >= 1000))
     }),
+    // the CONTINUOUS screen: the same persisted eval postings, the batch
+    // slice replayed as 3 micro-batches through the stateless loop —
+    // must equal the incremental screen (same oracle)
+    "text_decontaminate_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      withTempReplayRoot("graft_decon_stream_") { root =>
+        Curation.evalNgramArtifact(docs)
+          .write.parquet(s"$root/art/eval_ngrams")
+        val in = root.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        val batch = docs.filter(col("doc_id") >= cut &&
+            Curation.sampleBucket(col("doc_id")) >= 1000)
+          .select(col("doc_id"), col("text"))
+        (0 until 3).foreach { i =>
+          StreamingSessions.appendReplayFile(
+            batch.filter(pmod(col("doc_id"), lit(3)) === i), in, i)
+        }
+        graft.streaming.StreamingPack.decontaminationScreenStream(s,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        graft.streaming.StreamingPack
+          .readOutput(s, root.resolve("out").toString)
+          .orderBy(col("doc_id"))
+      }
+    }),
     // DSIR-style importance resampling (Xie et al. 2023): hashed
     // unigram/bigram milli-integer probability-ratio weights vs the
     // lang=en target, keep the top quartile by mean weight (tie class in)
@@ -2130,25 +2157,10 @@ object SparkEntry {
     "text_decontaminate_bloom" -> decontaminateOracle,
     // the frozen-artifact screen is the whole-corpus screen restricted
     // to the batch slice (per-doc purity) — same CTE chain, cut filter
-    "text_decontaminate_incremental" ->
-      """WITH b AS (
-        |  SELECT doc_id, text,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      % 10000 < 1000 AS is_eval
-        |  FROM documents),
-        |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
-        |sh AS MATERIALIZED (SELECT doc_id, is_eval,
-        |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
-        |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
-        |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
-        |  FROM t WHERE len(w) >= 8)
-        |SELECT tr.doc_id,
-        |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
-        |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
-        |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
-        |WHERE NOT tr.is_eval AND ev.is_eval
-        |  AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
-        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "text_decontaminate_incremental" -> decontaminateIncOracle,
+    // the streamed screen is stateless over the same frozen artifact,
+    // so batching cannot change a report — shared incremental oracle
+    "text_decontaminate_stream" -> decontaminateIncOracle,
     // the composed release gate: both screens' flag sets replayed, then
     // survivors = non-eval docs outside the union
     "pipeline_decontaminated" ->
@@ -4743,6 +4755,31 @@ object SparkEntry {
       | AND a.event_type = 'purchase' AND b.event_type = 'error'
       | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
       |ORDER BY purchase_id, error_id""".stripMargin
+
+  /** The frozen-artifact exact screen replayed: the whole-corpus
+    * decontamination CTE chain restricted to the batch slice (per-doc
+    * purity makes the restriction exact). Shared by the single-shot
+    * incremental screen and the streamed loop.
+    */
+  private val decontaminateIncOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 10000 < 1000 AS is_eval
+      |  FROM documents),
+      |t AS (SELECT doc_id, is_eval, string_split(text, ' ') AS w FROM b),
+      |sh AS MATERIALIZED (SELECT doc_id, is_eval,
+      |  unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+      |    || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' '
+      |    || w[i+7] for i in range(1, len(w) - 6)])) AS ng
+      |  FROM t WHERE len(w) >= 8)
+      |SELECT tr.doc_id,
+      |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs,
+      |  CAST(count(DISTINCT tr.ng) AS BIGINT) AS n_shared_ngrams
+      |FROM sh tr JOIN sh ev ON tr.ng = ev.ng
+      |WHERE NOT tr.is_eval AND ev.is_eval
+      |  AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+      |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   /** Frozen-artifact importance admission replayed end to end: weights +
     * threshold from the pool slice only, batch scored against them.

@@ -139,6 +139,35 @@ object StreamingPack {
     * against the ≤buckets-row weight table plus a partial-aggregated
     * groupBy — O(batch), the artifacts never rescan.
     */
+  /** Streamed exact-n-gram decontamination — the continuous form of
+    * [[graft.operators.Curation.decontaminateWith]]: arriving training
+    * batches are screened against the FROZEN
+    * [[graft.operators.Curation.evalNgramArtifact]] posting table under
+    * `artifactDir/eval_ngrams`, and each batch's contamination report
+    * rows land in the batch-id-keyed idempotent output. Stateless for
+    * the same reason as [[importanceAdmissionStream]] (the artifact is
+    * read-only and a doc's report is a pure function of it), so replay
+    * is a byte-identical no-op; per-batch cost is the batch's own
+    * shingle explode + one join against the benchmark-sized artifact.
+    */
+  def decontaminationScreenStream(spark: SparkSession, inDir: String,
+                                  artifactDir: String, outDir: String,
+                                  ckptDir: String, n: Int = 8): Unit = {
+    val stream = spark.readStream.schema(StreamingDedup.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val art = batch.sparkSession.read.parquet(s"$artifactDir/eval_ngrams")
+      StreamingDedup.writeOutputBatch(
+        graft.operators.Curation.decontaminateWith(art, batch, n),
+        outDir, batchId)
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
   def importanceAdmissionStream(spark: SparkSession, inDir: String,
                                 artifactDir: String, outDir: String,
                                 ckptDir: String,

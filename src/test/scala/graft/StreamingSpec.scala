@@ -1909,4 +1909,39 @@ class FileSourceSpec extends SparkSpec {
       assert(readOut() == got)
     } finally StreamingSessions.deleteRecursively(root)
   }
+
+  test("streamed decontamination screen equals the frozen-artifact single shot") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = docs.filter(col("doc_id") % 2 === 1 &&
+        graft.operators.Curation.sampleBucket(col("doc_id")) >= 1000)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-decon-stream")
+    try {
+      graft.operators.Curation.evalNgramArtifact(docs)
+        .write.parquet(s"$root/art/eval_ngrams")
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      (0 until 3).foreach { i =>
+        StreamingSessions.appendReplayFile(
+          batch.filter(pmod(col("doc_id"), lit(3)) === i), in, i)
+      }
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingPack.decontaminationScreenStream(spark,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve(ckpt).toString)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingPack
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      assert(got.nonEmpty, "fixture slice must contain contamination")
+      val single = graft.operators.Curation.decontaminateWith(
+        spark.read.parquet(s"$root/art/eval_ngrams"), batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == single,
+        "streamed screening must equal the single-shot artifact screen")
+      run("ckpt2") // lost-checkpoint replay is a no-op
+      assert(readOut() == got)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
 }
