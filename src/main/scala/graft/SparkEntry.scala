@@ -803,6 +803,18 @@ object SparkEntry {
     // benchmark-sized eval band table only, exact integer verify
     "text_decontaminate_fuzzy" -> ((s, dir) =>
       Curation.decontaminateFuzzy(Tables.documents(s, dir))),
+    // the fuzzy screen's frozen-artifact form: eval band table + eval
+    // shingle sets persisted once, the last-20% (non-eval) slice
+    // screened as an arriving batch
+    "text_decontaminate_fuzzy_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val (bands, shingles) = Curation.evalFuzzyArtifacts(docs)
+      Curation.decontaminateFuzzyWith(bands, shingles,
+        docs.filter(col("doc_id") >= cut &&
+          Curation.sampleBucket(col("doc_id")) >= 1000))
+    }),
     // frozen-artifact screen: the eval split's postings persisted once,
     // the last-20% (non-eval) slice screened as an arriving batch —
     // O(batch), eval side never re-shingled
@@ -2195,23 +2207,11 @@ object SparkEntry {
     // bruteJaccardOracle shape restricted to train x eval, grouped per
     // training doc) — the LSH path's 32-band x 4-row capture at the >= 1/2
     // verify threshold is the dedup_minhash_lsh precedent
-    "text_decontaminate_fuzzy" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 10000 < 1000 AS is_eval
-        |  FROM documents),
-        |sh AS MATERIALIZED (SELECT doc_id, is_eval,
-        |     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                    for i in range(1, len(w) - 1)]) AS s
-        |   FROM t WHERE len(w) >= 3),
-        |p AS (SELECT tr.doc_id AS doc_id,
-        |        len(list_intersect(tr.s, ev.s)) AS inter,
-        |        len(tr.s) + len(ev.s) - len(list_intersect(tr.s, ev.s)) AS u
-        |      FROM sh tr JOIN sh ev ON (NOT tr.is_eval) AND ev.is_eval)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_neardups,
-        |  CAST(max((inter * 20000 + u) // (2 * u)) AS BIGINT) AS max_jac_bp
-        |FROM p WHERE inter * 2 >= u
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_decontaminate_fuzzy" -> decontaminateFuzzyOracle(),
+    // the frozen-artifact fuzzy screen is the whole-corpus screen
+    // restricted to the batch slice (per-doc purity given the artifacts)
+    "text_decontaminate_fuzzy_incremental" -> decontaminateFuzzyOracle(
+      "AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)"),
     // DSIR importance resampling: the full weight/score/threshold chain
     // replayed — md5-prefix feature buckets, milli-integer smoothed
     // ratio weights, per-doc mean, histogram quantile gate (ties in)
@@ -4755,6 +4755,29 @@ object SparkEntry {
       | AND a.event_type = 'purchase' AND b.event_type = 'error'
       | AND abs(date_diff('microsecond', b.ts, a.ts)) <= 7200000000
       |ORDER BY purchase_id, error_id""".stripMargin
+
+  /** Brute cross-set 3-shingle Jaccard grouped per training doc;
+    * `restrict` narrows the training side (the frozen-artifact batch
+    * screen — per-doc purity makes the restriction exact).
+    */
+  private def decontaminateFuzzyOracle(restrict: String = ""): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10000 < 1000 AS is_eval
+       |  FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id, is_eval,
+       |     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                    for i in range(1, len(w) - 1)]) AS s
+       |   FROM t WHERE len(w) >= 3),
+       |p AS (SELECT tr.doc_id AS doc_id,
+       |        len(list_intersect(tr.s, ev.s)) AS inter,
+       |        len(tr.s) + len(ev.s) - len(list_intersect(tr.s, ev.s)) AS u
+       |      FROM sh tr JOIN sh ev ON (NOT tr.is_eval) AND ev.is_eval
+       |      $restrict)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_neardups,
+       |  CAST(max((inter * 20000 + u) // (2 * u)) AS BIGINT) AS max_jac_bp
+       |FROM p WHERE inter * 2 >= u
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The frozen-artifact exact screen replayed: the whole-corpus
     * decontamination CTE chain restricted to the batch slice (per-doc

@@ -670,6 +670,60 @@ object Curation {
     } finally sh.unpersist()
   }
 
+  /** The fuzzy screen's persistable artifact pair: the eval split's
+    * MinHash band table `(band_idx, band_key, doc_j)` — what batch
+    * candidates equi-join against — and the eval shingle sets
+    * `(doc_id, shingles)` the exact verify needs. Both benchmark-sized;
+    * a deployment shingles + signs the benchmark ONCE at eval-freeze
+    * time ([[evalNgramArtifact]]'s contract, for the near-dup channel).
+    */
+  def evalFuzzyArtifacts(documents: DataFrame,
+                         evalBps: Int = 1000): (DataFrame, DataFrame) = {
+    val evalSh = NearDup.shingled(
+      documents.filter(sampleBucket(col("doc_id")) < evalBps))
+    val bands = evalSh
+      .select(col("doc_id").as("doc_j"),
+        posexplode(graft.functions.TextHashOps.bandKeysNative(
+          evalSh.sparkSession,
+          graft.functions.TextHashOps.minhashNative(
+            evalSh.sparkSession, col("shingles")))))
+      .select(col("pos").cast("int").as("band_idx"),
+        col("col").as("band_key"), col("doc_j"))
+    (bands, evalSh)
+  }
+
+  /** Screen a training batch against FROZEN [[evalFuzzyArtifacts]] —
+    * the incremental form of [[decontaminateFuzzy]]: the batch's band
+    * keys equi-join the persisted eval band table (benchmark-sized, AQE
+    * broadcasts it), survivors verify by exact Jaccard against the
+    * persisted eval shingle sets. Pure per-doc given the artifacts, so
+    * any batching equals the whole-corpus screen's restriction.
+    */
+  def decontaminateFuzzyWith(evalBands: DataFrame, evalShingles: DataFrame,
+                             batch: DataFrame): DataFrame = {
+    val sh = NearDup.shingled(batch).persist()
+    try {
+      val cands = sh
+        .select(col("doc_id").as("doc_i"),
+          posexplode(graft.functions.TextHashOps.bandKeysNative(
+            sh.sparkSession,
+            graft.functions.TextHashOps.minhashNative(
+              sh.sparkSession, col("shingles")))))
+        .select(col("doc_i"), col("pos").cast("int").as("band_idx"),
+          col("col").as("band_key"))
+        .join(evalBands, Seq("band_idx", "band_key"))
+        .select(col("doc_i"), col("doc_j")).distinct()
+      NearDup.verifyJaccard(cands,
+          sh.select(col("doc_id"), col("shingles"))
+            .unionAll(evalShingles.select(col("doc_id"), col("shingles"))))
+        .groupBy(col("doc_i").as("doc_id"))
+        .agg(count(lit(1)).as("n_eval_neardups"),
+          max(col("jac_bp")).as("max_jac_bp"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
   /** The decontaminated training corpus: every non-eval doc that BOTH
     * surface screens clear — the exact 8-gram overlap ([[decontaminate]])
     * and the fuzzy 3-shingle Jaccard ([[decontaminateFuzzy]]) — composed

@@ -745,6 +745,27 @@ class CurationSpec extends SparkSpec {
     } finally graft.streaming.StreamingSessions.deleteRecursively(root)
   }
 
+  test("frozen-artifact fuzzy screen equals the whole-corpus screen restricted to the batch") {
+    val whole = Curation.decontaminateFuzzy(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(whole.nonEmpty)
+    val root = java.nio.file.Files.createTempDirectory("graft-fuzzy-art")
+    try {
+      val (bands, shingles) = Curation.evalFuzzyArtifacts(docs)
+      bands.write.parquet(root.resolve("bands").toString)
+      shingles.write.parquet(root.resolve("shingles").toString)
+      val batch = docs.filter(col("doc_id") % 2 === 1 &&
+        Curation.sampleBucket(col("doc_id")) >= 1000)
+      val got = Curation.decontaminateFuzzyWith(
+          spark.read.parquet(root.resolve("bands").toString),
+          spark.read.parquet(root.resolve("shingles").toString), batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == whole.filter(r => r._1 % 2 == 1),
+        "batch screening against frozen band/shingle artifacts must equal " +
+          "the whole-corpus screen's restriction")
+    } finally graft.streaming.StreamingSessions.deleteRecursively(root)
+  }
+
   test("decontaminated corpus: survivors + flagged + eval partition the corpus") {
     val survivors = Curation.decontaminatedCorpus(docs).collect()
       .map(_.getLong(0)).toSet
