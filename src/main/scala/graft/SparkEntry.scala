@@ -1090,6 +1090,19 @@ object SparkEntry {
     // bounded by eval collisions, never corpus x eval dot products
     "decontaminate_semantic_lsh" -> ((s, dir) =>
       Similarity.decontaminateSemanticLsh(Tables.embeddings(s, dir))),
+    // the frozen-artifact form: the eval split's bucket table + vectors
+    // persisted once, the last-20% (non-eval) slice probed as a batch
+    "decontaminate_semantic_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val evalSide = emb.filter(
+        graft.operators.Curation.sampleBucket(col("vec_id")) < 1000)
+      Similarity.decontaminateSemanticWith(
+        evalSide, Similarity.bucketTable(evalSide),
+        emb.filter(col("vec_id") >= cut &&
+          graft.operators.Curation.sampleBucket(col("vec_id")) >= 1000))
+    }),
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
     "dedup_semantic" -> ((s, dir) => Similarity.semanticDedup(Tables.embeddings(s, dir), 0.4)),
@@ -2906,17 +2919,11 @@ object SparkEntry {
         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
     // LSH-prefiltered screen: the hyperplane buckets replayed in SQL
     // (lshBucketCtes), candidates = cross-set hamming <= 1, exact verify
-    "decontaminate_semantic_lsh" ->
-      s"""WITH $lshBucketCtes,
-         |f AS (SELECT b.*,
-         |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-         |      AS BIGINT) % 10000 < 1000 AS is_eval
-         |  FROM b)
-         |SELECT t.vec_id, CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_eval_hits
-         |FROM f t JOIN f e ON (NOT t.is_eval) AND e.is_eval
-         | AND bit_count(xor(t.bucket, e.bucket)) <= 1
-         |WHERE list_cosine_similarity(t.ve, e.ve) >= 0.4
-         |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin,
+    "decontaminate_semantic_lsh" -> decontaminateSemLshOracle(),
+    // the frozen-artifact probe is the LSH screen restricted to the
+    // batch slice (per-doc purity given the persisted buckets)
+    "decontaminate_semantic_incremental" -> decontaminateSemLshOracle(
+      "AND t.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "dedup_semantic" -> semanticDedupOracle(),
     "dedup_semantic_incremental" -> semanticDedupOracle(
       "WHERE emb.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
@@ -4408,6 +4415,24 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
   }
+
+  /** Cross-set LSH cosine screen (hyperplane buckets replayed in SQL,
+    * hamming ≤ 1 candidates, exact verify); `restrict` narrows the
+    * training side (the frozen-bucket batch probe — per-doc purity
+    * makes the restriction exact).
+    */
+  private def decontaminateSemLshOracle(restrict: String = ""): String =
+    s"""WITH $lshBucketCtes,
+       |f AS (SELECT b.*,
+       |    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 10000 < 1000 AS is_eval
+       |  FROM b)
+       |SELECT t.vec_id, CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_eval_hits
+       |FROM f t JOIN f e ON (NOT t.is_eval) AND e.is_eval
+       | AND bit_count(xor(t.bucket, e.bucket)) <= 1
+       |WHERE list_cosine_similarity(t.ve, e.ve) >= 0.4
+       |$restrict
+       |GROUP BY t.vec_id ORDER BY t.vec_id""".stripMargin
 
   private val lshPairOracle: String =
     s"""WITH $lshBucketCtes

@@ -238,6 +238,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Screen a batch against FROZEN eval-side artifacts — the incremental
+    * form of [[decontaminateSemanticLsh]]: the eval split's
+    * [[bucketTable]] and normalized vectors are persisted once at
+    * eval-freeze time (`evalBuckets(vec_id, bucket)` joined to the raw
+    * eval rows for the verify), and arriving batches probe them with the
+    * same bucket ∪ hamming-1 set + exact cosine verify. Pure per-doc
+    * given the artifacts; same plane-count contract as the stored-bucket
+    * dedup path (the artifact's `numPlanes` must match — assert it in
+    * the pipeline, [[semanticDedupIncremental]]'s rule).
+    */
+  def decontaminateSemanticWith(evalEmb: DataFrame, evalBuckets: DataFrame,
+                                batch: DataFrame, threshold: Double = 0.4,
+                                numPlanes: Int = NumPlanes): DataFrame = {
+    val evalSide = prepared(evalEmb)
+      .join(evalBuckets, "vec_id")
+      .select(col("vec_id").as("eval_id"), col("v").as("v_e"),
+        col("nrm").as("n_e"), col("bucket").as("bucket_e"))
+    val train = prepared(batch)
+      .withColumn("bucket", bucketOf(batch, col("v"), numPlanes))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(probeCols(numPlanes): _*)).as("probe"))
+    train.join(evalSide, col("probe") === col("bucket_e"))
+      .filter(dotN(batch, col("v"), col("v_e")) /
+        (col("nrm") * col("n_e")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count_distinct(col("eval_id")).as("n_eval_hits"))
+      .orderBy(col("vec_id"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method): embedding-space near-duplicates
     * are grouped by connected components over the LSH-verified cosine

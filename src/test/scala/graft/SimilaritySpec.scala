@@ -708,6 +708,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall { case (id, n) => n <= exact(id) })
   }
 
+  test("frozen-bucket semantic screen equals the LSH screen restricted to the batch") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val whole = Similarity.decontaminateSemanticLsh(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalSide = emb.filter(
+      graft.operators.Curation.sampleBucket(col("vec_id")) < 1000)
+    val root = java.nio.file.Files.createTempDirectory("graft-sem-art")
+    try {
+      Similarity.bucketTable(evalSide)
+        .write.parquet(root.resolve("buckets").toString)
+      val batch = emb.filter(col("vec_id") % 2 === 1 &&
+        graft.operators.Curation.sampleBucket(col("vec_id")) >= 1000)
+      val got = Similarity.decontaminateSemanticWith(evalSide,
+          spark.read.parquet(root.resolve("buckets").toString), batch)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == whole.filter { case (id, _) => id % 2 == 1 },
+        "batch probing against the frozen bucket artifact must equal the " +
+          "whole-corpus LSH screen's restriction")
+    } finally graft.streaming.StreamingSessions.deleteRecursively(root)
+  }
+
   test("cluster-balanced sample: per-cell cap, bucket-order pick, assignment-consistent") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
