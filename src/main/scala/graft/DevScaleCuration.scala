@@ -92,6 +92,14 @@ object DevScaleCuration {
       println(f"  ($hits contaminated train vectors — planted cross-split dups)")
       hits
     }
+
+    // cluster-balanced diversity sampling at the same corpus: k-means
+    // train + assign (the clusterEmbeddings cost) + the two-level
+    // per-cell pick — nothing here may single-reducer-sort a cell
+    time("cluster_balanced_sample") {
+      graft.operators.Similarity.clusterBalancedSample(ve, perCell = 1000)
+        .count()
+    }
     spark.stop()
   }
 }
