@@ -815,6 +815,33 @@ object SparkEntry {
         docs.filter(col("doc_id") >= cut &&
           Curation.sampleBucket(col("doc_id")) >= 1000))
     }),
+    // the CONTINUOUS fuzzy screen over the same persisted artifacts —
+    // stateless, so it shares the incremental oracle
+    "text_decontaminate_fuzzy_stream" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cut = docs.agg(expr("(max(doc_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      withTempReplayRoot("graft_fuzzy_stream_") { root =>
+        val (bands, shingles) = Curation.evalFuzzyArtifacts(docs)
+        bands.write.parquet(s"$root/art/bands")
+        shingles.write.parquet(s"$root/art/shingles")
+        val in = root.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        val batch = docs.filter(col("doc_id") >= cut &&
+            Curation.sampleBucket(col("doc_id")) >= 1000)
+          .select(col("doc_id"), col("text"))
+        (0 until 3).foreach { i =>
+          StreamingSessions.appendReplayFile(
+            batch.filter(pmod(col("doc_id"), lit(3)) === i), in, i)
+        }
+        graft.streaming.StreamingPack.fuzzyScreenStream(s,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        graft.streaming.StreamingPack
+          .readOutput(s, root.resolve("out").toString)
+          .orderBy(col("doc_id"))
+      }
+    }),
     // frozen-artifact screen: the eval split's postings persisted once,
     // the last-20% (non-eval) slice screened as an arriving batch —
     // O(batch), eval side never re-shingled
@@ -1102,6 +1129,33 @@ object SparkEntry {
         evalSide, Similarity.bucketTable(evalSide),
         emb.filter(col("vec_id") >= cut &&
           graft.operators.Curation.sampleBucket(col("vec_id")) >= 1000))
+    }),
+    // the CONTINUOUS semantic screen over the same persisted artifacts —
+    // stateless, so it shares the incremental oracle
+    "decontaminate_semantic_stream" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      withTempReplayRoot("graft_sem_stream_") { root =>
+        val evalSide = emb.filter(
+          graft.operators.Curation.sampleBucket(col("vec_id")) < 1000)
+        evalSide.write.parquet(s"$root/art/eval_emb")
+        Similarity.bucketTable(evalSide).write.parquet(s"$root/art/buckets")
+        val in = root.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        val batch = emb.filter(col("vec_id") >= cut &&
+          graft.operators.Curation.sampleBucket(col("vec_id")) >= 1000)
+        (0 until 3).foreach { i =>
+          StreamingSessions.appendReplayFile(
+            batch.filter(pmod(col("vec_id"), lit(3)) === i), in, i)
+        }
+        graft.streaming.StreamingPack.semanticScreenStream(s,
+          in.toString, s"$root/art", root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        graft.streaming.StreamingPack
+          .readOutput(s, root.resolve("out").toString)
+          .orderBy(col("vec_id"))
+      }
     }),
     // SemDeDup-style admission: components over the LSH-verified pair
     // graph, keep the minimum vec_id per component
@@ -2225,6 +2279,8 @@ object SparkEntry {
     // restricted to the batch slice (per-doc purity given the artifacts)
     "text_decontaminate_fuzzy_incremental" -> decontaminateFuzzyOracle(
       "AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)"),
+    "text_decontaminate_fuzzy_stream" -> decontaminateFuzzyOracle(
+      "AND tr.doc_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)"),
     // DSIR importance resampling: the full weight/score/threshold chain
     // replayed — md5-prefix feature buckets, milli-integer smoothed
     // ratio weights, per-doc mean, histogram quantile gate (ties in)
@@ -2923,6 +2979,8 @@ object SparkEntry {
     // the frozen-artifact probe is the LSH screen restricted to the
     // batch slice (per-doc purity given the persisted buckets)
     "decontaminate_semantic_incremental" -> decontaminateSemLshOracle(
+      "AND t.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
+    "decontaminate_semantic_stream" -> decontaminateSemLshOracle(
       "AND t.vec_id >= (SELECT (max(vec_id) * 4) // 5 FROM embeddings)"),
     "dedup_semantic" -> semanticDedupOracle(),
     "dedup_semantic_incremental" -> semanticDedupOracle(

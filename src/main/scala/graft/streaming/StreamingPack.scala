@@ -168,6 +168,65 @@ object StreamingPack {
     q.awaitTermination()
   }
 
+  /** Streamed fuzzy decontamination — the continuous form of
+    * [[graft.operators.Curation.decontaminateFuzzyWith]]: batches are
+    * band-joined + exact-verified against the FROZEN
+    * [[graft.operators.Curation.evalFuzzyArtifacts]] pair
+    * (`artifactDir/bands`, `artifactDir/shingles`). Stateless; same
+    * replay contract as the sibling loops.
+    */
+  def fuzzyScreenStream(spark: SparkSession, inDir: String,
+                        artifactDir: String, outDir: String,
+                        ckptDir: String): Unit = {
+    val stream = spark.readStream.schema(StreamingDedup.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sess = batch.sparkSession
+      StreamingDedup.writeOutputBatch(
+        graft.operators.Curation.decontaminateFuzzyWith(
+          sess.read.parquet(s"$artifactDir/bands"),
+          sess.read.parquet(s"$artifactDir/shingles"), batch),
+        outDir, batchId)
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streamed semantic decontamination — the continuous form of
+    * [[graft.operators.Similarity.decontaminateSemanticWith]]: batches
+    * probe the FROZEN eval bucket table + vectors
+    * (`artifactDir/eval_emb`, `artifactDir/buckets`) with the bucket ∪
+    * hamming-1 set and exact cosine verify. Stateless; the artifact's
+    * plane count is pinned by the caller exactly as in the stored-bucket
+    * dedup path.
+    */
+  def semanticScreenStream(spark: SparkSession, inDir: String,
+                           artifactDir: String, outDir: String,
+                           ckptDir: String, threshold: Double = 0.4,
+                           numPlanes: Int =
+                             graft.operators.Similarity.NumPlanes): Unit = {
+    val inSchema = spark.read.parquet(inDir).schema
+    val stream = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sess = batch.sparkSession
+      StreamingDedup.writeOutputBatch(
+        graft.operators.Similarity.decontaminateSemanticWith(
+          sess.read.parquet(s"$artifactDir/eval_emb"),
+          sess.read.parquet(s"$artifactDir/buckets"),
+          batch, threshold, numPlanes),
+        outDir, batchId)
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
   def importanceAdmissionStream(spark: SparkSession, inDir: String,
                                 artifactDir: String, outDir: String,
                                 ckptDir: String,

@@ -1944,4 +1944,55 @@ class FileSourceSpec extends SparkSpec {
       assert(readOut() == got)
     } finally StreamingSessions.deleteRecursively(root)
   }
+
+  test("streamed fuzzy and semantic screens equal their frozen-artifact single shots") {
+    // fuzzy: doc batches against the persisted band/shingle artifacts
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dBatch = docs.filter(
+        graft.operators.Curation.sampleBucket(col("doc_id")) >= 1000)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-screen-streams")
+    try {
+      val (bands, shingles) = graft.operators.Curation.evalFuzzyArtifacts(docs)
+      bands.write.parquet(s"$root/fa/bands")
+      shingles.write.parquet(s"$root/fa/shingles")
+      val fIn = root.resolve("fin"); java.nio.file.Files.createDirectories(fIn)
+      (0 until 3).foreach { i =>
+        StreamingSessions.appendReplayFile(
+          dBatch.filter(pmod(col("doc_id"), lit(3)) === i), fIn, i)
+      }
+      graft.streaming.StreamingPack.fuzzyScreenStream(spark, fIn.toString,
+        s"$root/fa", s"$root/fout", s"$root/fckpt")
+      val fGot = graft.streaming.StreamingPack.readOutput(spark, s"$root/fout")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val fSingle = graft.operators.Curation.decontaminateFuzzyWith(
+          spark.read.parquet(s"$root/fa/bands"),
+          spark.read.parquet(s"$root/fa/shingles"), dBatch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(fGot.nonEmpty && fGot == fSingle)
+      // semantic: vector batches against the persisted bucket artifacts
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val evalSide = emb.filter(
+        graft.operators.Curation.sampleBucket(col("vec_id")) < 1000)
+      evalSide.write.parquet(s"$root/sa/eval_emb")
+      graft.operators.Similarity.bucketTable(evalSide)
+        .write.parquet(s"$root/sa/buckets")
+      val vBatch = emb.filter(
+        graft.operators.Curation.sampleBucket(col("vec_id")) >= 1000)
+      val sIn = root.resolve("sin"); java.nio.file.Files.createDirectories(sIn)
+      (0 until 3).foreach { i =>
+        StreamingSessions.appendReplayFile(
+          vBatch.filter(pmod(col("vec_id"), lit(3)) === i), sIn, i)
+      }
+      graft.streaming.StreamingPack.semanticScreenStream(spark, sIn.toString,
+        s"$root/sa", s"$root/sout", s"$root/sckpt")
+      val sGot = graft.streaming.StreamingPack.readOutput(spark, s"$root/sout")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val sSingle = graft.operators.Similarity.decontaminateSemanticWith(
+          evalSide, graft.operators.Similarity.bucketTable(evalSide), vBatch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(sGot.nonEmpty && sGot == sSingle)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
 }
