@@ -100,6 +100,43 @@ object DevScaleCuration {
       graft.operators.Similarity.clusterBalancedSample(ve, perCell = 1000)
         .count()
     }
+
+    // the streamed screens at volume: frozen artifacts from a 50% pool,
+    // the other half replayed as 5 micro-batches through the stateless
+    // loops — wall-clock here is the recurring per-batch cost (batch
+    // scan + broadcast artifact join + the ~0.6 s micro-batch tax), the
+    // artifacts never rescan
+    val half = nDocs / 2
+    val pool = dc.withColumn("lang",
+      concat(lit("l"), pmod(col("doc_id"), lit(5))))
+      .filter(col("doc_id") < half)
+    val tail = dc.filter(col("doc_id") >= half &&
+        graft.operators.Curation.sampleBucket(col("doc_id")) >= 1000)
+      .select(col("doc_id"), col("text"))
+    val sroot = java.nio.file.Files.createTempDirectory("scale_screen_streams")
+    try {
+      val (wt, thr) = graft.operators.Curation.importanceArtifacts(pool, "l1")
+      wt.write.parquet(s"$sroot/ia/weights")
+      thr.write.parquet(s"$sroot/ia/thr")
+      val iIn = sroot.resolve("iin")
+      java.nio.file.Files.createDirectories(iIn)
+      (0 until 5).foreach { i =>
+        graft.streaming.StreamingSessions.appendReplayFile(
+          tail.filter(pmod(col("doc_id"), lit(5)) === i), iIn, i)
+      }
+      time("importance_stream_5x") {
+        graft.streaming.StreamingPack.importanceAdmissionStream(spark,
+          iIn.toString, s"$sroot/ia", s"$sroot/iout", s"$sroot/ickpt")
+        graft.streaming.StreamingPack.readOutput(spark, s"$sroot/iout").count()
+      }
+      graft.operators.Curation.evalNgramArtifact(dc)
+        .write.parquet(s"$sroot/da/eval_ngrams")
+      time("decon_stream_5x") {
+        graft.streaming.StreamingPack.decontaminationScreenStream(spark,
+          iIn.toString, s"$sroot/da", s"$sroot/dout", s"$sroot/dckpt")
+        graft.streaming.StreamingPack.readOutput(spark, s"$sroot/dout").count()
+      }
+    } finally graft.streaming.StreamingSessions.deleteRecursively(sroot)
     spark.stop()
   }
 }

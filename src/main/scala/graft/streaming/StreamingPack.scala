@@ -235,7 +235,11 @@ object StreamingPack {
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val sess = batch.sparkSession
-      val wt = sess.read.parquet(s"$artifactDir/weights").localCheckpoint()
+      // plain read, no checkpoint: the weight table is consumed exactly
+      // once per batch (the scoring join), so materializing it would add
+      // an eager job per micro-batch and leak cached blocks across the
+      // stream's lifetime
+      val wt = sess.read.parquet(s"$artifactDir/weights")
       val thr = sess.read.parquet(s"$artifactDir/thr")
         .collect().headOption.map(_.getLong(0)) // 1-row artifact
       val admitted = thr match {
