@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through UNPREFIXED: sbt's default
+// LoggedOutput wraps every program line in "[info] ", which turns Bench's
+// machine-readable JSON line into "[info] {...}" and defeats any
+// line-is-JSON parse of the captured output (BENCH_r12.json: parsed=null).
+// StdoutOutput makes the final bench line bare JSON on stdout.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

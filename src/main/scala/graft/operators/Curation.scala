@@ -604,6 +604,14 @@ object Curation {
     * (doc, artifact), so screening in any batching equals the
     * whole-corpus screen restricted to those docs — the same purity
     * contract as the importance admission.
+    *
+    * Precondition: `batch` must already EXCLUDE the eval bucket
+    * (`sampleBucket(doc_id) >= evalBps` — how every in-repo caller
+    * slices). An eval doc streamed through here self-matches its own
+    * artifact postings and is reported as contaminated, which is not the
+    * whole-corpus screen's restriction (that screen never scores eval
+    * docs). The operator cannot enforce this itself: given only the
+    * frozen postings it no longer knows `evalBps`.
     */
   def decontaminateWith(evalPostings: DataFrame, batch: DataFrame,
                         n: Int = 8): DataFrame = {
@@ -698,6 +706,12 @@ object Curation {
     * broadcasts it), survivors verify by exact Jaccard against the
     * persisted eval shingle sets. Pure per-doc given the artifacts, so
     * any batching equals the whole-corpus screen's restriction.
+    *
+    * Precondition: `batch` must already EXCLUDE the eval bucket
+    * ([[decontaminateWith]]'s contract) — an eval doc replayed through
+    * here band-collides with itself and verifies at Jaccard 1 (its
+    * shingle row is duplicated in the unionAll verify table), a
+    * self-match the whole-corpus screen never emits.
     */
   def decontaminateFuzzyWith(evalBands: DataFrame, evalShingles: DataFrame,
                              batch: DataFrame): DataFrame = {
@@ -839,20 +853,13 @@ object Curation {
     val wt = importanceWeights(documents, targetLang, buckets)
       .select(col("b"), col("w_milli"))
     val ds = importanceScores(documents, wt, buckets)
-    val hist = ds.groupBy(col("w_avg_milli")).agg(count(lit(1)).as("cnt"))
-    val cumW = Window.orderBy(col("w_avg_milli").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val allW = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    val thrRow = hist
-      .withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("total", sum(col("cnt")).over(allW))
-      .filter(col("cum") * 10000 >= col("total") * keepBps)
-      .agg(max(col("w_avg_milli")).as("thr"))
-      .head()
-    if (thrRow.isNullAt(0)) ds.filter(lit(false))
-    else ds.filter(col("w_avg_milli") >= thrRow.getLong(0))
-      .orderBy(col("doc_id"))
+    // threshold via the shared quantile-gate spelling — one definition for
+    // the one-shot, incremental, and artifact paths, so they cannot diverge
+    importanceThreshold(ds, keepBps) match {
+      case None => ds.filter(lit(false))
+      case Some(thr) =>
+        ds.filter(col("w_avg_milli") >= thr).orderBy(col("doc_id"))
+    }
   }
 
   /** Per-doc mean importance score against a FROZEN weight table — the
@@ -872,28 +879,6 @@ object Curation {
         expr("sum(w_milli) div count(1)").as("w_avg_milli"))
   }
 
-  /** Incremental importance-resampling admission — the deployment shape
-    * of [[importanceSample]]: the weight table AND the selection
-    * threshold are trained ONCE on the standing pool (`indexDocs`) and
-    * frozen; a new batch is then scored and admitted against those
-    * artifacts without touching the pool again. Admission is a pure
-    * per-doc function of the frozen artifacts (batch docs cannot see each
-    * other — no quota re-fit per batch), so admitting a doc alone or in
-    * any batch gives the same verdict, and daily batches cost
-    * O(batch): one map-side broadcast join against the ≤`buckets`-row
-    * weight table plus one partial-aggregated groupBy. The threshold
-    * derivation is the same histogram quantile gate, run once at
-    * training time over the pool's scores. Retrain cadence is a drift
-    * decision — compose [[graft.operators.Sketches]] token drift against
-    * the pool exactly like the ANN artifact gate.
-    *
-    * Batch occurrences hashing to buckets the pool never saw are absent
-    * from the frozen table and drop out of the mean (inner join on `b`,
-    * both here and in the oracle); with 4096 buckets, any real pool
-    * occupies every bucket, so the case is a fixture-scale artifact.
-    *
-    * Emits the ADMITTED batch docs `(doc_id, n_feats, w_avg_milli)`.
-    */
   /** The quantile-gate threshold over a score frame: highest score whose
     * cumulative count reaches the `keepBps` quota (whole tie class in) —
     * the one spelling [[importanceSample]], [[importanceSampleIncremental]],
@@ -937,6 +922,28 @@ object Curation {
     (wt, thr.toSeq.toDF("thr_milli"))
   }
 
+  /** Incremental importance-resampling admission — the deployment shape
+    * of [[importanceSample]]: the weight table AND the selection
+    * threshold are trained ONCE on the standing pool (`indexDocs`) and
+    * frozen; a new batch is then scored and admitted against those
+    * artifacts without touching the pool again. Admission is a pure
+    * per-doc function of the frozen artifacts (batch docs cannot see each
+    * other — no quota re-fit per batch), so admitting a doc alone or in
+    * any batch gives the same verdict, and daily batches cost
+    * O(batch): one map-side broadcast join against the ≤`buckets`-row
+    * weight table plus one partial-aggregated groupBy. The threshold
+    * derivation is the same histogram quantile gate, run once at
+    * training time over the pool's scores. Retrain cadence is a drift
+    * decision — compose [[graft.operators.Sketches]] token drift against
+    * the pool exactly like the ANN artifact gate.
+    *
+    * Batch occurrences hashing to buckets the pool never saw are absent
+    * from the frozen table and drop out of the mean (inner join on `b`,
+    * both here and in the oracle); with 4096 buckets, any real pool
+    * occupies every bucket, so the case is a fixture-scale artifact.
+    *
+    * Emits the ADMITTED batch docs `(doc_id, n_feats, w_avg_milli)`.
+    */
   def importanceSampleIncremental(indexDocs: DataFrame, batchDocs: DataFrame,
                                   targetLang: String = "en",
                                   keepBps: Int = 2500,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Streaming sequence packing — the continuous form of
   * [[graft.operators.Curation.packSequencesWith]]: documents arrive as
@@ -45,6 +45,34 @@ object StreamingPack {
     StructField("n_docs", LongType), StructField("max_doc_id", LongType),
     StructField("total_tokens", LongType),
     StructField("prev_max_doc_id", LongType)))
+
+  /** Static schema for embedding-batch streams (the `embeddings` table
+    * shape) — declared like [[StreamingDedup.docSchema]] so a stream can
+    * start against an `inDir` that has no files yet; an eager
+    * schema-inference read would throw on the empty dir.
+    */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Defend a micro-batch against under-partitioned file reads: a replay
+    * file smaller than `maxPartitionBytes` arrives as ONE partition, which
+    * serializes the whole screen's explode+hash map side behind a single
+    * core (measured 21 s/batch at 500k docs, `DevScaleCuration` r12) —
+    * a harness/small-batch artifact, but the operator should not depend on
+    * upstream file sizing. When the batch has fewer partitions than the
+    * session's parallelism, round-robin repartition to the core count; a
+    * production-sized batch (files already split by the source) passes
+    * through untouched. Safe for the stateless screens: their reports are
+    * per-doc pure functions of the frozen artifacts, so row placement
+    * cannot change results, and replays skip via the `_SUCCESS`-gated
+    * writer rather than relying on byte-identical files.
+    */
+  private def widened(batch: DataFrame): DataFrame = {
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions < cores) batch.repartition(cores) else batch
+  }
 
   /** Latest committed pack state under `stateDir`, or the empty-corpus
     * state. Returned as (n_docs, max_doc_id, total_tokens,
@@ -122,23 +150,6 @@ object StreamingPack {
     q.awaitTermination()
   }
 
-  /** Streamed importance admission — the continuous form of
-    * [[graft.operators.Curation.importanceSampleIncremental]]: documents
-    * arrive as micro-batches and each batch is scored against the FROZEN
-    * [[graft.operators.Curation.importanceArtifacts]] (weights under
-    * `artifactDir/weights`, the one-row threshold under
-    * `artifactDir/thr`), admitting `w_avg_milli ≥ thr` rows to the
-    * batch-id-keyed idempotent output.
-    *
-    * Unlike the dedup admission loops this one is STATELESS — the
-    * artifacts are read-only and a doc's verdict is a pure function of
-    * them (the incremental operator's spec-pinned purity) — so replay
-    * safety needs no frontier guard: a replayed batch re-derives
-    * byte-identical admissions and the `_SUCCESS`-gated writer keeps the
-    * committed dir verbatim. Per-batch cost is one broadcast join
-    * against the ≤buckets-row weight table plus a partial-aggregated
-    * groupBy — O(batch), the artifacts never rescan.
-    */
   /** Streamed exact-n-gram decontamination — the continuous form of
     * [[graft.operators.Curation.decontaminateWith]]: arriving training
     * batches are screened against the FROZEN
@@ -158,7 +169,7 @@ object StreamingPack {
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val art = batch.sparkSession.read.parquet(s"$artifactDir/eval_ngrams")
       StreamingDedup.writeOutputBatch(
-        graft.operators.Curation.decontaminateWith(art, batch, n),
+        graft.operators.Curation.decontaminateWith(art, widened(batch), n),
         outDir, batchId)
     }
     val q = stream.writeStream.foreachBatch(step)
@@ -185,7 +196,7 @@ object StreamingPack {
       StreamingDedup.writeOutputBatch(
         graft.operators.Curation.decontaminateFuzzyWith(
           sess.read.parquet(s"$artifactDir/bands"),
-          sess.read.parquet(s"$artifactDir/shingles"), batch),
+          sess.read.parquet(s"$artifactDir/shingles"), widened(batch)),
         outDir, batchId)
     }
     val q = stream.writeStream.foreachBatch(step)
@@ -208,8 +219,7 @@ object StreamingPack {
                            ckptDir: String, threshold: Double = 0.4,
                            numPlanes: Int =
                              graft.operators.Similarity.NumPlanes): Unit = {
-    val inSchema = spark.read.parquet(inDir).schema
-    val stream = spark.readStream.schema(inSchema)
+    val stream = spark.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
       val sess = batch.sparkSession
@@ -217,7 +227,7 @@ object StreamingPack {
         graft.operators.Similarity.decontaminateSemanticWith(
           sess.read.parquet(s"$artifactDir/eval_emb"),
           sess.read.parquet(s"$artifactDir/buckets"),
-          batch, threshold, numPlanes),
+          widened(batch), threshold, numPlanes),
         outDir, batchId)
     }
     val q = stream.writeStream.foreachBatch(step)
@@ -227,6 +237,23 @@ object StreamingPack {
     q.awaitTermination()
   }
 
+  /** Streamed importance admission — the continuous form of
+    * [[graft.operators.Curation.importanceSampleIncremental]]: documents
+    * arrive as micro-batches and each batch is scored against the FROZEN
+    * [[graft.operators.Curation.importanceArtifacts]] (weights under
+    * `artifactDir/weights`, the one-row threshold under
+    * `artifactDir/thr`), admitting `w_avg_milli ≥ thr` rows to the
+    * batch-id-keyed idempotent output.
+    *
+    * Unlike the dedup admission loops this one is STATELESS — the
+    * artifacts are read-only and a doc's verdict is a pure function of
+    * them (the incremental operator's spec-pinned purity) — so replay
+    * safety needs no frontier guard: a replayed batch re-derives
+    * byte-identical admissions and the `_SUCCESS`-gated writer keeps the
+    * committed dir verbatim. Per-batch cost is one broadcast join
+    * against the ≤buckets-row weight table plus a partial-aggregated
+    * groupBy — O(batch), the artifacts never rescan.
+    */
   def importanceAdmissionStream(spark: SparkSession, inDir: String,
                                 artifactDir: String, outDir: String,
                                 ckptDir: String,
@@ -242,12 +269,13 @@ object StreamingPack {
       val wt = sess.read.parquet(s"$artifactDir/weights")
       val thr = sess.read.parquet(s"$artifactDir/thr")
         .collect().headOption.map(_.getLong(0)) // 1-row artifact
+      val wide = widened(batch)
       val admitted = thr match {
         case None => // empty pool trained no threshold: admit nothing
-          graft.operators.Curation.importanceScores(batch, wt, buckets)
+          graft.operators.Curation.importanceScores(wide, wt, buckets)
             .filter(org.apache.spark.sql.functions.lit(false))
         case Some(t) =>
-          graft.operators.Curation.importanceScores(batch, wt, buckets)
+          graft.operators.Curation.importanceScores(wide, wt, buckets)
             .filter(org.apache.spark.sql.functions.col("w_avg_milli") >= t)
       }
       StreamingDedup.writeOutputBatch(admitted, outDir, batchId)
