@@ -46,6 +46,12 @@ object SparkEntry {
     "t1_sessions_2h" -> ((s, dir) =>
       Sessions.sessionAgg(Tables.events(s, dir), lit("2 hours"))
         .orderBy(col("user_id"), col("session_start"))),
+    // skew-defended two-phase fold (pre-fold per (user, 1h slice) → island
+    // merge over partial sessions) — result-identical to t1_sessions_30s,
+    // so it shares the same gap-and-islands oracle
+    "t1_sessions_skewed" -> ((s, dir) =>
+      Sessions.saltedSessionAgg(Tables.events(s, dir), 30L, 3600L)
+        .orderBy(col("user_id"), col("session_start"))),
     // P4+A3: big-customer alert with deterministic keep-first dedup
     // (flink_stream_task2.py:81-90); threshold rescaled from 1e6 to 300 for
     // value∈[0,200] sessions (SURVEY.md §7.3 M2).
@@ -1183,6 +1189,50 @@ object SparkEntry {
     // assignment, and the pick all replayed in the oracle
     "sample_cluster_balanced" -> ((s, dir) =>
       Similarity.clusterBalancedSample(Tables.embeddings(s, dir))),
+    // incremental cluster-balanced admission: centroids + per-cell quota
+    // keys frozen from the 4/5 prefix, the 1/5 batch admitted through the
+    // merged top-perCell pick — exactly the whole-corpus pick restricted
+    // to the batch, at O(batch) cost
+    "sample_cluster_balanced_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      Similarity.clusterBalancedSampleIncremental(
+        emb.filter(col("vec_id") < cut), emb.filter(col("vec_id") >= cut))
+    }),
+    // the CONTINUOUS form over persisted centroid + quota artifacts: the
+    // tail arrives as three id-ordered micro-batches, state = the evolving
+    // ≤cells×perCell quota table; each batch's admissions equal the
+    // whole-so-far pick restricted to that batch
+    "sample_cluster_balanced_stream" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = mx * 4 / 5
+      val e1 = cut + (mx - cut) / 3
+      val e2 = cut + 2 * (mx - cut) / 3
+      withTempReplayRoot("graft_cbal_stream_") { root =>
+        val idx = emb.filter(col("vec_id") < cut)
+        Similarity.clusterArtifacts(idx)
+          .write.parquet(s"$root/art/centroids")
+        Similarity.clusterBalancedSample(idx)
+          .select(col("vec_id"), col("cell"))
+          .withColumn("max_vec_id", lit(cut - 1))
+          .write.parquet(s"$root/art/quota")
+        val in = root.resolve("in")
+        java.nio.file.Files.createDirectories(in)
+        Seq((cut, e1), (e1, e2), (e2, mx + 1)).zipWithIndex.foreach {
+          case ((lo, hi), i) =>
+            StreamingSessions.appendReplayFile(
+              emb.filter(col("vec_id") >= lo && col("vec_id") < hi), in, i)
+        }
+        graft.streaming.StreamingPack.clusterAdmissionStream(s, in.toString,
+          s"$root/art", s"$root/state", root.resolve("out").toString,
+          root.resolve("ckpt").toString)
+        graft.streaming.StreamingPack
+          .readOutput(s, root.resolve("out").toString)
+          .orderBy(col("vec_id"))
+      }
+    }),
     // incremental assignment: freeze centroid artifacts on the 4/5
     // vec_id prefix, assign the 1/5 tail O(batch) — keeps semantic
     // shards stable as the corpus grows
@@ -1239,6 +1289,11 @@ object SparkEntry {
     // candidate-bounded exact reads via a broadcast equi-join
     "ann_topk_ivfpq_refine" -> ((s, dir) =>
       Similarity.ivfPqResRefineTopK(Tables.embeddings(s, dir), 20, 10)),
+    // the refine stage sized by the autoM policy (candidate fraction held
+    // constant as the corpus grows); at every fixture SF the auto answer
+    // IS the pinned 4k floor, so it shares the refine oracle verbatim
+    "ann_topk_refine_auto" -> ((s, dir) =>
+      Similarity.ivfPqResRefineAutoTopK(Tables.embeddings(s, dir), 20, 10)),
     // scalar quantization: 8 bits per DIMENSION (64 B/vec, 8× cut) — the
     // high-recall compression point between brute (512 B, exact) and PQ
     // (2 B, coarse); the r12 10M audit showed PQ's fixed code error
@@ -1426,6 +1481,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "t1_sessions_30s" -> sessionOracle("30"),
     "t1_sessions_2h" -> sessionOracle("7200"),
+    "t1_sessions_skewed" -> sessionOracle("30"),
     "t2_big_customers" -> sessionOracle("7200",
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     "t3_dynamic_gap_ref" -> sessionOracle(refGapSql),
@@ -2997,6 +3053,16 @@ object SparkEntry {
           |      AS BIGINT) % 10000, vec_id) AS BIGINT) AS rk
           |  FROM af)
           |WHERE rk <= 8 ORDER BY vec_id""".stripMargin),
+    // incremental cluster-balanced admission: train on the 4/5 prefix,
+    // assign EVERYTHING against those frozen centroids, rank per cell in
+    // the content-free order, restrict the pick to the batch — the
+    // whole-corpus pick restricted to the arriving slice
+    "sample_cluster_balanced_incremental" -> clusterBalancedIncOracle,
+    // the streamed form: same frozen-centroid assignment, per-batch rank
+    // among everything-so-far (ids below that batch's end), restricted to
+    // the batch's id range — the evolving-quota admission replayed as
+    // three window passes
+    "sample_cluster_balanced_stream" -> clusterBalancedStreamOracle,
     "ann_artifact_drift" -> annArtifactDriftOracle,
     "ann_topk_lsh" -> lshTopKOracle,
     "ann_topk_ivf" -> ivfTopKOracle,
@@ -3005,6 +3071,9 @@ object SparkEntry {
     "ann_topk_ivfpq" -> ivfPqTopKOracle,
     "ann_topk_ivfpq_res" -> ivfPqResTopKOracle,
     "ann_topk_ivfpq_refine" -> ivfPqResRefineOracle,
+    // autoM(n≤1M, k=10) = the pinned 40 floor, so the auto-sized refine
+    // is the same chain at every driver SF
+    "ann_topk_refine_auto" -> ivfPqResRefineOracle,
     "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
     "ann_topk_sq8" -> sqTopKOracle,
     "ann_topk_ivfsq" -> ivfSqTopKOracle,
@@ -3878,6 +3947,64 @@ object SparkEntry {
          |UNION ALL
          |${scenario("planted", "d")}
          |ORDER BY scenario""".stripMargin
+  }
+
+  /** The content-free md5 sample bucket, DuckDB spelling — the rank key
+    * of every cluster-balanced pick.
+    */
+  private val bktSql =
+    "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) " +
+      "AS BIGINT) % 10000"
+
+  /** Incremental cluster-balanced-admission oracle: Lloyd training on the
+    * 4/5 prefix ([[kmTrainCtes]]), frozen-centroid assignment of the WHOLE
+    * corpus ([[kmAsg]] over `pall`), one per-cell rank in `(bkt, vec_id)`
+    * order, pick restricted to the batch ids — the
+    * [[graft.operators.Similarity.clusterBalancedSampleIncremental]]
+    * contract (whole-corpus pick restricted to the batch).
+    */
+  private val clusterBalancedIncOracle: String = {
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      kmProj("pall", "") + ",\n" +
+      kmAsg("afall", KmIters, "pall") + "\n" +
+      s"""SELECT vec_id, CAST(cell AS BIGINT) AS cell, rk FROM (
+         |  SELECT vec_id, cell, CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY $bktSql, vec_id) AS BIGINT) AS rk
+         |  FROM afall)
+         |WHERE rk <= 8 AND vec_id >= $cut ORDER BY vec_id""".stripMargin
+  }
+
+  /** Streamed cluster-balanced-admission oracle: the same frozen-centroid
+    * assignment, then one rank pass PER MICRO-BATCH over everything so
+    * far (ids below that batch's end), restricted to the batch's id
+    * range — the evolving-quota admission loop's per-arrival semantics
+    * ([[graft.streaming.StreamingPack.clusterAdmissionStream]], three
+    * id-ordered slices of the 1/5 tail).
+    */
+  private val clusterBalancedStreamOracle: String = {
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    def adm(k: Int) =
+      s"""adm$k AS (
+         |  SELECT vec_id, CAST(cell AS BIGINT) AS cell, rk FROM (
+         |    SELECT a.vec_id, a.cell, CAST(row_number() OVER (
+         |      PARTITION BY a.cell ORDER BY $bktSql, a.vec_id) AS BIGINT)
+         |      AS rk
+         |    FROM afall a, wb WHERE a.vec_id < wb.e${k + 1})
+         |  , wb WHERE rk <= 8 AND vec_id >= wb.e$k)""".stripMargin
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      kmProj("pall", "") + ",\n" +
+      kmAsg("afall", KmIters, "pall") + ",\n" +
+      """wb AS (SELECT (max(vec_id) * 4) // 5 AS e0,
+        |  (max(vec_id) * 4) // 5 + (max(vec_id) - (max(vec_id) * 4) // 5) // 3 AS e1,
+        |  (max(vec_id) * 4) // 5 + 2 * (max(vec_id) - (max(vec_id) * 4) // 5) // 3 AS e2,
+        |  max(vec_id) + 1 AS e3 FROM embeddings),
+        |""".stripMargin +
+      Seq(0, 1, 2).map(adm).mkString(",\n") + "\n" +
+      """SELECT vec_id, cell, rk FROM adm0
+        |UNION ALL SELECT vec_id, cell, rk FROM adm1
+        |UNION ALL SELECT vec_id, cell, rk FROM adm2
+        |ORDER BY vec_id""".stripMargin
   }
 
   /** Full SQL replay of [[graft.operators.Similarity.pqTopK]] — per

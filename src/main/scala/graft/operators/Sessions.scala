@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   * hash shuffle on `user_id` followed by in-partition sort+merge of session
   * state — the same shape Flink's keyed session windows have, but columnar
   * and whole-stage-codegen'd. No driver-side state; skew on a hot user is
-  * the only risk at 100 TB (mitigate upstream with AQE skew handling — the
-  * aggregation itself does partial aggregation per partition).
+  * the only risk at 100 TB, and it is REAL — AQE cannot split a
+  * session-window aggregate (the within-key merge is order-dependent), so
+  * a 90%-hot key funnels through one reducer. Measured at 10M events /
+  * 90% on one user (`DevSkewSessions`, r13): plain fold 28.2 s vs
+  * [[saltedSessionAgg]]'s two-phase slice fold 4.9 s (5.8×, bit-identical
+  * output; the timer machine, also one task per key, 43.6 s). Route hot
+  * corpora — [[graft.operators.Sketches.skewProfile]]'s `needs_salting`
+  * trigger — through [[saltedSessionAgg]].
   *
   * Determinism: all `value` arithmetic is carried in integer "cents" —
   * each event's value is rounded to a long of cents BEFORE aggregation
@@ -87,6 +93,78 @@ object Sessions {
         // avg = round-half-up(sum/count) at cent precision; floor(x+0.5) on
         // identical doubles is engine-independent (SURVEY.md §7.5.2)
         (floor(col("sum_cents") / col("event_count") + 0.5) / 100.0).as("session_avg"))
+
+  /** Skew-defended session aggregation — the session-window member of the
+    * salting playbook ([[Relational.saltedUserTotals]] /
+    * [[Relational.saltedEnrichJoin]]), result-identical to
+    * [[sessionAgg]] with a STATIC `gapSeconds` gap. Plain
+    * `groupBy(user_id, session_window)` funnels a hot key's entire event
+    * stream through one reducer (`generator1.py:51`'s phase-4 shape: 90%+
+    * of events on one user), and AQE cannot split a session-window
+    * aggregate — the merge is order-dependent within the key.
+    *
+    * Two-phase fold:
+    *  1. PRE-FOLD — sessionize within `(user_id, time-slice)` groups,
+    *     where the slice is `floor(event epoch / sliceSeconds)`. The
+    *     shuffle key gains the slice, so a hot user's events spread over
+    *     `span / sliceSeconds` reducers; within a slice the builtin
+    *     `session_window` semantics apply unchanged. Emits PARTIAL
+    *     sessions (start, end = last_ts + gap, sum_cents, n).
+    *  2. MERGE — gap-and-islands over partial sessions per user: a new
+    *     island starts where `session_start > max(prior session_end)`
+    *     (running max, so a session bridging several empty slices still
+    *     chains), exactly the closed-interval `diff ≤ gap` rule — a
+    *     partial ending at `t1 + gap` absorbs a neighbor starting at
+    *     `t2 ⟺ t2 ≤ t1 + gap`. Island aggregation re-adds the integer
+    *     cents, so the result is bit-identical to the one-shot fold.
+    *
+    * Scale: the merge's per-user window ranges over PARTIAL SESSIONS, not
+    * events — at most `span/sliceSeconds + true sessions` rows per user —
+    * so the hot key's straggler shrinks by the events-per-slice factor
+    * (measured at 10M/90%-hot: see ARCHITECTURE r13). `sliceSeconds`
+    * trades pre-fold spread against merge-frame length; anything ≫ gap
+    * and ≪ hot-key span works, default 1 h against the 30 s reference gap.
+    *
+    * Static gap only: a per-row dynamic gap makes a partial session's end
+    * depend on its LAST event's gap, which is still well-defined, but the
+    * reference's dynamic bands are per-user constants — a user's slice
+    * chain uses one gap throughout — so the dynamic variant routes
+    * through [[sessionAgg]] until a real corpus needs otherwise.
+    */
+  def saltedSessionAgg(events: DataFrame, gapSeconds: Long,
+                       sliceSeconds: Long = 3600L): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(sliceSeconds > 0, s"sliceSeconds must be positive, got $sliceSeconds")
+    val partials = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull) // P2 null filter
+      .withColumn("slice",
+        floor(unix_micros(col("ts")) / (sliceSeconds * 1000000L)))
+      .groupBy(col("user_id"), col("slice"),
+        session_window(col("ts"), lit(s"$gapSeconds seconds")))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_cents"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("s"),
+        col("session_window.end").as("e"),
+        col("sum_cents"), col("n"))
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val prevMaxEnd = max(col("e"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    partials
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("session_start"), max(col("e")).as("session_end"),
+        sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("event_count"))
+      .select(
+        col("user_id"), col("session_start"), col("session_end"),
+        col("event_count"),
+        (col("sum_cents") / 100.0).as("session_sum"),
+        (floor(col("sum_cents") / col("event_count") + 0.5) / 100.0)
+          .as("session_avg"))
+  }
 
   /** Task 2 ("big customers", `flink_stream_task2.py:81-90`): sessions whose
     * sum crosses `threshold`, deduplicated to the FIRST qualifying session

@@ -247,6 +247,15 @@ object Similarity {
     * given the artifacts; same plane-count contract as the stored-bucket
     * dedup path (the artifact's `numPlanes` must match — assert it in
     * the pipeline, [[semanticDedupIncremental]]'s rule).
+    *
+    * Precondition: `batch` must already EXCLUDE the eval bucket
+    * (`sampleBucket(vec_id) >= evalBps`, how every in-repo caller
+    * slices) — an eval vector probed against its own frozen bucket
+    * artifact self-matches at cosine 1 and is reported contaminated,
+    * which the whole-corpus screen never does. Given only the frozen
+    * artifacts the operator no longer knows `evalBps`, so the exclusion
+    * is the caller's obligation ([[graft.operators.Curation.decontaminateWith]]'s
+    * shared contract).
     */
   def decontaminateSemanticWith(evalEmb: DataFrame, evalBuckets: DataFrame,
                                 batch: DataFrame, threshold: Double = 0.4,
@@ -666,18 +675,8 @@ object Similarity {
     val keyed = prep
       .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
         col("v"), col("nrm"), centroids, 1), 1).cast("long"))
-      .select(col("vec_id"), col("cell"),
-        graft.operators.Curation.sampleBucket(col("vec_id")).as("bkt"))
-    val subWidth = math.max(1, 10000 / math.max(1, subStrata))
-    val wLocal = Window.partitionBy(col("cell"), col("sub"))
-      .orderBy(col("bkt"), col("vec_id"))
-    val w = Window.partitionBy(col("cell")).orderBy(col("bkt"), col("vec_id"))
-    keyed
-      .withColumn("sub", floor(col("bkt") / lit(subWidth)))
-      .withColumn("local_rank", row_number().over(wLocal))
-      .filter(col("local_rank") <= perCell)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= perCell)
+      .select(col("vec_id"), col("cell"))
+    perCellPick(keyed, perCell, subStrata)
       .select(col("vec_id"), col("cell"), col("rk"))
       .orderBy(col("vec_id"))
   }
@@ -726,6 +725,103 @@ object Similarity {
         col("v"), col("nrm"), cents, 1), 1).cast("long"))
       .select(col("vec_id"), col("cell"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The two-level per-cell pick over an assigned `(vec_id, cell[, …])`
+    * frame — [[clusterBalancedSample]]'s rank machinery factored out so
+    * the one-shot, incremental, and streamed pickers share one spelling:
+    * level-1 rank inside `(cell, bucket-range)` sub-strata (exact by the
+    * prefix property — the global top-`perCell` of a cell is a subset of
+    * the union of sub-stratum top-`perCell`s), level-2 over the bounded
+    * survivors. Emits the input columns plus `rk`, filtered to
+    * `rk ≤ perCell`.
+    */
+  private def perCellPick(assigned: DataFrame, perCell: Int,
+                          subStrata: Int): DataFrame = {
+    val subWidth = math.max(1, 10000 / math.max(1, subStrata))
+    val wLocal = Window.partitionBy(col("cell"), col("sub"))
+      .orderBy(col("bkt"), col("vec_id"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("bkt"), col("vec_id"))
+    assigned
+      .withColumn("bkt", graft.operators.Curation.sampleBucket(col("vec_id")))
+      .withColumn("sub", floor(col("bkt") / lit(subWidth)))
+      .withColumn("local_rank", row_number().over(wLocal))
+      .filter(col("local_rank") <= perCell)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .drop("bkt", "sub", "local_rank")
+  }
+
+  /** Admit a batch against FROZEN cluster-balanced-sampling artifacts —
+    * the incremental form of [[clusterBalancedSample]]: `centroids` is
+    * the persisted [[clusterArtifacts]] table, `quota` the persisted
+    * per-cell admitted set `(vec_id, cell)` from the standing corpus's
+    * own pick. The batch is cell-assigned map-only ([[assignWith]]),
+    * merged with the quota keys, and re-picked in the same content-free
+    * `(md5-bucket, vec_id)` order; emitted rows are the BATCH members of
+    * the merged top-`perCell`, with `rk` = their rank in it.
+    *
+    * Exactness (why a bounded artifact suffices): the whole-corpus pick
+    * under the same frozen centroids keeps a cell's `perCell` smallest
+    * `(bkt, vec_id)` keys. Any standing-corpus vector OUTSIDE its cell's
+    * stored quota lost to `perCell` keys that are all still present in
+    * `quota`, so it can never re-enter a merged top-`perCell` — hence
+    * top-`perCell`(corpus ∪ batch) = top-`perCell`(quota ∪ batch), and
+    * the emitted ranks equal the whole-corpus pick's ranks. Admission is
+    * therefore EXACTLY "the whole-so-far-corpus pick restricted to the
+    * batch", at O(batch) cost: one broadcast-centroid assignment pass +
+    * a rank over batch ∪ (≤ cells·perCell) rows.
+    *
+    * Unlike the threshold-gated selection ops, the pick is quota-based,
+    * so a batch member CAN displace a previously admitted vector (its
+    * key is smaller); the current sample at any moment is the updated
+    * quota table ([[clusterQuotaAfter]]), not the union of per-batch
+    * admissions. Precondition: `batch` ids are disjoint from the corpus
+    * behind `quota` (the admission loop's frontier guarantees it; a
+    * duplicated id would double-count in the rank).
+    */
+  def clusterBalancedAdmitWith(centroids: DataFrame, quota: DataFrame,
+                               batch: DataFrame, perCell: Int = 8,
+                               subStrata: Int = 16): DataFrame =
+    perCellPick(
+      quota.select(col("vec_id"), col("cell"), lit(false).as("is_batch"))
+        .unionAll(assignWith(centroids, batch)
+          .select(col("vec_id"), col("cell"), lit(true).as("is_batch"))),
+      perCell, subStrata)
+      .filter(col("is_batch"))
+      .select(col("vec_id"), col("cell"), col("rk"))
+      .orderBy(col("vec_id"))
+
+  /** The updated quota artifact after a batch: top-`perCell` per cell of
+    * quota ∪ batch — by [[clusterBalancedAdmitWith]]'s merge argument,
+    * exactly the whole-so-far-corpus pick, still ≤ `cells × perCell`
+    * rows. The streamed admission loop persists this as its state.
+    */
+  def clusterQuotaAfter(centroids: DataFrame, quota: DataFrame,
+                        batch: DataFrame, perCell: Int = 8,
+                        subStrata: Int = 16): DataFrame =
+    perCellPick(
+      quota.select(col("vec_id"), col("cell"))
+        .unionAll(assignWith(centroids, batch)
+          .select(col("vec_id"), col("cell"))),
+      perCell, subStrata)
+      .select(col("vec_id"), col("cell"))
+
+  /** One-shot convenience over the artifact pair: train centroids on the
+    * standing corpus, derive its quota, admit the batch — the
+    * `(indexDocs, batchDocs)` shape every incremental selection operator
+    * here exposes. A deployment persists the two artifacts instead and
+    * calls [[clusterBalancedAdmitWith]] per batch.
+    */
+  def clusterBalancedSampleIncremental(indexEmb: DataFrame,
+                                       batchEmb: DataFrame, perCell: Int = 8,
+                                       cells: Int = IvfCells,
+                                       iters: Int = IvfKmeansIters,
+                                       subStrata: Int = 16): DataFrame = {
+    val cents = clusterArtifacts(indexEmb, cells, iters)
+    val quota = clusterBalancedSample(indexEmb, perCell, cells, iters,
+      subStrata).select(col("vec_id"), col("cell"))
+    clusterBalancedAdmitWith(cents, quota, batchEmb, perCell, subStrata)
   }
 
   /** Collect + validate a [[clusterArtifacts]] `(cell, pos, cx)` table
@@ -1213,6 +1309,45 @@ object Similarity {
     * ADC mis-ranking it can repair).
     */
   val RefineCandidates = 40
+
+  /** Corpus-size-derived refine candidate budget — the [[autoPlanes]]-style
+    * sizing policy for [[ivfPqResRefineTopK]]'s `m`. The r12 10M recall
+    * audit proved a FIXED m does not survive scale-up: ADC margins shrink
+    * as the corpus grows, so the true top-k sink deeper into the ADC
+    * ranking (m=40 → 13.5% recall, m=400 → 35.8% at 10M uniform — the
+    * repair depth tracks corpus size, not k). Policy: hold the candidate
+    * FRACTION constant — `m = max(4k, corpusRows × candidatePpm / 10⁶)`,
+    * defaulting to 40 ppm so 10M yields exactly the audit's m=400 and
+    * every fixture corpus (≤1M rows) keeps the pinned
+    * [[RefineCandidates]] = 4k floor (the oracle SQL's literal m stays
+    * valid at every driver SF). Capped at `maxM` (default 4096): refine
+    * reads are m exact vectors per query, and past the cap the economics
+    * favor better CODES (SQ8 — 98.3% at 64 B/vec in the same audit) over
+    * ever-deeper ADC repair, so the cap is where the auto policy says
+    * "switch methods", not "scan more". Monotone in corpusRows and k
+    * (`SimilaritySpec` pins both plus the 10M = 400 answer).
+    */
+  def autoM(corpusRows: Long, k: Int, candidatePpm: Int = 40,
+            maxM: Int = 4096): Int = {
+    require(corpusRows >= 0 && k > 0 && candidatePpm > 0 && maxM >= 4 * k,
+      "corpusRows non-negative, k/candidatePpm positive, maxM ≥ 4k")
+    // ceil division on longs — BigInt-free because corpusRows × ppm fits
+    // 63 bits for any real corpus (ppm ≤ 10⁶ ⇒ overflow needs ~9·10¹² rows
+    // × 10⁶, far past the long corpus-id space this library addresses)
+    val frac = (corpusRows * candidatePpm + 999999L) / 1000000L
+    math.min(maxM.toLong, math.max(4L * k, frac)).toInt
+  }
+
+  /** [[ivfPqResRefineTopK]] with the [[autoM]] candidate budget — the
+    * deployment entry point that sizes the refine stage from the corpus
+    * itself (one footer-cheap `count()`), so a pipeline promoted from the
+    * 500-row oracle fixture to a 10M shard picks up m=400 without a
+    * config change.
+    */
+  def ivfPqResRefineAutoTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                             probes: Int = IvfProbes): DataFrame =
+    ivfPqResRefineTopK(embeddings, numQueries, k,
+      autoM(embeddings.count(), k), probes)
 
   /** Two-stage retrieval — the production composition's final form (the
     * stage FAISS calls `refine`): [[ivfPqResScored]]'s ADC scan keeps the

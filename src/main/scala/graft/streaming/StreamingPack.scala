@@ -254,6 +254,97 @@ object StreamingPack {
     * against the ≤buckets-row weight table plus a partial-aggregated
     * groupBy — O(batch), the artifacts never rescan.
     */
+  private val quotaSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", LongType),
+    StructField("max_vec_id", LongType)))
+
+  /** Latest committed cluster-quota state under `stateDir`, falling back
+    * to the frozen seed quota under `artifactDir/quota` (the standing
+    * corpus's own pick + its id frontier) when the stream has not
+    * committed a snapshot yet. Bounded: ≤ cells × perCell rows.
+    */
+  def readClusterQuota(spark: SparkSession, stateDir: String,
+                       artifactDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingDedup.committedBatchDirs(fs, root).lastOption
+      .map(p => spark.read.schema(quotaSchema).parquet(p.toString))
+      .getOrElse(spark.read.schema(quotaSchema).parquet(s"$artifactDir/quota"))
+  }
+
+  /** Streamed cluster-balanced diversity sampling — the continuous form
+    * of [[graft.operators.Similarity.clusterBalancedSampleIncremental]]:
+    * embedding batches are cell-assigned against the FROZEN
+    * [[graft.operators.Similarity.clusterArtifacts]] centroids
+    * (`artifactDir/centroids`) and admitted through the evolving
+    * per-cell quota, whose state is the ≤ cells × perCell key table
+    * persisted as `_SUCCESS`-gated `stateDir/batch=N` snapshots (seeded
+    * from `artifactDir/quota` — `(vec_id, cell, max_vec_id)`, the
+    * standing corpus's pick plus its id frontier). Each batch's
+    * admissions are EXACTLY the whole-so-far-corpus pick restricted to
+    * the batch ([[graft.operators.Similarity.clusterBalancedAdmitWith]]'s
+    * merge argument), and the state after any prefix of batches IS the
+    * whole-so-far pick — the current sample, independent of batching.
+    *
+    * Replay contract (the [[packAdmissionStream]] discipline): the batch
+    * filters to ids above the state frontier; output commits BEFORE the
+    * frontier-bearing snapshot, so the crash window replays the full
+    * batch against the identical pre-batch state (byte-identical
+    * admissions; the idempotent writer keeps the committed dir) and a
+    * fully-committed batch replays as effective-empty. Unlike the pack
+    * loop there is no dropped-are-replays guard: a non-admitted doc
+    * legitimately has no output row, so below-frontier NEW ids are
+    * indistinguishable from replays without a corpus-sized seen-set —
+    * the loop therefore REQUIRES id-ordered input batches (the
+    * vec_id-ordered shard convention the frontier admission loops
+    * share).
+    *
+    * Per-batch cost: one broadcast-centroid assignment pass over the
+    * batch + a rank over batch ∪ quota rows — O(batch), the corpus never
+    * rescans.
+    */
+  def clusterAdmissionStream(spark: SparkSession, inDir: String,
+                             artifactDir: String, stateDir: String,
+                             outDir: String, ckptDir: String,
+                             perCell: Int = 8): Unit = {
+    val stream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val step: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val b = batch.persist()
+      try {
+        val sess = b.sparkSession
+        val st = readClusterQuota(sess, stateDir, artifactDir)
+          .localCheckpoint() // bounded; consumed by admit + after + frontier
+        val frontier = st.agg(coalesce(max(col("max_vec_id")), lit(-1L)))
+          .head().getLong(0)
+        val eff = widened(b.filter(col("vec_id") > frontier))
+        if (!eff.isEmpty) {
+          val cents = sess.read.parquet(s"$artifactDir/centroids")
+          val quota = st.select(col("vec_id"), col("cell"))
+          StreamingDedup.writeOutputBatch(
+            graft.operators.Similarity.clusterBalancedAdmitWith(
+              cents, quota, eff, perCell), outDir, batchId)
+          // frontier-bearing snapshot LAST (replay-safety contract)
+          val newFrontier = eff.agg(max(col("vec_id"))).head().getLong(0)
+          graft.operators.Similarity
+            .clusterQuotaAfter(cents, quota, eff, perCell)
+            .withColumn("max_vec_id", lit(math.max(frontier, newFrontier)))
+            .write.mode("overwrite").parquet(
+              new org.apache.hadoop.fs.Path(stateDir, s"batch=$batchId").toString)
+          val root = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+          StreamingDedup.committedBatchDirs(fs, root).dropRight(2)
+            .foreach(p => fs.delete(p, true))
+        }
+      } finally b.unpersist()
+    }
+    val q = stream.writeStream.foreachBatch(step)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .start()
+    q.awaitTermination()
+  }
+
   def importanceAdmissionStream(spark: SparkSession, inDir: String,
                                 artifactDir: String, outDir: String,
                                 ckptDir: String,

@@ -65,6 +65,48 @@ class SessionsSpec extends SparkSpec {
     assert(out.head.getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 00:00:00"))
   }
 
+  test("saltedSessionAgg: slice-boundary chains equal the one-shot fold") {
+    // 60 s slices against a 30 s gap so every interesting case crosses a
+    // slice edge: (a) exact-boundary merge ACROSS slices (00:00:50 →
+    // 00:01:20, diff == gap); (b) a chain bridging an entirely EMPTY
+    // slice (gap 120 s variant below); (c) a split across slices
+    // (diff = gap + 1 µs); (d) a second user interleaved.
+    val df = events(
+      ("2024-01-01 00:00:50", 1L, 1.0),
+      ("2024-01-01 00:01:20", 1L, 2.0),          // merges: diff == 30 s
+      ("2024-01-01 00:02:20.000001", 1L, 4.0),   // splits: 60 s + 1 µs
+      ("2024-01-01 00:00:10", 2L, 8.0),
+      ("2024-01-01 00:00:39", 2L, 16.0))         // merges within slice
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"user_id", $"session_start").collect().toSeq
+    assert(sorted(Sessions.saltedSessionAgg(df, 30L, 60L)) ==
+      sorted(Sessions.sessionAgg(df, lit("30 seconds"))))
+    // bridge over an empty slice: 00:00:59 → 00:02:58 is 119 s ≤ 120 s gap,
+    // with slice 1 (00:01..00:02) holding no events at all — the running
+    // max(end) island rule must still chain them
+    val bridge = events(
+      ("2024-01-01 00:00:59", 7L, 1.0),
+      ("2024-01-01 00:02:58", 7L, 2.0))
+    assert(sorted(Sessions.saltedSessionAgg(bridge, 120L, 60L)) ==
+      sorted(Sessions.sessionAgg(bridge, lit("120 seconds"))))
+    assert(Sessions.saltedSessionAgg(bridge, 120L, 60L).count() == 1)
+  }
+
+  test("saltedSessionAgg: pseudo-random corpus parity incl. a hot key") {
+    // deterministic skewed corpus: 2000 events, ~90% on user 4 (the
+    // generator1.py:51 phase-4 shape), spacing driven by a hash so
+    // sessions split/merge irregularly across slice edges
+    val df = spark.range(2000).selectExpr(
+      "timestamp_micros(1704067200000000 + (id * 17 + pmod(hash(id), 45)) * 1000000) as ts",
+      "CASE WHEN pmod(id, 10) < 9 THEN 4 ELSE pmod(id, 7) END as user_id",
+      "cast(pmod(hash(id * 31), 10000) as double) / 100.0 as value")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"user_id", $"session_start").collect().toSeq
+    val salted = sorted(Sessions.saltedSessionAgg(df, 30L, 60L))
+    val oneShot = sorted(Sessions.sessionAgg(df, lit("30 seconds")))
+    assert(salted.nonEmpty && salted == oneShot)
+  }
+
   test("dynamic gaps follow the reference's user-id bands") {
     // 90 s spacing: merges for users with gap > 90 s (9999→5min, 2..9→2min),
     // splits for users with gap <= 90 s (100..200→60s, else→30s)

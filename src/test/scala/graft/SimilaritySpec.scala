@@ -194,6 +194,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes(200000000000000000L) == 58)
   }
 
+  test("autoM holds the refine candidate fraction as the corpus grows") {
+    // every fixture corpus (500, 2000 rows) keeps the pinned 4k floor —
+    // the refine oracle's literal m=40 stays the auto answer at each SF
+    assert(Similarity.autoM(500, 10) == Similarity.RefineCandidates)
+    assert(Similarity.autoM(2000, 10) == Similarity.RefineCandidates)
+    assert(Similarity.autoM(1000000, 10) == Similarity.RefineCandidates)
+    // the r12 10M audit's repair depth IS the auto answer at 10M
+    assert(Similarity.autoM(10000000, 10) == 400)
+    // cap: past maxM the policy says "switch codes", not "scan deeper"
+    assert(Similarity.autoM(1000000000L, 10) == 4096)
+    // monotone in corpusRows and in k
+    val ms = Seq(0L, 500L, 1000000L, 10000000L, 100000000L, 10000000000L)
+      .map(Similarity.autoM(_, 10))
+    assert(ms == ms.sorted)
+    assert(Similarity.autoM(500, 20) == 80) // 4k floor scales with k
+  }
+
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayOps

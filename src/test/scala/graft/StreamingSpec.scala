@@ -1945,6 +1945,70 @@ class FileSourceSpec extends SparkSpec {
     } finally StreamingSessions.deleteRecursively(root)
   }
 
+  test("streamed cluster-balanced admission: per-batch picks, evolving quota, replay no-op") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val mx = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = mx * 4 / 5
+    val e1 = cut + (mx - cut) / 3
+    val e2 = cut + 2 * (mx - cut) / 3
+    val root = java.nio.file.Files.createTempDirectory("graft-cbal-stream")
+    try {
+      val idx = emb.filter(col("vec_id") < cut)
+      val cents = graft.operators.Similarity.clusterArtifacts(idx)
+      cents.write.parquet(s"$root/art/centroids")
+      val quota0 = graft.operators.Similarity.clusterBalancedSample(idx)
+        .select(col("vec_id"), col("cell"))
+      quota0.withColumn("max_vec_id", lit(cut - 1))
+        .write.parquet(s"$root/art/quota")
+      val in = root.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val slices = Seq((cut, e1), (e1, e2), (e2, mx + 1))
+      slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+        StreamingSessions.appendReplayFile(
+          emb.filter(col("vec_id") >= lo && col("vec_id") < hi), in, i)
+      }
+      def run(ckpt: String): Unit =
+        graft.streaming.StreamingPack.clusterAdmissionStream(spark,
+          in.toString, s"$root/art", s"$root/state",
+          root.resolve("out").toString, root.resolve(ckpt).toString)
+      run("ckpt")
+      def readOut() = graft.streaming.StreamingPack
+        .readOutput(spark, root.resolve("out").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val got = readOut()
+      assert(got.nonEmpty)
+      // equals iterating the frozen-artifact admit per batch with the
+      // quota evolving through clusterQuotaAfter — same state machine
+      var quota = quota0
+      val want = slices.flatMap { case (lo, hi) =>
+        val b = emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        val admitted = graft.operators.Similarity
+          .clusterBalancedAdmitWith(cents, quota, b)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        quota = graft.operators.Similarity.clusterQuotaAfter(cents, quota, b)
+          .localCheckpoint()
+        admitted
+      }.sortBy(_._1)
+      assert(got == want)
+      // the final persisted state IS the whole-so-far pick under the
+      // frozen centroids (sample recoverable from state alone,
+      // independent of batching) — one-shot: admit the whole corpus
+      // against an empty quota
+      val st = graft.streaming.StreamingPack
+        .readClusterQuota(spark, s"$root/state", s"$root/art")
+      val wholePick = graft.operators.Similarity
+        .clusterQuotaAfter(cents, quota0.filter(lit(false)), emb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(st.select(col("vec_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        == wholePick)
+      // lost-checkpoint full replay: frontier makes every batch
+      // effective-empty, committed output and state stay verbatim
+      run("ckpt2")
+      assert(readOut() == got)
+    } finally StreamingSessions.deleteRecursively(root)
+  }
+
   test("streamed fuzzy and semantic screens equal their frozen-artifact single shots") {
     // fuzzy: doc batches against the persisted band/shingle artifacts
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
