@@ -51,7 +51,14 @@ object Bench {
     val repeat = math.max(1,
       sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until repeat).map { _ =>
+      val times = (0 until repeat).map { i =>
+        // free the previous iteration's leaked blocks BETWEEN repeats too,
+        // or iteration 2 measures iteration 1's cache pressure
+        if (i > 0) {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+        }
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output column of the physical
         // plan (no projection pruning under count() — that would time a
@@ -69,13 +76,13 @@ object Bench {
       // alone). A bench entry must not pay its predecessors' GC.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      (name, times.map(_._1).min, times.forall(_._2))
+      (name, times.map(_._1).min, times.forall(_._2), times.map(_._1).max)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     // The capture that survives is a TAIL of stdout (r9 measured: last
     // ~2000 chars), so the headline fields must come LAST, twice over:
     // (1) at the END of the full line — a tail cut mid-queries-map still
@@ -96,8 +103,18 @@ object Bench {
       val tag = sys.env.getOrElse("SPARK_GRAFT_BENCH_TAG", "latest")
       val outDir = java.nio.file.Paths.get("dev", "bench_history")
       java.nio.file.Files.createDirectories(outDir)
+      // under REPEAT>1 the history also records each query's MAX — the
+      // min is the steady-state number, (max − min) the host's per-entry
+      // spread, so round-over-round diffs can separate signal from the
+      // ~4× single-shot swings this box shows
+      val spread =
+        if (repeat > 1)
+          results.map { case (k, _, _, mx) => "\"" + k + "\":" + mx }
+            .mkString(""","queries_max":{""", ",", "},") +
+            s""""repeat":$repeat,"""
+        else ""
       java.nio.file.Files.write(outDir.resolve(s"$tag.json"),
-        s"""{"queries":$qs,$headline}\n""".getBytes("UTF-8"))
+        s"""{"queries":$qs,$spread$headline}\n""".getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] history write failed: ${e.getMessage}")
     }

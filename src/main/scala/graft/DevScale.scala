@@ -31,12 +31,15 @@ object DevScale {
     val events = synth(pmod(xxhash64(col("id") + 7), lit(users)))
     events.write.mode("overwrite").parquet("/tmp/scale_events")
     val ev = spark.read.parquet("/tmp/scale_events")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-24s ${sec}%8.2f s  rows=$rows  (${n / sec}%,.0f events/s)")
-    }
+    // optional row filter (args after nEvents): run only the named rows
+    val onlyRows = args.drop(1).toSet
+    def time(name: String)(f: => Long): Unit =
+      if (onlyRows.isEmpty || onlyRows(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-24s ${sec}%8.2f s  rows=$rows  (${n / sec}%,.0f events/s)")
+      }
     time("sessions_30min")(Sessions.sessionAgg(ev, lit("30 minutes")).count())
     time("sessions_dynamic")(Sessions.sessionAgg(ev, Sessions.scaledDynamicGap).count())
     time("big_customers")(Sessions.bigCustomers(
@@ -79,12 +82,15 @@ object DevScale {
         .otherwise(baseText).as("text"))
     docs.write.mode("overwrite").parquet("/tmp/scale_docs")
     val dc = spark.read.parquet("/tmp/scale_docs")
-    def timeDocs(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$name%-24s ${sec}%8.2f s  rows=$rows  (${nDocs / sec}%,.0f docs/s)")
-    }
+    // the doc-row half of the same filter
+    val only = onlyRows
+    def timeDocs(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"$name%-24s ${sec}%8.2f s  rows=$rows  (${nDocs / sec}%,.0f docs/s)")
+      }
     timeDocs("minhash_lsh_500k")(
       graft.operators.NearDup.minhashNearDups(dc).count())
     timeDocs("dedup_clusters_500k")(
@@ -472,8 +478,9 @@ object DevScale {
     // images + 4 banded joins against the artifact. On THIS corpus every
     // batch doc has an identical smaller-id twin (see above), so all
     // 100k are refused — printed to keep the measurement honest
-    mm.imageHashes(dc.filter(col("doc_id") < 400000L))
-      .write.mode("overwrite").parquet("/tmp/scale_phash")
+    if (only.isEmpty || only("image_admission_500k"))
+      mm.imageHashes(dc.filter(col("doc_id") < 400000L))
+        .write.mode("overwrite").parquet("/tmp/scale_phash")
     timeDocs("image_admission_500k") {
       val adm = mm.fingerprintAdmission(
         spark.read.parquet("/tmp/scale_phash"),
@@ -486,11 +493,21 @@ object DevScale {
     // audio fingerprint extraction scales (decode ~650 samples/clip,
     // map-only); the 32-bit contour's 8-bit bands cap the SEARCH corpus
     // at ~10^4 docs before band-candidate blowup (256 buckets go
-    // quadratic) — the scale path is a longer contour hash with 16-bit
-    // bands, which the fixture clip length cannot produce, so the
-    // banded audio search is NOT run at 500k (measured honestly at
-    // bench scale instead; see audioNearDups scaladoc)
+    // quadratic) — so only extraction is measured on the 32-bit form,
+    // and the SEARCH runs on the 64-bit contour below (16-bit bands,
+    // the image path's constants — audioNearDups64)
     timeDocs("audio_fp_500k")(mm.audioFingerprints(dc).count())
+    // 64-bit contour: longer clips (~1.1k samples), 4×16-bit bands →
+    // 65 536 buckets, so the banded search holds at 500k like the image
+    // path. NOTE this synthetic contour space is adversarially DENSE:
+    // the quadratic-mod-4001 recipe gives docs structurally similar
+    // up/down energy patterns, so radius-3 finds 62.2M true pairs
+    // (~124 neighbors/doc — real audio contours are far noisier). The
+    // row is output-bounded, not candidate-blowup-bounded: measured
+    // r13, extraction 22.2 s, search 85.1 s INCLUDING materializing all
+    // 62M pairs (~730k pairs/s)
+    timeDocs("audio64_fp_500k")(mm.audioFingerprints64(dc).count())
+    timeDocs("audio64_dups_500k")(mm.audioNearDups64(dc).count())
     timeDocs("video_scenes_500k")(mm.videoScenes(dc).count())
 
     // round-8 wave 2: diagnostics + sketch artifacts + timer sessions ------

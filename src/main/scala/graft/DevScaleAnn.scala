@@ -19,16 +19,32 @@ object DevScaleAnn {
     // mean aggregate (64 sum expressions per cell) and the codes-only
     // search survive 20x the 500k table
     val tenM = args.contains("10m")
-    val modeFlags = Set("10m", "recall", "check", "attrib", "drift")
+    // "clustered" swaps the uniform-random 10M corpus for a deterministic
+    // 256-center mixture: vector = center[xxhash64(id+17) mod 256] +
+    // uniform ±0.15 per-component noise. The uniform corpus is the WORST
+    // case for ADC (top-rank margins shrink toward the rounding grain as
+    // n grows — the r12 attribution's finding) and unrepresentative of
+    // real embedding geometry, which is cluster-structured with local
+    // margins; this corpus re-pins the same recall ladder on that shape.
+    val clustered = args.contains("clustered")
+    val modeFlags = Set("10m", "recall", "check", "attrib", "drift", "clustered")
     val path =
       args.find(a => !modeFlags(a)).getOrElse(
-        if (tenM) "/tmp/scale_vecs_10m" else "/tmp/scale_vecs")
-    if (tenM && !new java.io.File(path + "/_SUCCESS").exists()) {
+        if (clustered) "/tmp/scale_vecs_10m_cl"
+        else if (tenM) "/tmp/scale_vecs_10m" else "/tmp/scale_vecs")
+    if ((tenM || clustered) && !new java.io.File(path + "/_SUCCESS").exists()) {
       import org.apache.spark.sql.functions._
       val nVecs = 10000000L
       def vecAt(idCol: org.apache.spark.sql.Column) =
-        transform(sequence(lit(0), lit(63)), d =>
-          (pmod(xxhash64(idCol * 64 + d), lit(2001)) - lit(1000)) / 1000.0)
+        if (clustered)
+          transform(sequence(lit(0), lit(63)), d =>
+            (pmod(xxhash64(pmod(xxhash64(idCol + 17), lit(256)) * 64 + d +
+              lit(99991L)), lit(2001)) - lit(1000)) / 1000.0 +
+              ((pmod(xxhash64(idCol * 64 + d), lit(2001)) - lit(1000))
+                * lit(0.00015)))
+        else
+          transform(sequence(lit(0), lit(63)), d =>
+            (pmod(xxhash64(idCol * 64 + d), lit(2001)) - lit(1000)) / 1000.0)
       spark.range(nVecs).select(col("id").as("vec_id"),
           vecAt(col("id")).as("embedding"))
         .write.mode("overwrite").parquet(path)
@@ -157,6 +173,10 @@ object DevScaleAnn {
       // back by scaling m with the corpus
       hitsOf("ivfpq_res_refine_m400",
         graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k, m = 400))
+      // the autoM policy end-to-end: sizes m from the corpus count
+      // (= 400 at 10M, so this row IS the auto answer's recall)
+      hitsOf("ivfpq_res_refine_auto",
+        graft.operators.Similarity.ivfPqResRefineAutoTopK(ve, nq, k))
       // "attrib": the IVF-pruning recall CEILING — exact scoring inside
       // the probed cells (no PQ), so (ceiling − res) is the ADC
       // compression share and (1 − ceiling) the cell-pruning share

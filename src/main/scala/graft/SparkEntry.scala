@@ -1360,6 +1360,10 @@ object SparkEntry {
     // energy-contour acoustic fingerprint; banded Hamming near-dup
     "multimodal_audio_fp" -> ((s, dir) => Multimodal.audioFingerprints(Tables.documents(s, dir))),
     "multimodal_audio_dups" -> ((s, dir) => Multimodal.audioNearDups(Tables.documents(s, dir))),
+    // the 64-bit contour scale path: 16-bit bands (65 536 buckets), the
+    // image search's constants — production audio dedup's shape
+    "multimodal_audio_fp64" -> ((s, dir) => Multimodal.audioFingerprints64(Tables.documents(s, dir))),
+    "multimodal_audio_dups64" -> ((s, dir) => Multimodal.audioNearDups64(Tables.documents(s, dir))),
     // real YUV4MPEG2 decode + pixel-domain scene-cut detection
     "multimodal_video_frames" -> ((s, dir) => Multimodal.videoFrameStats(Tables.documents(s, dir))),
     "multimodal_video_scenes" -> ((s, dir) => Multimodal.videoScenes(Tables.documents(s, dir))),
@@ -2627,6 +2631,32 @@ object SparkEntry {
          |       FROM acand CROSS JOIN unnest(range(8)) AS t(i)
          |       GROUP BY doc_a, doc_b)
          |SELECT doc_a, doc_b, hamming FROM ahm
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    // the 64-bit contour recomputed from its longer-clip recipe; Spark
+    // reproduces it through real WAV decode + framing + 64 contour bits
+    "multimodal_audio_fp64" ->
+      s"""WITH $audioFp64Ctes
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, afp
+         |FROM afp64 ORDER BY doc_id""".stripMargin,
+    // banded Hamming search over the 64-bit contour: 4×16-bit bands
+    // (4 hex chars each), same radius — the production constants
+    "multimodal_audio_dups64" ->
+      s"""WITH $audioFp64Ctes,
+         |abands64 AS (SELECT doc_id, afp, bi,
+         |            substring(afp, CAST(bi * 4 + 1 AS INT), 4) AS bv
+         |          FROM afp64 CROSS JOIN unnest(range(4)) AS t(bi)),
+         |acand64 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.afp AS fa, y.afp AS fb
+         |         FROM abands64 x JOIN abands64 y
+         |           ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |ahm64 AS (SELECT doc_a, doc_b,
+         |         CAST(sum(bit_count(xor(
+         |           strpos('0123456789abcdef', substring(fa, CAST(i + 1 AS INT), 1)) - 1,
+         |           strpos('0123456789abcdef', substring(fb, CAST(i + 1 AS INT), 1)) - 1)))
+         |           AS BIGINT) AS hamming
+         |       FROM acand64 CROSS JOIN unnest(range(16)) AS t(i)
+         |       GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, hamming FROM ahm64
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // incremental perceptual admission ≡ the whole-corpus smaller-id-
     // neighbor rule restricted to the batch (monotone ids make the index
@@ -4746,6 +4776,45 @@ object SparkEntry {
       |      FROM fd GROUP BY doc_id),
       |afp AS (SELECT av.doc_id, nf, lower(lpad(hex(v), 8, '0')) AS afp
       |        FROM av JOIN fn ON av.doc_id = fn.doc_id)""".stripMargin
+
+  /** 64-bit acoustic-fingerprint CTE chain → `afp64(doc_id, nf, afp)`:
+    * the [[audioFpCtes]] recipe with the longer clips
+    * (`Multimodal.fpSamples64` — 1056 + e mod 225 samples, 66–80 frames)
+    * and the contour extended to 64 deltas. The fingerprint is
+    * assembled from two 32-bit halves (deltas 0–31 → high word,
+    * 32–63 → low word) because DuckDB's BIGINT left-shift cannot
+    * represent bit 63 (`1 << 63` overflows); Spark's `f"%016x"` of the
+    * long is exactly the concatenated unsigned halves.
+    */
+  private val audioFp64Ctes: String =
+    """ad64 AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 10 = 7 THEN doc_id - 7 ELSE doc_id END AS e,
+      |        CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS planted
+      |      FROM documents),
+      |an64 AS (SELECT doc_id, e, planted, 1056 + e % 225 AS n FROM ad64),
+      |asm64 AS (SELECT doc_id, i // 16 AS f,
+      |        CASE WHEN planted = 1
+      |             THEN ((((e * 31 + 7) * (i + 1) * (i + 2) % 4001) - 2000) * 31) // 32
+      |             ELSE ((e * 31 + 7) * (i + 1) * (i + 2) % 4001) - 2000 END AS s
+      |      FROM an64 CROSS JOIN unnest(range(1280)) AS t(i)
+      |      WHERE i < (n // 16) * 16),
+      |fe64 AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS en
+      |       FROM asm64 GROUP BY doc_id, f),
+      |fn64 AS (SELECT doc_id, count(*) AS nf FROM fe64 GROUP BY doc_id),
+      |fd64 AS (SELECT doc_id, f, en,
+      |        lead(en) OVER (PARTITION BY doc_id ORDER BY f) AS nen FROM fe64),
+      |av64 AS (SELECT doc_id,
+      |        CAST(sum(CASE WHEN f < 32 AND nen IS NOT NULL AND nen > en
+      |                 THEN CAST(1 AS BIGINT) << CAST(31 - f AS INT)
+      |                 ELSE 0 END) AS BIGINT) AS vhi,
+      |        CAST(sum(CASE WHEN f >= 32 AND f < 64 AND nen IS NOT NULL
+      |                      AND nen > en
+      |                 THEN CAST(1 AS BIGINT) << CAST(63 - f AS INT)
+      |                 ELSE 0 END) AS BIGINT) AS vlo
+      |      FROM fd64 GROUP BY doc_id),
+      |afp64 AS (SELECT av64.doc_id, nf,
+      |          lower(lpad(hex(vhi), 8, '0') || lpad(hex(vlo), 8, '0')) AS afp
+      |        FROM av64 JOIN fn64 ON av64.doc_id = fn64.doc_id)""".stripMargin
 
   /** Shared video CTE chain → `vs(doc_id, f, n, mean_luma_milli, sad,
     * npy)`: per-frame statistics recomputed from the video fixture

@@ -638,30 +638,83 @@ object Multimodal {
     * and 8 hex chars per clip. Map-only off the scan; the blob never
     * shuffles, and downstream dedup joins touch only the 32-bit hash.
     */
+  /** Decode one WAV and reduce it to `(n_frames, contour)` — the first
+    * `bits` energy deltas as sign bits, MSB first. Shared by the 32- and
+    * 64-bit fingerprint extractors so the contour rule has one spelling.
+    */
+  private def contourOf(media: Array[Byte], bits: Int): (Int, Long) = {
+    val (_, s) = decodeWav(media)
+    val nf = s.length / FpFrameSamples
+    val en = new Array[Long](nf)
+    var f = 0
+    while (f < nf) {
+      var sq = 0L
+      var i = f * FpFrameSamples
+      val hi = i + FpFrameSamples
+      while (i < hi) { sq += s(i).toLong * s(i); i += 1 }
+      en(f) = sq
+      f += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits && b + 1 < nf) {
+      if (en(b + 1) > en(b)) fp |= 1L << (bits - 1 - b)
+      b += 1
+    }
+    (nf, fp)
+  }
+
   def audioFingerprints(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     fpMediaTable(documents).mapPartitions { it =>
       it.map { r =>
-        val (_, s) = decodeWav(r.media)
-        val nf = s.length / FpFrameSamples
-        val en = new Array[Long](nf)
-        var f = 0
-        while (f < nf) {
-          var sq = 0L
-          var i = f * FpFrameSamples
-          val hi = i + FpFrameSamples
-          while (i < hi) { sq += s(i).toLong * s(i); i += 1 }
-          en(f) = sq
-          f += 1
-        }
-        var fp = 0L
-        var b = 0
-        while (b < 32 && b + 1 < nf) {
-          if (en(b + 1) > en(b)) fp |= 1L << (31 - b)
-          b += 1
-        }
+        val (nf, fp) = contourOf(r.media, 32)
         AudioFpRow(r.doc_id, nf.toLong, f"$fp%08x")
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  /** 64-bit fingerprint fixture recipe — the scale-path twin of
+    * [[fpSamples]]: clips of `1056 + e mod 225` samples (66–80 analysis
+    * frames, ≥ 65 deltas, so the 64-delta contour is always complete),
+    * same quadratic sample rule and the same planted −3%-gain twins at
+    * doc d ≡ 7 (mod 10).
+    */
+  private[graft] def fpSamples64(docId: Long): Array[Short] = {
+    val planted = docId % 10 == 7
+    val e = if (planted) docId - 7 else docId
+    val n = (1056 + e % 225).toInt
+    Array.tabulate(n) { i =>
+      val b = ((e * 31 + 7) * (i + 1L) * (i + 2L) % 4001) - 2000
+      (if (planted) b * 31 / 32 else b).toShort
+    }
+  }
+
+  /** One 64-bit-fingerprint-fixture clip per document (see
+    * [[fpSamples64]]).
+    */
+  def fp64MediaTable(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, encodeWav(fpSamples64(id), withList = false)))
+  }
+
+  /** The 64-bit acoustic fingerprint — [[audioFingerprints]]'s contour
+    * rule over the first 64 deltas, as 16 hex chars. This is the scale
+    * path the 32-bit operator's scaladoc names: 16-BIT bands give 65 536
+    * buckets, so banded candidates grow as n²/2¹⁶ instead of n²/2⁸ —
+    * the image path's constants, which [[imageNearDups]] already sustains
+    * at 500k docs ([[graft.DevScale]] measures this path there too).
+    */
+  def audioFingerprints64(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    fp64MediaTable(documents).mapPartitions { it =>
+      it.map { r =>
+        val (nf, fp) = contourOf(r.media, 64)
+        AudioFpRow(r.doc_id, nf.toLong, f"$fp%016x")
       }
     }.toDF().orderBy(col("doc_id"))
   }
@@ -689,6 +742,19 @@ object Multimodal {
       s"maxHamming must be in [0, 3] for 4 bands of a 32-bit fingerprint " +
         s"(pigeonhole needs bands > radius), got $maxHamming")
     bandedHammingPairs(audioFingerprints(documents), "afp", 8, maxHamming)
+  }
+
+  /** Near-duplicate audio pairs over the 64-bit contour
+    * ([[audioFingerprints64]]) — 4 bands of 16 bits, the production
+    * constants: band buckets number 65 536, so candidate volume stays
+    * collision-rate-proportional well past the 32-bit form's ~10⁴-clip
+    * ceiling (`DevScale` prices the search at 500k clips alongside the
+    * image path it mirrors).
+    */
+  def audioNearDups64(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4 bands (pigeonhole), got $maxHamming")
+    bandedHammingPairs(audioFingerprints64(documents), "afp", 16, maxHamming)
   }
 
   /** Incremental perceptual admission — the daily-run form of the banded

@@ -239,6 +239,53 @@ class MultimodalTextSpec extends SparkSpec {
     }
   }
 
+  // 64-bit twin of refAudioFp over the longer-clip recipe.
+  private def refAudioFp64(d: Long): (Long, String) = {
+    val planted = d % 10 == 7
+    val e = if (planted) d - 7 else d
+    val n = (1056 + e % 225).toInt
+    val s = (0 until n).map { i =>
+      val b = ((e * 31 + 7) * (i + 1L) * (i + 2L) % 4001) - 2000
+      if (planted) b * 31 / 32 else b
+    }
+    val nf = n / 16
+    val en = (0 until nf).map(f =>
+      (f * 16 until f * 16 + 16).map(i => s(i) * s(i)).sum)
+    val v = (0 until math.min(64, nf - 1))
+      .filter(b => en(b + 1) > en(b)).map(b => 1L << (63 - b))
+      .foldLeft(0L)(_ | _)
+    (nf.toLong, f"$v%016x")
+  }
+
+  test("64-bit audio path: recipe-level parity, brute equality, twins found") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Multimodal.audioFingerprints64(real).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+    assert(got.length == 500)
+    got.foreach { case (d, t) => assert(t == refAudioFp64(d), s"doc $d") }
+    // clips long enough for a complete 64-delta contour
+    got.foreach { case (d, (nf, _)) => assert(nf >= 65, s"doc $d nf=$nf") }
+    val pairs = Multimodal.audioNearDups64(real).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val fps = (0L until 500L).map(d => d -> refAudioFp64(d)._2).toMap
+    def ham(a: String, b: String): Long =
+      java.lang.Long.bitCount(
+        java.lang.Long.parseUnsignedLong(a, 16) ^
+          java.lang.Long.parseUnsignedLong(b, 16)).toLong
+    // the longer contour keeps every planted gain-twin within the radius
+    (7L until 500L by 10L).foreach { d =>
+      val h = pairs.get((d - 7, d))
+      assert(h.contains(ham(fps(d - 7), fps(d))) && h.get <= 3L,
+        s"planted gain-twin ($d - 7, $d) missing or mis-distanced")
+    }
+    // pigeonhole completeness at radius ≤ 3 over 4×16-bit bands
+    val brute = (for {
+      a <- 0L until 500L; b <- (a + 1) until 500L
+      h = ham(fps(a), fps(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(pairs == brute)
+  }
+
   test("fingerprint admission equals the smaller-id-neighbor rule") {
     val real = Tables.documents(spark, "/root/testdata/sf0.001")
     val cut = 499L * 4 / 5 // the 80/20 split the queries use
