@@ -52,6 +52,12 @@ object SparkEntry {
     "t1_sessions_skewed" -> ((s, dir) =>
       Sessions.saltedSessionAgg(Tables.events(s, dir), 30L, 3600L)
         .orderBy(col("user_id"), col("session_start"))),
+    // measure-then-choose routing (skewProfile trigger) — both branches
+    // are the same relation, so it shares the oracle regardless of which
+    // plan the fixture's key distribution selects
+    "t1_sessions_adaptive" -> ((s, dir) =>
+      Sessions.adaptiveSessionAgg(Tables.events(s, dir), 30L)
+        .orderBy(col("user_id"), col("session_start"))),
     // P4+A3: big-customer alert with deterministic keep-first dedup
     // (flink_stream_task2.py:81-90); threshold rescaled from 1e6 to 300 for
     // value∈[0,200] sessions (SURVEY.md §7.3 M2).
@@ -1486,6 +1492,7 @@ object SparkEntry {
     "t1_sessions_30s" -> sessionOracle("30"),
     "t1_sessions_2h" -> sessionOracle("7200"),
     "t1_sessions_skewed" -> sessionOracle("30"),
+    "t1_sessions_adaptive" -> sessionOracle("30"),
     "t2_big_customers" -> sessionOracle("7200",
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     "t3_dynamic_gap_ref" -> sessionOracle(refGapSql),

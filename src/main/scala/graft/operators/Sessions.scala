@@ -166,6 +166,27 @@ object Sessions {
           .as("session_avg"))
   }
 
+  /** Measure-then-choose session aggregation — the session-window member
+    * of the adaptive skew playbook ([[Relational.adaptiveUserTotals]]'s
+    * decision step applied to the fold that actually needs it): run
+    * [[graft.operators.Sketches.skewProfile]] (two partial-aggregated
+    * passes, a one-row scalar back to the driver) and route to
+    * [[saltedSessionAgg]] only when its `needs_salting` trigger fires;
+    * uniform keys take the plain single-shuffle [[sessionAgg]], because
+    * the slice pre-fold spends an extra shuffle + merge pass that buys
+    * nothing without a straggler. Both branches are bit-identical
+    * relations, so routing cannot change results — only the plan.
+    */
+  def adaptiveSessionAgg(events: DataFrame, gapSeconds: Long,
+                         sliceSeconds: Long = 3600L,
+                         saltAbove: Double = 4.0): DataFrame = {
+    val trigger = graft.operators.Sketches.skewProfile(events, saltAbove)
+      .select(col("needs_salting")).head()
+    val salted = !trigger.isNullAt(0) && trigger.getBoolean(0)
+    if (salted) saltedSessionAgg(events, gapSeconds, sliceSeconds)
+    else sessionAgg(events, lit(s"$gapSeconds seconds"))
+  }
+
   /** Task 2 ("big customers", `flink_stream_task2.py:81-90`): sessions whose
     * sum crosses `threshold`, deduplicated to the FIRST qualifying session
     * per user. The reference's keep-first dedup is a mutable global set

@@ -57,4 +57,41 @@ class AdaptiveSkewSpec extends SparkSpec {
     val out = Relational.adaptiveUserTotals(skewed.limit(0))
     assert(branchOf(out) == "plain" && out.count() == 0L)
   }
+
+  // the session-window member of the playbook: same trigger, the
+  // two-phase slice fold instead of key salting (a session window cannot
+  // salt — the within-key merge is order-dependent)
+  private def sessBranchOf(df: org.apache.spark.sql.DataFrame): String =
+    if (df.queryExecution.analyzed.toString.contains("island")) "salted"
+    else "plain"
+
+  private def withTs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.expr(
+        "timestamp_micros(1704067200000000 + event_id * 1000000)"))
+
+  private def sessRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+
+  test("adaptive session fold: trigger routing, both branches bit-equal") {
+    import graft.operators.Sessions
+    import org.apache.spark.sql.functions.lit
+    val sk = withTs(skewed)
+    val un = withTs(uniform)
+    val out = Sessions.adaptiveSessionAgg(sk, 30L)
+    assert(sessBranchOf(out) == "salted", "10.8x skew must take the slice fold")
+    assert(sessRows(out) == sessRows(Sessions.sessionAgg(sk, lit("30 seconds"))))
+    val outU = Sessions.adaptiveSessionAgg(un, 30L)
+    assert(sessBranchOf(outU) == "plain", "ratio 1.0 must take the plain fold")
+    assert(sessRows(outU) == sessRows(Sessions.sessionAgg(un, lit("30 seconds"))))
+    // force each branch on the OTHER dataset: results stay identical
+    val forcedPlain = Sessions.adaptiveSessionAgg(sk, 30L, saltAbove = 1e9)
+    assert(sessBranchOf(forcedPlain) == "plain" &&
+      sessRows(forcedPlain) == sessRows(out))
+    val forcedSalt = Sessions.adaptiveSessionAgg(un, 30L, saltAbove = 0.5)
+    assert(sessBranchOf(forcedSalt) == "salted" &&
+      sessRows(forcedSalt) == sessRows(outU))
+  }
 }
