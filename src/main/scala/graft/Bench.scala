@@ -110,7 +110,7 @@ object Bench {
       val spread =
         if (repeat > 1)
           results.map { case (k, _, _, mx) => "\"" + k + "\":" + mx }
-            .mkString(""","queries_max":{""", ",", "},") +
+            .mkString("\"queries_max\":{", ",", "},") +
             s""""repeat":$repeat,"""
         else ""
       java.nio.file.Files.write(outDir.resolve(s"$tag.json"),

@@ -313,8 +313,12 @@ object StreamingPack {
       val b = batch.persist()
       try {
         val sess = b.sparkSession
+        // plain read, no checkpoint: the quota table is ≤ cells×perCell
+        // rows and consumed three times (frontier agg, admit, after) —
+        // re-reading a 128-row parquet beats an eager checkpoint job per
+        // micro-batch whose cached blocks leak for the stream's lifetime
+        // (the r12 importance-loop lesson)
         val st = readClusterQuota(sess, stateDir, artifactDir)
-          .localCheckpoint() // bounded; consumed by admit + after + frontier
         val frontier = st.agg(coalesce(max(col("max_vec_id")), lit(-1L)))
           .head().getLong(0)
         val eff = widened(b.filter(col("vec_id") > frontier))
