@@ -107,6 +107,41 @@ class SessionsSpec extends SparkSpec {
     assert(salted.nonEmpty && salted == oneShot)
   }
 
+  test("saltedSessionAgg edge parity: null values, null users, empty input") {
+    // null `value` rows count toward event_count but contribute no cents —
+    // an all-null session carries null sum/avg in BOTH spellings; null
+    // user/ts rows drop (P2) in both
+    val df = Seq(
+      (Some("2024-01-01 00:00:00"), Some(1L), None: Option[Double]),
+      (Some("2024-01-01 00:00:10"), Some(1L), None),
+      (Some("2024-01-01 00:05:00"), Some(1L), Some(2.0)),
+      (None, Some(2L), Some(5.0)),
+      (Some("2024-01-01 00:00:00"), None, Some(5.0)))
+      .toDF("t", "user_id", "value")
+      .select(to_timestamp($"t").as("ts"), $"user_id", $"value")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"user_id", $"session_start").collect().toSeq
+    assert(sorted(Sessions.saltedSessionAgg(df, 30L, 60L)) ==
+      sorted(Sessions.sessionAgg(df, lit("30 seconds"))))
+    assert(Sessions.saltedSessionAgg(df.limit(0), 30L, 60L).count() == 0L)
+  }
+
+  test("saltedSessionAgg plans exactly two operator shuffles") {
+    // designed shape: Exchange on (user, slice) for the pre-fold, Exchange
+    // on user for the merge — the island aggregate REUSES the merge
+    // window's user_id partitioning (no third shuffle). A regression here
+    // (e.g. a grouping change that breaks partitioning reuse) would
+    // silently re-shuffle the partial-session frame.
+    val df = spark.range(200).selectExpr(
+      "timestamp_micros(1704067200000000 + id * 20000000) as ts",
+      "pmod(id, 5) as user_id", "cast(id as double) as value")
+    val plan = graft.operators.Sessions.saltedSessionAgg(df, 30L, 60L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 operator shuffles, got $exchanges:\n$plan")
+  }
+
   test("dynamic gaps follow the reference's user-id bands") {
     // 90 s spacing: merges for users with gap > 90 s (9999→5min, 2..9→2min),
     // splits for users with gap <= 90 s (100..200→60s, else→30s)
