@@ -27,7 +27,12 @@ object DevScaleAnn {
     // real embedding geometry, which is cluster-structured with local
     // margins; this corpus re-pins the same recall ladder on that shape.
     val clustered = args.contains("clustered")
-    val modeFlags = Set("10m", "recall", "check", "attrib", "drift", "clustered")
+    // "cellonly": recall mode runs only the ground truth + the per-cell
+    // SQ8 rows (iterating on the cell-count knob without re-running the
+    // whole measured ladder)
+    val cellOnly = args.contains("cellonly")
+    val modeFlags =
+      Set("10m", "recall", "check", "attrib", "drift", "clustered", "cellonly")
     val path =
       args.find(a => !modeFlags(a)).getOrElse(
         if (clustered) "/tmp/scale_vecs_10m_cl"
@@ -158,6 +163,19 @@ object DevScaleAnn {
       if (args.contains("check"))
         hitsOf("bruteForceTopK parity",
           graft.operators.Similarity.bruteForceTopK(ve, nq, k))
+      if (cellOnly) {
+        hitsOf("ivfsq_cell256_topk",
+          graft.operators.Similarity.ivfSqCellTopK(ve, nq, k,
+            probes = 8, cells = 256))
+        // the matching pruning ceiling: exact scoring in the same probed
+        // cells — (ceiling − cell256) is the code share of the loss,
+        // (1 − ceiling) the pruning share
+        hitsOf("ivf_exact_256",
+          graft.operators.Similarity.ivfTopK(ve, nq, k,
+            probes = 8, cells = 256))
+        spark.stop()
+        return
+      }
       val hRes = hitsOf("ivfpq_res_topk",
         graft.operators.Similarity.ivfPqResTopK(ve, nq, k))
       // the r12 closure of the recall finding: 8 bits per DIMENSION
@@ -165,6 +183,19 @@ object DevScaleAnn {
       // quantization error drops below the corpus's top-rank margins
       hitsOf("sq8_topk", graft.operators.Similarity.sqTopK(ve, nq, k))
       hitsOf("ivfsq_topk", graft.operators.Similarity.ivfSqTopK(ve, nq, k))
+      // per-cell bounds — the r13 answer to the clustered-corpus finding:
+      // the quantization step sized to each cell's local range
+      hitsOf("ivfsq_cell_topk",
+        graft.operators.Similarity.ivfSqCellTopK(ve, nq, k))
+      // cell count scaled to the cluster structure: 16 cells over the
+      // clustered corpus's 256 true centers leaves each cell spanning
+      // ~16 clusters (local range ≈ global, measured +4.9 points only);
+      // at 256 cells the quantizer resolves the mixture and the local
+      // bounds actually shrink the step — scan fraction also drops to
+      // probes/256 of the corpus
+      hitsOf("ivfsq_cell256_topk",
+        graft.operators.Similarity.ivfSqCellTopK(ve, nq, k,
+          probes = 8, cells = 256))
       val hRef = hitsOf("ivfpq_res_refine",
         graft.operators.Similarity.ivfPqResRefineTopK(ve, nq, k))
       println(s"[recall] refine >= res at 10M: ${hRef >= hRes} ($hRef vs $hRes)")

@@ -1308,6 +1308,12 @@ object SparkEntry {
       Similarity.sqTopK(Tables.embeddings(s, dir), 20, 10)),
     // IVF cell pruning + SQ8 code scoring (the FAISS "IVF…,SQ8" shape):
     // codes-only search path on the probed cells' members
+    // per-cell SQ8 bounds: the quantization step sized to each cell's
+    // LOCAL range — the r13 clustered-audit answer (global bounds lose
+    // within-cluster margins; cell bounds shrink the step by the
+    // cluster-radius factor and degenerate to global on uniform data)
+    "ann_topk_ivfsq_cell" -> ((s, dir) =>
+      Similarity.ivfSqCellTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivfsq" -> ((s, dir) =>
       Similarity.ivfSqTopK(Tables.embeddings(s, dir), 20, 10)),
     // frozen-bounds incremental SQ8 encode of the arriving 1/5 batch:
@@ -3114,6 +3120,7 @@ object SparkEntry {
     "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
     "ann_topk_sq8" -> sqTopKOracle,
     "ann_topk_ivfsq" -> ivfSqTopKOracle,
+    "ann_topk_ivfsq_cell" -> ivfSqCellTopKOracle,
     "ann_sq_encode_inc" -> sqEncodeIncOracle,
     // streamed fold ≡ one-shot incremental encode row-for-row
     "ann_sq_encode_stream" -> sqEncodeIncOracle,
@@ -4424,6 +4431,71 @@ object SparkEntry {
        |                             AND c.vec_id <> q.query_id
        |         JOIN enc e ON e.vec_id = c.vec_id
        |         JOIN qs qq ON qq.query_id = q.query_id),
+       |r AS (SELECT query_id, neighbor_id,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"
+       |      FROM sc)
+       |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Per-cell-bounds IVF-SQ8 oracle: the IVF chain verbatim, bounds
+    * trained per `(cell, dim)` (`GROUP BY cell` over the assigned
+    * normalized corpus — min/max are order-free, so they match Spark's
+    * partial-aggregated groupBy exactly), codes and the fused ADC terms
+    * selected by each row's / probe's cell.
+    */
+  private val ivfSqCellTopKOracle: String = {
+    import graft.operators.Similarity.{IvfProbes, SqDim}
+    val ctePrefix = kmeansClusterOracle.substring(0,
+      kmeansClusterOracle.indexOf(",\naf AS"))
+    val mm = (0 until SqDim).map(d =>
+      s"min(vn[${d + 1}]) AS mn$d, max(vn[${d + 1}]) AS mx$d")
+      .mkString(",\n    ")
+    val st = (0 until SqDim).map(d =>
+      s"CASE WHEN mx$d > mn$d THEN (mx$d - mn$d)/255.0 ELSE 0.0 END AS st$d, " +
+        s"CASE WHEN mx$d > mn$d THEN 255.0/(mx$d - mn$d) ELSE 0.0 END AS iv$d")
+      .mkString(",\n    ")
+    val enc = (0 until SqDim).map(d =>
+      s"CAST(least(255.0, greatest(0.0, floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5))) AS BIGINT) AS c${"%02d".format(d)}")
+      .mkString(",\n    ")
+    val mnList = (0 until SqDim).map(d => s"s.mn$d").mkString(", ")
+    val wqList = (0 until SqDim).map(d => s"p.vn[${d + 1}]*s.st$d").mkString(", ")
+    val cList = (0 until SqDim).map(d =>
+      s"CAST(e.c${"%02d".format(d)} AS DOUBLE)").mkString(", ")
+    s"""$ctePrefix,
+       |av AS (SELECT vec_id, cell, rn FROM (
+       |  SELECT p.vec_id, n.cell,
+       |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+       |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+       |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+       |  FROM p CROSS JOIN n${graft.operators.Similarity.IvfKmeansIters} n)),
+       |corp AS (SELECT vec_id, cell FROM av WHERE rn = 1),
+       |qpr AS (SELECT vec_id AS query_id, cell AS q_cell FROM av
+       |        WHERE rn <= $IvfProbes AND vec_id < 20),
+       |pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+       |       FROM p WHERE nrm > 0),
+       |ppc AS (SELECT pp.vec_id, pp.vn, corp.cell
+       |        FROM pp JOIN corp USING (vec_id)),
+       |cb AS MATERIALIZED (SELECT cell,
+       |    $mm
+       |  FROM ppc GROUP BY cell),
+       |stc AS MATERIALIZED (SELECT *,
+       |    $st FROM cb),
+       |encc AS MATERIALIZED (SELECT p.vec_id, p.cell,
+       |    $enc
+       |  FROM ppc p JOIN stc s ON p.cell = s.cell),
+       |qs AS (SELECT q.query_id, q.q_cell,
+       |         list_dot_product(p.vn, [$mnList]) AS cq,
+       |         [$wqList] AS wq
+       |       FROM qpr q JOIN pp p ON p.vec_id = q.query_id
+       |         JOIN stc s ON s.cell = q.q_cell),
+       |sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         round(q.cq + list_dot_product(q.wq, [$cList]), 6) AS cos_r
+       |       FROM qs q JOIN corp c ON c.cell = q.q_cell
+       |                            AND c.vec_id <> q.query_id
+       |         JOIN encc e ON e.vec_id = c.vec_id),
        |r AS (SELECT query_id, neighbor_id,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS "rank"

@@ -580,12 +580,15 @@ object Similarity {
     * skew is bounded by the quantizer quality.
     */
   def ivfTopK(embeddings: DataFrame, numQueries: Int, k: Int,
-              probes: Int = IvfProbes): DataFrame = {
+              probes: Int = IvfProbes, cells: Int = IvfCells,
+              iters: Int = IvfKmeansIters): DataFrame = {
     val prep = prepared(embeddings).localCheckpoint() // feeds k-means scans + the index build
     // md5-seeded like [[clusterEmbeddings]] — the IVF quantizer IS that
     // clustering, which lets the ann_topk_ivf oracle replay the whole
-    // train+assign+probe+rank pipeline in SQL
-    val centroids = kmeansCentroids(prep, IvfCells, IvfKmeansIters,
+    // train+assign+probe+rank pipeline in SQL (defaults pinned by it;
+    // `cells`/`iters` are the scale knobs the 10M audits size to the
+    // corpus's cluster structure)
+    val centroids = kmeansCentroids(prep, cells, iters,
       portableSeed = true)
     // IVF index build: ONE pass scores all 16 cells per vector via the
     // codegen'd [[graft.functions.NearestCells]] (ordering identical to
@@ -1776,6 +1779,107 @@ object Similarity {
     val queries = prepCell.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), cq.as("cq"), wq.as("wq"),
         explode(col("cells2")).as("q_cell"))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos_r", ArrayOps.round6(spark,
+        col("cq") + ArrayOps.sqAdcDot(spark, col("codes"), col("wq"))))
+    presentTopK(scored, k)
+  }
+
+  /** IVF-SQ8 with PER-CELL bounds — the engineered answer to the r13
+    * clustered-corpus finding: global SQ8 bounds size the quantization
+    * step to the WHOLE corpus range, so on cluster-structured data
+    * (shared center ~1.0, discriminative noise ~0.15) the step is ~7.7×
+    * too coarse for within-cluster margins and recall fell 98.3% → 63.6%
+    * at 10M. Training per-`(cell, dim)` min/max instead sizes the step to
+    * each cell's LOCAL range — on tight clusters that is the noise range,
+    * shrinking quantization error by the cluster-radius factor while
+    * degenerating gracefully to the global behavior when cells span the
+    * corpus (uniform data). Artifact: `cells × 2 × 64` doubles (16 cells
+    * → 2 KB) + the same 64 B/vec packed codes; scoring is the same fused
+    * ADC with the query-side terms computed per PROBED cell
+    * (`cq = ⟨q̂, mn_cell⟩`, `wq = q̂ ⊙ st_cell` — the probe explode already
+    * carries the cell id, so the per-cell terms ride the existing
+    * broadcast). Search path reads (cell, codes) only.
+    *
+    * `cells` must RESOLVE the corpus's cluster structure for the local
+    * bounds to bite — measured on the 256-center clustered 10M corpus
+    * (r13, `DevScaleAnn 10m clustered recall`): at the default 16 cells
+    * each cell still spans ~16 clusters (local range ≈ global) and
+    * recall moves only 63.6% → 68.5%; at `cells = 256, probes = 8` the
+    * quantizer separates the mixture and hits@10 reaches **86.7% while
+    * scanning 3% of the corpus** (global-bounds IVF-SQ8: 63.6% scanning
+    * half). The matching exact-in-probed-cells ceiling at 256/8 is 100%,
+    * so the remaining 13.3 points are pure code error — when the probed
+    * fraction is already this small, exact scoring of the probed members
+    * ([[ivfTopK]] at the same cells/probes) is the full-recall option and
+    * per-cell SQ8 is the 8×-memory-bounded one. Defaults stay pinned to
+    * the fixture oracle; size `cells` from the occupancy/drift artifacts
+    * in deployment.
+    */
+  def ivfSqCellTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                    probes: Int = IvfProbes, cells: Int = IvfCells,
+                    iters: Int = IvfKmeansIters): DataFrame = {
+    val spark = embeddings.sparkSession
+    val prepIvf = prepared(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(prepIvf, cells, iters,
+      portableSeed = true)
+    val assigned = prepIvf
+      .withColumn("cells2", ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), centroids, probes))
+      .withColumn("cell", element_at(col("cells2"), 1))
+      .localCheckpoint()
+    val prepCell = assigned.filter(col("nrm") > 0)
+      .select(col("vec_id"),
+        ArrayOps.divScalarNative(spark, col("v"), col("nrm")).as("vn"),
+        col("cell"), col("cells2"))
+      .localCheckpoint()
+    // per-(cell, dim) bounds: ONE partial-aggregable groupBy(cell) with
+    // 128 agg columns — bounded collect of ≤ IvfCells rows (the whole
+    // training artifact). min/max are order-free and exact, so the
+    // DuckDB oracle's GROUP BY cell reproduces them bit-for-bit.
+    val aggs = (0 until SqDim).flatMap(d => Seq(
+      min(element_at(col("vn"), d + 1)).as(s"mn$d"),
+      max(element_at(col("vn"), d + 1)).as(s"mx$d")))
+    val mnByCell = Array.fill(cells)(Seq.fill(SqDim)(0.0))
+    val stByCell = Array.fill(cells)(Seq.fill(SqDim)(0.0))
+    val ivByCell = Array.fill(cells)(Seq.fill(SqDim)(0.0))
+    prepCell.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: ≤ cells rows × (1 + 128) doubles
+      .foreach { r =>
+        // nearestCells emits int cell ids — read width-agnostically
+        val c = r.get(0).asInstanceOf[Number].intValue
+        val mns = (0 until SqDim).map(d => r.getDouble(1 + 2 * d))
+        val mxs = (0 until SqDim).map(d => r.getDouble(2 + 2 * d))
+        mnByCell(c) = mns
+        stByCell(c) = mns.lazyZip(mxs).map((mn, mx) =>
+          if (mx > mn) (mx - mn) / SqLevels else 0.0).toSeq
+        ivByCell(c) = mns.lazyZip(mxs).map((mn, mx) =>
+          if (mx > mn) SqLevels.toDouble / (mx - mn) else 0.0).toSeq
+      }
+    val mnLit = typedlit(mnByCell.toSeq)
+    val stLit = typedlit(stByCell.toSeq)
+    val ivLit = typedlit(ivByCell.toSeq)
+    val mnC = element_at(mnLit, (col("cell") + 1).cast("int"))
+    val ivC = element_at(ivLit, (col("cell") + 1).cast("int"))
+    // same quantization spelling as [[sqCodesCol]], bounds selected by the
+    // row's own cell; an empty cell's zero bounds are unreachable (no
+    // member rows carry its id)
+    val codesC = zip_with(
+      zip_with(col("vn"), mnC, (x, mn) => x - mn), ivC,
+      (t, iv) => greatest(lit(0L), least(lit(255L), floor(t * iv + lit(0.5)))))
+    val corpus = prepCell
+      .select(col("vec_id"), col("cell"),
+        ArrayOps.packCodes(spark, codesC).as("codes"))
+      .localCheckpoint()
+    val mnQ = element_at(mnLit, (col("q_cell") + 1).cast("int"))
+    val stQ = element_at(stLit, (col("q_cell") + 1).cast("int"))
+    val queries = prepCell.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("vn"),
+        explode(col("cells2")).as("q_cell"))
+      .select(col("query_id"), col("q_cell"),
+        dotN(prepCell, col("vn"), mnQ).as("cq"),
+        zip_with(col("vn"), stQ, (x, st) => x * st).as("wq"))
     val scored = corpus.join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos_r", ArrayOps.round6(spark,

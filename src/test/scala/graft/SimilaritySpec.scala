@@ -426,6 +426,46 @@ class SimilaritySpec extends SparkSpec {
     assert(sq >= pq, s"IVF-SQ8 recall $sq below IVF-PQ's $pq")
   }
 
+  test("per-cell IVF-SQ8: bit-stable, recall >= global-bounds IVF-SQ8") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.ivfSqCellTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfSqCellTopK(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(a == b, "per-cell min/max are exact — the scan must be bit-stable")
+    val brute = Similarity.bruteForceTopK(emb, 10, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(rows: Seq[Seq[Any]]): Int = rows.count(r =>
+      brute.contains((r.head.asInstanceOf[Long], r(1).asInstanceOf[Long])))
+    val cell = recall(a)
+    val global = recall(
+      Similarity.ivfSqTopK(emb, 10, 5).collect().map(_.toSeq).toSeq)
+    println(s"[ivfsq-cell] recall: $cell of ${brute.size} (global: $global)")
+    // identical candidates (same quantizer, same probes); per-cell bounds
+    // are never wider than the global bounds, so the code step per dim is
+    // never coarser — ranking inside the probed cells cannot degrade
+    assert(cell >= global,
+      s"per-cell IVF-SQ8 recall $cell below global-bounds $global")
+  }
+
+  test("per-cell SQ8 codes: a cell-constant dim dequantizes exactly") {
+    // two tight clusters far apart; dim 0 is CONSTANT within each cell
+    // but spans [0, 10] globally — per-cell bounds make it degenerate
+    // (st = 0), so the code carries zero error where global bounds would
+    // quantize at step 10/255. The operator's top-1 within each cluster
+    // must match exact cosine ranking.
+    val dim = 64
+    def v(base: Double, jit: Double) =
+      Seq.tabulate(dim)(d => if (d == 0) base else jit + d / 100.0)
+    val df = vecs(
+      (0L, v(0.0, 0.30).map(_.toFloat)), (1L, v(0.0, 0.31).map(_.toFloat)),
+      (2L, v(0.0, 0.35).map(_.toFloat)), (3L, v(10.0, 0.30).map(_.toFloat)),
+      (4L, v(10.0, 0.31).map(_.toFloat)), (5L, v(10.0, 0.35).map(_.toFloat)))
+    val brute = Similarity.bruteForceTopK(df, 2, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfSqCellTopK(df, 2, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"per-cell top-1 $got must equal exact $brute")
+  }
+
   test("SQ8 incremental encode: frozen bounds clamp out-of-range batch values") {
     // cut = (4*4) div 5 = 3 → train = {0,1,2}, batch = {3,4}; the batch
     // carries values outside the trained [min,max] on every dim
