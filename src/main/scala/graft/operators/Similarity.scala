@@ -1816,6 +1816,15 @@ object Similarity {
     * per-cell SQ8 is the 8×-memory-bounded one. Defaults stay pinned to
     * the fixture oracle; size `cells` from the occupancy/drift artifacts
     * in deployment.
+    *
+    * On the UNIFORM 10M corpus the same 256/8 config reads 39.0% — equal
+    * hit-for-hit to its exact-scoring ceiling (39.0%), i.e. per-cell
+    * codes are lossless relative to pruning there too; the loss is the
+    * pruning itself (uniform neighbors are not cluster-local, so few
+    * probed cells capture few of them). The regime rule the two audits
+    * pin: uniform data wants few cells/many probes + strong codes
+    * (global SQ8 full-scan 98.3%), clustered data wants cells ≈ clusters
+    * where pruning is near-free and code fidelity is the dial.
     */
   def ivfSqCellTopK(embeddings: DataFrame, numQueries: Int, k: Int,
                     probes: Int = IvfProbes, cells: Int = IvfCells,
