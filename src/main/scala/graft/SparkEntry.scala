@@ -1218,10 +1218,11 @@ object SparkEntry {
       val e2 = cut + 2 * (mx - cut) / 3
       withTempReplayRoot("graft_cbal_stream_") { root =>
         val idx = emb.filter(col("vec_id") < cut)
-        Similarity.clusterArtifacts(idx)
-          .write.parquet(s"$root/art/centroids")
-        Similarity.clusterBalancedSample(idx)
-          .select(col("vec_id"), col("cell"))
+        // train once: the quota seed derives from the SAME artifact
+        // centroids (admit-everything pick), not a second k-means run
+        val cents = Similarity.clusterArtifacts(idx)
+        cents.write.parquet(s"$root/art/centroids")
+        Similarity.clusterQuotaAfter(cents, Similarity.emptyQuota(emb), idx)
           .withColumn("max_vec_id", lit(cut - 1))
           .write.parquet(s"$root/art/quota")
         val in = root.resolve("in")

@@ -822,10 +822,20 @@ object Similarity {
                                        iters: Int = IvfKmeansIters,
                                        subStrata: Int = 16): DataFrame = {
     val cents = clusterArtifacts(indexEmb, cells, iters)
-    val quota = clusterBalancedSample(indexEmb, perCell, cells, iters,
-      subStrata).select(col("vec_id"), col("cell"))
+    // index quota from the artifacts (admit-everything against an empty
+    // quota) — NOT via clusterBalancedSample, which would train the same
+    // k-means a second time; the centroids are identical (same corpus,
+    // same portable seed), so the pick is too
+    val quota = clusterQuotaAfter(cents, emptyQuota(indexEmb), indexEmb,
+      perCell, subStrata)
     clusterBalancedAdmitWith(cents, quota, batchEmb, perCell, subStrata)
   }
+
+  /** Zero-row `(vec_id, cell)` frame — the quota seed of an empty
+    * standing corpus. */
+  def emptyQuota(like: DataFrame): DataFrame =
+    like.sparkSession.range(0)
+      .select(col("id").as("vec_id"), col("id").as("cell"))
 
   /** Collect + validate a [[clusterArtifacts]] `(cell, pos, cx)` table
     * into the in-memory centroid list the assignment kernels take —
