@@ -73,6 +73,13 @@ object SparkEntry {
     "t3_dynamic_gap_scaled" -> ((s, dir) =>
       Sessions.sessionAgg(Tables.events(s, dir), Sessions.scaledDynamicGap)
         .orderBy(col("user_id"), col("session_start"))),
+    // W2 + skew defense: the two-phase slice fold under PER-USER dynamic
+    // gaps (bands are per-user constants, so the island merge is exact) —
+    // result-identical to t3_dynamic_gap_scaled, same oracle
+    "t3_dynamic_skewed" -> ((s, dir) =>
+      Sessions.saltedDynamicSessionAgg(Tables.events(s, dir),
+        Sessions.scaledDynamicGap)
+        .orderBy(col("user_id"), col("session_start"))),
     // §1.4 ingest-time variant: the reference actually sessionizes over
     // Kafka ingest time; model it with a deterministic synthetic ingest
     // clock (100 events/s in arrival = event_id order, the reference
@@ -86,6 +93,14 @@ object SparkEntry {
     // (the gap-and-islands oracle is order-insensitive)
     "t1_sessions_outoforder" -> ((s, dir) =>
       StreamingSessions.replayOutOfOrder(Tables.events(s, dir), lit("30 seconds"))),
+    // A1 skew defense in STREAMING form: the foreachBatch salted fold
+    // (per-(user, slice) pre-fold inside each micro-batch + island merge
+    // against the open-partials state table) under the same
+    // bounded-disorder replay contract — result ≡ batch sessionization,
+    // same gap-and-islands oracle
+    "t1_sessions_skewed_stream" -> ((s, dir) =>
+      graft.streaming.SaltedSessionStream.replaySaltedSessions(
+        Tables.events(s, dir), lit("30 seconds"))),
     // the same replay contract over the from-scratch timer-built session
     // operator (transformWithState event-time timers; W1 re-derived
     // without session_window) — same oracle as the builtin twin
@@ -1504,9 +1519,13 @@ object SparkEntry {
       having = "WHERE session_sum >= 300.0", keepFirst = true),
     "t3_dynamic_gap_ref" -> sessionOracle(refGapSql),
     "t3_dynamic_gap_scaled" -> sessionOracle(scaledGapSql),
+    // salted dynamic == plain dynamic: the oracle IS the dynamic
+    // gap-and-islands aggregation
+    "t3_dynamic_skewed" -> sessionOracle(scaledGapSql),
     "t1_sessions_ingest" -> sessionOracle("30",
       tsSql = "make_timestamp(event_id * 10000)"),
     "t1_sessions_outoforder" -> sessionOracle("30"),
+    "t1_sessions_skewed_stream" -> sessionOracle("30"),
     "t1_sessions_timer" -> sessionOracle("30"),
     "t3_dynamic_timer" -> sessionOracle(refGapSql),
     "t3_dynamic_outoforder" -> sessionOracle(refGapSql),

@@ -125,28 +125,69 @@ object Sessions {
     * trades pre-fold spread against merge-frame length; anything ≫ gap
     * and ≪ hot-key span works, default 1 h against the 30 s reference gap.
     *
-    * Static gap only: a per-row dynamic gap makes a partial session's end
-    * depend on its LAST event's gap, which is still well-defined, but the
-    * reference's dynamic bands are per-user constants — a user's slice
-    * chain uses one gap throughout — so the dynamic variant routes
-    * through [[sessionAgg]] until a real corpus needs otherwise.
+    * Per-USER gaps are supported through [[saltedDynamicSessionAgg]]; a
+    * gap that varied WITHIN a user would make a partial session's end
+    * depend on its last event's gap — still well-defined, but no longer
+    * equal to the one-shot fold, so that shape routes through
+    * [[sessionAgg]].
     */
   def saltedSessionAgg(events: DataFrame, gapSeconds: Long,
                        sliceSeconds: Long = 3600L): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    saltedDynamicSessionAgg(events, lit(s"$gapSeconds seconds"), sliceSeconds)
+  }
+
+  /** [[saltedSessionAgg]] for PER-USER dynamic gaps — the W2 (dynamic
+    * band) path with the same hot-key defense as the static fold. The
+    * reference's bands (`flink_stream_task3.py:54-62`) are per-user
+    * CONSTANTS, which is exactly what makes the two-phase fold exact
+    * here: the pre-fold sessionizes within `(user, slice)` under the
+    * user's own gap, and the island merge needs no gap expression at
+    * all — every partial's END is `last_ts + gap_user`, so the
+    * closed-interval rule "neighbor starting at `t2` merges ⟺
+    * `t2 ≤ prior end`" carries the user's band implicitly, and a
+    * running `max(end)` chains islands across any number of empty
+    * slices. `gap` must therefore be constant per user (the
+    * precondition the reference's band policy satisfies by
+    * construction); `sliceSeconds` affects only the plan, never the
+    * result — pick it ≫ the largest band and ≪ the hot key's span
+    * (default 1 day against the scaled hour-band policy).
+    */
+  def saltedDynamicSessionAgg(events: DataFrame, gap: Column,
+                              sliceSeconds: Long = 86400L): DataFrame =
+    finalizePartials(mergeIslands(slicePartials(events, gap, sliceSeconds)))
+
+  /** Phase 1 of the two-phase fold: sessionize within `(user, slice)`
+    * groups, emitting PARTIAL sessions `(user_id, s, e, sum_cents, n)`
+    * with `e = last_ts + gap`. Exposed (package-private) so the
+    * streaming twin ([[graft.streaming.SaltedSessionStream]]) folds each
+    * micro-batch with the IDENTICAL expressions.
+    */
+  private[graft] def slicePartials(events: DataFrame, gap: Column,
+                                   sliceSeconds: Long): DataFrame = {
     require(sliceSeconds > 0, s"sliceSeconds must be positive, got $sliceSeconds")
-    val partials = events
+    events
       .filter(col("user_id").isNotNull && col("ts").isNotNull) // P2 null filter
       .withColumn("slice",
         floor(unix_micros(col("ts")) / (sliceSeconds * 1000000L)))
       .groupBy(col("user_id"), col("slice"),
-        session_window(col("ts"), lit(s"$gapSeconds seconds")))
+        session_window(col("ts"), gap))
       .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_cents"),
         count(lit(1)).as("n"))
       .select(col("user_id"),
         col("session_window.start").as("s"),
         col("session_window.end").as("e"),
         col("sum_cents"), col("n"))
+  }
+
+  /** Phase 2: gap-and-islands merge of partial sessions per user — a new
+    * island starts where `s > max(prior e)` (running max, so islands
+    * chain across empty slices). IDEMPOTENT over its own output
+    * (`mergeIslands(mergeIslands(x) ∪ y) == mergeIslands(x ∪ y)` when no
+    * row of `y` can chain into a closed island of `x`) — the property
+    * the streaming twin's open-partials state relies on.
+    */
+  private[graft] def mergeIslands(partials: DataFrame): DataFrame = {
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
     val prevMaxEnd = max(col("e"))
       .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
@@ -156,15 +197,20 @@ object Sessions {
       .withColumn("island", sum(col("new_island"))
         .over(byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("island"))
-      .agg(min(col("s")).as("session_start"), max(col("e")).as("session_end"),
-        sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("event_count"))
-      .select(
-        col("user_id"), col("session_start"), col("session_end"),
-        col("event_count"),
-        (col("sum_cents") / 100.0).as("session_sum"),
-        (floor(col("sum_cents") / col("event_count") + 0.5) / 100.0)
-          .as("session_avg"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"),
+        sum(col("sum_cents")).as("sum_cents"), sum(col("n")).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("sum_cents"), col("n"))
   }
+
+  /** Phase 3: partial-session rows → the [[sessionAgg]] output schema
+    * (cents finalized to sum/avg with the engine-wide half-up rule). */
+  private[graft] def finalizePartials(partials: DataFrame): DataFrame =
+    partials.select(
+      col("user_id"), col("s").as("session_start"), col("e").as("session_end"),
+      col("n").as("event_count"),
+      (col("sum_cents") / 100.0).as("session_sum"),
+      (floor(col("sum_cents") / col("n") + 0.5) / 100.0)
+        .as("session_avg"))
 
   /** Measure-then-choose session aggregation — the session-window member
     * of the adaptive skew playbook ([[Relational.adaptiveUserTotals]]'s
@@ -176,6 +222,10 @@ object Sessions {
     * the slice pre-fold spends an extra shuffle + merge pass that buys
     * nothing without a straggler. Both branches are bit-identical
     * relations, so routing cannot change results — only the plan.
+    *
+    * The profiling pass is EAGER: `skewProfile` executes two aggregation
+    * jobs over `events` at CALL time (not at the returned frame's action
+    * time), so calling this inside a lazy pipeline triggers work early.
     */
   def adaptiveSessionAgg(events: DataFrame, gapSeconds: Long,
                          sliceSeconds: Long = 3600L,

@@ -1342,8 +1342,11 @@ object Similarity {
     */
   def autoM(corpusRows: Long, k: Int, candidatePpm: Int = 40,
             maxM: Int = 4096): Int = {
-    require(corpusRows >= 0 && k > 0 && candidatePpm > 0 && maxM >= 4 * k,
-      "corpusRows non-negative, k/candidatePpm positive, maxM ≥ 4k")
+    // candidatePpm ≤ 10⁶ is what the overflow argument below assumes —
+    // a parts-per-million above a million is meaningless anyway
+    require(corpusRows >= 0 && k > 0 && candidatePpm > 0 &&
+      candidatePpm <= 1000000 && maxM >= 4 * k,
+      "corpusRows non-negative, 0 < candidatePpm ≤ 1e6, k positive, maxM ≥ 4k")
     // ceil division on longs — BigInt-free because corpusRows × ppm fits
     // 63 bits for any real corpus (ppm ≤ 10⁶ ⇒ overflow needs ~9·10¹² rows
     // × 10⁶, far past the long corpus-id space this library addresses)

@@ -228,7 +228,8 @@ object StreamingDedup {
     * (`indexDir/shingles`, `indexDir/sigs`, `indexDir/labels/batch=N`),
     * then the artifacts are extended — shingles/signatures append
     * (map-only over the batch), and the label table is snapshotted under
-    * the micro-batch's id.
+    * the batch's id frontier (its max doc_id — monotone across
+    * checkpoint lineages, unlike the streaming batch id).
     *
     * Replay safety, by construction rather than by luck:
     *  - the batch is filtered to ids ABOVE the SHINGLE artifact's frontier
@@ -244,8 +245,9 @@ object StreamingDedup {
     *    doc with no committed admission row — shingled or not — is
     *    genuinely out-of-order input, which fails loudly instead of
     *    silently losing its admission;
-    *  - label snapshots are versioned `batch=N` with Spark's `_SUCCESS`
-    *    marker required at read — a crash mid-snapshot leaves an
+    *  - label snapshots are versioned `batch=N` (N = the batch's max
+    *    doc_id) with Spark's `_SUCCESS` marker required at read — a
+    *    crash mid-snapshot leaves an
     *    uncommitted dir the next read ignores; snapshot math is idempotent
     *    (labels only decrease; union + min per doc) and the snapshot is
     *    written before the artifact appends, so every crash point replays
@@ -323,33 +325,48 @@ object StreamingDedup {
                 "(crash mid-commit); rebuild the artifacts from " +
                 "whole-corpus dedup")
           }
-          // batch shingles are shared between admission and the artifact
-          // append — shingling is the hottest dedup stage, don't pay it 2×
-          val bSh = graft.operators.NearDup.shingled(eff).persist()
-          try {
-            val (admissions, newLabels) = graft.operators.NearDup
-              .incrementalNearDupsIndexed(idxSh, idxSigs, idxLab, eff,
-                batchShingles = Some(bSh))
-            writeOutputBatch(admissions, outDir, batchId)
-            // snapshot labels BEFORE the artifact appends: if an append
-            // crashes, the replayed batch re-derives the identical snapshot
-            // (ignored-extra label rows + min-idempotence), never stale.
-            // newLabels is localCheckpointed (materialized), so overwriting
-            // the very snapshot it was read from is safe.
-            newLabels.write.mode("overwrite")
-              .parquet(new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
-            // extend the artifacts: sigs first, the frontier-bearing
-            // shingle table LAST (see replay-safety contract above)
-            graft.operators.NearDup.minhashSignatures(bSh).write.mode("append")
-              .parquet(new org.apache.hadoop.fs.Path(indexDir, "sigs").toString)
-            bSh.write.mode("append")
-              .parquet(new org.apache.hadoop.fs.Path(indexDir, "shingles").toString)
-          } finally bSh.unpersist()
-          // bounded snapshot retention: replay only ever needs the latest
-          // committed snapshot; keep two (current + predecessor) so a
-          // reader racing the prune still finds one
-          committedSnapshots().dropRight(2)
-            .foreach(p => labFs.delete(p, true))
+          // an effective-empty batch (full replay) mutates nothing: the
+          // re-derived snapshot would equal the latest committed one, and
+          // writing it under a fresh name would only churn the retention
+          // window — skip the whole mutation block
+          if (!eff.isEmpty) {
+            // snapshot name = the batch's own id frontier (max doc_id),
+            // NOT the streaming batch id: batch ids are only monotone
+            // within one checkpoint lineage, so after a checkpoint reset
+            // a lower-numbered snapshot could land below the retained
+            // ones and the prune would delete the newest labels. The id
+            // frontier is monotone across lineages (eff ids are above
+            // the artifact frontier) and a replay re-derives the same
+            // name with identical content.
+            val effMax = eff.agg(max(col("doc_id"))).head().getLong(0)
+            // batch shingles are shared between admission and the artifact
+            // append — shingling is the hottest dedup stage, don't pay it 2×
+            val bSh = graft.operators.NearDup.shingled(eff).persist()
+            try {
+              val (admissions, newLabels) = graft.operators.NearDup
+                .incrementalNearDupsIndexed(idxSh, idxSigs, idxLab, eff,
+                  batchShingles = Some(bSh))
+              writeOutputBatch(admissions, outDir, batchId)
+              // snapshot labels BEFORE the artifact appends: if an append
+              // crashes, the replayed batch re-derives the identical snapshot
+              // (ignored-extra label rows + min-idempotence), never stale.
+              // newLabels is localCheckpointed (materialized), so overwriting
+              // the very snapshot it was read from is safe.
+              newLabels.write.mode("overwrite")
+                .parquet(new org.apache.hadoop.fs.Path(labRoot, s"batch=$effMax").toString)
+              // extend the artifacts: sigs first, the frontier-bearing
+              // shingle table LAST (see replay-safety contract above)
+              graft.operators.NearDup.minhashSignatures(bSh).write.mode("append")
+                .parquet(new org.apache.hadoop.fs.Path(indexDir, "sigs").toString)
+              bSh.write.mode("append")
+                .parquet(new org.apache.hadoop.fs.Path(indexDir, "shingles").toString)
+            } finally bSh.unpersist()
+            // bounded snapshot retention: replay only ever needs the latest
+            // committed snapshot; keep two (current + predecessor) so a
+            // reader racing the prune still finds one
+            committedSnapshots().dropRight(2)
+              .foreach(p => labFs.delete(p, true))
+          }
         } finally eff.unpersist()
       } finally b.unpersist()
     }
@@ -572,20 +589,27 @@ object StreamingDedup {
                 "mid-commit); rebuild the index from whole-corpus " +
                 "semanticDedup")
           }
-          val (admissions, newLabels) = graft.operators.Similarity
-            .semanticDedupIncremental(idxEmb, idxBuckets, idxLab, eff,
-              threshold, numPlanes)
-          writeOutputBatch(admissions, outDir, batchId)
-          // snapshot labels BEFORE the artifact appends (same idempotence
-          // argument as the near-dup loop; newLabels is localCheckpointed,
-          // so overwriting the snapshot it was read from is safe)
-          newLabels.write.mode("overwrite").parquet(
-            new org.apache.hadoop.fs.Path(labRoot, s"batch=$batchId").toString)
           if (!paramsFs.exists(paramsPath))
             sess.range(1).select(lit(numPlanes).as("num_planes"),
               lit(threshold).as("threshold"))
               .write.mode("overwrite").parquet(paramsPath.toString)
+          // effective-empty batch (full replay): nothing to admit and the
+          // re-derived label snapshot would equal the committed one — skip
+          // the mutation block (same reasoning as the near-dup loop)
           if (!eff.isEmpty) {
+            // snapshot name = the batch's id frontier, not the streaming
+            // batch id — monotone across checkpoint lineages (see the
+            // near-dup loop's rationale)
+            val effMax = eff.agg(max(col("vec_id"))).head().getLong(0)
+            val (admissions, newLabels) = graft.operators.Similarity
+              .semanticDedupIncremental(idxEmb, idxBuckets, idxLab, eff,
+                threshold, numPlanes)
+            writeOutputBatch(admissions, outDir, batchId)
+            // snapshot labels BEFORE the artifact appends (same idempotence
+            // argument as the near-dup loop; newLabels is localCheckpointed,
+            // so overwriting the snapshot it was read from is safe)
+            newLabels.write.mode("overwrite").parquet(
+              new org.apache.hadoop.fs.Path(labRoot, s"batch=$effMax").toString)
             // extend the artifacts: vector store first, the frontier-
             // bearing bucket table LAST (replay-safety contract above)
             eff.write.mode("append").parquet(
@@ -593,10 +617,10 @@ object StreamingDedup {
             graft.operators.Similarity.bucketTable(eff, numPlanes)
               .write.mode("append").parquet(
                 new org.apache.hadoop.fs.Path(indexDir, "buckets").toString)
+            // bounded snapshot retention (latest two, as in the near-dup loop)
+            committedBatchDirs(labFs, labRoot).dropRight(2)
+              .foreach(p => labFs.delete(p, true))
           }
-          // bounded snapshot retention (latest two, as in the near-dup loop)
-          committedBatchDirs(labFs, labRoot).dropRight(2)
-            .foreach(p => labFs.delete(p, true))
         } finally eff.unpersist()
       } finally b.unpersist()
     }

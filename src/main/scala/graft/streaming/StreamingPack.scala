@@ -14,7 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   * over everything-so-far would put it (spec-pinned equality).
   *
   * State is the one-row [[graft.operators.Curation.packState]] artifact,
-  * persisted as versioned `stateDir/batch=N` snapshots (`_SUCCESS`-gated
+  * persisted as versioned `stateDir/batch=N` snapshots (N = the batch's
+  * doc-id frontier, monotone across checkpoint lineages; `_SUCCESS`-gated
   * reads, latest committed wins, two retained) and extended per batch by
   * [[graft.operators.Curation.packStateAfter]] — O(batch) per micro-batch,
   * nothing ever rescans the packed corpus.
@@ -128,12 +129,16 @@ object StreamingPack {
             .packSequencesWith(stateDf, eff, seqLen).persist()
           try {
             StreamingDedup.writeOutputBatch(placements, outDir, batchId)
-            // frontier-bearing snapshot LAST (replay-safety contract)
+            // frontier-bearing snapshot LAST (replay-safety contract),
+            // named by the NEW FRONTIER rather than the streaming batch
+            // id — batch ids restart across checkpoint lineages, the
+            // frontier is monotone across them (see the cluster loop)
+            val newFrontier = eff.agg(max(col("doc_id"))).head().getLong(0)
             val after = graft.operators.Curation
               .packStateAfter(stateDf, eff)
               .withColumn("prev_max_doc_id", lit(frontier))
             after.write.mode("overwrite").parquet(
-              new org.apache.hadoop.fs.Path(stateDir, s"batch=$batchId").toString)
+              new org.apache.hadoop.fs.Path(stateDir, s"batch=$newFrontier").toString)
           } finally placements.unpersist()
           // bounded retention: latest two committed snapshots
           val root = new org.apache.hadoop.fs.Path(stateDir)
@@ -328,13 +333,22 @@ object StreamingPack {
           StreamingDedup.writeOutputBatch(
             graft.operators.Similarity.clusterBalancedAdmitWith(
               cents, quota, eff, perCell), outDir, batchId)
-          // frontier-bearing snapshot LAST (replay-safety contract)
+          // frontier-bearing snapshot LAST (replay-safety contract),
+          // NAMED BY THE FRONTIER, not the streaming batch id: batch ids
+          // are only monotone within one checkpoint lineage, so after a
+          // checkpoint reset a new batch could write a LOWER-numbered
+          // snapshot than the retained ones and the prune would delete
+          // the newest state. The frontier (max admitted vec_id) is
+          // monotone across lineages — eff is filtered to ids above the
+          // old frontier, so each effective batch's name strictly
+          // increases, and a replayed batch re-derives the same name
+          // with identical content (idempotent overwrite).
           val newFrontier = eff.agg(max(col("vec_id"))).head().getLong(0)
           graft.operators.Similarity
             .clusterQuotaAfter(cents, quota, eff, perCell)
             .withColumn("max_vec_id", lit(math.max(frontier, newFrontier)))
             .write.mode("overwrite").parquet(
-              new org.apache.hadoop.fs.Path(stateDir, s"batch=$batchId").toString)
+              new org.apache.hadoop.fs.Path(stateDir, s"batch=$newFrontier").toString)
           val root = new org.apache.hadoop.fs.Path(stateDir)
           val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
           StreamingDedup.committedBatchDirs(fs, root).dropRight(2)

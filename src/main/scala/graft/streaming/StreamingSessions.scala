@@ -124,13 +124,16 @@ object StreamingSessions {
     * [[replaySlidingOutOfOrder]] does). A `user_id` output column, if
     * present, is sentinel-filtered by the harness as before.
     */
-  def replayStageOutOfOrder(events: DataFrame,
-                            statefulStage: DataFrame => DataFrame,
-                            jitterUs: Long = 300L * 1000000,
-                            slices: Int = 2,
-                            useRocksDb: Boolean = true,
-                            statePartitions: Int = 4): DataFrame = {
-    val spark = events.sparkSession
+  /** Render `events` as a bounded-disorder replay input: `slices`
+    * mtime-ordered parquet files under `<returned root>/in`, keyed by
+    * `ts + (xxhash64(event_id) mod jitterUs)` and RANGE-split so every
+    * key in file k precedes every key in file k+1 (the arrival-order
+    * contract [[replayStageOutOfOrder]] documents), with one far-future
+    * [[FlushUser]] sentinel row riding in the last slice. The caller
+    * owns — and must delete — the returned temp root.
+    */
+  private[graft] def writeReplaySlices(events: DataFrame, jitterUs: Long,
+                                       slices: Int): java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft_ooo_")
     val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
     val okey = unix_micros(col("ts")) +
@@ -150,7 +153,6 @@ object StreamingSessions {
         val span = bounds.getLong(2) - minK + 1
         coalesce((((okey - minK) * slices) / span).cast("int") + 1, lit(1))
       }
-    val dataCols = events.columns.map(col)
     val sliced = events
       .withColumn("slice", sliceExpr)
       .union(flushFrame(events, maxTs, 1).withColumn("slice", lit(slices)))
@@ -170,6 +172,18 @@ object StreamingSessions {
         dest.toFile.setLastModified(i * 60000L)
       }
     }
+    root
+  }
+
+  def replayStageOutOfOrder(events: DataFrame,
+                            statefulStage: DataFrame => DataFrame,
+                            jitterUs: Long = 300L * 1000000,
+                            slices: Int = 2,
+                            useRocksDb: Boolean = true,
+                            statePartitions: Int = 4): DataFrame = {
+    val spark = events.sparkSession
+    val root = writeReplaySlices(events, jitterUs, slices)
+    val inDir = root.resolve("in")
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val sinkName = "graft_ooo_sink"

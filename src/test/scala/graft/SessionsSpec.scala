@@ -142,6 +142,49 @@ class SessionsSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 operator shuffles, got $exchanges:\n$plan")
   }
 
+  test("saltedDynamicSessionAgg: per-user bands equal the one-shot fold") {
+    // users across all four reference bands, spacings chosen so merges and
+    // splits land differently per band AND cross 60 s slice edges; plus a
+    // bridge over an empty slice for the widest band
+    val df = events(
+      ("2024-01-01 00:00:50", 9999L, 1.0),  // 5 min band: 00:05:49 merges
+      ("2024-01-01 00:05:49", 9999L, 2.0),  //   (diff 299 s < 300 s)
+      ("2024-01-01 00:10:49.000001", 9999L, 4.0), // splits (300 s + 1 µs)
+      ("2024-01-01 00:00:59", 5L, 1.0),     // 2 min band bridging slice 1
+      ("2024-01-01 00:02:58", 5L, 2.0),     //   (119 s, empty middle slice)
+      ("2024-01-01 00:00:50", 150L, 1.0),   // 60 s band: exact boundary
+      ("2024-01-01 00:01:50", 150L, 2.0),   //   merge across the slice edge
+      ("2024-01-01 00:00:10", 42L, 8.0),    // 30 s band: split within slice
+      ("2024-01-01 00:00:45", 42L, 16.0))
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"user_id", $"session_start").collect().toSeq
+    val salted = sorted(
+      Sessions.saltedDynamicSessionAgg(df, Sessions.referenceDynamicGap, 60L))
+    val oneShot = sorted(Sessions.sessionAgg(df, Sessions.referenceDynamicGap))
+    assert(salted.nonEmpty && salted == oneShot)
+    // counts pin the band semantics themselves, not just parity
+    val counts = salted.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.size).toMap
+    assert(counts == Map(9999L -> 2, 5L -> 1, 150L -> 1, 42L -> 2))
+  }
+
+  test("saltedDynamicSessionAgg: skewed pseudo-random corpus parity") {
+    // hot user 4 (~90% of events) in the 30 s band, plus banded users
+    // 9999 / 5 / 150 interleaved — the generator1.py:51 phase-4 shape
+    // under the reference band policy
+    val df = spark.range(2000).selectExpr(
+      "timestamp_micros(1704067200000000 + (id * 17 + pmod(hash(id), 45)) * 1000000) as ts",
+      "CASE WHEN pmod(id, 10) < 9 THEN 4 WHEN pmod(id, 40) = 19 THEN 9999 " +
+        "WHEN pmod(id, 40) = 29 THEN 5 ELSE 150 END as user_id",
+      "cast(pmod(hash(id * 31), 10000) as double) / 100.0 as value")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"user_id", $"session_start").collect().toSeq
+    val salted = sorted(
+      Sessions.saltedDynamicSessionAgg(df, Sessions.referenceDynamicGap, 60L))
+    assert(salted.nonEmpty &&
+      salted == sorted(Sessions.sessionAgg(df, Sessions.referenceDynamicGap)))
+  }
+
   test("dynamic gaps follow the reference's user-id bands") {
     // 90 s spacing: merges for users with gap > 90 s (9999→5min, 2..9→2min),
     // splits for users with gap <= 90 s (100..200→60s, else→30s)

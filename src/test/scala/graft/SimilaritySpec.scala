@@ -441,9 +441,12 @@ class SimilaritySpec extends SparkSpec {
     println(s"[ivfsq-cell] recall: $cell of ${brute.size} (global: $global)")
     // identical candidates (same quantizer, same probes); per-cell bounds
     // are never wider than the global bounds, so the code step per dim is
-    // never coarser — ranking inside the probed cells cannot degrade
-    assert(cell >= global,
-      s"per-cell IVF-SQ8 recall $cell below global-bounds $global")
+    // never coarser — but rounding can still flip a near-tie neighbor
+    // ordering either way, so the guarantee is statistical, not per-pair:
+    // allow one flipped hit of slack rather than pinning an inequality a
+    // fixture tweak could falsify despite correct code
+    assert(cell >= global - 1,
+      s"per-cell IVF-SQ8 recall $cell below global-bounds $global - 1")
   }
 
   test("per-cell SQ8 codes: a cell-constant dim dequantizes exactly") {
