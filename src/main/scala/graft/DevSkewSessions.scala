@@ -83,6 +83,35 @@ object DevSkewSessions {
     if (args.contains("timer"))
       time("timer_replay")(graft.streaming.TimerSessions
         .replayTimerSessions(ev, gapSec).queryExecution.toRdd.count())
+    // streaming twins under the bounded-disorder replay harness (4 slices
+    // ≈ 2.5M-event micro-batches at 10M): builtin session_window streams
+    // the hot key through ONE state-store partition per micro-batch;
+    // the salted foreachBatch loop pre-folds per (user, slice) and
+    // island-merges against the open-partials table. Parity is asserted
+    // against the batch fold before the salted timing claim.
+    if (args.contains("stream")) {
+      // fixed harness cost both streaming rows pay: render the 4 replay
+      // slices (one 10M-row write) + read them back once
+      time("replay_render")({
+        val r = graft.streaming.StreamingSessions
+          .writeReplaySlices(ev, 300L * 1000000, 4)
+        val nr = spark.read.parquet(r.resolve("in").toString).count()
+        graft.streaming.StreamingSessions.deleteRecursively(r)
+        nr
+      })
+      val saltedStream = graft.streaming.SaltedSessionStream
+        .replaySaltedSessions(ev, lit(s"$gapSec seconds"), slices = 4)
+      val sdiff = a.unionAll(saltedStream)
+        .groupBy(col("user_id"), col("session_start"), col("session_end"),
+          col("event_count"), col("session_sum"), col("session_avg"))
+        .count().filter(col("count") =!= 2).count()
+      require(sdiff == 0, s"salted-stream/builtin mismatch: $sdiff rows")
+      println("[skewsess] parity: salted_stream == builtin batch")
+      time("salted_stream")(graft.streaming.SaltedSessionStream
+        .replaySaltedSessions(ev, lit(s"$gapSec seconds"), slices = 4).count())
+      time("builtin_stream")(graft.streaming.StreamingSessions
+        .replayOutOfOrder(ev, lit(s"$gapSec seconds"), slices = 4).count())
+    }
     spark.stop()
   }
 }

@@ -1332,6 +1332,36 @@ object SparkEntry {
       Similarity.ivfSqCellTopK(Tables.embeddings(s, dir), 20, 10)),
     "ann_topk_ivfsq" -> ((s, dir) =>
       Similarity.ivfSqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // the persisted per-cell training artifact itself (cell, dim, mn, mx)
+    // — clusterArtifacts' companion table; both engines derive the exact
+    // doubles (min/max are order-free)
+    "ann_sqcell_artifacts" -> ((s, dir) =>
+      Similarity.sqCellArtifacts(Tables.embeddings(s, dir))
+        .orderBy(col("cell"), col("pos"))),
+    // frozen-artifact incremental encode for the per-cell quantizer:
+    // frozen coarse centroids + frozen per-(cell,dim) bounds over the
+    // stored 4/5, the arriving 1/5 cell-assigned and quantized map-only
+    "ann_ivfsq_cell_encode_inc" -> ((s, dir) =>
+      Similarity.ivfSqCellEncodeIncremental(Tables.embeddings(s, dir))),
+    // bounds-staleness gate for the per-cell artifact: same planted
+    // dimension-collapse scenario as ann_sq_bounds_drift, readout under
+    // the frozen centroids + cell bounds (unassignable-cell rows count
+    // fully saturated); alarm replayed in integer math by the oracle
+    "ann_sqcell_bounds_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+        .head().getLong(0)
+      val idx = emb.filter(col("vec_id") < cut)
+      val tail = emb.filter(col("vec_id") >= cut)
+      val drifted = tail.withColumn("embedding",
+        concat(slice(col("embedding").cast("array<double>"), 1, 24),
+          typedlit(Seq.fill(40)(0.0))))
+      Similarity.sqCellBoundsDrift(idx, tail)
+        .select(lit("none").as("scenario"), col("*"))
+        .unionAll(Similarity.sqCellBoundsDrift(idx, drifted)
+          .select(lit("planted").as("scenario"), col("*")))
+        .orderBy(col("scenario"))
+    }),
     // frozen-bounds incremental SQ8 encode of the arriving 1/5 batch:
     // one map-only pass, out-of-range values clamp by construction
     "ann_sq_encode_inc" -> ((s, dir) =>
@@ -3142,6 +3172,9 @@ object SparkEntry {
     "ann_topk_ivfsq" -> ivfSqTopKOracle,
     "ann_topk_ivfsq_cell" -> ivfSqCellTopKOracle,
     "ann_sq_encode_inc" -> sqEncodeIncOracle,
+    "ann_sqcell_artifacts" -> sqCellArtifactsOracle,
+    "ann_ivfsq_cell_encode_inc" -> ivfSqCellEncodeIncOracle,
+    "ann_sqcell_bounds_drift" -> sqCellBoundsDriftOracle,
     // streamed fold ≡ one-shot incremental encode row-for-row
     "ann_sq_encode_stream" -> sqEncodeIncOracle,
     "ann_sq_bounds_drift" -> sqBoundsDriftOracle,
@@ -4522,6 +4555,129 @@ object SparkEntry {
        |      FROM sc)
        |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
        |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  /** Per-cell SQ8 artifact oracle: the Lloyd chain + final assignment,
+    * then per-(cell, dim) min/max over the normalized assigned corpus —
+    * exact doubles, both engines agree bit-for-bit.
+    */
+  private val sqCellArtifactsOracle: String =
+    "WITH " + kmTrainCtes("") + ",\n" + kmAsg("af", KmIters) + ",\n" +
+      s"""pp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |       FROM p WHERE nrm > 0),
+         |ppc AS (SELECT pp.vec_id, pp.vn, af.cell FROM pp JOIN af USING (vec_id))
+         |SELECT CAST(cell AS BIGINT) AS cell, CAST(t.i + 1 AS BIGINT) AS pos,
+         |  min(vn[t.i + 1]) AS mn, max(vn[t.i + 1]) AS mx
+         |FROM ppc CROSS JOIN unnest(range(${graft.operators.Similarity.SqDim})) AS t(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-cell incremental-encode oracle: Lloyd training AND per-cell
+    * bounds over the 4/5 prefix (the frozen artifacts), the 1/5 batch
+    * assigned against the frozen centroids ([[kmAsg]] over `pb`) and
+    * quantized against its cell's bounds.
+    */
+  private val ivfSqCellEncodeIncOracle: String = {
+    import graft.operators.Similarity.SqDim
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    val mm = (0 until SqDim).map(d =>
+      s"min(vn[${d + 1}]) AS mn$d, max(vn[${d + 1}]) AS mx$d")
+      .mkString(",\n    ")
+    val st = (0 until SqDim).map(d =>
+      s"CASE WHEN mx$d > mn$d THEN 255.0/(mx$d - mn$d) ELSE 0.0 END AS iv$d")
+      .mkString(",\n    ")
+    val enc = (0 until SqDim).map(d =>
+      s"CAST(least(255.0, greatest(0.0, floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5))) AS BIGINT) AS c${"%02d".format(d)}")
+      .mkString(",\n    ")
+    val cols = (0 until SqDim).map(d => s"c${"%02d".format(d)}").mkString(", ")
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      kmAsg("afa", KmIters) + ",\n" +
+      kmProj("pb", s" WHERE vec_id >= $cut") + ",\n" +
+      kmAsg("afb", KmIters, "pb") + ",\n" +
+      s"""ppa AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |        FROM p WHERE nrm > 0),
+         |ppb AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |        FROM pb WHERE nrm > 0),
+         |ppca AS (SELECT ppa.vec_id, ppa.vn, afa.cell
+         |         FROM ppa JOIN afa USING (vec_id)),
+         |cb AS MATERIALIZED (SELECT cell,
+         |    $mm
+         |  FROM ppca GROUP BY cell),
+         |stc AS MATERIALIZED (SELECT *,
+         |    $st FROM cb),
+         |ppcb AS (SELECT ppb.vec_id, ppb.vn, afb.cell
+         |         FROM ppb JOIN afb USING (vec_id)),
+         |encc AS (SELECT p.vec_id, CAST(p.cell AS BIGINT) AS cell,
+         |    $enc
+         |  FROM ppcb p JOIN stc s ON p.cell = s.cell)
+         |SELECT vec_id, cell, $cols FROM encc ORDER BY vec_id""".stripMargin
+  }
+
+  /** Per-cell bounds-drift oracle: frozen centroids + cell bounds over
+    * the 4/5 prefix, three assigned-and-quantized sides (index / raw
+    * tail / dimension-collapsed tail), saturation counted per row with
+    * unassignable-cell rows (LEFT-join miss) fully saturated — the
+    * whole [[graft.operators.Similarity.sqCellBoundsDrift]] integer
+    * contract, thresholds included.
+    */
+  private val sqCellBoundsDriftOracle: String = {
+    import graft.operators.Similarity.SqDim
+    val cut = "(SELECT (max(vec_id) * 4) // 5 FROM embeddings)"
+    val mm = (0 until SqDim).map(d =>
+      s"min(vn[${d + 1}]) AS mn$d, max(vn[${d + 1}]) AS mx$d")
+      .mkString(",\n    ")
+    val st = (0 until SqDim).map(d =>
+      s"CASE WHEN mx$d > mn$d THEN 255.0/(mx$d - mn$d) ELSE 0.0 END AS iv$d")
+      .mkString(",\n    ")
+    val satSum = (0 until SqDim).map(d =>
+      s"CASE WHEN floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5) <= 0 " +
+        s"OR floor((p.vn[${d + 1}] - s.mn$d)*s.iv$d + 0.5) >= 255 THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    def satCte(name: String, src: String) =
+      s"""$name AS (SELECT CAST(count(*) * $SqDim AS BIGINT) AS n_codes,
+         |  CAST(sum(CASE WHEN s.cell IS NULL THEN $SqDim ELSE $satSum END) AS BIGINT) AS n_sat
+         |  FROM $src p LEFT JOIN stc s ON p.cell = s.cell)""".stripMargin
+    def row(scenario: String, b: String) =
+      s"""SELECT '$scenario' AS scenario, si.n_codes AS n_codes_index,
+         |  $b.n_codes AS n_codes_batch,
+         |  si.n_sat * 1000 // si.n_codes AS sat_pm_index,
+         |  $b.n_sat * 1000 // $b.n_codes AS sat_pm_batch,
+         |  ($b.n_sat * 1000 // $b.n_codes)
+         |    - (si.n_sat * 1000 // si.n_codes) > 10 AS retrain_needed
+         |FROM si, $b""".stripMargin
+    "WITH " + kmTrainCtes(s" WHERE vec_id < $cut") + ",\n" +
+      kmAsg("afa", KmIters) + ",\n" +
+      kmProj("pb", s" WHERE vec_id >= $cut") + ",\n" +
+      kmAsg("afb", KmIters, "pb") + ",\n" +
+      s"""dr0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[])[1:24]
+         |          || [${Seq.fill(40)("0.0").mkString(", ")}] AS v
+         |        FROM embeddings WHERE vec_id >= $cut),
+         |drc AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM dr0),
+         |""".stripMargin +
+      kmAsg("afd", KmIters, "drc") + ",\n" +
+      s"""ppa AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |        FROM p WHERE nrm > 0),
+         |ppb AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |        FROM pb WHERE nrm > 0),
+         |ppd AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+         |        FROM drc WHERE nrm > 0),
+         |ppca AS (SELECT ppa.vec_id, ppa.vn, afa.cell
+         |         FROM ppa JOIN afa USING (vec_id)),
+         |cb AS MATERIALIZED (SELECT cell,
+         |    $mm
+         |  FROM ppca GROUP BY cell),
+         |stc AS MATERIALIZED (SELECT *,
+         |    $st FROM cb),
+         |ppcb AS (SELECT ppb.vec_id, ppb.vn, afb.cell
+         |         FROM ppb JOIN afb USING (vec_id)),
+         |ppcd AS (SELECT ppd.vec_id, ppd.vn, afd.cell
+         |         FROM ppd JOIN afd USING (vec_id)),
+         |${satCte("si", "ppca")},
+         |${satCte("sb", "ppcb")},
+         |${satCte("sd", "ppcd")}
+         |${row("none", "sb")}
+         |UNION ALL
+         |${row("planted", "sd")}
+         |ORDER BY scenario""".stripMargin
   }
 
   /** Frozen-bounds incremental SQ8 encode oracle: bounds over the

