@@ -32,7 +32,8 @@ object DevScaleAnn {
     // whole measured ladder)
     val cellOnly = args.contains("cellonly")
     val modeFlags =
-      Set("10m", "recall", "check", "attrib", "drift", "clustered", "cellonly")
+      Set("10m", "recall", "check", "attrib", "drift", "clustered",
+        "cellonly", "auto")
     val path =
       args.find(a => !modeFlags(a)).getOrElse(
         if (clustered) "/tmp/scale_vecs_10m_cl"
@@ -163,6 +164,23 @@ object DevScaleAnn {
       if (args.contains("check"))
         hitsOf("bruteForceTopK parity",
           graft.operators.Similarity.bruteForceTopK(ve, nq, k))
+      // "auto": the r14 regime router end-to-end at 10M — the probe's
+      // verdict (autoCells sizing + mean-fit bp) printed, then the routed
+      // operator's recall. On the clustered corpus the route must read
+      // (256 cells, clustered) and reproduce the 86.7% per-cell row; on
+      // the uniform corpus (uniform) -> the SQ8 full scan's 98.3%.
+      if (args.contains("auto")) {
+        val t = System.nanoTime()
+        val probe = graft.operators.Similarity.annRegimeProbe(ve).head()
+        println(f"[auto] probe n=${probe.getLong(0)} cells_auto=${probe.getLong(1)} " +
+          f"fit_bp=${probe.getLong(2)} regime=${probe.getString(3)} " +
+          f"(${(System.nanoTime() - t) / 1e9}%.1f s)")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        hitsOf("adaptive_ann_topk",
+          graft.operators.Similarity.adaptiveAnnTopK(ve, nq, k))
+        spark.stop()
+        return
+      }
       if (cellOnly) {
         hitsOf("ivfsq_cell256_topk",
           graft.operators.Similarity.ivfSqCellTopK(ve, nq, k,

@@ -1196,10 +1196,18 @@ object SparkEntry {
       val cut = emb.agg(expr("(max(vec_id) * 4) div 5").cast("long"))
         .head().getLong(0)
       val index = emb.filter(col("vec_id") < cut)
+      // the index-side artifacts (bucket table + one-shot label store)
+      // are the operator's FROZEN inputs — in production they are parquet
+      // reads, so materialize them once (localCheckpoint) before the
+      // operator under test consumes them. Left lazy, the whole one-shot
+      // semanticDedup re-ran inside every downstream consumption and the
+      // bench entry measured fixture construction, not the incremental
+      // path (r13 prescription #4).
       Similarity.semanticDedupIncremental(
-        index, Similarity.bucketTable(index),
+        index, Similarity.bucketTable(index).localCheckpoint(),
         Similarity.semanticDedup(index, 0.4)
-          .filter(!col("kept")).select(col("vec_id"), col("cluster_id")),
+          .filter(!col("kept")).select(col("vec_id"), col("cluster_id"))
+          .localCheckpoint(),
         emb.filter(col("vec_id") >= cut), 0.4)._1
     }),
     // spherical k-means clustering; the oracle re-runs the ENTIRE Lloyd
@@ -1322,6 +1330,17 @@ object SparkEntry {
     // overwhelming tight top-rank margins — SQ8 is the deployment answer
     "ann_topk_sq8" -> ((s, dir) =>
       Similarity.sqTopK(Tables.embeddings(s, dir), 20, 10)),
+    // the regime decision artifact: autoCells sizing + mean-fit readout
+    // (integer bp) + the clustered/uniform verdict — the r13 audit rule
+    // as a one-row relation, training replayed by the oracle
+    "ann_regime_probe" -> ((s, dir) =>
+      Similarity.annRegimeProbe(Tables.embeddings(s, dir))),
+    // the router itself: probe then run the regime's winning method.
+    // The fixture corpus measures uniform (fit_bp ~3.3k at sf0.01, well
+    // under the 7000 line), so the routed result IS the SQ8 full scan
+    // and shares its oracle — the probe query above pins the route
+    "ann_topk_adaptive" -> ((s, dir) =>
+      Similarity.adaptiveAnnTopK(Tables.embeddings(s, dir), 20, 10)),
     // IVF cell pruning + SQ8 code scoring (the FAISS "IVF…,SQ8" shape):
     // codes-only search path on the probed cells' members
     // per-cell SQ8 bounds: the quantization step sized to each cell's
@@ -3169,6 +3188,10 @@ object SparkEntry {
     "ann_topk_refine_auto" -> ivfPqResRefineOracle,
     "ann_ivfpq_encode_inc" -> ivfPqResEncodeIncOracle,
     "ann_topk_sq8" -> sqTopKOracle,
+    "ann_regime_probe" -> annRegimeProbeOracle,
+    // the fixture routes uniform (ann_regime_probe pins it), so the
+    // routed result is the SQ8 full scan verbatim
+    "ann_topk_adaptive" -> sqTopKOracle,
     "ann_topk_ivfsq" -> ivfSqTopKOracle,
     "ann_topk_ivfsq_cell" -> ivfSqCellTopKOracle,
     "ann_sq_encode_inc" -> sqEncodeIncOracle,
@@ -4045,6 +4068,33 @@ object SparkEntry {
          |${scenario("planted", "d")}
          |ORDER BY scenario""".stripMargin
   }
+
+  /** Regime-probe oracle: the whole-corpus Lloyd chain + the
+    * winning-cosine fit pass (the [[annArtifactDriftOracle]] `asgFit`
+    * spelling), truncated to basis points, plus the routing verdict.
+    * `cells_auto` is the literal [[KmCells]] — [[graft.operators
+    * .Similarity.autoCells]]'s answer at every driver SF (≤ 2k vectors);
+    * a larger fixture would hash-mismatch loudly, the [[autoM]]-oracle
+    * convention.
+    */
+  private val annRegimeProbeOracle: String =
+    "WITH " + kmTrainCtes("") + ",\n" +
+      s"""pi AS (SELECT * FROM p WHERE nrm > 0),
+         |af AS (SELECT vec_id, cell,
+         |    CAST(round(rawcos * 1000000.0, 0) AS BIGINT) AS fit6 FROM (
+         |  SELECT p.vec_id, n.cell,
+         |    list_dot_product(p.v, n.cv) / (p.nrm * n.cn) AS rawcos,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      (CASE WHEN isfinite(list_dot_product(p.v, n.cv) / (p.nrm * n.cn))
+         |            THEN round(list_dot_product(p.v, n.cv) / (p.nrm * n.cn), 6)
+         |            ELSE -1e308 END) DESC, n.cell DESC) AS rn
+         |  FROM pi p CROSS JOIN n$KmIters n) WHERE rn = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST($KmCells AS BIGINT) AS cells_auto,
+         |  CAST(sum(fit6) // (count(*) * 100) AS BIGINT) AS fit_bp,
+         |  CASE WHEN sum(fit6) // (count(*) * 100) >= 7000
+         |       THEN 'clustered' ELSE 'uniform' END AS regime
+         |FROM af""".stripMargin
 
   /** The content-free md5 sample bucket, DuckDB spelling — the rank key
     * of every cluster-balanced pick.

@@ -1959,6 +1959,98 @@ object Similarity {
     * per side with a 64-value partial-agg fold — O(corpus + batch), no
     * shuffle beyond two single-row aggregates.
     */
+  /** Corpus-size-derived IVF cell count — the [[autoPlanes]]/[[autoM]]
+    * sizing policy for the `cells` knob, codifying the r13 clustered-10M
+    * audit's finding that CELL COUNT, not the bounds trick, carries
+    * recall recovery on cluster-structured data (16 cells → 63.6–68.5%,
+    * 256 cells → 86.7% per-cell-SQ8 / 100% IVF+exact at 8 probes,
+    * scanning ~3% of the corpus). Policy: hold cell OCCUPANCY roughly
+    * constant — the next power of two covering
+    * `ceil(corpusRows / rowsPerCell)`, clamped to `[minCells, maxCells]`.
+    * The default 40k rows/cell makes 10M yield exactly the audited 256
+    * while every fixture corpus (≤ 2k rows) keeps the pinned
+    * [[IvfCells]] = 16 floor, so the existing oracles' literal cell
+    * count stays valid at every driver SF. Power-of-two rounding keeps
+    * the knob on a coarse grid — a retrain changes index geometry only
+    * when the corpus has doubled, not on every daily count wiggle.
+    * Monotone in corpusRows (`SimilaritySpec` pins it plus the
+    * 10M → 256 answer).
+    */
+  def autoCells(corpusRows: Long, rowsPerCell: Long = 40000L,
+                minCells: Int = IvfCells, maxCells: Int = 4096): Int = {
+    require(corpusRows >= 0 && rowsPerCell > 0 && minCells > 0 &&
+      maxCells >= minCells,
+      "corpusRows non-negative, rowsPerCell/minCells positive, maxCells ≥ minCells")
+    val want = (corpusRows + rowsPerCell - 1) / rowsPerCell
+    var c = minCells
+    while (c < want && c < maxCells) c <<= 1
+    math.min(c, maxCells)
+  }
+
+  /** Measured regime probe for the ANN method router — the r13 dual-audit
+    * rule ("uniform data wants few cells/many probes + strong codes;
+    * clustered data wants cells ≈ clusters") turned into a one-row
+    * decision artifact instead of prose. Trains the portable-seeded
+    * coarse quantizer at [[autoCells]] and reads the MEAN FIT — cosine
+    * between each vector and its assigned centroid, the
+    * [[annArtifactDrift]] integer fit contract (Σ round(cos·10⁶),
+    * truncating division to basis points): tight clusters fit their
+    * centroid at ~9700+ bp (center 1.0, noise 0.15), while uniform
+    * 64-dim corpora fit their nearest of even 256 centroids far below
+    * the `fitClusteredBp` = 7000 line. Output:
+    * `(n, cells_auto, fit_bp, regime)` — deterministic integer math, so
+    * the whole probe (training included) replays as DuckDB CTEs.
+    * Cost: the bounded Lloyd training + one map-only fit pass.
+    */
+  def annRegimeProbe(embeddings: DataFrame,
+                     fitClusteredBp: Long = 7000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val prep = prepared(embeddings).localCheckpoint()
+    val n = prep.filter(col("nrm") > 0).count()
+    val cells = autoCells(n)
+    val cents = kmeansCentroids(prep, cells, IvfKmeansIters,
+      portableSeed = true)
+    val cns = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val cv = element_at(typedlit(cents), (col("cell") + 1).cast("int"))
+    val cn = element_at(typedlit(cns), (col("cell") + 1).cast("int"))
+    val f = prep.filter(col("nrm") > 0)
+      .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
+        col("v"), col("nrm"), cents, 1), 1).cast("long"))
+      .withColumn("fit6", ArrayOps.roundScaledLong(spark,
+        ArrayOps.dotNative(spark, col("v"), cv) / (col("nrm") * cn),
+        1000000L))
+      .agg(sum(col("fit6"))).head().getLong(0)
+    val fitBp = f / (n * 100L)
+    Seq((n, cells.toLong, fitBp,
+      if (fitBp >= fitClusteredBp) "clustered" else "uniform"))
+      .toDF("n", "cells_auto", "fit_bp", "regime")
+  }
+
+  /** Measure-then-choose ANN top-k — the regime router the r13 verdict
+    * prescribed: run [[annRegimeProbe]] (bounded training + one fit
+    * pass, a one-row scalar back to the driver) and route to the
+    * audit's winning method per regime — per-cell-bounds IVF-SQ8 at
+    * [[autoCells]] cells for CLUSTERED corpora (pruning is near-free
+    * when cells resolve clusters; 86.7% hits@10 at 10M scanning ~3%),
+    * the global-bounds SQ8 full scan for UNIFORM corpora (few probed
+    * cells capture few neighbors there — 98.3% needs the full scan,
+    * still at 8× memory compression). Like [[Sessions.adaptiveSessionAgg]]
+    * the probe is EAGER (training executes at call time); unlike it the
+    * two branches are different approximations, so the router's contract
+    * is the REGIME RULE, not bit-equality across branches — on any fixed
+    * corpus the route is deterministic (portable-seeded trainer), which
+    * is what makes the routed result oracle-checkable at all.
+    */
+  def adaptiveAnnTopK(embeddings: DataFrame, numQueries: Int, k: Int,
+                      fitClusteredBp: Long = 7000): DataFrame = {
+    val probe = annRegimeProbe(embeddings, fitClusteredBp).head()
+    if (probe.getString(3) == "clustered")
+      ivfSqCellTopK(embeddings, numQueries, k,
+        cells = probe.getLong(1).toInt)
+    else sqTopK(embeddings, numQueries, k)
+  }
+
   // ------------- per-cell SQ8 artifact family (frozen, incremental) ------
 
   /** Cell-assign a `(vec_id, v, nrm)` frame against frozen centroids and

@@ -75,6 +75,23 @@ object SaltedSessionStream {
 
   private def partialCols = partialFields.map(f => col(f.name))
 
+  /** Defend a micro-batch against SERIAL file reads — the
+    * [[StreamingPack.widened]] lesson applied to the session loop: a
+    * replay file under `maxPartitionBytes` arrives as one or two scan
+    * partitions, serializing the pre-fold's map side behind a core or
+    * two (measured at 10M/4 slices: ~3.5 s/batch of single-task read).
+    * Repartition only when the batch is genuinely serial (< a quarter of
+    * the cores): the pre-fold's own groupBy exchange redistributes
+    * anyway, so a moderately-split scan needs no extra shuffle, while a
+    * 1–2-partition scan amortizes the round-robin against every
+    * downstream consumer. Row placement cannot change results.
+    */
+  private def widened(batch: DataFrame): DataFrame = {
+    val cores = batch.sparkSession.sparkContext.defaultParallelism
+    if (batch.rdd.getNumPartitions * 4 < cores) batch.repartition(cores)
+    else batch
+  }
+
   /** Latest committed snapshot under `stateDir`:
     * (open partials, watermark µs, last batch id, events processed). */
   private[streaming] def readState(spark: SparkSession, stateDir: String)
@@ -110,21 +127,34 @@ object SaltedSessionStream {
     require(delayUs >= 0, s"delayUs must be non-negative, got $delayUs")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val dbg = sys.env.contains("GRAFT_REPLAY_PROGRESS")
+    def t[A](name: String, batchId: Long)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (dbg) println(f"[salted-batch $batchId] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val b = batch.persist()
-      try {
+      // no batch persist: the batch is consumed exactly twice (the stats
+      // aggregate and the pre-fold) and both scans parallelize once the
+      // source splits the file — caching 2.5M-row batches cost more than
+      // the second scan (measured: 3.5–4 s/batch materialization)
+      val b = widened(batch)
+      locally {
         val sess = b.sparkSession
-        val (opens, wmUs, lastBatchId, nTotal) = readState(sess, stateDir)
+        val (opens, wmUs, lastBatchId, nTotal) =
+          t("readState", batchId)(readState(sess, stateDir))
         // fully-committed replay (output + snapshot landed, checkpoint
         // didn't): reprocessing against the POST-batch state would fold
         // the events twice — skip, the idempotent output already holds
         // this batch's sessions
-        if (batchId > lastBatchId && !b.isEmpty) {
-          val nBatch = b.count()
-          val batchMaxUs = b.agg(max(unix_micros(col("ts")))).head() match {
-            case r if r.isNullAt(0) => Long.MinValue
-            case r => r.getLong(0)
+        val (nBatch, batchMaxUs) =
+          if (batchId <= lastBatchId) (0L, Long.MinValue)
+          else t("batchStats", batchId) {
+            val r = b.agg(count(lit(1)), max(unix_micros(col("ts")))).head()
+            (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
           }
+        if (batchId > lastBatchId && nBatch > 0) {
           val wmNew = math.max(wmUs,
             if (batchMaxUs == Long.MinValue) Long.MinValue
             else batchMaxUs - delayUs)
@@ -136,9 +166,9 @@ object SaltedSessionStream {
             .persist()
           try {
             val closed = merged.filter(unix_micros(col("e")) < wmNew)
-            StreamingDedup.writeOutputBatch(
+            t("mergeAndEmit", batchId)(StreamingDedup.writeOutputBatch(
               graft.operators.Sessions.finalizePartials(closed),
-              outDir, batchId)
+              outDir, batchId))
             // marker-bearing snapshot LAST (replay-safety contract),
             // named by the cumulative event count — strictly monotone
             // per effective batch, so the retention prune can never
@@ -148,21 +178,21 @@ object SaltedSessionStream {
               java.util.Arrays.asList(Row(null, null, null, null, null,
                 wmNew, batchId, nTotal + nBatch)),
               stateSchema)
-            open
+            t("stateWrite", batchId)(open
               .withColumn("wm_us", lit(null).cast(LongType))
               .withColumn("last_batch_id", lit(null).cast(LongType))
               .withColumn("n_total", lit(null).cast(LongType))
               .unionAll(marker)
               .write.mode("overwrite").parquet(
                 new org.apache.hadoop.fs.Path(stateDir,
-                  s"batch=${nTotal + nBatch}").toString)
+                  s"batch=${nTotal + nBatch}").toString))
           } finally merged.unpersist()
           val root = new org.apache.hadoop.fs.Path(stateDir)
           val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
           StreamingDedup.committedBatchDirs(fs, root).dropRight(2)
             .foreach(p => fs.delete(p, true))
         }
-      } finally b.unpersist()
+      }
     }
     val q = stream.writeStream.foreachBatch(step)
       .trigger(Trigger.AvailableNow())
@@ -192,6 +222,14 @@ object SaltedSessionStream {
         s"${jitterUs}µs for the early-close rule to be lossless")
     val spark = events.sparkSession
     val root = StreamingSessions.writeReplaySlices(events, jitterUs, slices)
+    // harness-side partitioning: a replay slice is ONE file, and the file
+    // source splits it only at maxPartitionBytes — lower the split size
+    // for the replay so the per-batch scan parallelizes instead of
+    // funneling through one task (snapshot/restore, the
+    // replayStageOutOfOrder conf discipline)
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val mpbSnapshot = spark.conf.getOption(mpbKey)
+    spark.conf.set(mpbKey, (16L << 20).toString)
     try {
       run(spark, root.resolve("in").toString, root.resolve("state").toString,
         root.resolve("out").toString, root.resolve("ckpt").toString,
@@ -200,6 +238,12 @@ object SaltedSessionStream {
         .filter(!(col("user_id") <=> lit(StreamingSessions.FlushUser)))
         .orderBy(col("user_id"), col("session_start"))
         .localCheckpoint()
-    } finally StreamingSessions.deleteRecursively(root)
+    } finally {
+      mpbSnapshot match {
+        case Some(v) => spark.conf.set(mpbKey, v)
+        case None => spark.conf.unset(mpbKey)
+      }
+      StreamingSessions.deleteRecursively(root)
+    }
   }
 }

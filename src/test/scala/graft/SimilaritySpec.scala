@@ -211,6 +211,52 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoM(500, 20) == 80) // 4k floor scales with k
   }
 
+  test("autoCells holds cell occupancy as the corpus grows") {
+    // every fixture corpus (500, 2000 rows) keeps the pinned IvfCells=16
+    // floor — the oracles' literal cell count stays the auto answer
+    assert(Similarity.autoCells(0) == Similarity.IvfCells)
+    assert(Similarity.autoCells(500) == Similarity.IvfCells)
+    assert(Similarity.autoCells(2000) == Similarity.IvfCells)
+    assert(Similarity.autoCells(640000) == Similarity.IvfCells)
+    // the r13 clustered audit's winning cell count IS the auto answer
+    // at 10M (256 cells / 8 probes: 86.7% per-cell SQ8, 100% IVF+exact)
+    assert(Similarity.autoCells(10000000) == 256)
+    // power-of-two grid + cap
+    assert(Similarity.autoCells(1000000) == 32)
+    assert(Similarity.autoCells(1000000000L) == 4096)
+    assert(Similarity.autoCells(Long.MaxValue / 2) == 4096)
+    // monotone in corpusRows
+    val cs = Seq(0L, 500L, 650000L, 1000000L, 10000000L, 100000000L,
+      10000000000L).map(Similarity.autoCells(_))
+    assert(cs == cs.sorted)
+  }
+
+  test("annRegimeProbe separates clustered from uniform corpora") {
+    import org.apache.spark.sql.functions._
+    // uniform fixture: fit to the nearest of 16 centroids sits far below
+    // the 7000 bp line (measured 3297/3288 bp at sf0.001/0.01)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val u = Similarity.annRegimeProbe(emb).head()
+    assert(u.getString(3) == "uniform", s"uniform fixture read $u")
+    assert(u.getLong(1) == Similarity.IvfCells.toLong)
+    // synthetic 4-cluster corpus (tight noise around orthogonal centers):
+    // members fit their centroid near 10000 bp -> clustered
+    val dim = 64
+    val cl = vecs((0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(dim)(d =>
+        (if (d / 16 == c) 1.0 else 0.0) +
+          ((i * 31 + d) % 7).toDouble / 100.0).map(_.toFloat))
+    }: _*)
+    val p = Similarity.annRegimeProbe(cl).head()
+    assert(p.getString(3) == "clustered", s"clustered corpus read $p")
+    // the router follows the probe: on the uniform fixture the routed
+    // result IS the SQ8 full scan, row for row
+    val routed = Similarity.adaptiveAnnTopK(emb, 10, 5).collect().map(_.toSeq)
+    val sq = Similarity.sqTopK(emb, 10, 5).collect().map(_.toSeq)
+    assert(routed.toSeq == sq.toSeq)
+  }
+
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayOps
