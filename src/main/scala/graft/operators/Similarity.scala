@@ -1841,11 +1841,18 @@ object Similarity {
     */
   def ivfSqCellTopK(embeddings: DataFrame, numQueries: Int, k: Int,
                     probes: Int = IvfProbes, cells: Int = IvfCells,
-                    iters: Int = IvfKmeansIters): DataFrame = {
+                    iters: Int = IvfKmeansIters,
+                    trained: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val spark = embeddings.sparkSession
     val prepIvf = prepared(embeddings).localCheckpoint()
-    val centroids = kmeansCentroids(prepIvf, cells, iters,
-      portableSeed = true)
+    // `trained` lets a caller that already ran the identical
+    // portable-seeded training (the regime router's probe) thread its
+    // centroids through — bit-identical by construction, one Lloyd pass
+    // saved
+    trained.foreach(c => require(c.size <= cells,
+      s"trained centroid count ${c.size} exceeds cells $cells"))
+    val centroids = trained.getOrElse(
+      kmeansCentroids(prepIvf, cells, iters, portableSeed = true))
     val assigned = prepIvf
       .withColumn("cells2", ArrayOps.nearestCells(spark,
         col("v"), col("nrm"), centroids, probes))
@@ -2003,7 +2010,16 @@ object Similarity {
     * Cost: the bounded Lloyd training + one map-only fit pass.
     */
   def annRegimeProbe(embeddings: DataFrame,
-                     fitClusteredBp: Long = 7000): DataFrame = {
+                     fitClusteredBp: Long = 7000): DataFrame =
+    regimeProbeTrained(embeddings, fitClusteredBp)._1
+
+  /** [[annRegimeProbe]] returning the trained coarse centroids alongside
+    * the verdict row, so [[adaptiveAnnTopK]]'s clustered branch can
+    * REUSE the probe's quantizer instead of re-training it (the r14
+    * router's one stated double-cost, removed: at 10M the probe's Lloyd
+    * train is ~2/3 of its 304 s). */
+  private def regimeProbeTrained(embeddings: DataFrame, fitClusteredBp: Long)
+      : (DataFrame, Seq[Seq[Double]]) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val prep = prepared(embeddings).localCheckpoint()
@@ -2022,9 +2038,9 @@ object Similarity {
         1000000L))
       .agg(sum(col("fit6"))).head().getLong(0)
     val fitBp = f / (n * 100L)
-    Seq((n, cells.toLong, fitBp,
+    (Seq((n, cells.toLong, fitBp,
       if (fitBp >= fitClusteredBp) "clustered" else "uniform"))
-      .toDF("n", "cells_auto", "fit_bp", "regime")
+      .toDF("n", "cells_auto", "fit_bp", "regime"), cents)
   }
 
   /** Measure-then-choose ANN top-k — the regime router the r13 verdict
@@ -2044,10 +2060,14 @@ object Similarity {
     */
   def adaptiveAnnTopK(embeddings: DataFrame, numQueries: Int, k: Int,
                       fitClusteredBp: Long = 7000): DataFrame = {
-    val probe = annRegimeProbe(embeddings, fitClusteredBp).head()
+    val (probeDf, cents) = regimeProbeTrained(embeddings, fitClusteredBp)
+    val probe = probeDf.head()
     if (probe.getString(3) == "clustered")
+      // the probe's quantizer IS the operator's quantizer (same corpus,
+      // same portable seed, same iters) — thread it through rather than
+      // re-running Lloyd over the whole corpus
       ivfSqCellTopK(embeddings, numQueries, k,
-        cells = probe.getLong(1).toInt)
+        cells = probe.getLong(1).toInt, trained = Some(cents))
     else sqTopK(embeddings, numQueries, k)
   }
 

@@ -255,6 +255,12 @@ class SimilaritySpec extends SparkSpec {
     val routed = Similarity.adaptiveAnnTopK(emb, 10, 5).collect().map(_.toSeq)
     val sq = Similarity.sqTopK(emb, 10, 5).collect().map(_.toSeq)
     assert(routed.toSeq == sq.toSeq)
+    // clustered branch: the routed result (probe centroids THREADED into
+    // the operator) equals the self-training per-cell operator row for
+    // row — the reuse is bit-identical, not just equivalent-ish
+    val routedCl = Similarity.adaptiveAnnTopK(cl, 10, 5).collect().map(_.toSeq)
+    val cellCl = Similarity.ivfSqCellTopK(cl, 10, 5).collect().map(_.toSeq)
+    assert(routedCl.toSeq == cellCl.toSeq)
   }
 
   test("NearestCells matches the sort_array-of-rounded-structs spelling") {
