@@ -32,7 +32,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local-mode JVM = driver + all 32 executor task slots in one heap.
+  // 8g starved it: spark.memory.fraction 0.6 × 8g / 32 concurrent tasks
+  // ≈ 150 MB of execution memory per task — the r14 baseline measured
+  // entries up to 20× slower in-suite than isolated (text_decontaminate
+  // 7.46 s in-suite vs 0.43 s isolated) purely from GC pressure and
+  // spill, and a full-suite A/B (dev/bench_history/{r14_before,
+  // probe_mem32}.json) read 348.0 s → 307.1 s from the heap bump alone.
+  // 32g on this 128 GiB box ≈ 600 MB execution memory per task slot —
+  // the local analogue of a sanely sized executor; on a real cluster
+  // this knob is spark.executor.memory and the env override below still
+  // applies.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++
   // extra forked-JVM flags for dev measurement runs (e.g. GC probes:
   // SPARK_GRAFT_JVM_OPTS="-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m")
