@@ -20,6 +20,17 @@ run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Quarter of physical RAM, clamped to [4g, 32g] — see the -Xmx note below.
+val defaultHeap: String = {
+  val memTotalGb =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / (1024 * 1024) }
+        .getOrElse(128L)
+    } catch { case scala.util.control.NonFatal(_) => 128L }
+  s"${math.max(4L, math.min(32L, memTotalGb / 4))}g"
+}
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -42,8 +53,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32g on this 128 GiB box ≈ 600 MB execution memory per task slot —
   // the local analogue of a sanely sized executor; on a real cluster
   // this knob is spark.executor.memory and the env override below still
-  // applies.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // applies. The default derives from physical RAM (a quarter, clamped
+  // to [4g, 32g]) so a smaller dev machine doesn't swap or OOM-kill the
+  // suite; the bench box lands on the measured 32g either way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 ) ++
   // extra forked-JVM flags for dev measurement runs (e.g. GC probes:
   // SPARK_GRAFT_JVM_OPTS="-XX:+AlwaysPreTouch -XX:G1HeapRegionSize=32m")

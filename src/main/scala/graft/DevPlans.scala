@@ -20,15 +20,24 @@ object DevPlans {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: DevPlans <tag> <suffix> [query ...]")
     val (tag, suffix) = (args(0), args(1))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Defaults MATCH Bench (cpus=4, sf0.1): the captured plan is the plan
+    // the bench executes — stats-driven join choices and partition counts
+    // depend on both knobs, so diverging defaults here would capture a
+    // plan the bench never runs (advisor finding, r14).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = java.nio.file.Paths.get("plans", tag)
     java.nio.file.Files.createDirectories(outDir)
+    // a typo'd query name must fail LOUDLY (nonzero exit), not log one
+    // line and exit 0 with no plan file (advisor finding, r14)
+    val unknown = args.drop(2).filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — names must match SparkEntry.queries")
     val names =
       if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>

@@ -164,7 +164,17 @@ object Sessions {
     * micro-batch with the IDENTICAL expressions.
     */
   private[graft] def slicePartials(events: DataFrame, gap: Column,
-                                   sliceSeconds: Long): DataFrame = {
+                                   sliceSeconds: Long): DataFrame =
+    slicePartialsWithMax(events, gap, sliceSeconds).drop("mx_us")
+
+  /** [[slicePartials]] carrying each partial's `max(unix_micros(ts))` as
+    * `mx_us` — the streaming twin derives its per-batch stats (row count,
+    * watermark candidate) from the PARTIALS instead of a second full scan
+    * of the batch (guide §1.2: one pass where one pass suffices; the
+    * partials are O(users × slices) rows, the batch is the corpus slice).
+    */
+  private[graft] def slicePartialsWithMax(events: DataFrame, gap: Column,
+                                          sliceSeconds: Long): DataFrame = {
     require(sliceSeconds > 0, s"sliceSeconds must be positive, got $sliceSeconds")
     events
       .filter(col("user_id").isNotNull && col("ts").isNotNull) // P2 null filter
@@ -173,11 +183,12 @@ object Sessions {
       .groupBy(col("user_id"), col("slice"),
         session_window(col("ts"), gap))
       .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("sum_cents"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        max(unix_micros(col("ts"))).as("mx_us"))
       .select(col("user_id"),
         col("session_window.start").as("s"),
         col("session_window.end").as("e"),
-        col("sum_cents"), col("n"))
+        col("sum_cents"), col("n"), col("mx_us"))
   }
 
   /** Phase 2: gap-and-islands merge of partial sessions per user — a new

@@ -112,6 +112,61 @@ object SaltedSessionStream {
     }
   }
 
+  /** Merge one effective micro-batch's pre-folded partials into the open
+    * state, emit closed sessions, and persist the next snapshot — the
+    * body of the admission loop once the replay-skip and empty-batch
+    * guards have passed. `partials` arrives persisted (the caller owns
+    * its lifecycle) in the [[graft.operators.Sessions.slicePartialsWithMax]]
+    * schema.
+    */
+  private def foldBatch(sess: SparkSession, opens: DataFrame, wmUs: Long,
+                        nTotal: Long, partials: DataFrame,
+                        nBatch: Long, batchMaxUs: Long, batchId: Long,
+                        stateDir: String, outDir: String,
+                        delayUs: Long, dbg: Boolean): Unit = {
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (dbg) println(f"[salted-batch $batchId] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val wmNew = math.max(wmUs,
+      if (batchMaxUs == Long.MinValue) Long.MinValue
+      else batchMaxUs - delayUs)
+    // pre-fold + island merge with the batch fold's own operators —
+    // persisted so the closed/open split doesn't re-run the merge
+    val merged = graft.operators.Sessions.mergeIslands(
+      opens.unionAll(partials.select(partialCols: _*)))
+      .persist()
+    try {
+      val closed = merged.filter(unix_micros(col("e")) < wmNew)
+      t("mergeAndEmit")(StreamingDedup.writeOutputBatch(
+        graft.operators.Sessions.finalizePartials(closed),
+        outDir, batchId))
+      // marker-bearing snapshot LAST (replay-safety contract),
+      // named by the cumulative event count — strictly monotone
+      // per effective batch, so the retention prune can never
+      // delete the newest snapshot
+      val open = merged.filter(unix_micros(col("e")) >= wmNew)
+      val marker = sess.createDataFrame(
+        java.util.Arrays.asList(Row(null, null, null, null, null,
+          wmNew, batchId, nTotal + nBatch)),
+        stateSchema)
+      t("stateWrite")(open
+        .withColumn("wm_us", lit(null).cast(LongType))
+        .withColumn("last_batch_id", lit(null).cast(LongType))
+        .withColumn("n_total", lit(null).cast(LongType))
+        .unionAll(marker)
+        .write.mode("overwrite").parquet(
+          new org.apache.hadoop.fs.Path(stateDir,
+            s"batch=${nTotal + nBatch}").toString))
+    } finally merged.unpersist()
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    StreamingDedup.committedBatchDirs(fs, root).dropRight(2)
+      .foreach(p => fs.delete(p, true))
+  }
+
   /** Run the salted session loop over parquet files appearing in `inDir`
     * (one file per micro-batch, mtime order) until drained. Closed
     * sessions append under `outDir` in the [[graft.operators.Sessions
@@ -123,8 +178,10 @@ object SaltedSessionStream {
     */
   def run(spark: SparkSession, inDir: String, stateDir: String,
           outDir: String, ckptDir: String, schema: StructType, gap: Column,
-          delayUs: Long, sliceSeconds: Long = 3600L): Unit = {
+          delayUs: Long, sliceSeconds: Long = 3600L,
+          foldPartitions: Int = 4): Unit = {
     require(delayUs >= 0, s"delayUs must be non-negative, got $delayUs")
+    require(foldPartitions > 0, s"foldPartitions must be positive, got $foldPartitions")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val dbg = sys.env.contains("GRAFT_REPLAY_PROGRESS")
@@ -135,10 +192,17 @@ object SaltedSessionStream {
       r
     }
     val step: (DataFrame, Long) => Unit = (batch, batchId) => {
-      // no batch persist: the batch is consumed exactly twice (the stats
-      // aggregate and the pre-fold) and both scans parallelize once the
-      // source splits the file — caching 2.5M-row batches cost more than
-      // the second scan (measured: 3.5–4 s/batch materialization)
+      // ONE scan of the batch per micro-batch: the pre-fold computes the
+      // partials AND the batch stats — `nBatch` (count of sessionizable
+      // rows) and the watermark candidate (max event time) derive from
+      // the persisted PARTIALS (O(users × slices) rows), not a second
+      // full aggregate over the events (guide §1.2/§2.3 — r14 shipped
+      // every batch through two scans; the partials already carry the
+      // evidence). Rows the P2 null filter drops (null user/ts) no
+      // longer count or advance the watermark: a lower watermark only
+      // closes LESS eagerly, and the replay's sentinel flush closes
+      // every real session regardless, so the emitted sessions are
+      // unchanged (the null rows never sessionize either way).
       val b = widened(batch)
       locally {
         val sess = b.sparkSession
@@ -148,57 +212,53 @@ object SaltedSessionStream {
         // didn't): reprocessing against the POST-batch state would fold
         // the events twice — skip, the idempotent output already holds
         // this batch's sessions
-        val (nBatch, batchMaxUs) =
-          if (batchId <= lastBatchId) (0L, Long.MinValue)
-          else t("batchStats", batchId) {
-            val r = b.agg(count(lit(1)), max(unix_micros(col("ts")))).head()
-            (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
-          }
-        if (batchId > lastBatchId && nBatch > 0) {
-          val wmNew = math.max(wmUs,
-            if (batchMaxUs == Long.MinValue) Long.MinValue
-            else batchMaxUs - delayUs)
-          // pre-fold + island merge with the batch fold's own operators —
-          // persisted so the closed/open split doesn't re-run the merge
-          val merged = graft.operators.Sessions.mergeIslands(
-            opens.unionAll(graft.operators.Sessions
-              .slicePartials(b, gap, sliceSeconds)))
-            .persist()
+        if (batchId > lastBatchId) {
+          val partials = graft.operators.Sessions
+            .slicePartialsWithMax(b, gap, sliceSeconds).persist()
           try {
-            val closed = merged.filter(unix_micros(col("e")) < wmNew)
-            t("mergeAndEmit", batchId)(StreamingDedup.writeOutputBatch(
-              graft.operators.Sessions.finalizePartials(closed),
-              outDir, batchId))
-            // marker-bearing snapshot LAST (replay-safety contract),
-            // named by the cumulative event count — strictly monotone
-            // per effective batch, so the retention prune can never
-            // delete the newest snapshot
-            val open = merged.filter(unix_micros(col("e")) >= wmNew)
-            val marker = sess.createDataFrame(
-              java.util.Arrays.asList(Row(null, null, null, null, null,
-                wmNew, batchId, nTotal + nBatch)),
-              stateSchema)
-            t("stateWrite", batchId)(open
-              .withColumn("wm_us", lit(null).cast(LongType))
-              .withColumn("last_batch_id", lit(null).cast(LongType))
-              .withColumn("n_total", lit(null).cast(LongType))
-              .unionAll(marker)
-              .write.mode("overwrite").parquet(
-                new org.apache.hadoop.fs.Path(stateDir,
-                  s"batch=${nTotal + nBatch}").toString))
-          } finally merged.unpersist()
-          val root = new org.apache.hadoop.fs.Path(stateDir)
-          val fs = root.getFileSystem(sess.sparkContext.hadoopConfiguration)
-          StreamingDedup.committedBatchDirs(fs, root).dropRight(2)
-            .foreach(p => fs.delete(p, true))
+            val (nBatch, batchMaxUs) = t("batchStats", batchId) {
+              val r = partials
+                .agg(coalesce(sum(col("n")), lit(0L)), max(col("mx_us"))).head()
+              (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+            }
+            if (nBatch > 0)
+              foldBatch(sess, opens, wmUs, nTotal,
+                partials, nBatch, batchMaxUs, batchId, stateDir, outDir,
+                delayUs, dbg)
+          } finally partials.unpersist()
         }
       }
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    // Scope the loop's exchanges to `foldPartitions` — the same per-batch
+    // partition discipline [[StreamingSessions.replayStageOutOfOrder]]
+    // applies to its stateful stage, for the same reason: every job in
+    // `step` (pre-fold groupBy, island-merge window, state/output writes)
+    // inherits the SESSION shuffle partitioning, and a micro-batch's
+    // volume is a fraction of the corpus — at the bench SFs a sub-MB
+    // batch across 32 session partitions pays 32 near-empty tasks per
+    // exchange plus a 32-file state snapshot, measured 15.2 s vs 6.0 s
+    // for the whole replay (r15, local[32] vs foldPartitions=4; at 8
+    // cores the same query read 8.9 s — the cost tracked the partition
+    // count, not the data). A production deployment sizes this to
+    // sustained batch volume / target partition size (guide §2.2: 100
+    // MB–1 GB post-shuffle partitions), exactly like the sibling's
+    // statePartitions knob. Snapshot/restore: the loop must not leak
+    // session conf.
+    val spKey = "spark.sql.shuffle.partitions"
+    val spSnapshot = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, foldPartitions.toString)
+    try {
+      val q = stream.writeStream.foreachBatch(step)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .start()
+      q.awaitTermination()
+    } finally {
+      spSnapshot match {
+        case Some(v) => spark.conf.set(spKey, v)
+        case None => spark.conf.unset(spKey)
+      }
+    }
   }
 
   /** Oracle-checkable bounded-disorder replay — the salted loop under the
