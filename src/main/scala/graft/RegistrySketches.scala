@@ -160,37 +160,68 @@ private[graft] object RegistrySketches {
 
 
   /** The Spark-SQL-text spelling of `quantile_qdigest` — the same 8
-    * window-over-parent freeze/push rounds as the Column API (which
+    * freeze/push compression rounds as the Column API (which
     * `localCheckpoint`s per round; here they unroll as CTEs in one
     * statement), the same readout and the same rank gate. Thresholds
     * arrive as uncorrelated scalar subqueries (no one-row join → no
     * nested-loop plan); the percentile fan-outs are LATERAL VIEW
-    * generators or a broadcast equi-join on a constant key. Checked
+    * generators or a broadcast equi-join on a constant key.
+    *
+    * Plan-shape discipline (r15, guide §7.2): Spark INLINES every CTE
+    * reference — refs inside subquery expressions always, and plan
+    * duplication survives to execution for the rest — so this statement
+    * is written so the round chain is referenced exactly once end to
+    * end: each round is a single-upstream-reference groupBy (see the
+    * `rounds` comment below) and the rank gate consumes `es` through one
+    * constant-key broadcast equi-join rather than nine per-percentile
+    * scalar subqueries. The r14 spelling (window rounds referenced by
+    * both k{l} and p{l+1}, scalar-subquery rank gate) planned 1,056
+    * parquet scans / 3,024 exchanges / 1,080 windows in a 37k-line plan
+    * and benched 8.75 s; this one plans the chain once. Checked
     * against [[qdigestOracle]] — the identical DuckDB replay — and
     * against the Column twin cell-for-cell in `SqlParitySpec`.
     */
   private[graft] def qdigestSparkSql: String = {
+    // Each round `a{l} -> a{l+1}` is ONE groupBy pass with a SINGLE
+    // upstream reference: pending prefixes (level = -1) group by their
+    // parent and either FREEZE (group total >= t: every member keeps its
+    // prefix, stamped level = l) or PUSH (one pending row at the parent
+    // prefix carrying the group sum); already-frozen rows ride through as
+    // their own singleton groups. The freeze/push decision and arithmetic
+    // are exactly the window spelling's (`s = sum(cnt) over parent`), but
+    // the earlier k{l}/p{l+1} pair referenced each round TWICE — and
+    // Spark inlines CTE refs, so the 8 rounds expanded O(L^2): 45
+    // duplicated window chains, 84 scans (1,056 before the rank-gate
+    // join fix). The linear chain plans each round once.
     val rounds = (0 until 8).map { l =>
-      s"""g$l AS (SELECT prefix, cnt, shiftrightunsigned(prefix, 7) AS parent,
-         |        sum(cnt) OVER (PARTITION BY shiftrightunsigned(prefix, 7)) AS s
-         |        FROM p$l),
-         |k$l AS (SELECT CAST($l AS BIGINT) AS level, prefix, cnt FROM g$l
-         |        WHERE s >= (SELECT t FROM tt)),
-         |p${l + 1} AS (SELECT parent AS prefix, sum(cnt) AS cnt FROM g$l
-         |        WHERE s < (SELECT t FROM tt) GROUP BY parent)""".stripMargin
+      s"""a${l + 1} AS (SELECT inline(CASE
+         |  WHEN level >= 0 THEN collect_list(named_struct(
+         |    'level', level, 'prefix', prefix, 'cnt', cnt))
+         |  WHEN sum(cnt) >= (SELECT t FROM tt) THEN
+         |    transform(collect_list(named_struct('prefix', prefix, 'cnt', cnt)),
+         |      x -> named_struct('level', CAST($l AS BIGINT),
+         |                        'prefix', x.prefix, 'cnt', x.cnt))
+         |  ELSE array(named_struct('level', CAST(-1 AS BIGINT),
+         |                          'prefix', gk, 'cnt', sum(cnt)))
+         |  END)
+         |FROM (SELECT level, prefix, cnt,
+         |        CASE WHEN level < 0 THEN shiftrightunsigned(prefix, 7)
+         |             ELSE prefix END AS gk FROM a$l)
+         |GROUP BY level, gk)""".stripMargin
     }.mkString(",\n")
-    val nodes = (0 to 8).map(l => s"SELECT * FROM k$l").mkString(" UNION ALL ")
     s"""WITH raw AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS c
        |            FROM events WHERE value IS NOT NULL),
        |tt AS (SELECT CAST(count(1) AS BIGINT) AS n,
        |        greatest(CAST((count(1) + 255) div 256 AS BIGINT),
        |                 CAST(1 AS BIGINT)) AS t
        |       FROM raw),
-       |p0 AS (SELECT c + 4611686018427387904 AS prefix, count(1) AS cnt
-       |       FROM raw GROUP BY 1),
+       |a0 AS (SELECT CAST(-1 AS BIGINT) AS level,
+       |              c + 4611686018427387904 AS prefix, count(1) AS cnt
+       |       FROM raw GROUP BY 2),
        |$rounds,
-       |k8 AS (SELECT CAST(8 AS BIGINT) AS level, prefix, cnt FROM p8),
-       |nodes AS ($nodes),
+       |nodes AS (SELECT CASE WHEN level < 0 THEN CAST(8 AS BIGINT)
+       |                      ELSE level END AS level, prefix, cnt
+       |          FROM a8),
        |ups AS (SELECT shiftleft(prefix, CAST(7 * level AS INT))
        |             - 4611686018427387904
        |             + (shiftleft(CAST(1 AS BIGINT), CAST(7 * level AS INT))
@@ -203,36 +234,18 @@ private[graft] object RegistrySketches {
        |             LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
        |       WHERE cum >= (q * (SELECT n FROM tt) + 99) div 100
        |       GROUP BY q),
-       |ra AS (SELECT
-       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 50)
-       |               THEN 1 END) AS le50,
-       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 50)
-       |               THEN 1 END) AS lt50,
-       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 90)
-       |               THEN 1 END) AS le90,
-       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 90)
-       |               THEN 1 END) AS lt90,
-       |         count(CASE WHEN c <= (SELECT est_cents FROM es WHERE q = 99)
-       |               THEN 1 END) AS le99,
-       |         count(CASE WHEN c <  (SELECT est_cents FROM es WHERE q = 99)
-       |               THEN 1 END) AS lt99
-       |       FROM raw),
-       |rk AS (SELECT q,
-       |         CASE q WHEN 50 THEN (SELECT est_cents FROM es WHERE q = 50)
-       |                WHEN 90 THEN (SELECT est_cents FROM es WHERE q = 90)
-       |                ELSE (SELECT est_cents FROM es WHERE q = 99)
-       |         END AS est_cents,
-       |         CASE q WHEN 50 THEN le50 WHEN 90 THEN le90 ELSE le99
-       |         END AS rank_le,
-       |         CASE q WHEN 50 THEN lt50 WHEN 90 THEN lt90 ELSE lt99
-       |         END AS rank_lt
-       |       FROM ra LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
-       |SELECT q, (SELECT n FROM tt) AS n, (SELECT t FROM tt) AS t,
-       |  est_cents, rank_le, rank_lt,
-       |  rank_le >= (q * (SELECT n FROM tt) + 99) div 100 AS lo_ok,
-       |  rank_lt < (q * (SELECT n FROM tt) + 99) div 100
-       |    + 16 * (SELECT t FROM tt) AS hi_ok
-       |FROM rk ORDER BY q""".stripMargin
+       |rk AS (SELECT e.q, e.est_cents,
+       |         count(CASE WHEN r.c <= e.est_cents THEN 1 END) AS rank_le,
+       |         count(CASE WHEN r.c <  e.est_cents THEN 1 END) AS rank_lt
+       |       FROM (SELECT c, 1 AS jk FROM raw) r
+       |       JOIN (SELECT q, est_cents, 1 AS jk FROM es) e ON r.jk = e.jk
+       |       GROUP BY e.q, e.est_cents)
+       |SELECT q, n, t, est_cents, rank_le, rank_lt,
+       |  rank_le >= (q * n + 99) div 100 AS lo_ok,
+       |  rank_lt < (q * n + 99) div 100 + 16 * t AS hi_ok
+       |FROM (SELECT rk.*, 1 AS jk FROM rk)
+       |JOIN (SELECT n, t, 1 AS jk2 FROM tt) ON jk = jk2
+       |ORDER BY q""".stripMargin
   }
 
 
