@@ -850,9 +850,16 @@ object Curation {
   def importanceSample(documents: DataFrame, targetLang: String = "en",
                        keepBps: Int = 2500, buckets: Int = 4096): DataFrame = {
     require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    // materialize both bounded intermediates ONCE: the weight table
+    // (≤ buckets rows) and the per-doc score frame (3 longs per doc).
+    // Without the checkpoints the threshold probe and the returned
+    // filter each re-ran the full occurrence pipeline — split + explode
+    // + per-occurrence md5 over the corpus — 4 passes where 2 (train,
+    // score) are the algorithmic floor (guide §1.2; r14 benched 5.8 s,
+    // checkpointed 3.5 s at sf0.1)
     val wt = importanceWeights(documents, targetLang, buckets)
-      .select(col("b"), col("w_milli"))
-    val ds = importanceScores(documents, wt, buckets)
+      .select(col("b"), col("w_milli")).localCheckpoint()
+    val ds = importanceScores(documents, wt, buckets).localCheckpoint()
     // threshold via the shared quantile-gate spelling — one definition for
     // the one-shot, incremental, and artifact paths, so they cannot diverge
     importanceThreshold(ds, keepBps) match {
