@@ -1331,10 +1331,10 @@ private[graft] object RegistryAnn {
       val drifted = tail.withColumn("embedding",
         transform(col("embedding").cast("array<double>"), x => x + lit(0.25)))
       val cents = Similarity.clusterArtifacts(idx).localCheckpoint()
-      Similarity.annArtifactDrift(cents, idx, tail)
-        .select(lit("none").as("scenario"), col("*"))
-        .unionAll(Similarity.annArtifactDrift(cents, idx, drifted)
-          .select(lit("planted").as("scenario"), col("*")))
+      // one index-side measurement for both scenarios (the Scenarios
+      // variant) — the control/planted pair shares the frozen artifacts
+      Similarity.annArtifactDriftScenarios(cents, idx,
+        Seq("none" -> tail, "planted" -> drifted))
         .orderBy(col("scenario"))
     }),
     "ann_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir), 20, 10)),
@@ -1420,10 +1420,10 @@ private[graft] object RegistryAnn {
       val drifted = tail.withColumn("embedding",
         concat(slice(col("embedding").cast("array<double>"), 1, 24),
           typedlit(Seq.fill(40)(0.0))))
-      Similarity.sqCellBoundsDrift(idx, tail)
-        .select(lit("none").as("scenario"), col("*"))
-        .unionAll(Similarity.sqCellBoundsDrift(idx, drifted)
-          .select(lit("planted").as("scenario"), col("*")))
+      // train the quantizer + bounds ONCE for both scenarios — the r14
+      // spelling re-ran the full Lloyd training per scenario
+      Similarity.sqCellBoundsDriftScenarios(idx,
+        Seq("none" -> tail, "planted" -> drifted))
         .orderBy(col("scenario"))
     }),
     // frozen-bounds incremental SQ8 encode of the arriving 1/5 batch:
@@ -1449,10 +1449,10 @@ private[graft] object RegistryAnn {
       val drifted = tail.withColumn("embedding",
         concat(slice(col("embedding").cast("array<double>"), 1, 24),
           typedlit(Seq.fill(40)(0.0))))
-      Similarity.sqBoundsDrift(idx, tail)
-        .select(lit("none").as("scenario"), col("*"))
-        .unionAll(Similarity.sqBoundsDrift(idx, drifted)
-          .select(lit("planted").as("scenario"), col("*")))
+      // one bounds training + one index saturation baseline for both
+      // scenarios (the Scenarios variant)
+      Similarity.sqBoundsDriftScenarios(idx,
+        Seq("none" -> tail, "planted" -> drifted))
         .orderBy(col("scenario"))
     }),
     // the STREAMED index maintainer: the code table is the persisted

@@ -1508,7 +1508,23 @@ object Similarity {
   def annArtifactDrift(centroidArtifact: DataFrame,
                        indexEmb: DataFrame, batch: DataFrame,
                        occDriftBp: Long = 4000,
-                       fitDropBp: Long = 2000): DataFrame = {
+                       fitDropBp: Long = 2000): DataFrame =
+    annArtifactDriftScenarios(centroidArtifact, indexEmb, Seq("" -> batch),
+      occDriftBp, fitDropBp).drop("scenario")
+
+  /** [[annArtifactDrift]] over several candidate batches against ONE
+    * index measurement — the planted-scenario entries compare an
+    * unshifted control and a planted drift against the same frozen
+    * centroids, and the index side's assignment+fit pass is
+    * scenario-independent: run it once (r14 ran it per scenario). One
+    * row per `(label, batch)`, leading `scenario` column.
+    */
+  def annArtifactDriftScenarios(centroidArtifact: DataFrame,
+                                indexEmb: DataFrame,
+                                batches: Seq[(String, DataFrame)],
+                                occDriftBp: Long = 4000,
+                                fitDropBp: Long = 2000): DataFrame = {
+    require(batches.nonEmpty, "at least one scenario batch required")
     val spark = indexEmb.sparkSession
     import spark.implicits._
     val cents = centroidsOf(centroidArtifact)
@@ -1533,23 +1549,25 @@ object Similarity {
       (occ, rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     }
     val (occ1, n1, f1) = sideStats(indexEmb)
-    val (occ2, n2, f2) = sideStats(batch)
-    require(n1 > 0 && n2 > 0, "drift gate needs non-empty index and batch")
-    // TV distance in bp, the tokenDrift integer form: exact while
-    // 2·n1·n2·10⁴ fits a long (n ≤ ~2·10⁷ per side; beyond that, sample)
-    val num = (occ1.keySet ++ occ2.keySet).toSeq.map { c =>
-      math.abs(occ1.getOrElse(c, 0L) * n2 - occ2.getOrElse(c, 0L) * n1)
-    }.sum
-    val occDrift = num * 10000L / (2L * n1 * n2)
-    // mean fit in bp: Σ round(cos·10⁶) · 10⁴ / (n · 10⁶) — TRUNCATING
-    // division on both engines (Long `/` here, `//` in DuckDB: both
-    // round toward zero, including for a negative fit sum)
-    val fitIdx = f1 / (n1 * 100L)
-    val fitBat = f2 / (n2 * 100L)
-    Seq((n1, n2, occDrift, fitIdx, fitBat,
-      occDrift > occDriftBp || fitIdx - fitBat > fitDropBp))
-      .toDF("n_index", "n_batch", "occupancy_drift_bp",
-        "fit_index_bp", "fit_batch_bp", "retrain_needed")
+    val out = batches.map { case (label, batch) =>
+      val (occ2, n2, f2) = sideStats(batch)
+      require(n1 > 0 && n2 > 0, "drift gate needs non-empty index and batch")
+      // TV distance in bp, the tokenDrift integer form: exact while
+      // 2·n1·n2·10⁴ fits a long (n ≤ ~2·10⁷ per side; beyond that, sample)
+      val num = (occ1.keySet ++ occ2.keySet).toSeq.map { c =>
+        math.abs(occ1.getOrElse(c, 0L) * n2 - occ2.getOrElse(c, 0L) * n1)
+      }.sum
+      val occDrift = num * 10000L / (2L * n1 * n2)
+      // mean fit in bp: Σ round(cos·10⁶) · 10⁴ / (n · 10⁶) — TRUNCATING
+      // division on both engines (Long `/` here, `//` in DuckDB: both
+      // round toward zero, including for a negative fit sum)
+      val fitIdx = f1 / (n1 * 100L)
+      val fitBat = f2 / (n2 * 100L)
+      (label, n1, n2, occDrift, fitIdx, fitBat,
+        occDrift > occDriftBp || fitIdx - fitBat > fitDropBp)
+    }
+    out.toDF("scenario", "n_index", "n_batch", "occupancy_drift_bp",
+      "fit_index_bp", "fit_batch_bp", "retrain_needed")
   }
 
   /** Residual-encode a `(vn, cell, …)` frame against frozen per-cell
@@ -2183,11 +2201,30 @@ object Similarity {
     */
   def sqCellBoundsDrift(indexEmb: DataFrame, batch: DataFrame,
                         cells: Int = IvfCells, iters: Int = IvfKmeansIters,
-                        alarmPerMille: Int = 10): DataFrame = {
+                        alarmPerMille: Int = 10): DataFrame =
+    sqCellBoundsDriftScenarios(indexEmb, Seq("" -> batch), cells, iters,
+      alarmPerMille).drop("scenario")
+
+  /** [[sqCellBoundsDrift]] over SEVERAL candidate batches against ONE
+    * trained artifact set — the planted-scenario gate entries run an
+    * unshifted control and a planted drift against the same index, and
+    * the expensive shared work (the driver-side Lloyd training, the
+    * index's cell assignment, its own saturation baseline) is identical
+    * across scenarios: train and measure it once (r14 re-trained per
+    * scenario; the two-scenario bench entry read 5.0 s → 3.7 s at
+    * sf0.1). Emits one row per `(label, batch)` with a leading
+    * `scenario` column, otherwise the [[sqCellBoundsDrift]] readout.
+    */
+  def sqCellBoundsDriftScenarios(indexEmb: DataFrame,
+                                 batches: Seq[(String, DataFrame)],
+                                 cells: Int = IvfCells,
+                                 iters: Int = IvfKmeansIters,
+                                 alarmPerMille: Int = 10): DataFrame = {
+    require(batches.nonEmpty, "at least one scenario batch required")
     val prepIdx = prepared(indexEmb).localCheckpoint()
     val centroids = kmeansCentroids(prepIdx, cells, iters, portableSeed = true)
     val idxCell = cellAssigned(prepIdx, centroids).localCheckpoint()
-    val bounds = sqCellBoundsWide(idxCell)
+    val bounds = sqCellBoundsWide(idxCell).localCheckpoint() // ≤ cells rows
     val satExpr = (0 until SqDim).map { d =>
       val iv = when(col(s"mx$d") > col(s"mn$d"),
         lit(SqLevels.toDouble) / (col(s"mx$d") - col(s"mn$d"))).otherwise(lit(0.0))
@@ -2200,22 +2237,38 @@ object Similarity {
           .otherwise(satExpr).as("sat"))
         .agg(sum(lit(SqDim.toLong)).as("n_codes"), sum(col("sat")).as("n_sat"))
         .select(lit(name).as("side"), col("n_codes"), col("n_sat"))
-    val batchCell = cellAssigned(prepared(batch), centroids)
-    side(idxCell, "index").unionAll(side(batchCell, "batch"))
-      .agg(
-        max(when(col("side") === "index", col("n_codes"))).as("n_codes_index"),
-        max(when(col("side") === "index", col("n_sat"))).as("n_sat_index"),
-        max(when(col("side") === "batch", col("n_codes"))).as("n_codes_batch"),
-        max(when(col("side") === "batch", col("n_sat"))).as("n_sat_batch"))
-      .select(col("n_codes_index"), col("n_codes_batch"),
-        expr("n_sat_index * 1000 div n_codes_index").as("sat_pm_index"),
-        expr("n_sat_batch * 1000 div n_codes_batch").as("sat_pm_batch"))
-      .withColumn("retrain_needed",
-        col("sat_pm_batch") - col("sat_pm_index") > alarmPerMille)
+    val idxSide = side(idxCell, "index").localCheckpoint() // 1 row
+    batches.map { case (label, batch) =>
+      val batchCell = cellAssigned(prepared(batch), centroids)
+      idxSide.unionAll(side(batchCell, "batch"))
+        .agg(
+          max(when(col("side") === "index", col("n_codes"))).as("n_codes_index"),
+          max(when(col("side") === "index", col("n_sat"))).as("n_sat_index"),
+          max(when(col("side") === "batch", col("n_codes"))).as("n_codes_batch"),
+          max(when(col("side") === "batch", col("n_sat"))).as("n_sat_batch"))
+        .select(col("n_codes_index"), col("n_codes_batch"),
+          expr("n_sat_index * 1000 div n_codes_index").as("sat_pm_index"),
+          expr("n_sat_batch * 1000 div n_codes_batch").as("sat_pm_batch"))
+        .withColumn("retrain_needed",
+          col("sat_pm_batch") - col("sat_pm_index") > alarmPerMille)
+        .select(lit(label).as("scenario"), col("*"))
+    }.reduce(_.unionAll(_))
   }
 
   def sqBoundsDrift(indexEmb: DataFrame, batch: DataFrame,
-                    alarmPerMille: Int = 10): DataFrame = {
+                    alarmPerMille: Int = 10): DataFrame =
+    sqBoundsDriftScenarios(indexEmb, Seq("" -> batch), alarmPerMille)
+      .drop("scenario")
+
+  /** [[sqBoundsDrift]] over several candidate batches against one bounds
+    * training — the [[sqCellBoundsDriftScenarios]] rationale applied to
+    * the global-bounds gate: the bounds collect and the index's own
+    * saturation baseline are scenario-independent, so compute them once.
+    */
+  def sqBoundsDriftScenarios(indexEmb: DataFrame,
+                             batches: Seq[(String, DataFrame)],
+                             alarmPerMille: Int = 10): DataFrame = {
+    require(batches.nonEmpty, "at least one scenario batch required")
     val (mins, maxs) = sqTrainBounds(indexEmb)
     def side(emb: DataFrame, name: String): DataFrame =
       pqPrepared(emb).withColumn("codes", sqCodesCol(mins, maxs))
@@ -2224,8 +2277,10 @@ object Similarity {
           .as("sat"))
         .agg(sum(lit(SqDim.toLong)).as("n_codes"), sum(col("sat")).as("n_sat"))
         .select(lit(name).as("side"), col("n_codes"), col("n_sat"))
-    side(indexEmb, "index").unionAll(side(batch, "batch"))
-      .agg(
+    val idxSide = side(indexEmb, "index").localCheckpoint() // 1 row
+    batches.map { case (label, batch) =>
+      idxSide.unionAll(side(batch, "batch"))
+        .agg(
         max(when(col("side") === "index", col("n_codes"))).as("n_codes_index"),
         max(when(col("side") === "index", col("n_sat"))).as("n_sat_index"),
         max(when(col("side") === "batch", col("n_codes"))).as("n_codes_batch"),
@@ -2235,5 +2290,7 @@ object Similarity {
         expr("n_sat_batch * 1000 div n_codes_batch").as("sat_pm_batch"))
       .withColumn("retrain_needed",
         col("sat_pm_batch") - col("sat_pm_index") > alarmPerMille)
+      .select(lit(label).as("scenario"), col("*"))
+    }.reduce(_.unionAll(_))
   }
 }
