@@ -78,6 +78,49 @@ object StreamingDedup {
       .sortBy(_.getPath.getName.stripPrefix("batch=").toLong)
       .map(_.getPath)
 
+  /** Start and drain a `foreachBatch` admission loop with the session's
+    * shuffle partitioning scoped to `foldPartitions` for the loop's
+    * lifetime (snapshot/restore — the loop must not leak session conf).
+    * Every job the step runs (screen joins, rank merges, state/output
+    * writes) inherits the SESSION shuffle partitioning, and a
+    * micro-batch is a fraction of the corpus: at the bench SFs a sub-MB
+    * batch across 32 session partitions pays 32 near-empty tasks per
+    * exchange plus a 32-file output/state write per batch (the
+    * [[graft.streaming.SaltedSessionStream]] r15 measurement: the cost
+    * tracked the partition count, not the data). A production
+    * deployment sizes `foldPartitions` to sustained batch volume /
+    * target partition size (guide §2.2), exactly like
+    * `replayStageOutOfOrder`'s statePartitions knob.
+    */
+  private[streaming] def runAdmissionLoop(stream: DataFrame, ckptDir: String,
+      step: (DataFrame, Long) => Unit, foldPartitions: Int = 4): Unit =
+    withFoldPartitions(stream.sparkSession, foldPartitions) {
+      val q = stream.writeStream.foreachBatch(step)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckptDir)
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Scope `spark.sql.shuffle.partitions` to `foldPartitions` for the
+    * duration of `body` (snapshot/restore) — the conf discipline behind
+    * [[runAdmissionLoop]], exposed for the loops whose start/drain shape
+    * differs (the sketch folds' mutable-state steps).
+    */
+  private[streaming] def withFoldPartitions[A](spark: SparkSession,
+      foldPartitions: Int = 4)(body: => A): A = {
+    require(foldPartitions > 0,
+      s"foldPartitions must be positive, got $foldPartitions")
+    val spKey = "spark.sql.shuffle.partitions"
+    val snap = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, foldPartitions.toString)
+    try body
+    finally snap match {
+      case Some(v) => spark.conf.set(spKey, v)
+      case None => spark.conf.unset(spKey)
+    }
+  }
+
   /** Committed admission output across all batch dirs (see
     * [[committedBatchDirs]]). Leaf dirs are passed explicitly, so no
     * `batch` partition column is inferred into the result schema.
@@ -206,11 +249,7 @@ object StreamingDedup {
         } finally idx.unpersist()
       } finally b.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    runAdmissionLoop(stream, ckptDir, step)
   }
 
   private val shingleSchema = StructType(Seq(
@@ -370,11 +409,7 @@ object StreamingDedup {
         } finally eff.unpersist()
       } finally b.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    runAdmissionLoop(stream, ckptDir, step)
   }
 
   private val embSchema = StructType(Seq(
@@ -511,11 +546,7 @@ object StreamingDedup {
         } finally eff.unpersist()
       } finally bfp.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    runAdmissionLoop(stream, ckptDir, step)
   }
 
   def semanticAdmissionStream(spark: SparkSession, inDir: String,
@@ -624,10 +655,6 @@ object StreamingDedup {
         } finally eff.unpersist()
       } finally b.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    runAdmissionLoop(stream, ckptDir, step)
   }
 }

@@ -148,11 +148,7 @@ object StreamingPack {
         }
       } finally b.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 
   /** Streamed exact-n-gram decontamination — the continuous form of
@@ -177,11 +173,7 @@ object StreamingPack {
         graft.operators.Curation.decontaminateWith(art, widened(batch), n),
         outDir, batchId)
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 
   /** Streamed fuzzy decontamination — the continuous form of
@@ -204,11 +196,7 @@ object StreamingPack {
           sess.read.parquet(s"$artifactDir/shingles"), widened(batch)),
         outDir, batchId)
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 
   /** Streamed semantic decontamination — the continuous form of
@@ -235,11 +223,7 @@ object StreamingPack {
           widened(batch), threshold, numPlanes),
         outDir, batchId)
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 
   /** Streamed importance admission — the continuous form of
@@ -356,11 +340,7 @@ object StreamingPack {
         }
       } finally b.unpersist()
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 
   def importanceAdmissionStream(spark: SparkSession, inDir: String,
@@ -389,10 +369,6 @@ object StreamingPack {
       }
       StreamingDedup.writeOutputBatch(admitted, outDir, batchId)
     }
-    val q = stream.writeStream.foreachBatch(step)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckptDir)
-      .start()
-    q.awaitTermination()
+    StreamingDedup.runAdmissionLoop(stream, ckptDir, step)
   }
 }

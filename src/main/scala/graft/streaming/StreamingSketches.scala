@@ -49,14 +49,18 @@ object StreamingSketches {
     var state = Sketches.valueHistDailyState(events.limit(0)).localCheckpoint()
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = Sketches.valueHistDailyUpdate(state, batch).localCheckpoint()
-      }
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scope the fold's exchanges to a few partitions — the
+    // StreamingDedup.runAdmissionLoop discipline (guide §2.2)
+    StreamingDedup.withFoldPartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Sketches.valueHistDailyUpdate(state, batch).localCheckpoint()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     state
   }
 
@@ -95,14 +99,18 @@ object StreamingSketches {
     var state = Sketches.qdigestState(events.limit(0), sigma)
     val src = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = Sketches.qdigestUpdate(state, batch, sigma)
-      }
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scope the fold's exchanges to a few partitions — the
+    // StreamingDedup.runAdmissionLoop discipline (guide §2.2)
+    StreamingDedup.withFoldPartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = Sketches.qdigestUpdate(state, batch, sigma)
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     state
   }
 
@@ -125,14 +133,18 @@ object StreamingSketches {
     var state = empty.localCheckpoint()
     val src = spark.readStream.schema(documents.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        state = step(state, batch).localCheckpoint()
-      }
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scope the fold's exchanges to a few partitions — the
+    // StreamingDedup.runAdmissionLoop discipline (guide §2.2)
+    StreamingDedup.withFoldPartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = step(state, batch).localCheckpoint()
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     state
   }
 
@@ -325,24 +337,28 @@ object StreamingSketches {
       empty.write.mode("overwrite").parquet(artDir.resolve("v0").toString)
     val src = spark.readStream.schema(documents.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val ss = batch.sparkSession
-        val prev = ss.read.parquet(artDir.resolve(s"v$bid").toString)
-        step(prev, batch)
-          .write.mode("overwrite")
-          .parquet(artDir.resolve(s"v${bid + 1}").toString)
-        // injected crash AFTER the artifact write, BEFORE the offset
-        // commit — the harder recovery case: the replayed batch must
-        // overwrite v{bid+1} with a bit-identical table
-        if (bid + 1 == failAfterBatch)
-          throw new IllegalStateException(
-            s"injected crash after persisting v${bid + 1}")
-      }
-      .option("checkpointLocation", root.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // scope the fold's exchanges to a few partitions — the
+    // StreamingDedup.runAdmissionLoop discipline (guide §2.2)
+    StreamingDedup.withFoldPartitions(spark) {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val ss = batch.sparkSession
+          val prev = ss.read.parquet(artDir.resolve(s"v$bid").toString)
+          step(prev, batch)
+            .write.mode("overwrite")
+            .parquet(artDir.resolve(s"v${bid + 1}").toString)
+          // injected crash AFTER the artifact write, BEFORE the offset
+          // commit — the harder recovery case: the replayed batch must
+          // overwrite v{bid+1} with a bit-identical table
+          if (bid + 1 == failAfterBatch)
+            throw new IllegalStateException(
+              s"injected crash after persisting v${bid + 1}")
+        }
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(artDir.resolve(s"v$nBatches").toString)
   }
 }
