@@ -29,7 +29,11 @@ val defaultHeap: String = {
           l.split("\\s+")(1).toLong / (1024 * 1024) }
         .getOrElse(128L)
     } catch { case scala.util.control.NonFatal(_) => 128L }
-  s"${math.max(4L, math.min(32L, memTotalGb / 4))}g"
+  // ceil-divide: /proc/meminfo reports slightly under the nominal size
+  // (125 "GiB" on the 128 GiB bench box), and the bench-calibrated value
+  // is exactly 32g — rounding down would silently shrink the measured
+  // configuration
+  s"${math.max(4L, math.min(32L, (memTotalGb + 3) / 4))}g"
 }
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",

@@ -369,7 +369,14 @@ object Multimodal {
   private def bandedHammingPairs(hashes: DataFrame, fpCol: String,
                                  hexLen: Int, maxHamming: Int): DataFrame = {
     val bw = hexLen / 4 // hex chars per band
-    val h = hashes.select(col("doc_id"), col(fpCol).as("fp"))
+    // materialize the per-doc hash frame ONCE: both sides of the band
+    // self-join read it, and left lazy the whole fingerprint pipeline —
+    // synthesize + decode every clip/image — executed twice (guide
+    // §2.4). Neutral at the bench SFs (the fixture decode is cheap; the
+    // candidate join dominates) but at production media sizes decode is
+    // the cost, and the checkpoint halves it. Bounded: (doc_id,
+    // ≤16-hex fp) per doc.
+    val h = hashes.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint()
     val bands = h.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("bi"))
       .withColumn("bv", expr(s"substring(fp, bi * $bw + 1, $bw)"))
