@@ -730,14 +730,20 @@ object Similarity {
     * cosine DESC, higher cell wins), so batch = corpus reproduces
     * [[clusterEmbeddings]] bit-for-bit.
     */
-  def assignWith(centroids: DataFrame, batch: DataFrame): DataFrame = {
+  def assignWith(centroids: DataFrame, batch: DataFrame): DataFrame =
+    assignCells(centroids, batch).orderBy(col("vec_id"))
+
+  /** [[assignWith]] without the presentation sort — the form the rank
+    * and quota paths consume (their own windows order by
+    * `(bkt, vec_id)`, so a pre-sort is a wasted exchange). */
+  private[graft] def assignCells(centroids: DataFrame,
+                                 batch: DataFrame): DataFrame = {
     val spark = batch.sparkSession
     val cents = centroidsOf(centroids)
     prepared(batch)
       .withColumn("cell", element_at(ArrayOps.nearestCells(spark,
         col("v"), col("nrm"), cents, 1), 1).cast("long"))
       .select(col("vec_id"), col("cell"))
-      .orderBy(col("vec_id"))
   }
 
   /** The two-level per-cell pick over an assigned `(vec_id, cell[, …])`
@@ -796,9 +802,20 @@ object Similarity {
   def clusterBalancedAdmitWith(centroids: DataFrame, quota: DataFrame,
                                batch: DataFrame, perCell: Int = 8,
                                subStrata: Int = 16): DataFrame =
+    clusterBalancedAdmitAssigned(quota, assignCells(centroids, batch),
+      perCell, subStrata)
+
+  /** [[clusterBalancedAdmitWith]] over an ALREADY cell-assigned batch
+    * `(vec_id, cell)` — the admission loop assigns each micro-batch once
+    * and feeds both the admit and the quota update from it (standalone,
+    * the pair re-ran the broadcast-centroid assignment and its centroid
+    * collect twice per batch). */
+  def clusterBalancedAdmitAssigned(quota: DataFrame, assigned: DataFrame,
+                                   perCell: Int = 8,
+                                   subStrata: Int = 16): DataFrame =
     perCellPick(
       quota.select(col("vec_id"), col("cell"), lit(false).as("is_batch"))
-        .unionAll(assignWith(centroids, batch)
+        .unionAll(assigned
           .select(col("vec_id"), col("cell"), lit(true).as("is_batch"))),
       perCell, subStrata)
       .filter(col("is_batch"))
@@ -813,10 +830,17 @@ object Similarity {
   def clusterQuotaAfter(centroids: DataFrame, quota: DataFrame,
                         batch: DataFrame, perCell: Int = 8,
                         subStrata: Int = 16): DataFrame =
+    clusterQuotaAfterAssigned(quota, assignCells(centroids, batch),
+      perCell, subStrata)
+
+  /** [[clusterQuotaAfter]] over an already cell-assigned batch — see
+    * [[clusterBalancedAdmitAssigned]]. */
+  def clusterQuotaAfterAssigned(quota: DataFrame, assigned: DataFrame,
+                                perCell: Int = 8,
+                                subStrata: Int = 16): DataFrame =
     perCellPick(
       quota.select(col("vec_id"), col("cell"))
-        .unionAll(assignWith(centroids, batch)
-          .select(col("vec_id"), col("cell"))),
+        .unionAll(assigned.select(col("vec_id"), col("cell"))),
       perCell, subStrata)
       .select(col("vec_id"), col("cell"))
 

@@ -311,12 +311,20 @@ object StreamingPack {
         val frontier = st.agg(coalesce(max(col("max_vec_id")), lit(-1L)))
           .head().getLong(0)
         val eff = widened(b.filter(col("vec_id") > frontier))
-        if (!eff.isEmpty) {
-          val cents = sess.read.parquet(s"$artifactDir/centroids")
+        // ONE cell-assignment pass per batch (checkpointed: the admit
+        // and the quota update both consume it — standalone they re-ran
+        // the broadcast-centroid assignment twice), and ONE stats
+        // action replacing the separate isEmpty + max-frontier jobs
+        val cents = sess.read.parquet(s"$artifactDir/centroids")
+        val assigned = graft.operators.Similarity.assignCells(cents, eff)
+          .localCheckpoint()
+        val effStats = assigned
+          .agg(count(lit(1)), coalesce(max(col("vec_id")), lit(-1L))).head()
+        if (effStats.getLong(0) > 0) {
           val quota = st.select(col("vec_id"), col("cell"))
           StreamingDedup.writeOutputBatch(
-            graft.operators.Similarity.clusterBalancedAdmitWith(
-              cents, quota, eff, perCell), outDir, batchId)
+            graft.operators.Similarity.clusterBalancedAdmitAssigned(
+              quota, assigned, perCell), outDir, batchId)
           // frontier-bearing snapshot LAST (replay-safety contract),
           // NAMED BY THE FRONTIER, not the streaming batch id: batch ids
           // are only monotone within one checkpoint lineage, so after a
@@ -327,9 +335,9 @@ object StreamingPack {
           // old frontier, so each effective batch's name strictly
           // increases, and a replayed batch re-derives the same name
           // with identical content (idempotent overwrite).
-          val newFrontier = eff.agg(max(col("vec_id"))).head().getLong(0)
+          val newFrontier = effStats.getLong(1)
           graft.operators.Similarity
-            .clusterQuotaAfter(cents, quota, eff, perCell)
+            .clusterQuotaAfterAssigned(quota, assigned, perCell)
             .withColumn("max_vec_id", lit(math.max(frontier, newFrontier)))
             .write.mode("overwrite").parquet(
               new org.apache.hadoop.fs.Path(stateDir, s"batch=$newFrontier").toString)
