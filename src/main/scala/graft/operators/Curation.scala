@@ -434,8 +434,14 @@ object Curation {
     */
   def qualityQuantileGate(documents: DataFrame, keepBps: Int = 7500): DataFrame = {
     require(keepBps > 0 && keepBps <= 10000, "keepBps must be in (0, 10000]")
+    // materialize the (doc_id, ttr_bp) score frame once: the eager
+    // threshold probe and the returned filter both consume it, and left
+    // lazy the whole upstream plan — the token-level quality scoring
+    // plus whatever gates the caller composed underneath (the pipeline
+    // entries feed this from a source-reputation join) — executed twice
+    // (guide §1.2). Bounded: two longs per doc.
     val scored = graft.functions.TextAnalysis.qualityScore(documents)
-      .select(col("doc_id"), col("ttr_bp"))
+      .select(col("doc_id"), col("ttr_bp")).localCheckpoint()
     val hist = scored.groupBy(col("ttr_bp")).agg(count(lit(1)).as("cnt"))
     val cumW = Window.orderBy(col("ttr_bp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
