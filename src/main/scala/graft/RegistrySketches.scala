@@ -172,10 +172,13 @@ private[graft] object RegistrySketches {
     * duplication survives to execution for the rest — so this statement
     * is written so the round chain is referenced exactly once end to
     * end: each round is a single-upstream-reference groupBy (see the
-    * `rounds` comment below) and the rank gate consumes `es` through one
-    * constant-key broadcast equi-join rather than nine per-percentile
-    * scalar subqueries. The r14 spelling (window rounds referenced by
-    * both k{l} and p{l+1}, scalar-subquery rank gate) planned 1,056
+    * `rounds` comment below) and the rank gate consumes `es` through ONE
+    * scalar subquery (a collect_list map over the 3 percentile rows,
+    * element_at per exploded q) rather than nine per-percentile scalar
+    * subqueries — and NOT a constant-key join, which Catalyst folds to
+    * `true` and plans as the BroadcastNestedLoopJoin `PlanAuditSpec`
+    * forbids. The r14 spelling (window rounds referenced by both k{l}
+    * and p{l+1}, nine-subquery rank gate) planned 1,056
     * parquet scans / 3,024 exchanges / 1,080 windows in a 37k-line plan
     * and benched 8.75 s; this one plans the chain once. Checked
     * against [[qdigestOracle]] — the identical DuckDB replay — and
@@ -234,18 +237,21 @@ private[graft] object RegistrySketches {
        |             LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
        |       WHERE cum >= (q * (SELECT n FROM tt) + 99) div 100
        |       GROUP BY q),
-       |rk AS (SELECT e.q, e.est_cents,
-       |         count(CASE WHEN r.c <= e.est_cents THEN 1 END) AS rank_le,
-       |         count(CASE WHEN r.c <  e.est_cents THEN 1 END) AS rank_lt
-       |       FROM (SELECT c, 1 AS jk FROM raw) r
-       |       JOIN (SELECT q, est_cents, 1 AS jk FROM es) e ON r.jk = e.jk
-       |       GROUP BY e.q, e.est_cents)
-       |SELECT q, n, t, est_cents, rank_le, rank_lt,
-       |  rank_le >= (q * n + 99) div 100 AS lo_ok,
-       |  rank_lt < (q * n + 99) div 100 + 16 * t AS hi_ok
-       |FROM (SELECT rk.*, 1 AS jk FROM rk)
-       |JOIN (SELECT n, t, 1 AS jk2 FROM tt) ON jk = jk2
-       |ORDER BY q""".stripMargin
+       |rk AS (SELECT q, est_cents,
+       |         count(CASE WHEN c <= est_cents THEN 1 END) AS rank_le,
+       |         count(CASE WHEN c <  est_cents THEN 1 END) AS rank_lt
+       |       FROM (SELECT c, q,
+       |               element_at((SELECT map_from_entries(
+       |                   collect_list(struct(q, est_cents))) FROM es),
+       |                 q) AS est_cents
+       |             FROM raw LATERAL VIEW explode(array(50L, 90L, 99L)) x AS q)
+       |       GROUP BY q, est_cents)
+       |SELECT q, (SELECT n FROM tt) AS n, (SELECT t FROM tt) AS t,
+       |  est_cents, rank_le, rank_lt,
+       |  rank_le >= (q * (SELECT n FROM tt) + 99) div 100 AS lo_ok,
+       |  rank_lt < (q * (SELECT n FROM tt) + 99) div 100
+       |    + 16 * (SELECT t FROM tt) AS hi_ok
+       |FROM rk ORDER BY q""".stripMargin
   }
 
 
