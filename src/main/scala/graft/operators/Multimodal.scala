@@ -369,14 +369,16 @@ object Multimodal {
   private def bandedHammingPairs(hashes: DataFrame, fpCol: String,
                                  hexLen: Int, maxHamming: Int): DataFrame = {
     val bw = hexLen / 4 // hex chars per band
-    // materialize the per-doc hash frame ONCE: both sides of the band
-    // self-join read it, and left lazy the whole fingerprint pipeline —
-    // synthesize + decode every clip/image — executed twice (guide
-    // §2.4). Neutral at the bench SFs (the fixture decode is cheap; the
-    // candidate join dominates) but at production media sizes decode is
-    // the cost, and the checkpoint halves it. Bounded: (doc_id,
-    // ≤16-hex fp) per doc.
-    val h = hashes.select(col("doc_id"), col(fpCol).as("fp")).localCheckpoint()
+    // NOT checkpointed, by measurement (r15): materializing the hash
+    // frame here forces the fingerprint functions' presentation sort
+    // (their `orderBy(doc_id)`) that the optimizer otherwise eliminates
+    // below the band join, and the in-suite bench read the video entry
+    // 5.3 s → 10.0 s min-of-2 with a checkpoint. The double fingerprint
+    // execution the lazy frame implies is the cheaper side at every
+    // measured size; a production deployment that pays real decode costs
+    // should persist the fingerprint TABLE (the artifact path), not
+    // checkpoint inside the search.
+    val h = hashes.select(col("doc_id"), col(fpCol).as("fp"))
     val bands = h.select(col("doc_id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("bi"))
       .withColumn("bv", expr(s"substring(fp, bi * $bw + 1, $bw)"))
